@@ -1,0 +1,89 @@
+"""Query registry: the single source of truth binding every implemented
+operator to (a) a ``(spark, sf_dir) -> DataFrame`` callable and (b) its
+DuckDB oracle SQL (None for non-SQL-expressible ops -> the driver records a
+weaker rows-only check).
+
+``__spark_entry__.py`` re-exports this; tests iterate it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import normalize_runtime_conf
+from .sources.io import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            normalize_runtime_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = name
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = Query(name, wrapped, oracle)
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# MapReduce application queries (SURVEY.md §2.B)
+# --------------------------------------------------------------------------
+from .operators import apps  # noqa: E402
+
+
+@register("wc", apps.ORACLE_SQL["wc"])
+def q_wc(spark, sf_dir):
+    return apps.word_count(_t(spark, sf_dir, "documents"))
+
+
+@register("wc_ws", apps.ORACLE_SQL["wc_ws"])
+def q_wc_ws(spark, sf_dir):
+    return apps.word_count_ws(_t(spark, sf_dir, "documents"))
+
+
+@register("inverted_index", apps.ORACLE_SQL["inverted_index"])
+def q_inverted_index(spark, sf_dir):
+    return apps.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+@register("crash_payload", apps.ORACLE_SQL["crash_payload"])
+def q_crash_payload(spark, sf_dir):
+    return apps.crash_payload(_t(spark, sf_dir, "documents"))
+
+
+@register("per_doc_count", apps.ORACLE_SQL["per_doc_count"])
+def q_per_doc_count(spark, sf_dir):
+    return apps.per_doc_count(_t(spark, sf_dir, "documents"))
+
+
+@register("parallelism_probe", apps.ORACLE_SQL["parallelism_probe"])
+def q_parallelism_probe(spark, sf_dir):
+    return apps.parallelism_probe(_t(spark, sf_dir, "events"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

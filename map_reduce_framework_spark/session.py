@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+The reference's control plane (coordinator/worker heartbeats, timeout
+re-execution, speculative backups -- go-map-reduce-framework/mr/coordinator.go,
+mr/coordinator_tier.go) maps 1:1 onto Spark scheduler configuration, so the
+"engine bootstrap" is just a well-configured session:
+
+* Tier-1/2 timeout re-execution  -> spark.task.maxFailures (default 4)
+* Tier-2 speculative execution   -> spark.speculation(.quantile=0.8)
+  (reference threshold 0.8, go-map-reduce-framework/config/config.go:13-19)
+* NReduce hash partitioning      -> spark.sql.shuffle.partitions
+* stragglers / skew              -> AQE (runtime coalesce + skew-join split)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "map-reduce-framework-spark",
+    *,
+    speculation: bool = False,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``speculation=True`` reproduces the reference's Tier-2 behavior
+    (backup tasks at the 0.8 completion quantile).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if speculation:
+        # Reference Tier 2: SpeculativeThreshold=0.8 (config/config.go:13-19).
+        builder = (
+            builder.config("spark.speculation", "true")
+            .config("spark.speculation.quantile", "0.8")
+            .config("spark.speculation.multiplier", "1.5")
+        )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def normalize_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs our queries rely on, for sessions we didn't build
+    (e.g. the verification driver's). Only mutable-at-runtime confs here.
+
+    * UTC session timezone: keeps timestamp rendering engine-independent.
+    * NTZ parquet inference: the testdata timestamps are timezone-naive;
+      reading them as TIMESTAMP_NTZ matches DuckDB's interpretation exactly.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # conf not recognized / not runtime-mutable in this build
+    return spark

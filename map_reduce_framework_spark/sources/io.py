@@ -1,0 +1,85 @@
+"""Sources and sinks.
+
+Reference surface (SURVEY.md §2.A):
+  A1 whole-file text scan  (mr/worker.go:57-62)   -> read_wholetext()
+  A9 '"%v %v\n"' text sink (mr/worker.go:139-157) -> write_mr_text()
+plus the parquet star schema the driver provides (TESTDATA.md).
+
+Scale notes: parquet scans go through Spark's vectorized reader with
+predicate pushdown + column pruning; callers should always select the
+columns they need *before* wide transforms so pruning reaches the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects. Read the raw int64 nanos and truncate to micros --
+        # exactly what DuckDB's CAST(ts AS TIMESTAMP) does, so oracles align.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_wholetext(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """A1: one row per whole input file -- the reference's map-task
+    granularity (one map task per file, mr/coordinator.go:157-163).
+
+    Returns DataFrame[path: string, text: string].
+    """
+    df = spark.read.text(paths, wholetext=True)
+    return df.select(
+        F.input_file_name().alias("path"), F.col("value").alias("text")
+    )
+
+
+def write_mr_text(df: DataFrame, key_col: str, value_col: str, out_dir: str) -> None:
+    """A9: the reference's text sink -- lines '"<key> <value>"', key-sorted
+    within each output partition (mr/worker.go:133-148). Spark's task-commit
+    protocol supplies the reference's atomic tmp+rename (A4) for free.
+    """
+    (
+        df.select(
+            F.format_string("%s %s", F.col(key_col), F.col(value_col)).alias("value")
+        )
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
