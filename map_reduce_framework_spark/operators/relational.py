@@ -1,0 +1,421 @@
+"""Relational query suite over the driver's TPC-H-ish star schema.
+
+The reference implements no joins, windows, or set ops (SURVEY.md §2.E);
+these exist because the engine must serve the full query surface a Spark
+user expects, oracle-checked against DuckDB. Patterns chosen for 100 TB:
+
+* Dimension joins (region/nation/supplier/customer) are explicitly
+  ``broadcast()`` -- at production scale lineitem/orders are the only
+  tables that shuffle, and AQE handles skew on the fact-fact join.
+* Filters are applied before joins so Catalyst pushes them into the
+  parquet scan (verified in tests/test_plans.py).
+* Float determinism across engines: every SUM over doubles goes through
+  DECIMAL(18,6) and is cast back to DOUBLE, making the result bit-exact
+  in both Spark and DuckDB regardless of partial-aggregation order.
+  (A plain double sum over 60k rows differs by ~1e-9 relative between
+  engines -- enough to break a value-hash.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dsum(col: Column | str, scale: int = 6) -> Column:
+    """Order-independent double sum: exact DECIMAL accumulation, DOUBLE out.
+
+    DuckDB mirror: CAST(sum(CAST(x AS DECIMAL(18,s))) AS DOUBLE).
+    """
+    col = F.col(col) if isinstance(col, str) else col
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def q1_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1: pricing summary report. One shuffle (4-bucket groupBy)
+    with map-side partial aggregation; the shipdate filter pushes down."""
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("*")).alias("avg_price"),
+            (dsum("l_discount") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q3_top_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q3 adapted (no shippriority column): top-10 open orders by
+    revenue for one market segment. customer is broadcast; the
+    orders<->lineitem join shuffles on orderkey only."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_region_revenue(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q5: revenue by nation for one region/year where the supplier
+    and customer share a nation. All dimensions broadcast; only
+    orders<->lineitem shuffles."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dims = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order count per priority where at least one lineitem
+    shipped after the order date -- a left-semi join (EXISTS)."""
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+        )
+        .join(
+            late,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no order since 2001-01-01.
+    (Unscoped, every customer in the testdata has orders -- the date scope
+    keeps the anti join's output non-trivial.)"""
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return customer.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def top_customers_per_segment(customer: DataFrame, orders: DataFrame, k: int = 5) -> DataFrame:
+    """Window rank: top-k customers by order revenue within each market
+    segment. Ties broken by custkey for determinism."""
+    revenue = (
+        orders.groupBy("o_custkey").agg(dsum("o_totalprice").alias("revenue"))
+    )
+    joined = customer.join(revenue, F.col("c_custkey") == F.col("o_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("c_mktsegment", "c_custkey", "c_name", "revenue", "rnk")
+    )
+
+
+def customer_running_totals(orders: DataFrame) -> DataFrame:
+    """Running window aggregate: cumulative spend per customer in order-date
+    order. Exact DECIMAL accumulation keeps the running doubles identical
+    across engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+def nation_set_ops(customer: DataFrame, supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Set operations: nations with customers vs nations with suppliers --
+    INTERSECT / EXCEPT / (symmetric) tagged into one result."""
+    cust_nations = (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    supp_nations = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    both = cust_nations.intersect(supp_nations).withColumn("tag", F.lit("both"))
+    cust_only = cust_nations.exceptAll(supp_nations).withColumn("tag", F.lit("customer_only"))
+    supp_only = supp_nations.exceptAll(cust_nations).withColumn("tag", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only)
+
+
+def events_hourly(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregate in batch form: hourly event counts, value
+    sums and distinct users. (Streaming twin in streaming/jobs.py.)"""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_json_metrics(events: DataFrame) -> DataFrame:
+    """JSON scalar extraction: pull props.k out of the JSON payload and
+    aggregate per event type."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a session ends after a ``gap_minutes`` silence.
+    Classic lag + cumulative-flag window; per-user partitioning keeps it
+    embarrassingly parallel at scale."""
+    # Microsecond epochs on both engines (DuckDB: epoch_us) -- second-level
+    # casts truncate differently between Spark and DuckDB.
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    base = events.select("user_id", "event_id", tsu.alias("tsu"))
+    gap = F.col("tsu") - F.lag("tsu").over(w)
+    flagged = base.select(
+        "user_id",
+        "tsu",
+        "event_id",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_session = sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("(max(tsu) - min(tsu)) div 1000000").alias("duration_sec"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.max("duration_sec").alias("max_session_sec"),
+    )
+
+
+_DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DSUM.format(x='l_quantity')} AS sum_qty,
+               {_DSUM.format(x='l_extendedprice')} AS sum_base_price,
+               {_DSUM.format(x='l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+               {_DSUM.format(x='l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+               {_DSUM.format(x='l_quantity')} / count(*) AS avg_qty,
+               {_DSUM.format(x='l_extendedprice')} / count(*) AS avg_price,
+               {_DSUM.format(x='l_discount')} / count(*) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_top_orders": f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               {_DSUM.format(x='l_extendedprice*(1-l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND l_shipdate > TIMESTAMP '1998-03-15'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "q5_region_revenue": f"""
+        SELECT n_name,
+               {_DSUM.format(x='l_extendedprice*(1-l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+    "q4_order_priority": """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2001-01-01'
+        )
+    """,
+    "top_customers_per_segment": """
+        WITH revenue AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT c_mktsegment, c_custkey, c_name, revenue,
+                   CAST(row_number() OVER (
+                       PARTITION BY c_mktsegment
+                       ORDER BY revenue DESC, c_custkey
+                   ) AS INT) AS rnk
+            FROM customer JOIN revenue ON c_custkey = o_custkey
+        )
+        SELECT * FROM ranked WHERE rnk <= 5
+    """,
+    "customer_running_totals": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_spend,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS INT) AS order_seq
+        FROM orders
+    """,
+    "nation_set_ops": """
+        WITH cn AS (
+            SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ),
+        sn AS (
+            SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
+        SELECT n_name, 'both' AS tag FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+        UNION ALL
+        SELECT n_name, 'customer_only' FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+        UNION ALL
+        SELECT n_name, 'supplier_only' FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+    """,
+    "events_hourly": """
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_json_metrics": """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    "user_sessions": """
+        WITH base AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, tsu, event_id,
+                   CASE WHEN lag(tsu) OVER w IS NULL
+                          OR tsu - lag(tsu) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ),
+        sessioned AS (
+            SELECT user_id, tsu, event_id,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   (max(tsu) - min(tsu)) // 1000000 AS duration_sec
+            FROM sessioned GROUP BY user_id, session_id
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(max(duration_sec) AS BIGINT) AS max_session_sec
+        FROM per_session GROUP BY user_id
+    """,
+}

@@ -81,6 +81,88 @@ def q_parallelism_probe(spark, sf_dir):
     return apps.parallelism_probe(_t(spark, sf_dir, "events"))
 
 
+# --------------------------------------------------------------------------
+# Relational suite (joins / windows / set ops / JSON / sessionization)
+# --------------------------------------------------------------------------
+from .operators import relational as rel  # noqa: E402
+
+
+@register("q1_pricing_summary", rel.ORACLE_SQL["q1_pricing_summary"])
+def q_q1(spark, sf_dir):
+    return rel.q1_pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register("q3_top_orders", rel.ORACLE_SQL["q3_top_orders"])
+def q_q3(spark, sf_dir):
+    return rel.q3_top_orders(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("q5_region_revenue", rel.ORACLE_SQL["q5_region_revenue"])
+def q_q5(spark, sf_dir):
+    return rel.q5_region_revenue(
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("q4_order_priority", rel.ORACLE_SQL["q4_order_priority"])
+def q_q4(spark, sf_dir):
+    return rel.q4_order_priority(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("customers_without_orders", rel.ORACLE_SQL["customers_without_orders"])
+def q_anti(spark, sf_dir):
+    return rel.customers_without_orders(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("top_customers_per_segment", rel.ORACLE_SQL["top_customers_per_segment"])
+def q_topcust(spark, sf_dir):
+    return rel.top_customers_per_segment(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("customer_running_totals", rel.ORACLE_SQL["customer_running_totals"])
+def q_running(spark, sf_dir):
+    return rel.customer_running_totals(_t(spark, sf_dir, "orders"))
+
+
+@register("nation_set_ops", rel.ORACLE_SQL["nation_set_ops"])
+def q_setops(spark, sf_dir):
+    return rel.nation_set_ops(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("events_hourly", rel.ORACLE_SQL["events_hourly"])
+def q_events_hourly(spark, sf_dir):
+    return rel.events_hourly(_t(spark, sf_dir, "events"))
+
+
+@register("events_json_metrics", rel.ORACLE_SQL["events_json_metrics"])
+def q_events_json(spark, sf_dir):
+    return rel.events_json_metrics(_t(spark, sf_dir, "events"))
+
+
+@register("user_sessions", rel.ORACLE_SQL["user_sessions"])
+def q_sessions(spark, sf_dir):
+    return rel.user_sessions(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,36 @@
+"""Differential tests for the relational suite (joins, windows, set ops,
+JSON, sessionization) against the DuckDB oracle at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_framework_spark.registry import REGISTRY
+
+from .oracle_util import compare_to_oracle, duckdb_conn
+
+RELATIONAL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "q4_order_priority",
+    "customers_without_orders",
+    "top_customers_per_segment",
+    "customer_running_totals",
+    "nation_set_ops",
+    "events_hourly",
+    "events_json_metrics",
+    "user_sessions",
+]
+
+
+@pytest.fixture(scope="module")
+def con(sf_oracle):
+    return duckdb_conn(sf_oracle)
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_relational_matches_oracle(spark, sf_oracle, con, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_oracle)
+    compare_to_oracle(df, con, q.oracle)
