@@ -1,0 +1,140 @@
+"""Generic MapReduce-compatibility runner (SURVEY.md §2.E last bullet).
+
+The reference's entire app surface is a pair of plugin callables
+(main/mrworker.go:34-51):
+
+    Map(filename string, contents string) []KeyValue   # a UDTF
+    Reduce(key string, values []string) string          # a UDAF
+
+This runner executes arbitrary Python (map_fn, reduce_fn) pairs with the
+same semantics on Spark:
+
+* map      -> ``mapInPandas`` (Arrow-batched; one call per input batch,
+              flatMap semantics)
+* shuffle  -> ``repartition(n_reduce, key)`` -- the NReduce hash-partition
+              step (mr/worker.go:78-81); which hash function routes a key
+              is not semantically visible, so Spark's murmur3 replaces
+              FNV-32a
+* group    -> ``groupBy(key).applyInPandas`` -- per-key grouped values
+              (mr/worker.go:128-137)
+* sink     -> sources.io.write_mr_text ("<key> <value>" lines, key-sorted
+              per partition, atomic task commit)
+
+The nine reference apps have native-DataFrame fast paths in
+operators/apps.py; this path exists for *user-supplied* map/reduce code.
+Python UDFs are the slow path by design -- anything expressible with
+built-in functions should not go through here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+MapFn = Callable[[str, str], list[tuple[str, str]]]
+ReduceFn = Callable[[str, list[str]], str]
+
+_KV_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+
+
+class MapReduceJob:
+    """Run a (map_fn, reduce_fn) pair over DataFrame[name, contents].
+
+    >>> job = MapReduceJob(map_fn, reduce_fn, n_reduce=10)
+    >>> out = job.run(df)           # DataFrame[key, value]
+    """
+
+    def __init__(self, map_fn: MapFn, reduce_fn: ReduceFn, n_reduce: int = 10):
+        self.map_fn = map_fn
+        self.reduce_fn = reduce_fn
+        self.n_reduce = n_reduce
+
+    def run(
+        self,
+        inputs: DataFrame,
+        name_col: str = "name",
+        contents_col: str = "contents",
+    ) -> DataFrame:
+        map_fn, reduce_fn = self.map_fn, self.reduce_fn
+
+        def run_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out_k, out_v = [], []
+                for name, contents in zip(pdf["name"], pdf["contents"]):
+                    for k, v in map_fn(name, contents):
+                        out_k.append(k)
+                        out_v.append(v)
+                yield pd.DataFrame({"key": out_k, "value": out_v})
+
+        def run_reduce(pdf: pd.DataFrame) -> pd.DataFrame:
+            key = pdf["key"].iloc[0]
+            return pd.DataFrame(
+                {"key": [key], "value": [reduce_fn(key, list(pdf["value"]))]}
+            )
+
+        mapped = (
+            inputs.select(
+                F.col(name_col).cast("string").alias("name"),
+                F.col(contents_col).cast("string").alias("contents"),
+            )
+            .mapInPandas(run_map, schema=_KV_SCHEMA)
+        )
+        # NReduce hash partitioning (A3). groupBy alone would also shuffle,
+        # but an explicit repartition pins the reducer count like NReduce
+        # does instead of inheriting spark.sql.shuffle.partitions.
+        return (
+            mapped.repartition(self.n_reduce, "key")
+            .groupBy("key")
+            .applyInPandas(run_reduce, schema=_KV_SCHEMA)
+        )
+
+
+# ---------------------------------------------------------------------------
+# Python ports of the reference apps' plugin pairs (behavioral spec from
+# SURVEY.md §2.B; used to validate the runner against the native library).
+# ---------------------------------------------------------------------------
+
+import re
+
+_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)  # Unicode letters run
+
+
+def wc_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """mrapps/wc.go:21-34 -- one ('word', '1') per letter-run occurrence."""
+    return [(w, "1") for w in _LETTER_RE.findall(contents)]
+
+
+def wc_reduce(key: str, values: list[str]) -> str:
+    """mrapps/wc.go:39-42 -- occurrence count as a decimal string."""
+    return str(len(values))
+
+
+def indexer_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """mrapps/indexer.go:21-32 -- per-document distinct words."""
+    return [(w, name) for w in set(_LETTER_RE.findall(contents))]
+
+
+def indexer_reduce(key: str, values: list[str]) -> str:
+    """mrapps/indexer.go:37-40 -- '<count> <doc1,doc2,...>' sorted."""
+    return f"{len(values)} {','.join(sorted(values))}"
+
+
+def crash_payload_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """mrapps/crash.go:37-50 payload (without the crashing)."""
+    return [
+        ("a", name),
+        ("b", str(len(name))),
+        ("c", str(len(contents))),
+        ("d", "xyzzy"),
+    ]
+
+
+def crash_payload_reduce(key: str, values: list[str]) -> str:
+    """mrapps/crash.go:51-57 -- sorted, space-joined values."""
+    return " ".join(sorted(values))

@@ -163,6 +163,22 @@ def q_sessions(spark, sf_dir):
     return rel.user_sessions(_t(spark, sf_dir, "events"))
 
 
+# --------------------------------------------------------------------------
+# Versioned KV store fold (SURVEY.md §2.C)
+# --------------------------------------------------------------------------
+from .operators import kv  # noqa: E402
+
+
+@register("kv_fold", kv.ORACLE_SQL["kv_fold"])
+def q_kv_fold(spark, sf_dir):
+    return kv.kv_fold(kv.kv_ops_from_events(_t(spark, sf_dir, "events")))
+
+
+@register("kv_final_state", kv.ORACLE_SQL["kv_final_state"])
+def q_kv_final(spark, sf_dir):
+    return kv.kv_final_state(kv.kv_ops_from_events(_t(spark, sf_dir, "events")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

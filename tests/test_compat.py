@@ -1,0 +1,67 @@
+"""The generic MapReduce-compat runner must reproduce the native
+DataFrame library's results for the reference apps (the runner is the
+slow path for user code; the native queries are the fast path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators import apps, compat
+from map_reduce_framework_spark.sources.io import load_table
+
+
+@pytest.fixture(scope="module")
+def doc_inputs(spark, sf_smoke):
+    return load_table(spark, sf_smoke, "documents").select(
+        F.col("doc_id").cast("string").alias("name"),
+        F.col("text").alias("contents"),
+    )
+
+
+def _as_dict(df):
+    return {r[0]: r[1] for r in df.collect()}
+
+
+def test_compat_wc_matches_native(spark, sf_smoke, doc_inputs):
+    job = compat.MapReduceJob(compat.wc_map, compat.wc_reduce, n_reduce=4)
+    got = _as_dict(job.run(doc_inputs))
+    native = apps.word_count(load_table(spark, sf_smoke, "documents"))
+    want = {r["word"]: str(r["cnt"]) for r in native.collect()}
+    assert got == want
+
+
+def test_compat_indexer_matches_native(spark, sf_smoke, doc_inputs):
+    job = compat.MapReduceJob(compat.indexer_map, compat.indexer_reduce, n_reduce=4)
+    got = _as_dict(job.run(doc_inputs))
+    native = apps.inverted_index(load_table(spark, sf_smoke, "documents"))
+    want = {r["word"]: f"{r['n_docs']} {r['docs']}" for r in native.collect()}
+    assert got == want
+
+
+def test_compat_crash_payload_matches_native(spark, sf_smoke, doc_inputs):
+    job = compat.MapReduceJob(
+        compat.crash_payload_map, compat.crash_payload_reduce, n_reduce=2
+    )
+    got = _as_dict(job.run(doc_inputs))
+    native = apps.crash_payload(load_table(spark, sf_smoke, "documents"))
+    want = {r["key"]: r["joined"] for r in native.collect()}
+    assert got == want
+
+
+def test_text_sink_roundtrip(spark, sf_smoke, doc_inputs, tmp_path):
+    """A9 sink: '<key> <value>' lines, sorted-union comparable
+    (tests/test-mr.sh:103 comparison convention)."""
+    from map_reduce_framework_spark.sources.io import write_mr_text
+
+    job = compat.MapReduceJob(compat.wc_map, compat.wc_reduce, n_reduce=2)
+    out = job.run(doc_inputs)
+    out_dir = str(tmp_path / "mr-out")
+    write_mr_text(out, "key", "value", out_dir)
+    lines = sorted(
+        line
+        for p in tmp_path.joinpath("mr-out").glob("part-*")
+        for line in p.read_text().splitlines()
+    )
+    want = sorted(f"{r['key']} {r['value']}" for r in out.collect())
+    assert lines == want

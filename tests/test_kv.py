@@ -1,0 +1,97 @@
+"""KV semantics: distributed fold vs DuckDB recursive-CTE oracle, plus
+unit/property tests of the Put/Get/version rules, the clerk ErrMaybe
+model, and spin-lock mutual exclusion (reference srv/kvsrv_test.go,
+srv/lock/lock_test.go behavior)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from map_reduce_framework_spark.operators.kv import (
+    ERR_MAYBE,
+    ERR_NO_KEY,
+    ERR_VERSION,
+    OK,
+    Clerk,
+    KVStore,
+    SpinLock,
+)
+from map_reduce_framework_spark.registry import REGISTRY
+
+from .oracle_util import compare_to_oracle, duckdb_conn
+
+
+@pytest.fixture(scope="module")
+def con(sf_oracle):
+    return duckdb_conn(sf_oracle)
+
+
+@pytest.mark.parametrize("name", ["kv_fold", "kv_final_state"])
+def test_kv_matches_oracle(spark, sf_oracle, con, name):
+    q = REGISTRY[name]
+    compare_to_oracle(q.fn(spark, sf_oracle), con, q.oracle)
+
+
+def test_kv_fold_has_all_outcomes(spark, sf_oracle):
+    df = REGISTRY["kv_fold"].fn(spark, sf_oracle)
+    errs = {r["err"] for r in df.select("err").distinct().collect()}
+    assert {OK, ERR_NO_KEY, ERR_VERSION} <= errs
+
+
+# -- srv/kvsrv_test.go:14-47 sequential semantics ---------------------------
+
+
+def test_kvstore_basic_semantics():
+    s = KVStore()
+    assert s.get("k") == (None, 0, ERR_NO_KEY)
+    assert s.put("k", "v1", 1) == ERR_NO_KEY  # absent, version != 0
+    assert s.put("k", "v1", 0) == OK
+    assert s.get("k") == ("v1", 1, OK)
+    assert s.put("k", "v2", 0) == ERR_VERSION  # present, stale version
+    assert s.put("k", "v2", 2) == ERR_VERSION
+    assert s.put("k", "v2", 1) == OK
+    assert s.get("k") == ("v2", 2, OK)
+
+
+def test_clerk_errmaybe_on_lost_reply():
+    """A resent put whose first reply was lost must answer ErrMaybe, never
+    a bare ErrVersion (models/kv.go:51-69)."""
+    s = KVStore()
+    s.put("k", "v1", 0)
+    drops = iter([True])  # first put applies but its reply is lost
+    clerk = Clerk(s, drop_reply=lambda: next(drops, False))
+    assert clerk.put("k", "v2", 1) == ERR_MAYBE
+    # the put actually applied on the first try:
+    assert s.get("k") == ("v2", 2, OK)
+
+
+def test_spinlock_mutual_exclusion():
+    """Interleaved acquire attempts: never two concurrent holders
+    (srv/lock/lock_test.go:21-62)."""
+    rng = random.Random(42)
+    store = KVStore()
+    locks = [SpinLock(store, "lock", f"owner{i}") for i in range(4)]
+    holder = None
+    critical = 0
+    for _ in range(2000):
+        i = rng.randrange(4)
+        if holder == i and rng.random() < 0.5:
+            locks[i].release()
+            holder = None
+        elif locks[i].try_acquire():
+            assert holder in (None, i), "two concurrent lock holders"
+            holder = i
+            critical += 1
+    assert critical > 0
+
+
+def test_spinlock_reentrant_owner():
+    store = KVStore()
+    lock = SpinLock(store, "l", "me")
+    assert lock.try_acquire()
+    assert lock.try_acquire()  # owner re-acquire is a no-op success
+    lock.release()
+    other = SpinLock(store, "l", "you")
+    assert other.try_acquire()
