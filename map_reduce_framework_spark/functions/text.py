@@ -43,8 +43,11 @@ def word_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
     array<string> of size(tokens)-n+1 (empty if fewer than n tokens).
     Implemented with transform(sequence(...)) -- stays in codegen.
     """
-    k = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
-    return F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.array_join(F.slice(tokens, i, n), sep),
+    k = F.size(tokens) - F.lit(n - 1)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] -- guard short docs.
+    return F.when(k < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(tokens, i, n), sep),
+        )
     )

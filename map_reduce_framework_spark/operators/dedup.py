@@ -1,0 +1,376 @@
+"""Document deduplication operators (north-star surface, BASELINE.json).
+
+Five tiers, cheapest first -- all shuffle-frugal by construction:
+
+* ``exact_duplicates``       md5(text) groupBy            1 shuffle
+* ``canonical_duplicates``   md5(sorted distinct tokens)  1 shuffle
+* ``minhash_lsh_pairs``      minhash sigs -> banded LSH -> candidate
+                             pairs -> exact Jaccard verify
+* ``simhash_signatures``     32-bit simhash per doc       1 shuffle
+* ``ngram_jaccard_pairs``    blocked pairwise 3-gram-shingle Jaccard
+
+Scale design (100 TB):
+- MinHash signatures are computed with K min-aggregates in a *single*
+  groupBy (no K-fold row blowup); band signatures hash R adjacent
+  components, so the candidate join shuffles only (band, sig) keys.
+  Pair verification touches candidate docs only.
+- SimHash needs one groupBy producing 32 sums; near-dup search is then
+  a cheap hamming-distance join inside blocking keys.
+- Pairwise n-gram Jaccard is quadratic and therefore *blocked* (same
+  lang, comparable length) -- the unblocked version exists only as the
+  small-scale oracle of the LSH path.
+- All hashes are md5-derived (functions/hashing.py) so every step has an
+  exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long
+from ..functions.text import tokenize_ws, word_shingles
+
+MINHASH_K = 12  # 4 bands x 3 rows
+LSH_BANDS = 4
+LSH_ROWS = 3
+SIMHASH_BITS = 32
+
+
+def _distinct_tokens(col: str = "text") -> Column:
+    return F.array_distinct(tokenize_ws(col))
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Byte-identical dedup: groups of identical text, keeper = min doc_id."""
+    return (
+        documents.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def canonical_duplicates(documents: DataFrame) -> DataFrame:
+    """Dedup after canonicalization: same distinct-token *set* (catches
+    reordered / repeated-token copies that byte dedup misses)."""
+    canon = F.md5(F.array_join(F.array_sort(_distinct_tokens()), " "))
+    return (
+        documents.select(canon.alias("canon_hash"), "doc_id")
+        .groupBy("canon_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string"))), ","
+            ).alias("members"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """K minhash components per doc in ONE aggregation: explode distinct
+    tokens, then K min(md5_long(seed:token)) aggregates. Columns mh0..mh{k-1}.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(_distinct_tokens()).alias("tok")
+    )
+    aggs = [
+        F.min(md5_long(F.col("tok"), seed=i)).alias(f"mh{i}") for i in range(k)
+    ]
+    return toks.groupBy("doc_id").agg(*aggs)
+
+
+def _band_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig): md5 over R adjacent minhash components."""
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("sig"),
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.sig")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs: banded-LSH candidates verified with exact Jaccard on
+    distinct-token sets. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    bands = _band_signatures(minhash_signatures(documents))
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "sig"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("band").alias("band_b"), F.col("sig").alias("sig_b")
+    )
+    candidates = (
+        left.join(
+            right,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    tsets = documents.select(
+        "doc_id", F.array_sort(_distinct_tokens()).alias("toks")
+    )
+    return (
+        candidates.join(
+            tsets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")),
+            "doc_a",
+        )
+        .join(
+            tsets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """32-bit SimHash per doc: bit j is the sign of the sum over distinct
+    tokens of +/-1 according to bit j of the token's hash. One groupBy
+    producing ``bits`` sums, folded into a single BIGINT signature."""
+    toks = documents.select(
+        "doc_id", F.explode(_distinct_tokens()).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok"), seed=0, bits=32))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0).cast("bigint")
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    documents: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked by lang (the
+    blocking key stands in for the band-table a 100 TB run would use)."""
+    sigs = simhash_signatures(documents).join(
+        documents.select("doc_id", "lang"), "doc_id"
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "lang"
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        a.join(b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("bit_count(sig_a ^ sig_b)").cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.3
+) -> DataFrame:
+    """Word n-gram shingle Jaccard, blocked by (lang, comparable length):
+    the quadratic verifier -- at scale it runs only on LSH candidates."""
+    sh = documents.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.array_distinct(word_shingles(tokenize_ws("text"), n)).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("len_a"), F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("len_b"), F.col("sh").alias("sh_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b"))
+               <= 0.2 * F.greatest(F.col("len_a"), F.col("len_b"))),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (md5-derived hashing makes every step SQL-expressible)
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))"
+_MH = (
+    "min(CAST(concat('0x', substr(md5(concat('{seed}:', tok)), 1, 15)) AS BIGINT))"
+)
+_MEMBERS = "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))"
+
+_MINHASH_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {', '.join(_MH.format(seed=i) + f' AS mh{i}' for i in range(MINHASH_K))}
+        FROM toks GROUP BY doc_id
+    ),
+    bands AS (
+        {' UNION ALL '.join(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(concat_ws(',', mh{b*LSH_ROWS}, mh{b*LSH_ROWS+1}, mh{b*LSH_ROWS+2})) AS sig "
+            f"FROM sigs"
+            for b in range(LSH_BANDS)
+        )}
+    )
+"""
+
+_SIMHASH_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('0:', tok)), 1, 8)) AS BIGINT) AS h
+        FROM toks
+    ),
+    sums AS (
+        SELECT doc_id,
+               {', '.join(
+                   f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+                   for j in range(SIMHASH_BITS)
+               )}
+        FROM hashed GROUP BY doc_id
+    ),
+    simsigs AS (
+        SELECT doc_id,
+               {' + '.join(
+                   f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                   for j in range(SIMHASH_BITS)
+               )} AS simhash
+        FROM sums
+    )
+"""
+
+ORACLE_SQL: dict[str, str] = {
+    "exact_duplicates": f"""
+        SELECT md5(text) AS text_hash,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               min(doc_id) AS keeper,
+               {_MEMBERS} AS members
+        FROM documents
+        GROUP BY md5(text)
+        HAVING count(*) > 1
+    """,
+    "canonical_duplicates": f"""
+        SELECT md5(array_to_string(list_sort({_TOKS}), ' ')) AS canon_hash,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               min(doc_id) AS keeper,
+               {_MEMBERS} AS members
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) > 1
+    """,
+    "minhash_lsh_pairs": f"""
+        WITH {_MINHASH_CTE},
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list_sort({_TOKS}) AS toks FROM documents
+        )
+        SELECT doc_a, doc_b,
+               len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+        FROM candidates
+        JOIN tsets ta ON ta.doc_id = doc_a
+        JOIN tsets tb ON tb.doc_id = doc_b
+        WHERE len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.5
+    """,
+    "simhash_signatures": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc_id, simhash FROM simsigs
+    """,
+    "simhash_near_pairs": f"""
+        WITH {_SIMHASH_CTE},
+        sigs AS (
+            SELECT s.doc_id, s.simhash, d.lang
+            FROM simsigs s JOIN documents d ON d.doc_id = s.doc_id
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sigs a JOIN sigs b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+    "ngram_jaccard_pairs": r"""
+        WITH tok AS (
+            SELECT doc_id, lang, n_chars,
+                   list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, lang, n_chars,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(w) - 2, 0) + 1),
+                           i -> array_to_string(w[i:i+2], ' ')
+                       )
+                   ) AS sh
+            FROM tok
+        ),
+        nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM nonempty a JOIN nonempty b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+        WHERE len(list_intersect(a.sh, b.sh))
+                 / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
+    """,
+}

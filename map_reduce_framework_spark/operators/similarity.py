@@ -1,0 +1,247 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+North-star operators (BASELINE.json): the reference has no vector surface,
+but a 100 TB training-data pipeline needs ANN. Two tiers:
+
+* ``knn_brute_force`` -- exact top-k per query vector. The query side is
+  tiny and broadcast; the candidate scan is embarrassingly parallel and
+  the per-partition top-k is cut down by the rank filter after a single
+  shuffle on q_id. This is the *oracle* path: at 100 TB you run it only
+  to validate the ANN path on samples.
+* ``ann_lsh`` -- random-hyperplane (SimHash-for-vectors) bucketing with
+  L independent hash tables: each table hashes with its own small set of
+  deterministic +/-1 hyperplanes -> bucket id; a candidate is any vector
+  sharing a bucket with the query in >=1 table, then exact cosine over
+  the (deduped) candidates. Recall ~ 1-(1-p^r)^L where p = 1-angle/pi;
+  tune (r planes/table, L tables) per data scale: more planes = finer
+  buckets = less compute, lower recall; more tables buy recall back.
+
+All cosines are computed as sequential left-to-right double sums, which
+are bit-identical between Spark's ``aggregate`` HOF and DuckDB's
+``list_dot_product`` (verified empirically: 0 mismatching bits over 4000
+pairs), so ranking needs no rounding -- only a vec_id tiebreak for the
+(measure-zero) case of exactly equal cosines.
+
+Hyperplane signs derive from md5 in *Python* and are embedded as literals
+in both the Spark plan and the oracle SQL, so both engines see the exact
+same planes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vector import as_double, cosine, dot
+
+DIM = 64
+N_TABLES = 6
+PLANES_PER_TABLE = 4
+
+
+def _plane_sign(p: int, i: int) -> float:
+    h = hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()
+    return 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+
+
+#: Deterministic +/-1 hyperplanes; table t uses planes
+#: [t*PLANES_PER_TABLE, (t+1)*PLANES_PER_TABLE).
+PLANE_SIGNS: list[list[float]] = [
+    [_plane_sign(p, i) for i in range(DIM)]
+    for p in range(N_TABLES * PLANES_PER_TABLE)
+]
+
+
+def knn_brute_force(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: the first ``n_queries`` vec_ids against the full
+    table. Returns (q_id, vec_id, cos, rnk)."""
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def table_bucket_expr(vec_col, table: int):
+    """Bucket id for one LSH table: PLANES_PER_TABLE sign bits."""
+    bucket = F.lit(0).cast("bigint")
+    for r in range(PLANES_PER_TABLE):
+        signs = PLANE_SIGNS[table * PLANES_PER_TABLE + r]
+        plane = F.array(*[F.lit(s) for s in signs])
+        bucket = bucket + F.when(dot(vec_col, plane) > 0, F.lit(1 << r)).otherwise(0)
+    return bucket
+
+
+def lsh_buckets(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, table, bucket) -- the scale path's blocking structure:
+    one row per vector per hash table."""
+    vec = as_double(F.col("embedding"))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                table_bucket_expr(vec, t).alias("bucket"),
+            )
+            for t in range(N_TABLES)
+        ]
+    )
+    return embeddings.select(
+        "vec_id", F.explode(buckets).alias("tb")
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+
+
+def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates share a bucket with the query in any
+    of the L hash tables; exact cosine over the deduped candidate set.
+    Returns (q_id, vec_id, cos, rnk); recall vs knn_brute_force tested."""
+    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    buckets = lsh_buckets(embeddings)
+    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    candidates = (
+        buckets.join(
+            F.broadcast(qb),
+            (F.col("tbl") == F.col("q_tbl"))
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(e, "vec_id")
+        .join(
+            F.broadcast(
+                e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+            ),
+            "q_id",
+        )
+        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
+    """Embedding-cosine near-duplicate surface: globally most-similar
+    distinct pairs. All-pairs here (fine at test scale); the 100 TB path
+    is the same ranking restricted to lsh_buckets() blocks."""
+    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(top_n)
+    )
+    return pairs
+
+
+def _signs_sql(signs: list[float]) -> str:
+    return "[" + ",".join(f"{s:.1f}" for s in signs) + "]::DOUBLE[]"
+
+
+def _table_bucket_sql(vcol: str, table: int) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vcol}, "
+        f"{_signs_sql(PLANE_SIGNS[table * PLANES_PER_TABLE + r])}) > 0 "
+        f"THEN CAST({1 << r} AS BIGINT) ELSE 0 END)"
+        for r in range(PLANES_PER_TABLE)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_BUCKETS_CTE = f"""
+        e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        buckets AS (
+            {' UNION ALL '.join(
+                f"SELECT vec_id, {t} AS tbl, {_table_bucket_sql('v', t)} AS bucket FROM e"
+                for t in range(N_TABLES)
+            )}
+        )
+"""
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLE_SQL: dict[str, str] = {
+    "knn_brute_force": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT q_id, vec_id, {_COS.format(a='qv', b='v')} AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                   ) AS INT) AS rnk
+            FROM scored
+        )
+        SELECT * FROM ranked WHERE rnk <= 10
+    """,
+    "ann_lsh": f"""
+        WITH {_BUCKETS_CTE},
+        qb AS (
+            SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket
+            FROM buckets WHERE vec_id < 8
+        ),
+        candidates AS (
+            SELECT DISTINCT qb.q_id, b.vec_id
+            FROM buckets b JOIN qb
+              ON b.tbl = qb.q_tbl AND b.bucket = qb.q_bucket
+             AND b.vec_id <> qb.q_id
+        ),
+        scored AS (
+            SELECT c.q_id, c.vec_id, {_COS.format(a='qe.v', b='ce.v')} AS cos
+            FROM candidates c
+            JOIN e ce ON ce.vec_id = c.vec_id
+            JOIN e qe ON qe.vec_id = c.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                   ) AS INT) AS rnk
+            FROM scored
+        )
+        SELECT * FROM ranked WHERE rnk <= 5
+    """,
+    "top_similar_pairs": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS.format(a='a.v', b='b.v')} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ORDER BY cos DESC, id_a, id_b
+        LIMIT 20
+    """,
+}

@@ -179,6 +179,82 @@ def q_kv_final(spark, sf_dir):
     return kv.kv_final_state(kv.kv_ops_from_events(_t(spark, sf_dir, "events")))
 
 
+# --------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / similarity / text analysis / multimodal
+# --------------------------------------------------------------------------
+from .operators import dedup, multimodal, similarity, text_analysis  # noqa: E402
+
+
+@register("exact_duplicates", dedup.ORACLE_SQL["exact_duplicates"])
+def q_exact_dups(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register("canonical_duplicates", dedup.ORACLE_SQL["canonical_duplicates"])
+def q_canon_dups(spark, sf_dir):
+    return dedup.canonical_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register("minhash_lsh_pairs", dedup.ORACLE_SQL["minhash_lsh_pairs"])
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_signatures", dedup.ORACLE_SQL["simhash_signatures"])
+def q_simhash_sigs(spark, sf_dir):
+    return dedup.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_near_pairs", dedup.ORACLE_SQL["simhash_near_pairs"])
+def q_simhash_pairs(spark, sf_dir):
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("ngram_jaccard_pairs", dedup.ORACLE_SQL["ngram_jaccard_pairs"])
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("knn_brute_force", similarity.ORACLE_SQL["knn_brute_force"])
+def q_knn(spark, sf_dir):
+    return similarity.knn_brute_force(_t(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh", similarity.ORACLE_SQL["ann_lsh"])
+def q_ann(spark, sf_dir):
+    return similarity.ann_lsh(_t(spark, sf_dir, "embeddings"))
+
+
+@register("top_similar_pairs", similarity.ORACLE_SQL["top_similar_pairs"])
+def q_simpairs(spark, sf_dir):
+    return similarity.top_similar_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@register("token_stats", text_analysis.ORACLE_SQL["token_stats"])
+def q_token_stats(spark, sf_dir):
+    return text_analysis.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("quality_score", text_analysis.ORACLE_SQL["quality_score"])
+def q_quality(spark, sf_dir):
+    return text_analysis.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register("lang_id", text_analysis.ORACLE_SQL["lang_id"])
+def q_lang_id(spark, sf_dir):
+    return text_analysis.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register("doc_fingerprints", text_analysis.ORACLE_SQL["doc_fingerprints"])
+def q_fingerprints(spark, sf_dir):
+    return text_analysis.doc_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register("multimodal_meta", multimodal.ORACLE_SQL["multimodal_meta"])
+def q_multimodal(spark, sf_dir):
+    return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
