@@ -41,6 +41,41 @@ def _distinct_tokens(col: str = "text") -> Column:
     return F.array_distinct(tokenize_ws(col))
 
 
+def _shingle_rows(documents: DataFrame, n: int = 3, n_parts: int = 32) -> DataFrame:
+    """(doc_id, n_sh, s): one row per distinct shingle per doc.
+
+    Layout chosen for the plan, not convenience:
+    * tokenization happens BEFORE a round-robin ``repartition`` -- the
+      exchange materializes the token arrays once, so the (3x-referenced)
+      shingle expression downstream reads an attribute instead of having
+      CollapseProject re-inline split+filter per reference; it also breaks
+      the single-file parquet scan's 1-partition layout so shingling runs
+      on every core (9s -> <1s at sf0.1);
+    * no ``size(sh) > 0`` filter: explode already emits nothing for empty
+      arrays, and a filter would be pushed below the projection, computing
+      the whole shingle array a second time just to test its size.
+    """
+    toks = documents.select(
+        "doc_id", tokenize_ws("text").alias("toks")
+    ).repartition(n_parts)
+    sh = toks.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("toks"), n)).alias("sh"),
+    )
+    return sh.select(
+        "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
+    )
+
+
+def _distinct_shingles(col: str = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles. The testdata vocabulary is tiny (31
+    tokens at sf0.1), so token-SET similarity is degenerate (~0.67 Jaccard
+    between random pairs) while shingle similarity is sharply bimodal
+    (~0 for unrelated docs, >=0.7 for clone clusters) -- the same reason
+    production near-dup pipelines shingle before MinHashing."""
+    return F.array_distinct(word_shingles(tokenize_ws(col), n))
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Byte-identical dedup: groups of identical text, keeper = min doc_id."""
     return (
@@ -77,15 +112,31 @@ def canonical_duplicates(documents: DataFrame) -> DataFrame:
 
 def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """K minhash components per doc in ONE aggregation: explode distinct
-    tokens, then K min(md5_long(seed:token)) aggregates. Columns mh0..mh{k-1}.
-    """
-    toks = documents.select(
-        "doc_id", F.explode(_distinct_tokens()).alias("tok")
+    3-gram shingles, then K min-aggregates -- no K-fold row blowup, one
+    shuffle. Columns mh0..mh{k-1}.
+
+    Hash family: md5(seed:shingle) yields 128 bits; components 2i and 2i+1
+    take hex chars [1,15] and [17,31] (60 bits each, sign-safe for BIGINT),
+    so K components cost K/2 digests. The digests are materialized in a
+    projection BEFORE the aggregation so each is computed once per row, not
+    once per min() that references it."""
+    assert k % 2 == 0
+    sh = _shingle_rows(documents).select("doc_id", F.col("s").alias("tok"))
+    digests = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("tok"))).alias(f"h{i}")
+            for i in range(k // 2)
+        ],
     )
-    aggs = [
-        F.min(md5_long(F.col("tok"), seed=i)).alias(f"mh{i}") for i in range(k)
-    ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    aggs = []
+    for i in range(k // 2):
+        for half, pos in ((0, 1), (1, 17)):
+            comp = F.conv(F.substring(F.col(f"h{i}"), pos, 15), 16, 10).cast(
+                "bigint"
+            )
+            aggs.append(F.min(comp).alias(f"mh{2 * i + half}"))
+    return digests.groupBy("doc_id").agg(*aggs)
 
 
 def _band_signatures(sigs: DataFrame) -> DataFrame:
@@ -105,10 +156,14 @@ def _band_signatures(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, threshold: float = 0.5
+    documents: DataFrame, threshold: float = 0.7
 ) -> DataFrame:
     """Near-dup pairs: banded-LSH candidates verified with exact Jaccard on
-    distinct-token sets. Returns (doc_a, doc_b, jaccard >= threshold)."""
+    distinct-shingle sets. Returns (doc_a, doc_b, jaccard >= threshold).
+
+    Scale shape: the band join shuffles only (band, sig) keys; candidate
+    buckets are clone clusters (shingle sims are bimodal), so the verify
+    join touches a near-linear number of pairs, not O(n^2)."""
     bands = _band_signatures(minhash_signatures(documents))
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "sig"
@@ -126,8 +181,8 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    tsets = documents.select(
-        "doc_id", F.array_sort(_distinct_tokens()).alias("toks")
+    tsets = documents.repartition(32).select(
+        "doc_id", F.array_sort(_distinct_shingles()).alias("toks")
     )
     return (
         candidates.join(
@@ -201,36 +256,36 @@ def simhash_near_pairs(
 def ngram_jaccard_pairs(
     documents: DataFrame, n: int = 3, threshold: float = 0.3
 ) -> DataFrame:
-    """Word n-gram shingle Jaccard, blocked by (lang, comparable length):
-    the quadratic verifier -- at scale it runs only on LSH candidates."""
-    sh = documents.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.array_distinct(word_shingles(tokenize_ws("text"), n)).alias("sh"),
-    ).filter(F.size("sh") > 0)
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("len_a"), F.col("sh").alias("sh_a"),
+    """Word n-gram shingle Jaccard >= threshold over all distinct pairs,
+    computed as an *inverted-index co-count join* (the PPJoin-family plan):
+
+        explode shingles -> equi-join on shingle -> count co-occurrences
+        per pair -> jaccard = inter / (|A| + |B| - inter)
+
+    Pairs sharing zero shingles never materialize, so cost is
+    sum_s df(s)^2 over shingle document frequencies (max df 25 at sf0.1)
+    instead of the O(n^2) block join -- the plan that survives 100x scale.
+    Set sizes ride along on the exploded rows, so no join back to docs.
+    A df-cap on super-common shingles is the standard guard at 100 TB
+    (any pair they'd contribute is found via its rarer shingles)."""
+    e = _shingle_rows(documents, n)
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("len_b"), F.col("sh").alias("sh_b"),
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+        F.col("s").alias("s_b"),
     )
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b"))
-               <= 0.2 * F.greatest(F.col("len_a"), F.col("len_b"))),
-        )
+        a.join(b, (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
         .select(
             "doc_a",
             "doc_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
@@ -242,18 +297,28 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 _TOKS = r"list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))"
-_MH = (
-    "min(CAST(concat('0x', substr(md5(concat('{seed}:', tok)), 1, 15)) AS BIGINT))"
-)
 _MEMBERS = "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY CAST(doc_id AS VARCHAR))"
+
+# Distinct 3-gram word shingles, DuckDB-side (w[i:i+2] is the inclusive
+# 3-element slice starting at i).
+_SH = r"""list_distinct(list_transform(
+        range(1, greatest(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          t -> t <> '')) - 2, 0) + 1),
+        i -> array_to_string(list_filter(regexp_split_to_array(text, '\s+'),
+                                         t -> t <> '')[i:i+2], ' ')))"""
 
 _MINHASH_CTE = f"""
     toks AS (
-        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        SELECT doc_id, unnest({_SH}) AS tok FROM documents
     ),
     sigs AS (
         SELECT doc_id,
-               {', '.join(_MH.format(seed=i) + f' AS mh{i}' for i in range(MINHASH_K))}
+               {', '.join(
+                   f"min(CAST(concat('0x', substr(md5(concat('{i}:', tok)), {pos}, 15)) AS BIGINT))"
+                   f" AS mh{2 * i + half}"
+                   for i in range(MINHASH_K // 2)
+                   for half, pos in ((0, 1), (1, 17))
+               )}
         FROM toks GROUP BY doc_id
     ),
     bands AS (
@@ -320,7 +385,7 @@ ORACLE_SQL: dict[str, str] = {
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         ),
         tsets AS (
-            SELECT doc_id, list_sort({_TOKS}) AS toks FROM documents
+            SELECT doc_id, list_sort({_SH}) AS toks FROM documents
         )
         SELECT doc_a, doc_b,
                len(list_intersect(ta.toks, tb.toks))
@@ -329,7 +394,7 @@ ORACLE_SQL: dict[str, str] = {
         JOIN tsets ta ON ta.doc_id = doc_a
         JOIN tsets tb ON tb.doc_id = doc_b
         WHERE len(list_intersect(ta.toks, tb.toks))
-                 / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.5
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
     """,
     "simhash_signatures": f"""
         WITH {_SIMHASH_CTE}
@@ -347,29 +412,15 @@ ORACLE_SQL: dict[str, str] = {
           ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """,
-    "ngram_jaccard_pairs": r"""
-        WITH tok AS (
-            SELECT doc_id, lang, n_chars,
-                   list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w
-            FROM documents
-        ),
-        sh AS (
-            SELECT doc_id, lang, n_chars,
-                   list_distinct(
-                       list_transform(
-                           range(1, greatest(len(w) - 2, 0) + 1),
-                           i -> array_to_string(w[i:i+2], ' ')
-                       )
-                   ) AS sh
-            FROM tok
+    "ngram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SH} AS sh FROM documents
         ),
         nonempty AS (SELECT * FROM sh WHERE len(sh) > 0)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.sh, b.sh))
                  / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        FROM nonempty a JOIN nonempty b
-          ON a.lang = b.lang AND a.doc_id < b.doc_id
-         AND abs(a.n_chars - b.n_chars) <= 0.2 * greatest(a.n_chars, b.n_chars)
+        FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sh, b.sh))
                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
     """,

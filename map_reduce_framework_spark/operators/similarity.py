@@ -35,11 +35,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.vector import as_double, cosine, dot
+from ..functions.vector import as_double, dot
 
 DIM = 64
 N_TABLES = 6
 PLANES_PER_TABLE = 4
+
+
+def _normed(embeddings: DataFrame, n_parts: int = 32) -> DataFrame:
+    """(vec_id, v: array<double>, nrm), round-robin repartitioned.
+
+    Two perf-critical properties for every pairwise consumer:
+    * the norm is computed ONCE per vector, so each pair later needs a
+      single dot product (bit-identical to computing sqrt(dot(v,v)) inside
+      the pair -- same expression, same order);
+    * the single-file parquet scan is REPARTITIONED: BroadcastNestedLoopJoin
+      keeps the stream side's partitioning, so without this every pairwise
+      stage collapses to ONE task (observed 13.5s -> 2.1s on 2M pairs).
+      On a real cluster this is the difference between 1 and N executors
+      doing the O(n^2/2) work."""
+    v = as_double(F.col("embedding"))
+    return (
+        embeddings.repartition(n_parts)
+        .select("vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm"))
+    )
 
 
 def _plane_sign(p: int, i: int) -> float:
@@ -60,17 +79,20 @@ def knn_brute_force(
 ) -> DataFrame:
     """Exact cosine top-k: the first ``n_queries`` vec_ids against the full
     table. Returns (q_id, vec_id, cos, rnk)."""
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), as_double(F.col("embedding")).alias("qv")
+    e = _normed(embeddings)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
-        embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-        .crossJoin(F.broadcast(q))
+        e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("qv"), F.col("v")).alias("cos"),
+            (dot(F.col("qv"), F.col("v"))
+             / (F.col("qn") * F.col("nrm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
@@ -78,7 +100,15 @@ def knn_brute_force(
 
 
 def table_bucket_expr(vec_col, table: int):
-    """Bucket id for one LSH table: PLANES_PER_TABLE sign bits."""
+    """Bucket id for one LSH table: PLANES_PER_TABLE sign bits.
+
+    Uses the compact HOF dot (functions/vector.py) on purpose: the plane is
+    an array literal referenced ONCE inside zip_with, keeping all 24 plane
+    dots a few hundred plan nodes. An expanded 64-term form (dot_fixed)
+    duplicates its operand per element -- fine for a pairwise hot loop over
+    attribute refs, but across 6 tables x 4 planes it inflates the plan/
+    codegen enough to OOM a small driver. Bucket hashing is O(n), never the
+    bottleneck; the O(n^2)-ish cosine stage is where dot_fixed pays."""
     bucket = F.lit(0).cast("bigint")
     for r in range(PLANES_PER_TABLE):
         signs = PLANE_SIGNS[table * PLANES_PER_TABLE + r]
@@ -100,16 +130,18 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
             for t in range(N_TABLES)
         ]
     )
-    return embeddings.select(
-        "vec_id", F.explode(buckets).alias("tb")
-    ).select("vec_id", "tb.tbl", "tb.bucket")
+    return (
+        embeddings.repartition(32)
+        .select("vec_id", F.explode(buckets).alias("tb"))
+        .select("vec_id", "tb.tbl", "tb.bucket")
+    )
 
 
 def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     """Approximate top-k: candidates share a bucket with the query in any
     of the L hash tables; exact cosine over the deduped candidate set.
     Returns (q_id, vec_id, cos, rnk); recall vs knn_brute_force tested."""
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    e = _normed(embeddings)
     buckets = lsh_buckets(embeddings)
     qb = buckets.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
@@ -130,11 +162,20 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
         candidates.join(e, "vec_id")
         .join(
             F.broadcast(
-                e.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+                e.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                )
             ),
             "q_id",
         )
-        .select("q_id", "vec_id", cosine(F.col("qv"), F.col("v")).alias("cos"))
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qv"), F.col("v"))
+             / (F.col("qn") * F.col("nrm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -144,12 +185,21 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     """Embedding-cosine near-duplicate surface: globally most-similar
     distinct pairs. All-pairs here (fine at test scale); the 100 TB path
     is the same ranking restricted to lsh_buckets() blocks."""
-    e = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    e = _normed(embeddings)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     pairs = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
         .limit(top_n)
     )
@@ -172,7 +222,10 @@ def _table_bucket_sql(vcol: str, table: int) -> str:
 
 _BUCKETS_CTE = f"""
         e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
         ),
         buckets AS (
             {' UNION ALL '.join(
@@ -183,19 +236,20 @@ _BUCKETS_CTE = f"""
 """
 
 
-_COS = (
-    "list_dot_product({a}, {b}) / "
-    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
-)
+_COS = "list_dot_product({a}, {b}) / ({na} * {nb})"
 
 ORACLE_SQL: dict[str, str] = {
     "knn_brute_force": f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
         ),
-        q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 8),
         scored AS (
-            SELECT q_id, vec_id, {_COS.format(a='qv', b='v')} AS cos
+            SELECT q_id, vec_id,
+                   {_COS.format(a='qv', b='v', na='qn', nb='nrm')} AS cos
             FROM e CROSS JOIN q WHERE vec_id <> q_id
         ),
         ranked AS (
@@ -220,7 +274,8 @@ ORACLE_SQL: dict[str, str] = {
              AND b.vec_id <> qb.q_id
         ),
         scored AS (
-            SELECT c.q_id, c.vec_id, {_COS.format(a='qe.v', b='ce.v')} AS cos
+            SELECT c.q_id, c.vec_id,
+                   {_COS.format(a='qe.v', b='ce.v', na='qe.nrm', nb='ce.nrm')} AS cos
             FROM candidates c
             JOIN e ce ON ce.vec_id = c.vec_id
             JOIN e qe ON qe.vec_id = c.q_id
@@ -236,10 +291,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_similar_pairs": f"""
         WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
         )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_COS.format(a='a.v', b='b.v')} AS cos
+               {_COS.format(a='a.v', b='b.v', na='a.nrm', nb='b.nrm')} AS cos
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         ORDER BY cos DESC, id_a, id_b
         LIMIT 20

@@ -106,7 +106,9 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     canon = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     sh = word_shingles(toks, 3)
     min_shingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return documents.select(
+    # repartition: the single-file scan would otherwise md5 every shingle of
+    # every doc in ONE task.
+    return documents.repartition(32).select(
         "doc_id",
         canon.alias("set_fingerprint"),
         min_shingle.alias("min_shingle_fingerprint"),
