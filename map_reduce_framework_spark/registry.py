@@ -255,6 +255,33 @@ def q_multimodal(spark, sf_dir):
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
 
 
+# --------------------------------------------------------------------------
+# Structured Streaming surface (bounded availableNow runs; SURVEY.md §7)
+# --------------------------------------------------------------------------
+from .streaming import ops as streaming_ops  # noqa: E402
+
+
+@register("events_hourly_stream", streaming_ops.ORACLE_SQL["events_hourly_stream"])
+def q_events_hourly_stream(spark, sf_dir):
+    return streaming_ops.q_events_hourly_stream(spark, sf_dir)
+
+
+@register(
+    "events_distinct_types_stream",
+    streaming_ops.ORACLE_SQL["events_distinct_types_stream"],
+)
+def q_events_distinct_types_stream(spark, sf_dir):
+    return streaming_ops.q_events_distinct_types_stream(spark, sf_dir)
+
+
+@register(
+    "user_activity_totals_stream",
+    streaming_ops.ORACLE_SQL["user_activity_totals_stream"],
+)
+def q_user_activity_totals_stream(spark, sf_dir):
+    return streaming_ops.q_user_activity_totals_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -1,0 +1,170 @@
+"""Structured Streaming surface.
+
+The reference has no data-plane streaming (SURVEY.md §1.4) -- its only
+stream is the control-plane gossip loop -- but the north-star engine needs
+one (BASELINE.json): a 100 TB ingest pipeline is a stream of files. The
+operators here are the *same declarative transforms* as the batch library,
+bound to ``readStream`` sources with watermarks; at scale you point them at
+a file/Kafka source and a real sink and they run incrementally with
+checkpointed state.
+
+Determinism contract for the oracle gate: each ``*_stream`` query reads the
+bounded events table as a file stream, executes with
+``trigger(availableNow=True)`` into a memory sink, and returns the final
+table -- which must equal the batch answer, so the DuckDB oracles are exact.
+Modes chosen accordingly:
+
+* windowed / global aggregations run in **complete** mode (every window is
+  in the final emission; append mode would hold back windows the watermark
+  has not passed at end-of-stream);
+* stateful dedup (``dropDuplicates``) runs in **append** mode (emits on
+  first sight, so the end-of-stream table is the full distinct set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.io import load_table
+
+
+def _as_stream_dir(path: str) -> str:
+    """The file-stream source monitors a DIRECTORY (that is its contract:
+    files arriving over time). The testdata table is a single parquet file,
+    so stage a per-file symlink directory under /tmp -- zero copy, and at
+    scale the real ingest directory takes this role."""
+    if os.path.isdir(path):
+        return path
+    d = f"/tmp/mrfs-stream-{hashlib.md5(path.encode()).hexdigest()[:12]}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. Schema comes from a
+    metadata-only batch read (streaming sources require one up front).
+
+    ``ts`` is truncated nanos->micros like sources/io.py, but kept as a
+    session-UTC TIMESTAMP: watermarks require TIMESTAMP, not TIMESTAMP_NTZ.
+    Consumers cast results back to timestamp_ntz (exact under UTC)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    stream_df: DataFrame, *, output_mode: str, name: str | None = None
+) -> DataFrame:
+    """Execute a bounded stream with availableNow into a memory sink and
+    return the final result as a DataFrame. The memory sink is a test/
+    verification device -- production callers writeStream to files/Kafka
+    with a checkpointLocation instead (same plan, different sink)."""
+    qname = name or f"mrfs_stream_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(qname)
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour window counts per event_type with a 1-hour watermark.
+    Works identically on a batch or streaming events DataFrame; the window
+    struct is flattened to (window_start, window_end) for stable schemas."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            # ntz cast is exact under the pinned UTC session timezone and
+            # keeps the schema identical to the batch events queries.
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def distinct_event_types(events: DataFrame) -> DataFrame:
+    """Streaming stateful dedup: first occurrence of each event_type is
+    emitted, state retains the seen-set (at scale: bound it with
+    ``dropDuplicatesWithinWatermark``)."""
+    return events.select("event_type").dropDuplicates(["event_type"])
+
+
+def user_activity_totals(events: DataFrame) -> DataFrame:
+    """Running per-user totals -- the classic continuously-updated aggregate
+    (complete mode: the sink holds the latest full answer)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        # count(DISTINCT) is unsupported in streaming aggs; size(collect_set)
+        # is the exact, streaming-legal equivalent.
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+# -- registry-facing runners (spark, sf_dir) -> DataFrame -------------------
+
+
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        hourly_counts(read_events_stream(spark, sf_dir)), output_mode="complete"
+    )
+
+
+def q_events_distinct_types_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        distinct_event_types(read_events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+def q_user_activity_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        user_activity_totals(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
+def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch twin of q_events_hourly_stream (stream/batch parity test)."""
+    return hourly_counts(load_table(spark, sf_dir, "events"))
+
+
+ORACLE_SQL: dict[str, str] = {
+    "events_hourly_stream": """
+        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS window_start,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                    + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+               event_type,
+               count(*) AS n_events
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    "events_distinct_types_stream": """
+        SELECT DISTINCT event_type FROM events
+    """,
+    "user_activity_totals_stream": """
+        SELECT user_id,
+               count(*) AS n_events,
+               count(DISTINCT event_type) AS n_types
+        FROM events
+        GROUP BY user_id
+    """,
+}
