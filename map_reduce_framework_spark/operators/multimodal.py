@@ -103,7 +103,159 @@ def multimodal_meta(documents: DataFrame) -> DataFrame:
     return extract_media_meta(with_binary_payload(documents))
 
 
+MAX_DIM = 256  # resize target (longest edge)
+FRAME_BYTES = 256  # fake frame granularity for the video-sampling stub
+MAX_FRAMES = 4  # frames sampled per payload
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = MAX_DIM) -> DataFrame:
+    """Resize-to-fit plumbing: decode (stubbed) -> compute target dims with
+    pure integer arithmetic (longest edge -> max_dim, aspect preserved,
+    no-op when already smaller) -> re-encode (stub: passthrough payload).
+    The real implementation swaps the two stub lines for PIL; the batch
+    shape, schema contract, and partition parallelism are what's tested."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "new_width": [], "new_height": [], "resized": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                w, h, _fmt = fake_decode_meta(p)  # stub: real = PIL decode
+                longest = max(w, h)
+                if longest <= max_dim:
+                    nw, nh = w, h
+                else:
+                    nw, nh = w * max_dim // longest, h * max_dim // longest
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["resized"].append(p)  # stub: real = re-encoded image
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    max_frames: int = MAX_FRAMES,
+) -> DataFrame:
+    """Frame-sampling plumbing: treat the payload as a video of
+    ``ceil(n_bytes / frame_bytes)`` frames, sample the first ``max_frames``
+    evenly-spaced frames, emit one ROW PER FRAME (the 1->many mapInPandas
+    shape a real ffmpeg sampler has). Frames are keyed by content hash so
+    the output is hashable by the oracle (raw bytes compare differently
+    across drivers)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                n_frames = max(1, -(-len(p) // frame_bytes))
+                take = min(max_frames, n_frames)
+                for j in range(take):
+                    idx = j * n_frames // take  # evenly spaced, integer math
+                    frame = p[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=_FRAMES_SCHEMA)
+
+
+def multimodal_resize(documents: DataFrame) -> DataFrame:
+    """Registry surface: resized dims only (binary payloads don't hash
+    identically across drivers, so the resized bytes stay out of the
+    oracle-checked projection)."""
+    return resize_images(with_binary_payload(documents)).select(
+        "doc_id", "width", "height", "new_width", "new_height"
+    )
+
+
+def multimodal_frames(documents: DataFrame) -> DataFrame:
+    """Registry surface: per-frame rows with content hashes."""
+    return sample_frames(with_binary_payload(documents))
+
+
 ORACLE_SQL: dict[str, str] = {
+    # Integer-only resize arithmetic: exact in both engines.
+    "multimodal_resize": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   64 + octet_length(encode(text)) % 577 AS w,
+                   64 + (octet_length(encode(text)) * 31) % 419 AS h
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(CASE WHEN greatest(w, h) <= {MAX_DIM} THEN w
+                         ELSE (w * {MAX_DIM}) // greatest(w, h) END AS INT)
+                   AS new_width,
+               CAST(CASE WHEN greatest(w, h) <= {MAX_DIM} THEN h
+                         ELSE (h * {MAX_DIM}) // greatest(w, h) END AS INT)
+                   AS new_height
+        FROM m
+    """,
+    # Frame sampling: the corpus is pure ASCII (verified: octet_length ==
+    # length for every sf), so VARCHAR substring positions equal byte
+    # offsets and DuckDB's md5(VARCHAR) hashes the same bytes the pandas
+    # UDF slices from the utf-8 payload.
+    "multimodal_frames": f"""
+        WITH m AS (
+            SELECT doc_id, text, octet_length(encode(text)) AS n
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, text,
+                   CASE WHEN n = 0 THEN 1
+                        ELSE (n + {FRAME_BYTES - 1}) // {FRAME_BYTES} END
+                       AS n_frames
+            FROM m
+        )
+        SELECT doc_id,
+               CAST((j * n_frames) // least({MAX_FRAMES}, n_frames) AS INT)
+                   AS frame_idx,
+               CAST(n_frames AS INT) AS n_frames,
+               md5(substring(
+                   text,
+                   ((j * n_frames) // least({MAX_FRAMES}, n_frames))
+                       * {FRAME_BYTES} + 1,
+                   {FRAME_BYTES}
+               )) AS frame_md5
+        FROM f, range(0, {MAX_FRAMES}) t(j)
+        WHERE j < least({MAX_FRAMES}, n_frames)
+    """,
     # The fake decode is pure arithmetic on octet_length, so the whole
     # pandas-UDF pipeline has an exact SQL oracle.
     "multimodal_meta": """

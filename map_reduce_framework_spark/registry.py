@@ -255,6 +255,16 @@ def q_multimodal(spark, sf_dir):
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
 
 
+@register("multimodal_resize", multimodal.ORACLE_SQL["multimodal_resize"])
+def q_multimodal_resize(spark, sf_dir):
+    return multimodal.multimodal_resize(_t(spark, sf_dir, "documents"))
+
+
+@register("multimodal_frames", multimodal.ORACLE_SQL["multimodal_frames"])
+def q_multimodal_frames(spark, sf_dir):
+    return multimodal.multimodal_frames(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface (bounded availableNow runs; SURVEY.md §7)
 # --------------------------------------------------------------------------

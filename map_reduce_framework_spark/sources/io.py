@@ -70,6 +70,35 @@ def read_wholetext(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     )
 
 
+def write_jsonl(df: DataFrame, out_dir: str) -> None:
+    """JSON-lines sink (the reference's intermediate wire format is JSON
+    lines, mr/worker.go:75-81 -- here it's a first-class interchange
+    format)."""
+    df.write.mode("overwrite").json(out_dir)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Pass the writer's schema to skip inference (at
+    100 TB schema inference is a full extra scan)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_csv(df: DataFrame, out_dir: str) -> None:
+    df.write.mode("overwrite").option("header", "true").csv(out_dir)
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def write_mr_text(df: DataFrame, key_col: str, value_col: str, out_dir: str) -> None:
     """A9: the reference's text sink -- lines '"<key> <value>"', key-sorted
     within each output partition (mr/worker.go:133-148). Spark's task-commit
