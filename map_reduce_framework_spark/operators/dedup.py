@@ -41,7 +41,19 @@ def _distinct_tokens(col: str = "text") -> Column:
     return F.array_distinct(tokenize_ws(col))
 
 
-def _shingle_rows(documents: DataFrame, n: int = 3, n_parts: int = 32) -> DataFrame:
+
+
+def _n_parts(df) -> int:
+    """Partition count for explicit repartitions: the session's shuffle
+    parallelism (AQE coalesces any excess). Hardcoding a constant would
+    under-parallelize a real cluster."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 32
+
+
+def _shingle_rows(documents: DataFrame, n: int = 3, n_parts: int | None = None) -> DataFrame:
     """(doc_id, n_sh, s): one row per distinct shingle per doc.
 
     Layout chosen for the plan, not convenience:
@@ -57,7 +69,7 @@ def _shingle_rows(documents: DataFrame, n: int = 3, n_parts: int = 32) -> DataFr
     """
     toks = documents.select(
         "doc_id", tokenize_ws("text").alias("toks")
-    ).repartition(n_parts)
+    ).repartition(n_parts or _n_parts(documents))
     sh = toks.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("toks"), n)).alias("sh"),
@@ -181,7 +193,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    tsets = documents.repartition(32).select(
+    tsets = documents.repartition(_n_parts(documents)).select(
         "doc_id", F.array_sort(_distinct_shingles()).alias("toks")
     )
     return (

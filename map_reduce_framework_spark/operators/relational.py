@@ -267,7 +267,162 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 _DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 
+def revenue_rollup(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP (nation, segment): per-(nation, segment) revenue plus nation
+    subtotals plus a grand total in ONE aggregation pass -- Spark executes
+    grouping sets with a single Expand+shuffle, no multi-scan unions.
+    grouping_id disambiguates subtotal rows from genuine NULL keys."""
+    joined = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            dsum("o_totalprice", 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("n_name", "c_mktsegment", "revenue", "n_orders", "gid")
+    )
+
+
+def order_priority_cube(orders: DataFrame) -> DataFrame:
+    """CUBE (priority, status): all four grouping sets in one pass."""
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.grouping_id().alias("gid"))
+        .select("o_orderpriority", "o_orderstatus", "n_orders", "gid")
+    )
+
+
+def customers_with_big_orders(spark, customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Correlated EXISTS through the engine's SQL surface (Catalyst rewrites
+    it to a left-semi join -- same physical shape as the DataFrame API)."""
+    customer.createOrReplaceTempView("mrfs_customer")
+    orders.createOrReplaceTempView("mrfs_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM mrfs_customer
+        WHERE EXISTS (
+            SELECT 1 FROM mrfs_orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        """
+    )
+
+
+def orders_vs_customer_avg(spark, orders: DataFrame) -> DataFrame:
+    """Correlated scalar subquery: orders above their customer's average
+    (Catalyst decorrelates to an aggregate + join; the window-function
+    formulation would shuffle identically)."""
+    orders.createOrReplaceTempView("mrfs_orders2")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM mrfs_orders2 o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(CAST(i.o_totalprice AS DECIMAL(18,2)))
+            FROM mrfs_orders2 i WHERE i.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+def scalar_function_suite(orders: DataFrame) -> DataFrame:
+    """Scalar-function breadth in one projection: date extraction and
+    arithmetic, string ops, conditional/null handling, integer math --
+    every expression chosen to be bit-exact across engines (no round():
+    Spark rounds half-up, DuckDB half-even)."""
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.quarter(d).alias("o_quarter"),
+        F.date_format(d, "yyyy-MM").alias("year_month"),
+        F.datediff(F.lit("1998-12-31").cast("date"), d.cast("date")).alias(
+            "days_to_eoy"
+        ),
+        F.upper(F.col("o_orderpriority")).alias("prio_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+        F.concat_ws("|", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_floor"),
+        F.ceil(F.col("o_totalprice")).cast("bigint").alias("price_ceil"),
+        (F.col("o_orderkey") % 97).alias("key_mod"),
+        F.abs(F.col("o_custkey") - 500).alias("cust_abs"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "revenue_rollup": """
+        SELECT n_name, c_mktsegment,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_orders,
+               CAST(grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    "order_priority_cube": """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "customers_with_big_orders": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+    """,
+    "orders_vs_customer_avg": """
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(CAST(i.o_totalprice AS DECIMAL(18,2)))
+            FROM orders i WHERE i.o_custkey = o.o_custkey
+        )
+    """,
+    "scalar_function_suite": """
+        SELECT o_orderkey,
+               CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_year,
+               CAST(month(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_month,
+               CAST(day(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_day,
+               CAST(quarter(CAST(o_orderdate AS TIMESTAMP)) AS INT) AS o_quarter,
+               strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS year_month,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+                   AS days_to_eoy,
+               upper(o_orderpriority) AS prio_upper,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               CAST(length(o_orderpriority) AS INT) AS prio_len,
+               concat_ws('|', o_orderstatus, o_orderpriority) AS status_prio,
+               coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               o_orderkey % 97 AS key_mod,
+               abs(o_custkey - 500) AS cust_abs
+        FROM orders
+    """,
+
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {_DSUM.format(x='l_quantity')} AS sum_qty,

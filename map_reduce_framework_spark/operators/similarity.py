@@ -42,7 +42,19 @@ N_TABLES = 6
 PLANES_PER_TABLE = 4
 
 
-def _normed(embeddings: DataFrame, n_parts: int = 32) -> DataFrame:
+
+
+def _n_parts(df) -> int:
+    """Partition count for explicit repartitions: the session's shuffle
+    parallelism (AQE coalesces any excess). Hardcoding a constant would
+    under-parallelize a real cluster."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 32
+
+
+def _normed(embeddings: DataFrame, n_parts: int | None = None) -> DataFrame:
     """(vec_id, v: array<double>, nrm), round-robin repartitioned.
 
     Two perf-critical properties for every pairwise consumer:
@@ -56,7 +68,7 @@ def _normed(embeddings: DataFrame, n_parts: int = 32) -> DataFrame:
       doing the O(n^2/2) work."""
     v = as_double(F.col("embedding"))
     return (
-        embeddings.repartition(n_parts)
+        embeddings.repartition(n_parts or _n_parts(embeddings))
         .select("vec_id", v.alias("v"), F.sqrt(dot(v, v)).alias("nrm"))
     )
 
@@ -131,7 +143,7 @@ def lsh_buckets(embeddings: DataFrame) -> DataFrame:
         ]
     )
     return (
-        embeddings.repartition(32)
+        embeddings.repartition(_n_parts(embeddings))
         .select("vec_id", F.explode(buckets).alias("tb"))
         .select("vec_id", "tb.tbl", "tb.bucket")
     )

@@ -107,8 +107,14 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     sh = word_shingles(toks, 3)
     min_shingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
     # repartition: the single-file scan would otherwise md5 every shingle of
-    # every doc in ONE task.
-    return documents.repartition(32).select(
+    # every doc in ONE task. Session shuffle parallelism; AQE coalesces.
+    try:
+        n_parts = int(
+            documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    return documents.repartition(n_parts).select(
         "doc_id",
         canon.alias("set_fingerprint"),
         min_shingle.alias("min_shingle_fingerprint"),

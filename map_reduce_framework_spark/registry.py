@@ -163,6 +163,37 @@ def q_sessions(spark, sf_dir):
     return rel.user_sessions(_t(spark, sf_dir, "events"))
 
 
+@register("revenue_rollup", rel.ORACLE_SQL["revenue_rollup"])
+def q_rollup(spark, sf_dir):
+    return rel.revenue_rollup(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("order_priority_cube", rel.ORACLE_SQL["order_priority_cube"])
+def q_cube(spark, sf_dir):
+    return rel.order_priority_cube(_t(spark, sf_dir, "orders"))
+
+
+@register("customers_with_big_orders", rel.ORACLE_SQL["customers_with_big_orders"])
+def q_exists(spark, sf_dir):
+    return rel.customers_with_big_orders(
+        spark, _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("orders_vs_customer_avg", rel.ORACLE_SQL["orders_vs_customer_avg"])
+def q_corr_scalar(spark, sf_dir):
+    return rel.orders_vs_customer_avg(spark, _t(spark, sf_dir, "orders"))
+
+
+@register("scalar_function_suite", rel.ORACLE_SQL["scalar_function_suite"])
+def q_scalars(spark, sf_dir):
+    return rel.scalar_function_suite(_t(spark, sf_dir, "orders"))
+
+
 # --------------------------------------------------------------------------
 # Versioned KV store fold (SURVEY.md §2.C)
 # --------------------------------------------------------------------------

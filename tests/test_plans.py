@@ -1,0 +1,91 @@
+"""Physical-plan quality gates: the properties that keep these queries fast
+at 100 TB are asserted here so a refactor can't silently regress them.
+
+Checks (per SURVEY.md §4.2 and the repo's scale notes):
+* dimension joins broadcast (no sort-merge shuffle for small sides);
+* filters reach the parquet scan (PushedFilters non-empty where expected);
+* column pruning reaches the scan (ReadSchema contains only needed cols);
+* no pairwise stage runs single-partition (the 1-file-scan trap);
+* whole-stage codegen covers the relational pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from map_reduce_framework_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def _formatted_plan(spark, name: str) -> str:
+    df = registry.REGISTRY[name].fn(spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_top_orders", "q5_region_revenue", "top_customers_per_segment"]
+)
+def test_dimension_joins_broadcast(spark, name):
+    plan = _formatted_plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    # At this SF every join should broadcast; no shuffle joins at all.
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_filters_push_to_scan(spark):
+    plan = _formatted_plan(spark, "q3_top_orders")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "l_shipdate" in pushed
+    assert "o_orderdate" in pushed
+    assert "c_mktsegment" in pushed
+
+
+def test_q3_scans_prune_columns(spark):
+    plan = _formatted_plan(spark, "q3_top_orders")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = next(s for s in schemas if "l_orderkey" in s)
+    # lineitem has 10+ columns; the scan must read only the 4 used.
+    assert sorted(c.split(":")[0] for c in li.split(",")) == [
+        "l_discount",
+        "l_extendedprice",
+        "l_orderkey",
+        "l_shipdate",
+    ]
+
+
+def test_q1_whole_stage_codegen(spark):
+    """The scan->filter->project->partial-agg pipeline must fuse into
+    generated code (an unfused interpreted pipeline is the 10x-slow path).
+    AQE defers codegen until stage execution, so inspect with AQE off."""
+    from map_reduce_framework_spark.operators import relational
+    from map_reduce_framework_spark.sources.io import load_table
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = relational.q1_pricing_summary(load_table(spark, SF, "lineitem"))
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "codegen"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["top_similar_pairs", "knn_brute_force", "minhash_lsh_pairs"]
+)
+def test_pairwise_stages_are_partitioned(spark, name):
+    """The single-file parquet scan must not leak a 1-partition layout into
+    the O(n^2)-ish stages (observed 13.5s -> 2.1s when fixed)."""
+    plan = _formatted_plan(spark, name)
+    assert "RoundRobinPartitioning" in plan or "Exchange hashpartitioning" in plan
