@@ -218,6 +218,101 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     return pairs
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def _cells(e: DataFrame, cent) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, centroid-id
+    tiebreak). Window argmin instead of min_by so the reduction order is
+    identical in DuckDB."""
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias(
+            "cos_c"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell"))
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_centroids: int = N_CENTROIDS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize vectors into centroid cells,
+    probe the ``n_probe`` nearest cells per query, exact cosine inside the
+    probed cells only.
+
+    Deterministic coarse quantizer: the first ``n_centroids`` vectors serve
+    as centroids (at 100 TB: k-means|| over a sample -- the cell-assignment
+    /probe/verify dataflow below is unchanged, only the centroid table
+    swaps). Compute shape: assignment is |V| x C broadcast dots (linear,
+    embarrassingly parallel); search touches ~n_probe/C of the data --
+    the fraction IS the recall/compute dial."""
+    e = _normed(embeddings)
+    cent = (
+        e.filter(F.col("vec_id") < n_centroids)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+    )
+    cells = _cells(e, cent)
+    # Query-side: the n_probe nearest centroids per query vector.
+    q = e.filter(F.col("vec_id") < n_queries)
+    q_scored = q.crossJoin(F.broadcast(cent)).select(
+        F.col("vec_id").alias("q_id"),
+        "cent_id",
+        (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))).alias(
+            "cos_c"
+        ),
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cos_c").desc(), F.col("cent_id"))
+    probes = (
+        q_scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", F.col("cent_id").alias("cell"))
+    )
+    candidates = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    scored = (
+        candidates.join(e, "vec_id")
+        .join(
+            F.broadcast(
+                e.select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("v").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                )
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def _signs_sql(signs: list[float]) -> str:
     return "[" + ",".join(f"{s:.1f}" for s in signs) + "]::DOUBLE[]"
 
@@ -251,6 +346,62 @@ _BUCKETS_CTE = f"""
 _COS = "list_dot_product({a}, {b}) / ({na} * {nb})"
 
 ORACLE_SQL: dict[str, str] = {
+    "ann_ivf": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ),
+        cent AS (
+            SELECT vec_id AS cent_id, v AS cv, nrm AS cn
+            FROM e WHERE vec_id < {N_CENTROIDS}
+        ),
+        assign AS (
+            SELECT vec_id, cent_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC,
+                                cent_id
+                   ) AS rn
+            FROM e CROSS JOIN cent
+        ),
+        cells AS (
+            SELECT vec_id, cent_id AS cell FROM assign WHERE rn = 1
+        ),
+        probes AS (
+            SELECT q_id, cell FROM (
+                SELECT e.vec_id AS q_id, cent_id AS cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(v, cv) / (nrm * cn) DESC,
+                                    cent_id
+                       ) AS rn
+                FROM e CROSS JOIN cent WHERE e.vec_id < 8
+            ) WHERE rn <= {N_PROBE}
+        ),
+        candidates AS (
+            SELECT DISTINCT p.q_id, c.vec_id
+            FROM cells c JOIN probes p ON c.cell = p.cell
+            WHERE c.vec_id <> p.q_id
+        ),
+        scored AS (
+            SELECT c.q_id, c.vec_id,
+                   list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm) AS cos
+            FROM candidates c
+            JOIN e ce ON ce.vec_id = c.vec_id
+            JOIN e qe ON qe.vec_id = c.q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                   ) AS INT) AS rnk
+            FROM scored
+        )
+        SELECT * FROM ranked WHERE rnk <= 5
+    """,
+
     "knn_brute_force": f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

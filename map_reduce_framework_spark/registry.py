@@ -256,6 +256,11 @@ def q_ann(spark, sf_dir):
     return similarity.ann_lsh(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_ivf", similarity.ORACLE_SQL["ann_ivf"])
+def q_ann_ivf(spark, sf_dir):
+    return similarity.ann_ivf(_t(spark, sf_dir, "embeddings"))
+
+
 @register("top_similar_pairs", similarity.ORACLE_SQL["top_similar_pairs"])
 def q_simpairs(spark, sf_dir):
     return similarity.top_similar_pairs(_t(spark, sf_dir, "embeddings"))

@@ -21,12 +21,15 @@ LLM_QUERIES = [
     "ngram_jaccard_pairs",
     "knn_brute_force",
     "ann_lsh",
+    "ann_ivf",
     "top_similar_pairs",
     "token_stats",
     "quality_score",
     "lang_id",
     "doc_fingerprints",
     "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 
@@ -70,6 +73,22 @@ def test_ann_recall_against_brute_force(spark, sf_oracle):
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.4, f"ANN recall too low: {recall}"
+
+
+def test_ivf_recall_against_brute_force(spark, sf_oracle):
+    """IVF with 16 cells / 4 probes scans ~25% of vectors and must keep
+    most true neighbors (recall@5 >= 0.6 on 500 vectors; measured 0.92)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_brute_force(emb, n_queries=8, k=5).collect()
+    }
+    approx = {
+        (r.q_id, r.vec_id)
+        for r in similarity.ann_ivf(emb, n_queries=8, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
 def test_multimodal_decode_stub_contract():
