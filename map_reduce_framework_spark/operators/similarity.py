@@ -155,7 +155,10 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     Returns (q_id, vec_id, cos, rnk); recall vs knn_brute_force tested."""
     e = _normed(embeddings)
     buckets = lsh_buckets(embeddings)
-    qb = buckets.filter(F.col("vec_id") < n_queries).select(
+    # Probe buckets come from a scan of ONLY the query vectors -- deriving
+    # them by filtering `buckets` would duplicate the full bucket-table
+    # subplan (hash every vector twice).
+    qb = lsh_buckets(embeddings.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("q_id"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
@@ -173,8 +176,10 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     scored = (
         candidates.join(e, "vec_id")
         .join(
+            # candidates only carry q_id < n_queries: broadcast just those
+            # vectors (broadcasting the full table is fatal at 100 TB).
             F.broadcast(
-                e.select(
+                e.filter(F.col("vec_id") < n_queries).select(
                     F.col("vec_id").alias("q_id"),
                     F.col("v").alias("qv"),
                     F.col("nrm").alias("qn"),
@@ -259,17 +264,15 @@ def ann_ivf(
     embarrassingly parallel); search touches ~n_probe/C of the data --
     the fraction IS the recall/compute dial."""
     e = _normed(embeddings)
-    cent = (
-        e.filter(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cn"),
-        )
+    cent = _normed(embeddings.filter(F.col("vec_id") < n_centroids)).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     cells = _cells(e, cent)
-    # Query-side: the n_probe nearest centroids per query vector.
-    q = e.filter(F.col("vec_id") < n_queries)
+    # Query-side: the n_probe nearest centroids per query vector
+    # (normed from a filtered scan, not a filter over the full normed plan).
+    q = _normed(embeddings.filter(F.col("vec_id") < n_queries))
     q_scored = q.crossJoin(F.broadcast(cent)).select(
         F.col("vec_id").alias("q_id"),
         "cent_id",
@@ -292,8 +295,10 @@ def ann_ivf(
     scored = (
         candidates.join(e, "vec_id")
         .join(
+            # candidates only carry q_id < n_queries: broadcast just those
+            # vectors (broadcasting the full table is fatal at 100 TB).
             F.broadcast(
-                e.select(
+                e.filter(F.col("vec_id") < n_queries).select(
                     F.col("vec_id").alias("q_id"),
                     F.col("v").alias("qv"),
                     F.col("nrm").alias("qn"),
