@@ -368,7 +368,68 @@ def scalar_function_suite(orders: DataFrame) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q6: pure filter + single aggregate -- the pushdown showcase
+    (all three predicates reach the parquet scan; no shuffle at all until
+    the 1-row final agg)."""
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 10)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def part_revenue_by_brand(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Revenue and volume per part brand (part is the broadcast dim; the
+    lineitem side aggregates by l_partkey BEFORE the join at real scale --
+    here the broadcast join first is fine and Catalyst picks it)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.select("l_partkey", "l_quantity", rev.alias("rev"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            dsum("rev").alias("revenue"),
+            dsum("l_quantity").alias("total_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q6_forecast_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+          AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.02 AND l_discount <= 0.06
+          AND l_quantity < 10
+    """,
+    "part_revenue_by_brand": """
+        SELECT p_brand,
+               CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS revenue,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+
     "revenue_rollup": """
         SELECT n_name, c_mktsegment,
                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

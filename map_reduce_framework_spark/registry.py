@@ -194,6 +194,18 @@ def q_scalars(spark, sf_dir):
     return rel.scalar_function_suite(_t(spark, sf_dir, "orders"))
 
 
+@register("q6_forecast_revenue", rel.ORACLE_SQL["q6_forecast_revenue"])
+def q_q6(spark, sf_dir):
+    return rel.q6_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@register("part_revenue_by_brand", rel.ORACLE_SQL["part_revenue_by_brand"])
+def q_part_brand(spark, sf_dir):
+    return rel.part_revenue_by_brand(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 # --------------------------------------------------------------------------
 # Versioned KV store fold (SURVEY.md §2.C)
 # --------------------------------------------------------------------------
