@@ -217,6 +217,69 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the undirected
+    minhash_lsh_pairs graph -- the step that turns pairwise matches into
+    keep/drop decisions. Returns (doc_id, cluster_id, cluster_size,
+    is_keeper) for every doc in some near-dup pair; cluster_id is the
+    component's minimum doc_id, the keeper.
+
+    Algorithm: iterative min-label propagation (each round every node takes
+    the min label among itself and its neighbors; converges in <= diameter
+    rounds -- near-dup clusters are small, so 2-4 rounds in practice; the
+    large-star/small-star variant drops it to O(log n) rounds for
+    pathological chains at 100 TB). Each round is one join + one groupBy;
+    results are persisted and the loop stops when no label changes --
+    driver-side logic is a scalar count only, never data."""
+    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
+    # localCheckpoint (eager) at every step: materializes AND truncates
+    # lineage, so iteration i+1's plan doesn't re-run iterations 0..i --
+    # without it the caller's first action replays the entire loop.
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(edges.doc_a)
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("doc_a").alias("doc_id"), "nbr_label")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("doc_id", "label")
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+        )
+    )
+
+
 def simhash_signatures(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """32-bit SimHash per doc: bit j is the sign of the sum over distinct
     tokens of +/-1 according to bit j of the token's hash. One groupBy
@@ -371,6 +434,45 @@ _SIMHASH_CTE = f"""
 """
 
 ORACLE_SQL: dict[str, str] = {
+    "dedup_clusters": f"""
+        WITH RECURSIVE {_MINHASH_CTE},
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list_sort({_SH}) AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM candidates
+            JOIN tsets ta ON ta.doc_id = doc_a
+            JOIN tsets tb ON tb.doc_id = doc_b
+            WHERE len(list_intersect(ta.toks, tb.toks))
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, root) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        sized AS (
+            SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+        )
+        SELECT c.doc_id, c.cluster_id, s.cluster_size,
+               c.doc_id = c.cluster_id AS is_keeper
+        FROM comp c JOIN sized s USING (cluster_id)
+    """,
+
     "exact_duplicates": f"""
         SELECT md5(text) AS text_hash,
                CAST(count(*) AS BIGINT) AS n_dups,

@@ -258,6 +258,11 @@ def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_clusters", dedup.ORACLE_SQL["dedup_clusters"])
+def q_dedup_clusters(spark, sf_dir):
+    return dedup.dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
 @register("knn_brute_force", similarity.ORACLE_SQL["knn_brute_force"])
 def q_knn(spark, sf_dir):
     return similarity.knn_brute_force(_t(spark, sf_dir, "embeddings"))

@@ -19,6 +19,7 @@ LLM_QUERIES = [
     "simhash_signatures",
     "simhash_near_pairs",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "knn_brute_force",
     "ann_lsh",
     "ann_ivf",
@@ -56,6 +57,26 @@ def test_minhash_lsh_finds_planted_dups(spark, sf_oracle):
     docs = load_table(spark, sf_oracle, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9)
     assert pairs.count() > 0
+
+
+def test_dedup_clusters_are_consistent(spark, sf_oracle):
+    """Every clustered pair lands in one cluster; exactly one keeper per
+    cluster and it is the minimum doc_id."""
+    docs = load_table(spark, sf_oracle, "documents")
+    rows = dedup.dedup_clusters(docs).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert len(members) == members[0]["cluster_size"]
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == cid == min(m["doc_id"] for m in members)
+    # Edges must not cross clusters.
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    for p in dedup.minhash_lsh_pairs(docs).collect():
+        assert label[p["doc_a"]] == label[p["doc_b"]]
 
 
 def test_ann_recall_against_brute_force(spark, sf_oracle):
