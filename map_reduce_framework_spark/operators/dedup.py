@@ -21,6 +21,14 @@ Scale design (100 TB):
   (cost sum_s df(s)^2), the PPJoin-family plan.
 - All hashes are md5-derived (functions/hashing.py) so every step has an
   exact DuckDB oracle.
+
+Published groundwork: MinHash/shingling (Broder, "On the resemblance and
+containment of documents", 1997), banded LSH (Leskovec/Rajaraman/Ullman,
+Mining of Massive Datasets ch.3), SimHash (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002; Manku et al.,
+"Detecting near-duplicates for web crawling", WWW 2007 -- the banded
+hamming search), prefix/inverted-index set-similarity joins (Xiao et al.,
+"Efficient similarity joins for near duplicate detection", WWW 2008).
 """
 
 from __future__ import annotations

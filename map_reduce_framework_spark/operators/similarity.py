@@ -25,6 +25,11 @@ pairs), so ranking needs no rounding -- only a vec_id tiebreak for the
 Hyperplane signs derive from md5 in *Python* and are embedded as literals
 in both the Spark plan and the oracle SQL, so both engines see the exact
 same planes.
+
+Published groundwork: random-hyperplane LSH (Charikar, STOC 2002;
+Indyk/Motwani, "Approximate nearest neighbors", STOC 1998), IVF coarse
+quantization (Jegou/Douze/Schmid, "Product quantization for nearest
+neighbor search", TPAMI 2011 -- the inverted-file layer, without PQ).
 """
 
 from __future__ import annotations
