@@ -408,7 +408,29 @@ def part_revenue_by_brand(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def events_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles per event type (Spark's percentile == DuckDB's
+    quantile_cont bit-for-bit: both linearly interpolate over the sorted
+    values). At 100 TB swap in approx_percentile and accept the sketch
+    error -- exact percentile requires a per-group sort."""
+    return events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "events_value_percentiles": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """,
+
     "q6_forecast_revenue": """
         SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
                    AS revenue,

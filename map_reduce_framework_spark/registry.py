@@ -206,6 +206,11 @@ def q_part_brand(spark, sf_dir):
     )
 
 
+@register("events_value_percentiles", rel.ORACLE_SQL["events_value_percentiles"])
+def q_percentiles(spark, sf_dir):
+    return rel.events_value_percentiles(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Versioned KV store fold (SURVEY.md §2.C)
 # --------------------------------------------------------------------------
