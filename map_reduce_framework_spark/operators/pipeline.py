@@ -1,0 +1,129 @@
+"""End-to-end training-data curation pipeline: the composition the engine
+exists for. One declarative plan from raw documents to a cleaned corpus:
+
+    1. quality gate      -- Gopher/C4-style heuristics (text_analysis)
+    2. exact dedup       -- md5 groups, keeper = min doc_id (cheap pass)
+    3. near-dup dedup    -- MinHash-LSH clusters, keeper = component min
+                            (dedup_clusters: the expensive pass runs on
+                            the already-thinned corpus at 100 TB; here it
+                            runs on the full table so the oracle stays a
+                            single composable SQL statement)
+
+Output: one row per SURVIVING document with its post-clean bookkeeping
+(lang, token count, which gates it passed through). Everything is a
+composition of the already-oracle-checked operators -- the pipeline's own
+oracle is their SQL composed in one WITH-chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import tokenize_ws
+from . import dedup, text_analysis
+
+
+def clean_corpus(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, lang, n_tokens) for docs that pass the quality
+    gate, are their exact-dup group's keeper, and are their near-dup
+    cluster's keeper."""
+    quality_pass = (
+        text_analysis.quality_score(documents)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    # Exact-dup keeper: min doc_id per identical-text group (window top-1;
+    # singletons are trivially their own keeper).
+    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    exact_keepers = (
+        documents.select("doc_id", F.md5("text").alias("text_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    # Near-dup cluster non-keepers get dropped (docs in no cluster stay).
+    near_dup_drops = (
+        dedup.dedup_clusters(documents)
+        .filter(~F.col("is_keeper"))
+        .select("doc_id")
+    )
+    return (
+        documents.join(quality_pass, "doc_id")
+        .join(exact_keepers, "doc_id")
+        .join(near_dup_drops, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokenize_ws("text")).alias("n_tokens"),
+        )
+    )
+
+
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+ORACLE_SQL: dict[str, str] = {
+    "clean_corpus": f"""
+        WITH RECURSIVE {dedup._MINHASH_CTE},
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list_sort({dedup._SH}) AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM candidates
+            JOIN tsets ta ON ta.doc_id = doc_a
+            JOIN tsets tb ON tb.doc_id = doc_b
+            WHERE len(list_intersect(ta.toks, tb.toks))
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, root) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        ),
+        near_dup_drops AS (
+            SELECT doc_id FROM comp WHERE doc_id <> cluster_id
+        ),
+        quality_pass AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS INT) AS n_tokens,
+                       list_sum(list_transform({_TOKS}, t -> length(t)))
+                           AS sum_len,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                       n_chars
+                FROM documents
+            )
+            WHERE n_tokens >= 10 AND sum_len / n_tokens >= 2.0
+              AND digits / n_chars < 0.3
+        ),
+        exact_keepers AS (
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY md5(text) ORDER BY doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id, d.lang, CAST(len({_TOKS}) AS INT) AS n_tokens
+        FROM documents d
+        JOIN quality_pass USING (doc_id)
+        JOIN exact_keepers USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM near_dup_drops)
+    """,
+}

@@ -324,6 +324,17 @@ def q_multimodal_frames(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# End-to-end curation pipeline (composition showcase)
+# --------------------------------------------------------------------------
+from .operators import pipeline  # noqa: E402
+
+
+@register("clean_corpus", pipeline.ORACLE_SQL["clean_corpus"])
+def q_clean_corpus(spark, sf_dir):
+    return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # Structured Streaming surface (bounded availableNow runs; SURVEY.md §7)
 # --------------------------------------------------------------------------
 from .streaming import ops as streaming_ops  # noqa: E402
