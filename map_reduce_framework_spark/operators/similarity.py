@@ -129,7 +129,9 @@ def table_bucket_expr(vec_col, table: int):
     bucket = F.lit(0).cast("bigint")
     for r in range(PLANES_PER_TABLE):
         signs = PLANE_SIGNS[table * PLANES_PER_TABLE + r]
-        plane = F.array(*[F.lit(s) for s in signs])
+        # True array Literal (one constant node) -- F.array(*lits) would be
+        # a 64-child CreateArray re-evaluated per row.
+        plane = F.lit(signs)
         bucket = bucket + F.when(dot(vec_col, plane) > 0, F.lit(1 << r)).otherwise(0)
     return bucket
 

@@ -166,3 +166,17 @@ def test_manifest_throttle(tmp_path):
     assert set(json.load(open(path))["completed"]) == {"first"}
     m.flush()
     assert set(json.load(open(path))["completed"]) == {"first", "second"}
+
+
+# --- D8 metrics surface (utils/metrics.go analog) --------------------------
+def test_metrics_snapshot_and_timing():
+    from map_reduce_framework_spark.control import metrics
+    from map_reduce_framework_spark.session import get_spark
+
+    spark = get_spark("metrics-test")
+    snap = {r["metric"]: r["value"] for r in metrics.snapshot(spark).collect()}
+    assert snap["spark_version"].startswith("4.")
+    assert int(snap["default_parallelism"]) >= 1
+    assert snap["aqe_enabled"] == "true"
+    timing = metrics.time_query(spark.range(1000))
+    assert timing["rows"] == 1000.0 and timing["wall_s"] > 0
