@@ -121,8 +121,12 @@ def kv_fold(ops: DataFrame) -> DataFrame:
 
 def kv_final_state(ops: DataFrame) -> DataFrame:
     """The kv(key, value, version) table after replaying the whole log =
-    last successful put per key."""
-    folded = kv_fold(ops)
+    last successful put per key.
+
+    Gets never mutate state, so the fold runs over the puts only -- the
+    filter lands on the scan and cuts the Arrow traffic + Python loop to
+    the put fraction of the log (~1/3 here; far less in read-heavy logs)."""
+    folded = kv_fold(ops.filter(F.col("op") == "put"))
     w = Window.partitionBy("key").orderBy(F.col("op_id").desc())
     return (
         folded.filter((F.col("op") == "put") & (F.col("err") == OK))

@@ -79,6 +79,30 @@ def test_dedup_clusters_are_consistent(spark, sf_oracle):
         assert label[p["doc_a"]] == label[p["doc_b"]]
 
 
+def test_vectorized_lsh_buckets_match_jvm_expr(spark, sf_oracle):
+    """The Arrow-vectorized bucket hash must equal the pure-JVM expression
+    form (which is what the DuckDB oracle mirrors) on every (vec, table)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    expr_form = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        similarity.table_bucket_expr(vec, t).alias("bucket"),
+                    )
+                    for t in range(similarity.N_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.tbl", "tb.bucket")
+    got = {(r.vec_id, r.tbl): r.bucket for r in similarity.lsh_buckets(emb).collect()}
+    want = {(r.vec_id, r.tbl): r.bucket for r in expr_form.collect()}
+    assert got == want
+
+
 def test_ann_recall_against_brute_force(spark, sf_oracle):
     """LSH-ANN must agree with exact kNN on a reasonable fraction of
     neighbors (recall@5 >= 0.4 with 16 planes on 500 vectors)."""
