@@ -61,6 +61,14 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode(
         "overwrite"
     ).save()
+    # Python-worker/Arrow warmup: daemon + worker fork + Arrow init otherwise
+    # lands on whichever pandas-UDF query happens to run first alphabetically.
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(10_000).repartition(int(cpus)).select(_warm("id")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, q in sorted(registry.REGISTRY.items()):
