@@ -7,14 +7,25 @@ subtlest golden-output trap (SURVEY.md §7.4):
   (unicode.IsLetter FieldsFunc, mrapps/wc.go:21-26)
 * whitespace tokenizer: strings.Fields (mrapps/wc_long.go:11)
 
-Both are pure Catalyst expressions (JVM-side, whole-stage codegen) --
-no Python UDFs in the hot path.
+Both are pure Catalyst expressions (JVM-side, whole-stage codegen).
+
+The shingle builders come in two equivalent forms: ``word_shingles`` is the
+pure-JVM expression (the form the DuckDB oracles mirror), and
+``distinct_word_shingles_arrow`` is the Arrow-vectorized production path --
+lambda higher-order functions (``transform``/``filter``) run *interpreted*
+in Spark (no whole-stage codegen), which makes the expression form the
+dominant cost of every shingle-based dedup plan. A test pins the two forms
+equal row-for-row.
 """
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 #: Runs of non-letters (Unicode letter class), mrapps/wc.go:23.
 LETTER_SPLIT_RE = r"[^\p{L}]+"
@@ -51,3 +62,37 @@ def word_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
             lambda i: F.array_join(F.slice(tokens, i, n), sep),
         )
     )
+
+
+_WS_RE = re.compile(WS_SPLIT_RE)
+
+
+def distinct_word_shingles_arrow(n: int = 3, sep: str = " "):
+    """Arrow-vectorized ``array_distinct(word_shingles(tokenize_ws(text)))``.
+
+    One Python pass per Arrow batch instead of four nested interpreted
+    HOFs per row (split -> filter -> transform(slice+join) -> distinct):
+    measured 6s -> <0.3s for the 5000-doc / 260k-shingle shingle stage at
+    sf0.1, and the gap grows with document length. ``dict.fromkeys``
+    preserves first-occurrence order exactly like ``array_distinct``.
+
+    Regex parity: Java and Python ``\\s`` agree on ASCII whitespace, and
+    the corpus is pure ASCII (TESTDATA.md); the oracle hash-compare would
+    catch any divergence.
+    """
+
+    def _shingles(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            toks = [w for w in _WS_RE.split(t or "") if w]
+            out.append(
+                list(
+                    dict.fromkeys(
+                        sep.join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return F.pandas_udf(_shingles, ArrayType(StringType()))

@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
-from ..functions.text import tokenize_ws, word_shingles
+from ..functions.text import distinct_word_shingles_arrow, tokenize_ws
 
 MINHASH_K = 12  # 4 bands x 3 rows
 LSH_BANDS = 4
@@ -69,35 +69,24 @@ def _shingle_rows(documents: DataFrame, n: int = 3, n_parts: int | None = None) 
     """(doc_id, n_sh, s): one row per distinct shingle per doc.
 
     Layout chosen for the plan, not convenience:
-    * tokenization happens BEFORE a round-robin ``repartition`` -- the
-      exchange materializes the token arrays once, so the (3x-referenced)
-      shingle expression downstream reads an attribute instead of having
-      CollapseProject re-inline split+filter per reference; it also breaks
-      the single-file parquet scan's 1-partition layout so shingling runs
-      on every core (9s -> <1s at sf0.1);
+    * the ``repartition`` comes FIRST so the single-file parquet scan's
+      1-partition layout doesn't serialize shingling onto one core;
+    * shingling itself is the Arrow-vectorized UDF
+      (functions/text.py:distinct_word_shingles_arrow) -- the equivalent
+      JVM expression form runs interpreted (HOF lambdas have no codegen)
+      and was the dominant cost of every dedup plan (6s of the 7s
+      ngram_jaccard_pairs wall at sf0.1);
     * no ``size(sh) > 0`` filter: explode already emits nothing for empty
       arrays, and a filter would be pushed below the projection, computing
       the whole shingle array a second time just to test its size.
     """
-    toks = documents.select(
-        "doc_id", tokenize_ws("text").alias("toks")
-    ).repartition(n_parts or _n_parts(documents))
-    sh = toks.select(
+    sh = documents.repartition(n_parts or _n_parts(documents)).select(
         "doc_id",
-        F.array_distinct(word_shingles(F.col("toks"), n)).alias("sh"),
+        distinct_word_shingles_arrow(n)(F.col("text")).alias("sh"),
     )
     return sh.select(
         "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s")
     )
-
-
-def _distinct_shingles(col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles. The testdata vocabulary is tiny (31
-    tokens at sf0.1), so token-SET similarity is degenerate (~0.67 Jaccard
-    between random pairs) while shingle similarity is sharply bimodal
-    (~0 for unrelated docs, >=0.7 for clone clusters) -- the same reason
-    production near-dup pipelines shingle before MinHashing."""
-    return F.array_distinct(word_shingles(tokenize_ws(col), n))
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -206,7 +195,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
     tsets = documents.repartition(_n_parts(documents)).select(
-        "doc_id", F.array_sort(_distinct_shingles()).alias("toks")
+        "doc_id",
+        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
+            "toks"
+        ),
     )
     return (
         candidates.join(

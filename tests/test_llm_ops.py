@@ -79,6 +79,35 @@ def test_dedup_clusters_are_consistent(spark, sf_oracle):
         assert label[p["doc_a"]] == label[p["doc_b"]]
 
 
+def test_arrow_shingles_match_jvm_expr(spark, sf_oracle):
+    """The Arrow-vectorized shingle UDF must equal the pure-JVM expression
+    form (which the DuckDB oracle CTEs mirror) on every doc -- same
+    shingles, same first-occurrence order."""
+    from map_reduce_framework_spark.functions.text import (
+        distinct_word_shingles_arrow,
+        tokenize_ws,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_oracle, "documents")
+    jvm = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokenize_ws("text"), 3)).alias(
+                "sh"
+            ),
+        ).collect()
+    }
+    arrow = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", distinct_word_shingles_arrow(3)(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert jvm == arrow
+
+
 def test_vectorized_lsh_buckets_match_jvm_expr(spark, sf_oracle):
     """The Arrow-vectorized bucket hash must equal the pure-JVM expression
     form (which is what the DuckDB oracle mirrors) on every (vec, table)."""
