@@ -367,7 +367,10 @@ def simhash_near_pairs(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.3
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.3,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Word n-gram shingle Jaccard >= threshold over all distinct pairs,
     computed as an *inverted-index co-count join* (the PPJoin-family plan):
@@ -379,9 +382,27 @@ def ngram_jaccard_pairs(
     sum_s df(s)^2 over shingle document frequencies (max df 25 at sf0.1)
     instead of the O(n^2) block join -- the plan that survives 100x scale.
     Set sizes ride along on the exploded rows, so no join back to docs.
-    A df-cap on super-common shingles is the standard guard at 100 TB
-    (any pair they'd contribute is found via its rarer shingles)."""
+
+    ``df_cap`` is the standard 100 TB guard: drop shingles whose document
+    frequency exceeds the cap before the self-join, bounding the join's
+    worst term at df_cap^2 per shingle. Any near-dup pair a dropped
+    boilerplate shingle would contribute is (almost always) also found
+    via its rarer shingles; their co-count rows still vanish from
+    ``inter``, so reported jaccard values are a lower bound for pairs
+    containing capped shingles -- an explicit recall/cost knob, which is
+    why it defaults to off and the exact path stays the oracle."""
     e = _shingle_rows(documents, n)
+    if df_cap is not None:
+        rare = (
+            e.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= df_cap)
+            .select("s")
+        )
+        # Plain equi-join (not broadcast): at 100 TB the shingle-df table
+        # is itself huge; both sides shuffle on the same key the co-count
+        # join below reuses.
+        e = e.join(rare, "s")
     a = e.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "s"
     )

@@ -79,6 +79,28 @@ def test_dedup_clusters_are_consistent(spark, sf_oracle):
         assert label[p["doc_a"]] == label[p["doc_b"]]
 
 
+def test_ngram_df_cap_guard(spark, sf_oracle):
+    """The 100 TB df-cap knob: a cap above the corpus max df is a no-op
+    (identical pairs and jaccard values); a tight cap never *adds* pairs
+    and never raises a pair's jaccard (inter is a lower bound)."""
+    docs = load_table(spark, sf_oracle, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, df_cap=10**9).collect()
+    }
+    assert uncapped == exact
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, df_cap=5).collect()
+    }
+    assert set(capped) <= set(exact)
+    assert all(capped[p] <= exact[p] for p in capped)
+
+
 def test_arrow_shingles_match_jvm_expr(spark, sf_oracle):
     """The Arrow-vectorized shingle UDF must equal the pure-JVM expression
     form (which the DuckDB oracle CTEs mirror) on every doc -- same
