@@ -231,8 +231,35 @@ def ann_lsh(embeddings: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
 
 def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     """Embedding-cosine near-duplicate surface: globally most-similar
-    distinct pairs. All-pairs here (fine at test scale); the 100 TB path
-    is the same ranking restricted to lsh_buckets() blocks."""
+    distinct pairs, **LSH-blocked** (the production plan).
+
+    Candidate pairs are vectors sharing a bucket in >=1 of the L hash
+    tables -- a banded *equi-join* on (table, bucket), never an all-pairs
+    self-join. Exact cosine runs over the deduped candidate set only,
+    then a global top-N. Cost is sum over buckets of |bucket|^2 instead
+    of n^2: with r sign bits per table the expected bucket fraction is
+    2^-r of the data, and genuinely-similar pairs (the ones that can
+    reach the top-N) collide with probability 1-(1-p^r)^L, p = 1-theta/pi
+    (Charikar 2002). Recall vs the exact all-pairs ranking is pinned by
+    tests/test_llm_ops.py.
+
+    ``all_similar_pairs`` below keeps the exact O(n^2) form as the
+    sample-validation oracle path (run it on samples, never the corpus).
+    """
+    buckets = lsh_buckets(embeddings)
+    candidates = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
     e = _normed(embeddings)
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -240,7 +267,33 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
     )
-    pairs = (
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"))
+             / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(top_n)
+    )
+
+
+def all_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
+    """Exact all-pairs cosine top-N: O(n^2) **by design** -- the
+    sample-validation oracle for ``top_similar_pairs`` (same role
+    ``knn_brute_force`` plays for the ANN paths). Never registered as a
+    production query; the recall test runs it at test scale only."""
+    e = _normed(embeddings)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -251,7 +304,6 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
         .limit(top_n)
     )
-    return pairs
 
 
 N_CENTROIDS = 16
@@ -489,15 +541,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT * FROM ranked WHERE rnk <= 5
     """,
     "top_similar_pairs": f"""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[]))) AS nrm
-            FROM embeddings
+        WITH {_BUCKETS_CTE},
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM buckets x JOIN buckets y
+              ON x.tbl = y.tbl AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
         )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        SELECT c.id_a, c.id_b,
                {_COS.format(a='a.v', b='b.v', na='a.nrm', nb='b.nrm')} AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b
         ORDER BY cos DESC, id_a, id_b
         LIMIT 20
     """,

@@ -187,7 +187,44 @@ def test_ivf_recall_against_brute_force(spark, sf_oracle):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
-def test_multimodal_decode_stub_contract():
+def test_top_pairs_recall_on_natural_data(spark, sf_oracle):
+    """Blocked top_similar_pairs vs the exact all-pairs ranking. The
+    corpus' most-similar pairs sit at cos ~0.45-0.51 -- right at the LSH
+    detection knee (per-pair collision prob ~0.69 at 6 tables x 4 planes)
+    -- so we pin a conservative floor here; the planted-near-dup test
+    below covers the regime the operator exists for (cos >= 0.9, where
+    collision prob is 0.99)."""
+    emb = load_table(spark, sf_oracle, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in similarity.all_similar_pairs(emb, 20).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b) for r in similarity.top_similar_pairs(emb, 20).collect()
+    }
+    recall = len(exact & blocked) / len(exact)
+    assert recall >= 0.5, f"blocked top-pairs recall too low: {recall}"
+
+
+def test_top_pairs_finds_planted_near_dups(spark, sf_oracle):
+    """Plant true near-duplicate vectors (copies + ~2% noise, cos >= 0.98)
+    and require the blocked plan to surface every planted pair: per-table
+    collision prob at cos 0.98 is ~0.77, miss prob across 6 tables ~2e-4."""
+    import numpy as np
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    base = emb.filter(F.col("vec_id") < 10).collect()
+    rng = np.random.RandomState(7)
+    planted = []
+    for r in base:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        noisy = v + rng.normal(0.0, 0.02 * float(np.linalg.norm(v)) / 8.0, v.shape)
+        planted.append((100000 + r.vec_id, [float(x) for x in noisy]))
+    extra = spark.createDataFrame(planted, emb.select("vec_id", "embedding").schema)
+    union = emb.select("vec_id", "embedding").unionByName(extra)
+    top = similarity.top_similar_pairs(union, top_n=10).collect()
+    found = {(r.id_a, r.id_b) for r in top}
+    want = {(i, 100000 + i) for i in range(10)}
+    assert found == want, f"planted near-dup pairs missed: {want - found}"
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
     w, h, fmt = multimodal.fake_decode_meta(b"some-bytes")

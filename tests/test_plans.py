@@ -89,3 +89,12 @@ def test_pairwise_stages_are_partitioned(spark, name):
     the O(n^2)-ish stages (observed 13.5s -> 2.1s when fixed)."""
     plan = _formatted_plan(spark, name)
     assert "RoundRobinPartitioning" in plan or "Exchange hashpartitioning" in plan
+
+
+def test_top_similar_pairs_has_no_unblocked_self_join(spark):
+    """The registered top_similar_pairs must be the LSH-blocked plan:
+    every join is an equi-join (bucket co-membership then id lookups) --
+    no cartesian/nested-loop all-pairs stage anywhere in the plan."""
+    plan = _formatted_plan(spark, "top_similar_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
