@@ -51,10 +51,17 @@ def snapshot(spark: SparkSession) -> DataFrame:
 
 
 def time_query(df: DataFrame) -> dict[str, float]:
-    """Materialize ``df`` through the noop sink (no driver collect) and
-    report wall seconds + output rows -- the makespan/task-duration unit
-    the reference's benchmark harness records."""
+    """Fully materialize ``df`` through the noop sink (no driver collect)
+    and report wall seconds + output rows -- the makespan/task-duration
+    unit the reference's benchmark harness records.
+
+    The noop write evaluates every output column; a bare ``count()``
+    would let Catalyst prune unevaluated projections, so projection-only
+    queries (scalar suites, fingerprints) would time as near-zero. The
+    row count is a cheap second action -- its plan reuses the shuffle
+    files/exchange from the write where possible, and the timed window
+    covers only the write."""
     t0 = time.perf_counter()
-    n = df.count()
+    df.write.format("noop").mode("overwrite").save()
     wall = time.perf_counter() - t0
-    return {"rows": float(n), "wall_s": round(wall, 4)}
+    return {"rows": float(df.count()), "wall_s": round(wall, 4)}

@@ -101,13 +101,33 @@ class MapReduceJob:
 # ---------------------------------------------------------------------------
 
 import re
+from itertools import groupby
 
-_LETTER_RE = re.compile(r"[^\W\d_]+", re.UNICODE)  # Unicode letters run
+# Candidate runs: \w minus digits/underscore. This is a SUPERSET of Unicode
+# letters -- Python \w is alnum-based, so Nl/No characters (Ⅻ, ½) slip in,
+# unlike Go's unicode.IsLetter (category L only). _letter_runs() re-splits
+# any non-alpha run; ASCII-letter runs (the common case) skip that path.
+_WORDISH_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def _letter_runs(contents: str) -> list[str]:
+    """Maximal runs of Unicode LETTERS (category L*), matching the native
+    \\p{L}+ path and Go's unicode.IsLetter exactly: str.isalpha() is true
+    precisely for L-category code points."""
+    out: list[str] = []
+    for run in _WORDISH_RE.findall(contents):
+        if run.isalpha():
+            out.append(run)
+        else:  # rare: run contains Nl/No chars -- split on them
+            out.extend(
+                "".join(g) for isalpha, g in groupby(run, key=str.isalpha) if isalpha
+            )
+    return out
 
 
 def wc_map(name: str, contents: str) -> list[tuple[str, str]]:
     """mrapps/wc.go:21-34 -- one ('word', '1') per letter-run occurrence."""
-    return [(w, "1") for w in _LETTER_RE.findall(contents)]
+    return [(w, "1") for w in _letter_runs(contents)]
 
 
 def wc_reduce(key: str, values: list[str]) -> str:
@@ -117,7 +137,7 @@ def wc_reduce(key: str, values: list[str]) -> str:
 
 def indexer_map(name: str, contents: str) -> list[tuple[str, str]]:
     """mrapps/indexer.go:21-32 -- per-document distinct words."""
-    return [(w, name) for w in set(_LETTER_RE.findall(contents))]
+    return [(w, name) for w in set(_letter_runs(contents))]
 
 
 def indexer_reduce(key: str, values: list[str]) -> str:

@@ -239,6 +239,11 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
     # localCheckpoint (eager) at every step: materializes AND truncates
     # lineage, so iteration i+1's plan doesn't re-run iterations 0..i --
     # without it the caller's first action replays the entire loop.
+    # Durability caveat: localCheckpoint blocks live on executors with
+    # lineage gone, so losing an executor mid-loop fails the job (fine
+    # single-host / with task retry off the original scan). On a real
+    # cluster run with spark.sparkContext.setCheckpointDir(...) and swap
+    # these for reliable checkpoint() -- same plan shape, storage-backed.
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

@@ -78,7 +78,16 @@ def broadcast_hot_keys_join(
     broadcast join (the hot dim slice is by definition small enough) and
     the long tail through the normal shuffle join; union the halves.
     ``hot_keys``: single-column DataFrame of the skewed key values
-    (produce it with ``top_keys_by_frequency``)."""
+    (produce it with ``top_keys_by_frequency``).
+
+    Inner/left only: the split is partitioned on the FACT side, so with
+    right/full-outer semantics a hot-key dim row unmatched by fact_cold
+    would be null-extended by the cold branch and emitted again by the
+    hot branch -- duplicated/corrupted outer rows."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"broadcast_hot_keys_join supports inner/left joins only, got {how!r}"
+        )
     hot = hot_keys.withColumnRenamed(hot_keys.columns[0], key)
     fact_hot = fact.join(F.broadcast(hot), key, "left_semi")
     fact_cold = fact.join(F.broadcast(hot), key, "left_anti")

@@ -49,6 +49,19 @@ def test_compat_crash_payload_matches_native(spark, sf_smoke, doc_inputs):
     assert got == want
 
 
+def test_letter_runs_excludes_nl_no_categories():
+    """Go's unicode.IsLetter (and the native \\p{L}+ path) reject Nl/No
+    characters like Ⅻ and ½, but Python's \\w-based classes accept them --
+    the compat tokenizer must split on them, not absorb them."""
+    assert compat._letter_runs("abⅫcd e½f gh") == ["ab", "cd", "e", "f", "gh"]
+    assert compat._letter_runs("naïve — café's № 3") == [
+        "naïve",
+        "café",
+        "s",
+    ]
+    assert compat.wc_map("d", "xⅫy") == [("x", "1"), ("y", "1")]
+
+
 def test_text_sink_roundtrip(spark, sf_smoke, doc_inputs, tmp_path):
     """A9 sink: '<key> <value>' lines, sorted-union comparable
     (tests/test-mr.sh:103 comparison convention)."""
