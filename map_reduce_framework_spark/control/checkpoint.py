@@ -81,6 +81,13 @@ class JobManifest:
     def flush(self) -> None:
         self._write(force=True)
 
+    def touch(self) -> None:
+        """Heartbeat: refresh the manifest mtime without changing state.
+        A primary inside a long-running query calls this periodically so
+        the backup's staleness watch (mtime-based, like
+        backup_coordinator.go:41-47) doesn't fire mid-query."""
+        os.utime(self.path)
+
 
 def run_with_manifest(
     manifest: JobManifest,
@@ -99,3 +106,66 @@ def run_with_manifest(
         manifest.mark_done(name, force=True)
     manifest.set_phase("done")
     return results
+
+
+class BackupCoordinator:
+    """Standby driver that takes over a multi-query run when the primary
+    goes silent (mr/backup_coordinator.go:27-71; lease at :22).
+
+    Failure detection is the reference's: stat the manifest and treat
+    mtime staleness beyond ``lease_timeout`` as primary death -- a missing
+    manifest means the primary hasn't started, never a failure. Failover
+    re-reads the manifest from disk (the atomic-rename writes guarantee it
+    is never torn) and resumes ``run_with_manifest``, which skips every
+    query the primary already committed: each query commits exactly once
+    across both drivers.
+    """
+
+    def __init__(
+        self,
+        manifest_path: str,
+        jobs: dict[str, Callable[[], Any]],
+        lease_timeout: float = 5.0,
+        poll_interval: float = 1.0,
+    ) -> None:
+        self.manifest_path = manifest_path
+        self.jobs = jobs
+        self.lease_timeout = lease_timeout
+        self.poll_interval = poll_interval
+        self.active = False  # True once this backup has taken over
+
+    def check_primary_failure(self) -> bool:
+        """backup_coordinator.go:41-47: stat error -> not a failure."""
+        try:
+            mtime = os.stat(self.manifest_path).st_mtime
+        except OSError:
+            return False
+        return time.time() - mtime > self.lease_timeout
+
+    def _primary_finished(self) -> bool:
+        try:
+            with open(self.manifest_path) as fh:
+                return json.load(fh).get("phase") == "done"
+        except (OSError, ValueError):
+            return False
+
+    def failover(self) -> dict[str, Any]:
+        """Load the manifest and finish the job. Idempotent: a second call
+        on an already-active backup is a no-op (mr/backup_coordinator.go:55-57)."""
+        if self.active:
+            return {}
+        self.active = True
+        manifest = JobManifest(self.manifest_path)  # re-read committed state
+        return run_with_manifest(manifest, self.jobs)
+
+    def monitor(self, max_wait: float | None = None) -> dict[str, Any] | None:
+        """Poll until the primary finishes (returns None), dies (failover,
+        returns its results), or ``max_wait`` elapses (returns None)."""
+        deadline = None if max_wait is None else time.time() + max_wait
+        while deadline is None or time.time() < deadline:
+            if self._primary_finished():
+                return None
+            if self.check_primary_failure():
+                return self.failover()
+            time.sleep(self.poll_interval)
+        return None

@@ -10,6 +10,8 @@ centralized lease timeout).
 from __future__ import annotations
 
 import json
+import os
+import time
 
 from map_reduce_framework_spark.control.checkpoint import (
     JobManifest,
@@ -166,6 +168,101 @@ def test_manifest_throttle(tmp_path):
     assert set(json.load(open(path))["completed"]) == {"first"}
     m.flush()
     assert set(json.load(open(path))["completed"]) == {"first", "second"}
+
+
+def test_backup_takes_over_from_killed_primary(tmp_path):
+    """mr/backup_coordinator.go:27-71 end-to-end: a REAL primary process
+    runs a 4-query job, committing each to the manifest, and hard-exits
+    between q2 and q3. The backup's staleness watch fires after the lease
+    and finishes the run; every query commits exactly once across the two
+    drivers (the attempt log shows which driver ran what)."""
+    import subprocess
+    import sys
+
+    from map_reduce_framework_spark.control.checkpoint import BackupCoordinator
+
+    manifest_path = str(tmp_path / "mr-state.json")
+    log_path = str(tmp_path / "attempts.log")
+
+    primary_src = f"""
+import os, sys
+sys.path.insert(0, {repr(os.getcwd())})
+from map_reduce_framework_spark.control.checkpoint import JobManifest, run_with_manifest
+
+def job(name):
+    def _run():
+        with open({log_path!r}, "a") as fh:
+            fh.write(f"primary:{{name}}\\n")
+        if name == "q3":
+            os._exit(1)  # crash mid-query, nothing committed for q3
+        return name.upper()
+    return _run
+
+m = JobManifest({manifest_path!r}, min_interval=0.0)
+run_with_manifest(m, {{n: job(n) for n in ["q1", "q2", "q3", "q4"]}})
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", primary_src], capture_output=True, timeout=60
+    )
+    assert proc.returncode == 1  # the planted crash, not a clean exit
+
+    def backup_job(name):
+        def _run():
+            with open(log_path, "a") as fh:
+                fh.write(f"backup:{name}\n")
+            return name.upper()
+
+        return _run
+
+    backup = BackupCoordinator(
+        manifest_path,
+        {n: backup_job(n) for n in ["q1", "q2", "q3", "q4"]},
+        lease_timeout=0.5,
+        poll_interval=0.1,
+    )
+    # The primary is already dead, so its manifest mtime goes stale and
+    # the monitor loop must fail over within the lease.
+    results = backup.monitor(max_wait=30.0)
+    assert backup.active
+    # Backup ran ONLY the un-committed queries...
+    assert results == {"q1": None, "q2": None, "q3": "Q3", "q4": "Q4"}
+    attempts = open(log_path).read().splitlines()
+    assert attempts == [
+        "primary:q1",
+        "primary:q2",
+        "primary:q3",  # the crashed attempt -- never committed
+        "backup:q3",
+        "backup:q4",
+    ]
+    # ...and the final manifest records each query committed exactly once.
+    state = json.load(open(manifest_path))
+    assert set(state["completed"]) == {"q1", "q2", "q3", "q4"}
+    assert state["phase"] == "done"
+
+
+def test_backup_stays_passive_while_primary_heartbeats(tmp_path):
+    """A primary inside a long query heartbeats via manifest.touch();
+    the staleness watch must not fire (backup_coordinator.go:41-47:
+    fresh mtime or missing file -> no failover)."""
+    from map_reduce_framework_spark.control.checkpoint import BackupCoordinator
+
+    manifest_path = str(tmp_path / "mr-state.json")
+    backup = BackupCoordinator(manifest_path, {}, lease_timeout=0.3)
+    assert not backup.check_primary_failure()  # no manifest yet
+
+    m = JobManifest(manifest_path, min_interval=0.0)
+    m.set_phase("running")
+    for _ in range(4):
+        time.sleep(0.15)
+        m.touch()  # mid-query heartbeat
+        assert not backup.check_primary_failure()
+    time.sleep(0.5)  # silence past the lease
+    assert backup.check_primary_failure()
+
+    # A clean finish parks the monitor without failover.
+    m.set_phase("done")
+    assert backup.monitor(max_wait=5.0) is None
+    assert not backup.active
 
 
 # --- D8 metrics surface (utils/metrics.go analog) --------------------------
