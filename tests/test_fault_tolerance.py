@@ -100,6 +100,80 @@ def test_jobcount_no_spurious_reexecution():
     assert "ROWS 80 RUNS 8" in out
 
 
+def test_chaos_soak_repeated_concurrent_failures():
+    """test-mr-many.sh / test-mr.sh:296-317 analog: keep killing tasks
+    while the job keeps running, for several full rounds. Each round
+    crashes THREE map-side partitions (one of them twice -- two failed
+    attempts) and two reduce-side partitions concurrently, across a real
+    shuffle; every round's aggregate and per-key results must equal the
+    failure-free answers exactly, with zero double-counting."""
+    import tempfile
+
+    # Accumulator updates from FAILED tasks are discarded by design, so
+    # the crash evidence is an O_APPEND side-channel file instead.
+    with tempfile.NamedTemporaryFile(mode="r", suffix=".chaoslog") as log:
+        out = _run_py(
+            f"""
+        import random
+        from operator import add
+        from pyspark.sql import SparkSession
+        from pyspark import TaskContext
+
+        CHAOS_LOG = {log.name!r}
+
+        spark = (
+            SparkSession.builder.master("local[4, 4]")  # 4 attempts/task
+            .appName("chaos-soak").config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        sc = spark.sparkContext
+        sc.setLogLevel("ERROR")
+
+        N, PARTS, ROUNDS = 4000, 8, 3
+        want_total = sum(range(N)) * 2
+        want_group = {{k: sum(x for x in range(N) if x % 10 == k) for k in range(10)}}
+
+        rng = random.Random(42)
+        for rnd in range(ROUNDS):
+            # map-side: 3 partitions fail; the first of them fails twice
+            map_victims = rng.sample(range(PARTS), 3)
+            map_plan = {{map_victims[0]: 2, map_victims[1]: 1, map_victims[2]: 1}}
+            red_plan = {{p: 1 for p in rng.sample(range(PARTS), 2)}}
+            bc_map = sc.broadcast(map_plan)
+            bc_red = sc.broadcast(red_plan)
+
+            def chaos(it, plan_bc):
+                tc = TaskContext.get()
+                if tc.attemptNumber() < plan_bc.value.get(tc.partitionId(), 0):
+                    with open(CHAOS_LOG, "a") as fh:
+                        fh.write(f"p{{tc.partitionId()}} a{{tc.attemptNumber()}}\\n")
+                    raise RuntimeError(
+                        f"chaos p{{tc.partitionId()}} a{{tc.attemptNumber()}}"
+                    )
+                return it
+
+            data = sc.parallelize(range(N), PARTS).mapPartitions(
+                lambda it, b=bc_map: chaos(it, b)
+            )
+            total = data.map(lambda x: x * 2).sum()
+            grouped = dict(
+                data.map(lambda x: (x % 10, x))
+                .reduceByKey(add, PARTS)
+                .mapPartitions(lambda it, b=bc_red: chaos(it, b))
+                .collect()
+            )
+            ok = int(total) == want_total and grouped == want_group
+            print(f"ROUND {{rnd}} OK {{ok}}")
+        """
+        )
+        for rnd in range(3):
+            assert f"ROUND {rnd} OK True" in out
+        # every planned crash fires on each action that runs its stage:
+        # 3 rounds x (map plan twice: sum + shuffle input; reduce plan once)
+        crashes = log.read().splitlines()
+        assert len(crashes) >= 20, f"chaos injection barely fired: {crashes}"
+
+
 def test_speculation_conf_mapping():
     """Tier-2 mapping (config/config.go:13-19 -> spark.speculation*)."""
     out = _run_py(
