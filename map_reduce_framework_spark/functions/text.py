@@ -67,6 +67,52 @@ def word_shingles(tokens: Column, n: int = 3, sep: str = " ") -> Column:
 _WS_RE = re.compile(WS_SPLIT_RE)
 
 
+def fingerprints_arrow(n: int = 3, sep: str = " "):
+    """Arrow-vectorized twin of the ``doc_fingerprints`` expression pair:
+    per document, the md5 of the sorted distinct whitespace tokens and the
+    minimum md5 over all consecutive ``n``-gram shingles.
+
+    Same interpreted-HOF rationale as ``distinct_word_shingles_arrow``
+    (SCALE.md): the expression form runs ``transform(md5)`` interpreted per
+    shingle per row and dominated the bench (7.8 s, slowest query at
+    sf0.1); one Python pass per Arrow batch computes both fingerprints in
+    a single traversal. Value parity with the JVM expression form is
+    pinned by tests/test_tokenizer_parity.py (Python ``sorted`` == Spark
+    ``array_sort`` and ``min`` == ``array_min`` on ASCII/hex strings;
+    ``hashlib.md5`` over UTF-8 == Spark ``md5``), and the DuckDB oracle
+    hash-compare would catch any divergence.
+
+    Returns a struct<set_fingerprint string, min_shingle_fingerprint
+    string> column; ``min_shingle_fingerprint`` is NULL for docs with
+    fewer than ``n`` tokens (matching ``array_min`` over an empty array).
+    """
+    from hashlib import md5
+
+    def _fp(text: pd.Series) -> pd.DataFrame:
+        canon, minsh = [], []
+        for t in text:
+            toks = [w for w in _WS_RE.split(t or "") if w]
+            canon.append(
+                md5(sep.join(sorted(set(toks))).encode("utf-8")).hexdigest()
+            )
+            if len(toks) >= n:
+                minsh.append(
+                    min(
+                        md5(sep.join(toks[i : i + n]).encode("utf-8")).hexdigest()
+                        for i in range(len(toks) - n + 1)
+                    )
+                )
+            else:
+                minsh.append(None)
+        return pd.DataFrame(
+            {"set_fingerprint": canon, "min_shingle_fingerprint": minsh}
+        )
+
+    return F.pandas_udf(
+        _fp, "set_fingerprint string, min_shingle_fingerprint string"
+    )
+
+
 def distinct_word_shingles_arrow(n: int = 3, sep: str = " "):
     """Arrow-vectorized ``array_distinct(word_shingles(tokenize_ws(text)))``.
 

@@ -1,8 +1,10 @@
 """Text-analysis operators for training-data pipelines (north-star
 surface): language ID, quality scoring, token statistics, document
-fingerprinting. All pure Catalyst expressions -- one narrow projection or
-one groupBy each, no Python in the hot path, ratios computed as exact
-int/int double divisions (bit-identical across engines).
+fingerprinting. Pure Catalyst expressions (one narrow projection or one
+groupBy each, ratios as exact int/int double divisions, bit-identical
+across engines) -- except ``doc_fingerprints``, whose per-shingle md5 runs
+interpreted as a lambda HOF and is therefore Arrow-vectorized per SCALE.md
+policy, with the JVM expression form kept as the parity reference.
 """
 
 from __future__ import annotations
@@ -10,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import tokenize_ws, word_shingles
+from ..functions.text import fingerprints_arrow, tokenize_ws, word_shingles
 
 #: Tiny deterministic stopword profiles for the n-gram/stopword language
 #: heuristic. Real pipelines plug in fastText-style models via the same
@@ -98,23 +100,43 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def _default_parallelism(df: DataFrame) -> int:
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return 32
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Two content fingerprints per doc: the canonical token-set hash
     (order-insensitive) and the minimum 3-gram-shingle hash (winnowing-
-    style, order-sensitive)."""
+    style, order-sensitive).
+
+    Production path: one Arrow-vectorized pass per batch
+    (``fingerprints_arrow``) -- the expression form runs interpreted
+    ``transform(md5)`` per shingle and was the slowest bench row (7.8 s at
+    sf0.1). ``doc_fingerprints_expr`` keeps the pure-JVM form; a parity
+    test pins the two equal row-for-row.
+    """
+    fp = fingerprints_arrow(3)(F.col("text"))
+    # repartition: the single-file scan would otherwise hash every shingle
+    # of every doc in ONE task. Session shuffle parallelism; AQE coalesces.
+    return documents.repartition(_default_parallelism(documents)).select(
+        "doc_id",
+        fp["set_fingerprint"].alias("set_fingerprint"),
+        fp["min_shingle_fingerprint"].alias("min_shingle_fingerprint"),
+    )
+
+
+def doc_fingerprints_expr(documents: DataFrame) -> DataFrame:
+    """Pure-JVM expression form of ``doc_fingerprints`` -- the shape the
+    DuckDB oracle mirrors; kept as the parity reference for the Arrow
+    production path."""
     toks = tokenize_ws("text")
     canon = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     sh = word_shingles(toks, 3)
     min_shingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    # repartition: the single-file scan would otherwise md5 every shingle of
-    # every doc in ONE task. Session shuffle parallelism; AQE coalesces.
-    try:
-        n_parts = int(
-            documents.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-    except Exception:
-        n_parts = 32
-    return documents.repartition(n_parts).select(
+    return documents.repartition(_default_parallelism(documents)).select(
         "doc_id",
         canon.alias("set_fingerprint"),
         min_shingle.alias("min_shingle_fingerprint"),

@@ -67,3 +67,35 @@ def test_unicode_letter_tokenizer_matches_go_semantics(spark):
     diff = {w: (want[w], got[w]) for w in want if want[w] != got[w]}
     assert not diff, dict(list(diff.items())[:20])
     assert sum(want.values()) == sum(got.values())
+
+
+def test_fingerprints_arrow_matches_jvm_expression(spark, sf_smoke):
+    """The Arrow-vectorized doc_fingerprints production path must equal the
+    pure-JVM expression form row-for-row: same tokenization (Java vs Python
+    \\s on the ASCII corpus), same sort order (array_sort vs sorted), same
+    md5 (UTF-8 bytes both sides), same NULL for <3-token docs."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        doc_fingerprints,
+        doc_fingerprints_expr,
+    )
+    from map_reduce_framework_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "   "),
+            (9003, "one"),
+            (9004, "one two"),
+            (9005, "one two three"),
+            (9006, "b a b a b a"),
+            (9007, "tab\tand\nnewline   runs"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.unionByName(edge)
+    got = {r["doc_id"]: (r[1], r[2]) for r in doc_fingerprints(docs).collect()}
+    want = {
+        r["doc_id"]: (r[1], r[2]) for r in doc_fingerprints_expr(docs).collect()
+    }
+    assert got == want and len(got) > 500
