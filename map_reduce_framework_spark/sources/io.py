@@ -99,6 +99,40 @@ def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.csv(path)
 
 
+def write_partitioned(
+    df: DataFrame, out_dir: str, partition_cols: list[str]
+) -> None:
+    """Hive-style partitioned parquet writer -- the layout that makes
+    partition pruning possible at 100 TB. A date-partitioned fact table
+    turns ``WHERE month = X`` into a directory-listing filter: Spark plans
+    it as ``PartitionFilters`` on the scan and never opens the other
+    months' files (vs parquet row-group statistics, which still list and
+    footer-read every file).
+
+    Partition columns should be low-cardinality (date buckets, region,
+    source); high-cardinality partitioning produces the classic
+    many-tiny-files failure mode.
+    """
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(out_dir)
+
+
+def orders_partitioned_by_month(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> DataFrame:
+    """Materialize ``orders`` partitioned by order month and return the
+    pruning-capable re-read. ``o_month`` becomes a directory key
+    (``o_month=1995-03/``), so ``result.filter(o_month == '1995-03')``
+    reads exactly one partition directory -- the pattern a 100 TB fact
+    table ships with. tests/test_plans.py asserts the plan's
+    ``PartitionFilters`` is non-empty and the row counts match the
+    unpartitioned scan."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    write_partitioned(orders, out_dir, ["o_month"])
+    return spark.read.parquet(out_dir)
+
+
 def write_mr_text(df: DataFrame, key_col: str, value_col: str, out_dir: str) -> None:
     """A9: the reference's text sink -- lines '"<key> <value>"', key-sorted
     within each output partition (mr/worker.go:133-148). Spark's task-commit

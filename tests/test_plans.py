@@ -91,6 +91,36 @@ def test_pairwise_stages_are_partitioned(spark, name):
     assert "RoundRobinPartitioning" in plan or "Exchange hashpartitioning" in plan
 
 
+def test_partitioned_source_prunes_partitions(spark, tmp_path):
+    """A month-partitioned fact table must plan a month filter as
+    PartitionFilters (directory pruning -- the scan never opens other
+    months' files) rather than a post-scan Filter. This is the source
+    layout the 100 TB story depends on."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources.io import (
+        load_table,
+        orders_partitioned_by_month,
+    )
+
+    part = orders_partitioned_by_month(spark, SF, str(tmp_path / "orders_pm"))
+    month = part.filter(F.col("o_month") == "1995-03")
+    plan = month._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_month" in pf.group(1), plan
+    # Pruning must not change results: counts match the unpartitioned scan.
+    want = (
+        load_table(spark, SF, "orders")
+        .filter(F.date_format("o_orderdate", "yyyy-MM") == "1995-03")
+        .count()
+    )
+    assert month.count() == want > 0
+
+
 def test_top_similar_pairs_has_no_unblocked_self_join(spark):
     """The registered top_similar_pairs must be the LSH-blocked plan:
     every join is an equi-join (bucket co-membership then id lookups) --
