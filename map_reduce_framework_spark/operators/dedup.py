@@ -221,29 +221,38 @@ def minhash_lsh_pairs(
     )
 
 
-def dedup_clusters(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the undirected
-    minhash_lsh_pairs graph -- the step that turns pairwise matches into
-    keep/drop decisions. Returns (doc_id, cluster_id, cluster_size,
-    is_keeper) for every doc in some near-dup pair; cluster_id is the
-    component's minimum doc_id, the keeper.
+def connected_component_labels(
+    pairs: DataFrame, method: str = "label_prop"
+) -> DataFrame:
+    """Connected components over an undirected pair graph
+    (DataFrame[doc_a, doc_b]) -> DataFrame[doc_id, label] where label is
+    the component's minimum doc_id.
 
-    Algorithm: iterative min-label propagation (each round every node takes
-    the min label among itself and its neighbors; converges in <= diameter
-    rounds -- near-dup clusters are small, so 2-4 rounds in practice; the
-    large-star/small-star variant drops it to O(log n) rounds for
-    pathological chains at 100 TB). Each round is one join + one groupBy;
-    results are persisted and the loop stops when no label changes --
-    driver-side logic is a scalar count only, never data."""
-    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
-    # localCheckpoint (eager) at every step: materializes AND truncates
-    # lineage, so iteration i+1's plan doesn't re-run iterations 0..i --
-    # without it the caller's first action replays the entire loop.
-    # Durability caveat: localCheckpoint blocks live on executors with
-    # lineage gone, so losing an executor mid-loop fails the job (fine
-    # single-host / with task retry off the original scan). On a real
-    # cluster run with spark.sparkContext.setCheckpointDir(...) and swap
-    # these for reliable checkpoint() -- same plan shape, storage-backed.
+    * ``label_prop`` -- iterative min-label propagation: each round every
+      node takes the min label among itself and its neighbors; converges
+      in <= diameter rounds. Right default for near-dup graphs, whose
+      clusters are small (2-4 rounds in practice).
+    * ``two_phase`` -- alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14): O(log n)
+      rounds regardless of component diameter, for adversarial chain
+      shapes at 100 TB. Each round is two groupBy+join passes over the
+      edge list, and the edge list *shrinks* toward the final star graph
+      (vs label_prop, which joins the full edge list every round).
+
+    localCheckpoint (eager) at every step: materializes AND truncates
+    lineage, so iteration i+1's plan doesn't re-run iterations 0..i --
+    without it the caller's first action replays the entire loop.
+    Durability caveat: localCheckpoint blocks live on executors with
+    lineage gone, so losing an executor mid-loop fails the job (fine
+    single-host / with task retry off the original scan). On a real
+    cluster run with spark.sparkContext.setCheckpointDir(...) and swap
+    these for reliable checkpoint() -- same plan shape, storage-backed.
+    The driver sees only scalar convergence counts, never data.
+    """
+    if method == "two_phase":
+        return _cc_two_phase(pairs)
+    if method != "label_prop":
+        raise ValueError(f"unknown method {method!r}")
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -277,6 +286,85 @@ def dedup_clusters(documents: DataFrame, threshold: float = 0.7) -> DataFrame:
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
+    return labels
+
+
+def _cc_two_phase(pairs: DataFrame) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. SoCC'14).
+
+    Invariant: the edge list always connects the same components as the
+    input. large-star hangs every node's larger neighbors off the
+    neighborhood minimum (halving tall subtrees); small-star re-parents
+    every node's smaller-or-equal neighbors onto the neighborhood minimum.
+    Fixpoint is a star forest: every edge is (node, component_min).
+    """
+    E = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    while True:
+        # Large-star: group the symmetrized graph by u; attach every
+        # strictly-larger neighbor to m = min(N(u) + {u}).
+        sym = E.unionByName(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: orient edges (max -> min); re-parent every smaller
+        # neighbor AND u itself onto m = min(N(u)).
+        o = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = o.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            o.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        same = (
+            small.count() == E.count()
+            and small.exceptAll(E).limit(1).count() == 0
+        )
+        E = small
+        if same:
+            break
+    roots = (
+        E.select("v")
+        .distinct()
+        .join(E.select(F.col("u").alias("v")).distinct(), "v", "left_anti")
+    )
+    return E.select(F.col("u").alias("doc_id"), F.col("v").alias("label")).unionByName(
+        roots.select(F.col("v").alias("doc_id"), F.col("v").alias("label"))
+    )
+
+
+def dedup_clusters(
+    documents: DataFrame, threshold: float = 0.7, method: str = "label_prop"
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the undirected
+    minhash_lsh_pairs graph -- the step that turns pairwise matches into
+    keep/drop decisions. Returns (doc_id, cluster_id, cluster_size,
+    is_keeper) for every doc in some near-dup pair; cluster_id is the
+    component's minimum doc_id, the keeper.
+
+    ``method`` selects the components algorithm -- see
+    ``connected_component_labels``."""
+    pairs = minhash_lsh_pairs(documents, threshold).select("doc_a", "doc_b")
+    labels = connected_component_labels(pairs, method)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
         labels.join(sizes, "label")
