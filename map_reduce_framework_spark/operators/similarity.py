@@ -246,8 +246,18 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
     ``all_similar_pairs`` below keeps the exact O(n^2) form as the
     sample-validation oracle path (run it on samples, never the corpus).
     """
+    return (
+        _pair_cosines(embeddings, _lsh_candidate_pairs(embeddings))
+        .orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
+        .limit(top_n)
+    )
+
+
+def _lsh_candidate_pairs(embeddings: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing an LSH bucket in >=1 table -- the
+    banded equi-join at the heart of every embedding near-dup plan."""
     buckets = lsh_buckets(embeddings)
-    candidates = (
+    return (
         buckets.alias("x")
         .join(
             buckets.alias("y"),
@@ -260,6 +270,11 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _pair_cosines(embeddings: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact cosine for each candidate (id_a, id_b) pair -- two equi-joins
+    against the normed vectors, cost |candidates| not n^2."""
     e = _normed(embeddings)
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
@@ -276,8 +291,52 @@ def top_similar_pairs(embeddings: DataFrame, top_n: int = 20) -> DataFrame:
             (dot(F.col("va"), F.col("vb"))
              / (F.col("na") * F.col("nb"))).alias("cos"),
         )
-        .orderBy(F.col("cos").desc(), F.col("id_a"), F.col("id_b"))
-        .limit(top_n)
+    )
+
+
+#: Cosine threshold for the embedding near-duplicate surface. The synthetic
+#: embeddings are near-uniform (max pair cosine ~0.5 at sf0.01), so 0.4
+#: yields a small-but-real pair set; production corpora with planted
+#: near-dups would run ~0.9.
+NEAR_DUP_COS = 0.4
+
+
+def embedding_near_pairs(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_COS
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at a fixed threshold: LSH
+    bucket blocking (equi-join, never all-pairs), exact cosine over the
+    candidate set, threshold filter. Returns (id_a, id_b, cos).
+
+    Recall is the LSH collision probability at the threshold angle
+    (Charikar 2002); the oracle mirrors the same blocking, so correctness
+    is exact while recall is tested separately against all-pairs."""
+    return _pair_cosines(embeddings, _lsh_candidate_pairs(embeddings)).filter(
+        F.col("cos") >= threshold
+    )
+
+
+def embedding_dup_clusters(
+    embeddings: DataFrame, threshold: float = NEAR_DUP_COS
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: connected components over
+    the ``embedding_near_pairs`` graph, via the O(log n)
+    large-star/small-star method (``connected_component_labels``
+    method='two_phase') -- the adversarial-diameter-safe path, exercised
+    here as a production query. Returns (vec_id, cluster_id, cluster_size,
+    is_keeper); cluster_id is the component minimum, the keeper."""
+    from .dedup import connected_component_labels
+
+    pairs = embedding_near_pairs(embeddings, threshold).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    labels = connected_component_labels(pairs, method="two_phase")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
     )
 
 
@@ -555,5 +614,55 @@ ORACLE_SQL: dict[str, str] = {
         JOIN e b ON b.vec_id = c.id_b
         ORDER BY cos DESC, id_a, id_b
         LIMIT 20
+    """,
+    "embedding_near_pairs": f"""
+        WITH {_BUCKETS_CTE},
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM buckets x JOIN buckets y
+              ON x.tbl = y.tbl AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+        )
+        SELECT c.id_a, c.id_b,
+               {_COS.format(a='a.v', b='b.v', na='a.nrm', nb='b.nrm')} AS cos
+        FROM cand c
+        JOIN e a ON a.vec_id = c.id_a
+        JOIN e b ON b.vec_id = c.id_b
+        WHERE {_COS.format(a='a.v', b='b.v', na='a.nrm', nb='b.nrm')} >= {NEAR_DUP_COS}
+    """,
+    "embedding_dup_clusters": f"""
+        WITH RECURSIVE {_BUCKETS_CTE},
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+            FROM buckets x JOIN buckets y
+              ON x.tbl = y.tbl AND x.bucket = y.bucket
+             AND x.vec_id < y.vec_id
+        ),
+        pairs AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c
+            JOIN e a ON a.vec_id = c.id_a
+            JOIN e b ON b.vec_id = c.id_b
+            WHERE {_COS.format(a='a.v', b='b.v', na='a.nrm', nb='b.nrm')} >= {NEAR_DUP_COS}
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+        reach(vec_id, root) AS (
+            SELECT vec_id, vec_id FROM nodes
+            UNION
+            SELECT ed.dst, r.root FROM reach r JOIN edges ed ON ed.src = r.vec_id
+        ),
+        comp AS (
+            SELECT vec_id, min(root) AS cluster_id FROM reach GROUP BY vec_id
+        ),
+        sized AS (
+            SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY cluster_id
+        )
+        SELECT c.vec_id, c.cluster_id, s.cluster_size,
+               c.vec_id = c.cluster_id AS is_keeper
+        FROM comp c JOIN sized s USING (cluster_id)
     """,
 }

@@ -120,6 +120,67 @@ def q_q4(spark, sf_dir):
     )
 
 
+@register("q7_volume_shipping", rel.ORACLE_SQL["q7_volume_shipping"])
+def q_q7(spark, sf_dir):
+    return rel.q7_volume_shipping(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("q10_returned_items", rel.ORACLE_SQL["q10_returned_items"])
+def q_q10(spark, sf_dir):
+    return rel.q10_returned_items(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("q13_order_distribution", rel.ORACLE_SQL["q13_order_distribution"])
+def q_q13(spark, sf_dir):
+    return rel.q13_order_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@register("q14_promo_revenue", rel.ORACLE_SQL["q14_promo_revenue"])
+def q_q14(spark, sf_dir):
+    return rel.q14_promo_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("top_supplier_revenue", rel.ORACLE_SQL["top_supplier_revenue"])
+def q_q15(spark, sf_dir):
+    return rel.top_supplier_revenue(
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "q18_large_volume_customers", rel.ORACLE_SQL["q18_large_volume_customers"]
+)
+def q_q18(spark, sf_dir):
+    return rel.q18_large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+from .operators import temporal  # noqa: E402
+
+
+@register("events_asof_join", temporal.ORACLE_SQL["events_asof_join"])
+def q_events_asof(spark, sf_dir):
+    return temporal.events_asof_prior_view(_t(spark, sf_dir, "events"))
+
+
 @register("customers_without_orders", rel.ORACLE_SQL["customers_without_orders"])
 def q_anti(spark, sf_dir):
     return rel.customers_without_orders(
@@ -286,6 +347,18 @@ def q_ann_ivf(spark, sf_dir):
 @register("top_similar_pairs", similarity.ORACLE_SQL["top_similar_pairs"])
 def q_simpairs(spark, sf_dir):
     return similarity.top_similar_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_near_pairs", similarity.ORACLE_SQL["embedding_near_pairs"])
+def q_embedding_near_pairs(spark, sf_dir):
+    return similarity.embedding_near_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_dup_clusters", similarity.ORACLE_SQL["embedding_dup_clusters"]
+)
+def q_embedding_dup_clusters(spark, sf_dir):
+    return similarity.embedding_dup_clusters(_t(spark, sf_dir, "embeddings"))
 
 
 @register("token_stats", text_analysis.ORACLE_SQL["token_stats"])

@@ -24,6 +24,8 @@ LLM_QUERIES = [
     "ann_lsh",
     "ann_ivf",
     "top_similar_pairs",
+    "embedding_near_pairs",
+    "embedding_dup_clusters",
     "token_stats",
     "quality_score",
     "lang_id",

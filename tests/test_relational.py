@@ -14,10 +14,17 @@ RELATIONAL_QUERIES = [
     "q3_top_orders",
     "q5_region_revenue",
     "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "top_supplier_revenue",
+    "q18_large_volume_customers",
     "customers_without_orders",
     "top_customers_per_segment",
     "customer_running_totals",
     "nation_set_ops",
+    "events_asof_join",
     "events_hourly",
     "events_json_metrics",
     "user_sessions",
