@@ -434,6 +434,14 @@ def q_user_activity_totals_stream(spark, sf_dir):
     return streaming_ops.q_user_activity_totals_stream(spark, sf_dir)
 
 
+@register(
+    "purchase_view_join_stream",
+    streaming_ops.ORACLE_SQL["purchase_view_join_stream"],
+)
+def q_purchase_view_join_stream(spark, sf_dir):
+    return streaming_ops.q_purchase_view_join_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -118,6 +118,44 @@ def user_activity_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def purchases_with_recent_views(
+    purchases: DataFrame, views: DataFrame
+) -> DataFrame:
+    """Stream-stream interval join: every (purchase, view) pair for the
+    same user with the view at most 1 hour before the purchase
+    (inclusive both ends). Both sides carry a 1-hour watermark, so state
+    for each side is bounded to the interval span plus the watermark --
+    the canonical Structured Streaming join pattern (append-only output).
+
+    On a bounded availableNow run the emitted set equals the batch inner
+    join, so the DuckDB oracle is exact."""
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", "1 hour")
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", "1 hour")
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") <= F.col("p_ts"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            "view_id",
+            F.col("v_ts").cast("timestamp_ntz").alias("view_ts"),
+        )
+    )
+
+
 # -- registry-facing runners (spark, sf_dir) -> DataFrame -------------------
 
 
@@ -141,6 +179,17 @@ def q_user_activity_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_purchase_view_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    return run_to_memory(
+        purchases_with_recent_views(
+            ev.filter(F.col("event_type") == "purchase"),
+            ev.filter(F.col("event_type") == "view"),
+        ),
+        output_mode="append",
+    )
+
+
 def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch twin of q_events_hourly_stream (stream/batch parity test)."""
     return hourly_counts(load_table(spark, sf_dir, "events"))
@@ -159,6 +208,19 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "events_distinct_types_stream": """
         SELECT DISTINCT event_type FROM events
+    """,
+    "purchase_view_join_stream": """
+        SELECT p.event_id AS purchase_id, p.user_id,
+               CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+               v.event_id AS view_id,
+               CAST(v.ts AS TIMESTAMP) AS view_ts
+        FROM events p
+        JOIN events v
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase' AND v.event_type = 'view'
+         AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+         AND CAST(v.ts AS TIMESTAMP)
+             >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
     """,
     "user_activity_totals_stream": """
         SELECT user_id,

@@ -30,6 +30,22 @@ def test_stream_distinct_types(spark, sf_oracle):
     assert _rows(streamed) == _rows(batch)
 
 
+def test_stream_stream_interval_join(spark, sf_oracle):
+    """The watermarked stream-stream interval join on a bounded run must
+    emit exactly the batch inner-join answer."""
+    from map_reduce_framework_spark.sources.io import load_table
+
+    streamed = ops.q_purchase_view_join_stream(spark, sf_oracle)
+    ev = load_table(spark, sf_oracle, "events")
+    batch = ops.purchases_with_recent_views(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "view"),
+    )
+    rows = _rows(streamed)
+    assert rows == _rows(batch)
+    assert len(rows) > 0
+
+
 def test_incremental_microbatches(spark, sf_oracle, tmp_path):
     """Split events into 4 files, force one file per micro-batch, and check
     the complete-mode aggregate converges to the batch answer across >=4
