@@ -582,7 +582,432 @@ def q18_large_volume_customers(
     )
 
 
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q8 (adapted: p_type here is a single word): yearly market
+    share of NATION_3-based suppliers within the ECONOMY-part volume sold
+    to ASIA customers. All dimension sides (part filter, customer-region
+    semi-set, supplier nation) broadcast; only lineitem<->orders shuffles.
+    The share division runs over two decimal-accumulated sums, so the
+    double result is order-independent."""
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    asia_cust = (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_nationkey"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("o_year")
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / dsum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
+    proxied as half the part's retail price per unit): profit by supplier
+    nation and order year for parts whose name contains 'widget'. part and
+    supplier->nation broadcast; lineitem<->orders is the only shuffle."""
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    supp_nat = supplier.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_nationkey"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_nationkey"),
+    ).select("s_suppkey", "nation")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("o_year", F.year("o_orderdate").cast("int"))
+        .groupBy("nation", "o_year")
+        .agg(dsum(amount).alias("sum_profit"))
+    )
+
+
+def q12_shipping_delay(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate/receiptdate
+    columns, so lines are classified by ship delay instead of ship mode):
+    for one order year, count high- vs low-priority lineitems per delay
+    bucket. One equi-join shuffle, then a 3-group CASE aggregation."""
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(bucket.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q16_supplier_part_variety(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q16 shape (adapted: supplier set per part comes from lineitem
+    rather than the absent partsupp table): distinct supplier count per
+    (brand, type, size) for a size subset, excluding one brand. The
+    count(DISTINCT) runs as a two-phase partial-distinct aggregate keyed
+    by the high-cardinality (brand,type,size,suppkey) first."""
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q17: average yearly revenue lost if small-quantity orders for
+    one brand/size band were not taken. The correlated scalar subquery
+    (per-part 20%-of-average-quantity threshold) becomes a per-part
+    aggregate over the already-part-filtered lineitems joined back --
+    both joins broadcast the tiny filtered part side, so the fact table
+    is scanned once and never self-shuffles."""
+    sel = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
+    ).select("p_partkey")
+    li_sel = lineitem.join(
+        F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey")
+    )
+    thr = li_sel.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (dsum("l_quantity") / F.count("*"))).alias("qty_thr")
+    )
+    return (
+        li_sel.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q19_disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from three OR-ed brand/size/quantity
+    bands. The disjunction stays a post-join filter on one broadcast
+    equi-join on partkey -- Catalyst extracts the common join key instead
+    of falling back to a cross product, and pushes the quantity bounds
+    (common to no branch) down to the scan only where shared."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(cond)
+        .agg(dsum(rev).alias("revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+def q21_waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """TPC-H Q21 shape (adapted: late = shipped >60 days after the order
+    date, since commit/receipt dates don't exist here): suppliers in one
+    region who were the ONLY late supplier on a multi-supplier finalized
+    order. EXISTS -> left_semi, NOT EXISTS -> left_anti; every self-join
+    is an equi-join on l_orderkey so the plan is three hash joins on the
+    same key -- one shuffle partitioning reused, no cross products."""
+    li = lineitem.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60).alias("late"),
+    )
+    l1 = li.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = l1.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    cand = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    euro_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+def q22_sales_opportunity(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22 shape (adapted: the country code comes from the customer
+    name's digit tail, standing in for the absent phone column): customers
+    from a code set with above-average positive balance and no recent
+    orders (every customer here has SOME order, so the anti-join is
+    date-scoped to stay non-trivial, as in customers_without_orders).
+    The scalar average is a broadcast cross join; the no-recent-orders
+    test is a left_anti join on custkey."""
+    code = F.substring("c_name", 17, 2)
+    sel = customer.withColumn("cntrycode", code).filter(
+        code.isin("10", "13", "17", "18", "23", "29", "30", "31")
+    )
+    avg_bal = sel.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal", 2) / F.count("*")).alias("avg_bal")
+    )
+    return (
+        sel.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("2000-07-01").cast("timestamp_ntz")
+            ).select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "q8_market_share": f"""
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               {_DSUM.format(x="CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")}
+               / {_DSUM.format(x='l_extendedprice*(1-l_discount)')} AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+
+    "q9_product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+               {_DSUM.format(x='l_extendedprice*(1-l_discount) - 0.5*p_retailprice*l_quantity')}
+                   AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+    """,
+
+    "q12_shipping_delay": """
+        SELECT CASE
+                 WHEN date_diff('day', o_orderdate, CAST(l_shipdate AS TIMESTAMP)) <= 30 THEN 'fast'
+                 WHEN date_diff('day', o_orderdate, CAST(l_shipdate AS TIMESTAMP)) <= 90 THEN 'medium'
+                 ELSE 'slow'
+               END AS ship_speed,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """,
+
+    "q16_supplier_part_variety": """
+        SELECT p_brand, p_type, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+        GROUP BY p_brand, p_type, p_size
+    """,
+
+    "q17_small_quantity_revenue": """
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                   AS avg_yearly,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 15
+          AND l_quantity < (
+              SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+          )
+    """,
+
+    "q19_disjunctive_revenue": f"""
+        SELECT {_DSUM.format(x='l_extendedprice*(1-l_discount)')} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+
+    "q21_waiting_suppliers": """
+        WITH li AS (
+            SELECT l_orderkey, l_suppkey,
+                   date_diff('day', o_orderdate, CAST(l_shipdate AS TIMESTAMP)) > 60 AS late
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM li l1
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+          AND l1.late
+          AND EXISTS (
+              SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM li l3
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.late
+          )
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+
+    "q22_sales_opportunity": """
+        WITH sel AS (
+            SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey, c_acctbal
+            FROM customer
+            WHERE substring(c_name, 17, 2) IN ('10','13','17','18','23','29','30','31')
+        )
+        SELECT cntrycode,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM sel
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+            FROM sel WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '2000-07-01'
+        )
+        GROUP BY cntrycode
+    """,
+
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                CAST(EXTRACT(year FROM CAST(l_shipdate AS TIMESTAMP)) AS INT)

@@ -173,6 +173,76 @@ def q_q18(spark, sf_dir):
     )
 
 
+@register("q8_market_share", rel.ORACLE_SQL["q8_market_share"])
+def q_q8(spark, sf_dir):
+    return rel.q8_market_share(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register("q9_product_profit", rel.ORACLE_SQL["q9_product_profit"])
+def q_q9(spark, sf_dir):
+    return rel.q9_product_profit(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@register("q12_shipping_delay", rel.ORACLE_SQL["q12_shipping_delay"])
+def q_q12(spark, sf_dir):
+    return rel.q12_shipping_delay(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("q16_supplier_part_variety", rel.ORACLE_SQL["q16_supplier_part_variety"])
+def q_q16(spark, sf_dir):
+    return rel.q16_supplier_part_variety(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("q17_small_quantity_revenue", rel.ORACLE_SQL["q17_small_quantity_revenue"])
+def q_q17(spark, sf_dir):
+    return rel.q17_small_quantity_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("q19_disjunctive_revenue", rel.ORACLE_SQL["q19_disjunctive_revenue"])
+def q_q19(spark, sf_dir):
+    return rel.q19_disjunctive_revenue(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@register("q21_waiting_suppliers", rel.ORACLE_SQL["q21_waiting_suppliers"])
+def q_q21(spark, sf_dir):
+    return rel.q21_waiting_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+@register("q22_sales_opportunity", rel.ORACLE_SQL["q22_sales_opportunity"])
+def q_q22(spark, sf_dir):
+    return rel.q22_sales_opportunity(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
 from .operators import temporal  # noqa: E402
 
 

@@ -20,6 +20,14 @@ RELATIONAL_QUERIES = [
     "q14_promo_revenue",
     "top_supplier_revenue",
     "q18_large_volume_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_shipping_delay",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q21_waiting_suppliers",
+    "q22_sales_opportunity",
     "customers_without_orders",
     "top_customers_per_segment",
     "customer_running_totals",
