@@ -124,6 +124,65 @@ def events_asof_prior_view(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_overlap_pairs(
+    events: DataFrame, window_sec: int = 300
+) -> DataFrame:
+    """Pairs of same-user events within ``window_sec`` of each other -- a
+    large-large self range join.
+
+    The naive plan is a per-user theta join (O(n_u^2) per user, a
+    scale-killer for hot users). Binned plan: bucket time into
+    window-sized bins, expand the LEFT side to buckets {b-1, b, b+1},
+    keep the right side at its own bucket, and equi-join on
+    (user_id, bucket). Any pair within the window differs by at most one
+    bucket, so coverage is exact; the right side owns exactly one bucket,
+    so each qualifying pair matches exactly ONCE (no dedup pass). Cost:
+    one 3x row expansion + one equi-join shuffle -- the same shape at
+    100 TB, with skew following (user, bucket) instead of user alone.
+
+    Output pairs are oriented a < b by event_id; gap_sec is the exact
+    integer microsecond gap floored to seconds.
+    """
+    w_us = window_sec * 1_000_000
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+    )
+    bkt = F.floor(F.col("tsu") / F.lit(w_us))
+    left = base.select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_id").alias("a_id"),
+        F.col("tsu").alias("a_tsu"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bucket"),
+    )
+    right = base.select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        F.col("tsu").alias("b_tsu"),
+        bkt.alias("b_bucket"),
+    )
+    return (
+        left.join(
+            right,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("bucket") == F.col("b_bucket")),
+        )
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_tsu") - F.col("b_tsu")) <= w_us)
+        )
+        .select(
+            F.col("a_user").alias("user_id"),
+            "a_id",
+            "b_id",
+            F.floor(F.abs(F.col("a_tsu") - F.col("b_tsu")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("gap_sec"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     # DuckDB's native ASOF JOIN is a genuinely independent implementation
     # of the same semantics -- a stronger oracle than mirroring our window
@@ -145,5 +204,19 @@ ORACLE_SQL: dict[str, str] = {
                v.view_id, v.view_value, v.vts AS view_ts
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.user_id AND p.purchase_ts >= v.vts
+    """,
+    # Naive theta self-join: an independent formulation of the binned
+    # plan's semantics (fine at oracle scale, the thing the binned plan
+    # exists to avoid at 100 TB).
+    "events_overlap_pairs": """
+        SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+               abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+                   - epoch_us(CAST(b.ts AS TIMESTAMP))) // 1000000 AS gap_sec
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
+                 - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 300 * 1000000
     """,
 }

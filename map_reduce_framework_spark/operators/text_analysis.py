@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import fingerprints_arrow, tokenize_ws, word_shingles
 
@@ -143,6 +144,89 @@ def doc_fingerprints_expr(documents: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per doc by a tf-idf-style score.
+
+    score = tf * N / df -- the rational (log-free) idf variant, chosen so
+    the score is a single int/int double division that is bit-identical
+    across engines (ln() last-ulp behavior differs between libm and the
+    JVM, which would break the value-hash oracle for equal-rank ties).
+
+    Plan: explode -> (doc,term) tf aggregate -> term df aggregate ->
+    equi-join tf x df on term -> per-doc top-k window. The df side is
+    |vocabulary| rows -- usually broadcastable, but joined on term as a
+    shuffle join here because a 100 TB corpus vocabulary (with typos and
+    boilerplate) need not fit an executor. Ties rank by term ascending.
+    """
+    toks = tokenize_ws("text")
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.col("n_docs") / F.col("df"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rnk")
+    )
+
+
+def bigram_stats(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k token bigrams: zip the token array against its
+    own tail (pure codegen, no Python), explode, one count aggregate,
+    global top-k. Ties break by bigram ascending."""
+    toks = tokenize_ws("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        documents.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(k)
+    )
+
+
+#: Per-language md5-prefix sampling thresholds (hex string compare ==
+#: uniform [0,1) threshold at 2-hex-digit resolution): en 75%, es 50%,
+#: fr 25%, everything else 12.5%.
+SAMPLE_THRESHOLDS: dict[str, str] = {"en": "c0", "es": "80", "fr": "40"}
+SAMPLE_DEFAULT_THRESHOLD = "20"
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling: keep a doc iff
+    md5(doc_id) < per-stratum hex threshold.
+
+    Hash-threshold sampling is the 100 TB-safe design: no driver-side
+    rates, no RNG state, stable under retries/re-runs (a re-executed task
+    selects the identical rows -- Bernoulli sampling with a seed is only
+    stable per-partition-layout), and the same row set falls out of any
+    engine that agrees on md5. The hex-string compare is an exact uniform
+    threshold because md5 output is uniform in [0, 16^32).
+    """
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    thr = None
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        cond = F.col("lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(SAMPLE_DEFAULT_THRESHOLD)
+    return documents.filter(h < thr).select(
+        "doc_id", "lang", "source", "n_chars", h.alias("sample_key")
+    )
+
+
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 _DTOKS = f"list_distinct({_TOKS})"
 
@@ -215,5 +299,50 @@ ORACLE_SQL: dict[str, str] = {
                    s -> md5(s)
                )) AS min_shingle_fingerprint
         FROM t
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM toks GROUP BY doc_id, term
+        ),
+        dft AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   tf * n_docs / df AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf * n_docs / df DESC, term
+                   ) AS INT) AS rnk
+            FROM tf JOIN dft USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, score, rnk FROM scored WHERE rnk <= 3
+    """,
+    "bigram_stats": f"""
+        WITH t AS (SELECT {_TOKS} AS w FROM documents),
+        b AS (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(w) - 1, 0) + 1),
+                i -> w[i] || ' ' || w[i+1]
+            )) AS bigram
+            FROM t
+        )
+        SELECT bigram, CAST(count(*) AS BIGINT) AS n
+        FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+    "stratified_sample": f"""
+        SELECT doc_id, lang, source, n_chars,
+               md5(CAST(doc_id AS VARCHAR)) AS sample_key
+        FROM documents
+        WHERE md5(CAST(doc_id AS VARCHAR)) < CASE
+            {' '.join(f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in sorted(SAMPLE_THRESHOLDS.items()))}
+            ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END
     """,
 }

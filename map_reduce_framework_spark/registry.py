@@ -446,6 +446,44 @@ def q_lang_id(spark, sf_dir):
     return text_analysis.lang_id(_t(spark, sf_dir, "documents"))
 
 
+@register("tfidf_top_terms", text_analysis.ORACLE_SQL["tfidf_top_terms"])
+def q_tfidf_top_terms(spark, sf_dir):
+    return text_analysis.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register("bigram_stats", text_analysis.ORACLE_SQL["bigram_stats"])
+def q_bigram_stats(spark, sf_dir):
+    return text_analysis.bigram_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("stratified_sample", text_analysis.ORACLE_SQL["stratified_sample"])
+def q_stratified_sample(spark, sf_dir):
+    return text_analysis.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+from .operators import reshape  # noqa: E402
+
+
+@register("events_pivot", reshape.ORACLE_SQL["events_pivot"])
+def q_events_pivot(spark, sf_dir):
+    return reshape.events_pivot(_t(spark, sf_dir, "events"))
+
+
+@register("lineitem_unpivot", reshape.ORACLE_SQL["lineitem_unpivot"])
+def q_lineitem_unpivot(spark, sf_dir):
+    return reshape.lineitem_unpivot(_t(spark, sf_dir, "lineitem"))
+
+
+@register("price_band_join", reshape.ORACLE_SQL["price_band_join"])
+def q_price_band_join(spark, sf_dir):
+    return reshape.price_band_join(spark, _t(spark, sf_dir, "orders"))
+
+
+@register("events_overlap_pairs", temporal.ORACLE_SQL["events_overlap_pairs"])
+def q_events_overlap_pairs(spark, sf_dir):
+    return temporal.interval_overlap_pairs(_t(spark, sf_dir, "events"))
+
+
 @register("doc_fingerprints", text_analysis.ORACLE_SQL["doc_fingerprints"])
 def q_fingerprints(spark, sf_dir):
     return text_analysis.doc_fingerprints(_t(spark, sf_dir, "documents"))

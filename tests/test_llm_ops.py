@@ -30,6 +30,9 @@ LLM_QUERIES = [
     "quality_score",
     "lang_id",
     "doc_fingerprints",
+    "tfidf_top_terms",
+    "bigram_stats",
+    "stratified_sample",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",

@@ -140,6 +140,16 @@ def test_python_fold_stage_parallelism_is_pinned(spark, name):
     assert "REPARTITION_BY_NUM" in plan, plan
 
 
+def test_interval_overlap_join_is_binned_equi(spark):
+    """The self range join must run as an equi hash/merge join on
+    (user_id, bucket) -- the binned plan -- never as a per-user
+    nested-loop theta join (the thing that blows up on hot users at
+    scale). The range predicate may only appear as a post-join filter."""
+    plan = _formatted_plan(spark, "events_overlap_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_top_similar_pairs_has_no_unblocked_self_join(spark):
     """The registered top_similar_pairs must be the LSH-blocked plan:
     every join is an equi-join (bucket co-membership then id lookups) --

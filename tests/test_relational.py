@@ -33,6 +33,10 @@ RELATIONAL_QUERIES = [
     "customer_running_totals",
     "nation_set_ops",
     "events_asof_join",
+    "events_overlap_pairs",
+    "events_pivot",
+    "lineitem_unpivot",
+    "price_band_join",
     "events_hourly",
     "events_json_metrics",
     "user_sessions",
