@@ -158,3 +158,70 @@ def crash_payload_map(name: str, contents: str) -> list[tuple[str, str]]:
 def crash_payload_reduce(key: str, values: list[str]) -> str:
     """mrapps/crash.go:51-57 -- sorted, space-joined values."""
     return " ".join(sorted(values))
+
+
+def early_exit_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """mrapps/early_exit.go:18-24 -- one (filename, '1') per input."""
+    return [(name, "1")]
+
+
+def early_exit_reduce(key: str, values: list[str]) -> str:
+    """mrapps/early_exit.go:27-35 -- per-file count; the reference's 3 s
+    sleep on 'sherlock'/'tom' keys is a completion-barrier test device
+    (the barrier itself is Spark's action semantics), not data logic."""
+    return str(len(values))
+
+
+def make_jobcount_fns(marker_dir: str) -> tuple[MapFn, ReduceFn]:
+    """mrapps/jobcount.go:24-48 -- re-execution detector: every map
+    invocation drops a marker file; reduce reports the marker count. With
+    no failures the count must equal the input count exactly (no spurious
+    re-execution); a retried task over-counts, which is the point.
+
+    ``marker_dir`` must be a filesystem path all executors share (the
+    reference relies on cwd the same way). The reference's random 2-5 s
+    sleep exists to spread executions across workers; omitted here -- it
+    probes the scheduler, not the dataflow.
+    """
+    import os
+    import threading
+    import uuid
+
+    def jobcount_map(name: str, contents: str) -> list[tuple[str, str]]:
+        fname = (
+            f"mr-worker-jobcount-{os.getpid()}-{threading.get_ident()}"
+            f"-{uuid.uuid4().hex}"
+        )
+        with open(os.path.join(marker_dir, fname), "w"):
+            pass
+        return [("a", "x")]
+
+    def jobcount_reduce(key: str, values: list[str]) -> str:
+        n = sum(
+            1 for f in os.listdir(marker_dir) if f.startswith("mr-worker-jobcount-")
+        )
+        return str(n)
+
+    return jobcount_map, jobcount_reduce
+
+
+def timing_map(name: str, contents: str) -> list[tuple[str, str]]:
+    """mrapps/mtiming.go:21-81 -- parallelism probe: each map invocation
+    records its (start, end) wall-clock interval under a unique key. The
+    reference counts concurrently-live sibling processes via marker files
+    + kill(pid, 0); recording intervals and counting overlaps afterward
+    measures the same quantity without the side-channel."""
+    import os
+    import threading
+    import time
+
+    start = time.time()
+    time.sleep(0.3)
+    end = time.time()
+    key = f"times-{os.getpid()}-{threading.get_ident()}-{start:.9f}"
+    return [(key, f"{start:.6f} {end:.6f}")]
+
+
+def timing_reduce(key: str, values: list[str]) -> str:
+    """mrapps/mtiming.go passthrough reduce (sorted for determinism)."""
+    return " ".join(sorted(values))

@@ -550,6 +550,27 @@ def q_purchase_view_join_stream(spark, sf_dir):
     return streaming_ops.q_purchase_view_join_stream(spark, sf_dir)
 
 
+@register("events_sliding_stream", streaming_ops.ORACLE_SQL["events_sliding_stream"])
+def q_events_sliding_stream(spark, sf_dir):
+    return streaming_ops.q_events_sliding_stream(spark, sf_dir)
+
+
+@register(
+    "user_session_windows_stream",
+    streaming_ops.ORACLE_SQL["user_session_windows_stream"],
+)
+def q_user_session_windows_stream(spark, sf_dir):
+    return streaming_ops.q_user_session_windows_stream(spark, sf_dir)
+
+
+@register(
+    "events_dedup_watermark_stream",
+    streaming_ops.ORACLE_SQL["events_dedup_watermark_stream"],
+)
+def q_events_dedup_watermark_stream(spark, sf_dir):
+    return streaming_ops.q_events_dedup_watermark_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

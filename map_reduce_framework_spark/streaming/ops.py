@@ -156,6 +156,62 @@ def purchases_with_recent_views(
     )
 
 
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding-window counts: 2-hour windows every 1 hour, so each event
+    lands in exactly two windows. Same shape at scale as the tumbling
+    version -- state is (windows x types), bounded by the watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def user_session_windows(events: DataFrame) -> DataFrame:
+    """Native session windows (``session_window``): per-user sessions with
+    a 30-minute inactivity gap, merged incrementally by the streaming
+    state store. Window semantics: end = last event + gap, and a new event
+    MERGES iff its ts < current end -- i.e. a gap of exactly 30:00 starts
+    a new session (the oracle's islands formulation uses >= gap
+    accordingly)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts seen-keys older than the watermark, so state is O(keys per
+    watermark window) instead of O(all keys ever) -- the only dedup that
+    survives an unbounded 100 TB/day stream. event_id is globally unique
+    in this table, so the bounded-run output equals the full table and
+    the oracle is exact."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+        )
+    )
+
+
 # -- registry-facing runners (spark, sf_dir) -> DataFrame -------------------
 
 
@@ -186,6 +242,26 @@ def q_purchase_view_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(F.col("event_type") == "purchase"),
             ev.filter(F.col("event_type") == "view"),
         ),
+        output_mode="append",
+    )
+
+
+def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        sliding_counts(read_events_stream(spark, sf_dir)), output_mode="complete"
+    )
+
+
+def q_user_session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        user_session_windows(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
+def q_events_dedup_watermark_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        dedup_within_watermark(read_events_stream(spark, sf_dir)),
         output_mode="append",
     )
 
@@ -228,5 +304,49 @@ ORACLE_SQL: dict[str, str] = {
                count(DISTINCT event_type) AS n_types
         FROM events
         GROUP BY user_id
+    """,
+    "events_sliding_stream": """
+        WITH e AS (
+            SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+        ),
+        w AS (
+            SELECT event_type,
+                   unnest([date_trunc('hour', t) - INTERVAL 1 HOUR,
+                           date_trunc('hour', t)]) AS ws
+            FROM e
+        )
+        SELECT ws AS window_start, ws + INTERVAL 2 HOUR AS window_end,
+               event_type, count(*) AS n_events
+        FROM w GROUP BY 1, 2, 3
+    """,
+    "user_session_windows_stream": """
+        WITH base AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        ),
+        flagged AS (
+            SELECT user_id, t,
+                   CASE WHEN lag(t) OVER w IS NULL
+                          OR t - lag(t) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        sess AS (
+            SELECT user_id, t,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               min(t) AS session_start,
+               max(t) + INTERVAL 30 MINUTE AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, sid
+    """,
+    "events_dedup_watermark_stream": """
+        SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
     """,
 }

@@ -62,6 +62,54 @@ def test_letter_runs_excludes_nl_no_categories():
     assert compat.wc_map("d", "xⅫy") == [("x", "1"), ("y", "1")]
 
 
+def test_compat_early_exit_matches_native(spark, sf_smoke, doc_inputs):
+    """B9 through the runner: per-file count of 1 (each doc is one input),
+    matching the native per_doc_count query."""
+    job = compat.MapReduceJob(
+        compat.early_exit_map, compat.early_exit_reduce, n_reduce=4
+    )
+    got = _as_dict(job.run(doc_inputs))
+    native = apps.per_doc_count(load_table(spark, sf_smoke, "documents"))
+    want = {r["doc"]: str(r["cnt"]) for r in native.collect()}
+    assert got == want
+
+
+def test_compat_jobcount_exact_executions(spark, doc_inputs, tmp_path):
+    """B4 through the runner (mrapps/jobcount.go semantics + the
+    tests/test-mr.sh:201-223 assertion): with no injected failures, map
+    runs exactly once per input -- marker count == input count."""
+    marker_dir = str(tmp_path)
+    inputs = doc_inputs.limit(8).repartition(8).cache()
+    n_inputs = inputs.count()
+    map_fn, reduce_fn = compat.make_jobcount_fns(marker_dir)
+    job = compat.MapReduceJob(map_fn, reduce_fn, n_reduce=1)
+    got = _as_dict(job.run(inputs))
+    inputs.unpersist()
+    assert got == {"a": str(n_inputs)}
+
+
+def test_compat_timing_concurrency(spark, doc_inputs):
+    """B5/B6 through the runner (mrapps/mtiming.go assertion): at least
+    two map invocations must overlap in wall-clock time on a parallel
+    cluster -- the interval-overlap check from tests/test-mr.sh:147-174."""
+    inputs = doc_inputs.limit(8).repartition(8)
+    job = compat.MapReduceJob(compat.timing_map, compat.timing_reduce, n_reduce=2)
+    rows = job.run(inputs).collect()
+    intervals = sorted(
+        tuple(float(x) for x in r["value"].split()) for r in rows
+    )
+    assert len(intervals) == 8
+    max_live = live = 0
+    points = sorted(
+        [(s, 1) for s, _ in intervals] + [(e, -1) for _, e in intervals],
+        key=lambda p: (p[0], -p[1]),  # starts before ends at ties: overlap
+    )
+    for _, d in points:
+        live += d
+        max_live = max(max_live, live)
+    assert max_live >= 2, intervals
+
+
 def test_text_sink_roundtrip(spark, sf_smoke, doc_inputs, tmp_path):
     """A9 sink: '<key> <value>' lines, sorted-union comparable
     (tests/test-mr.sh:103 comparison convention)."""
