@@ -183,6 +183,59 @@ def interval_overlap_pairs(
     )
 
 
+def gapfill_daily(
+    events: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """Regularize an event stream to a dense per-key daily grid with
+    forward-fill -- the time-series resample + last-observation-carried-
+    forward pattern (no reference analog; standard telemetry/feature-store
+    prep the reference's KV surface cannot express).
+
+    Plan, Spark-first: (1) one groupBy (key, day) taking the day's last
+    observation (max-ts row via struct-max, deterministic) and the day's
+    event count; (2) per-key min/max day from the SAME aggregate (a second
+    tiny groupBy over the daily rows, not the raw events); (3)
+    ``sequence(min_day, max_day)`` + explode builds the dense grid --
+    executor-side generation, zero driver involvement; (4) left join grid
+    to daily rows on (key, day): both sides are already keyed, AQE
+    broadcast-picks the small side per partition; (5) running
+    ``last(value ignore nulls)`` window per key in day order fills gaps.
+    Cost at 100 TB: two key-shuffles (agg + window), grid rows bounded by
+    key_count * day_span -- the explode never amplifies beyond the output
+    size itself.
+    """
+    day = F.col(ts).cast("timestamp").cast("date")
+    daily = events.groupBy(F.col(key), day.alias("day")).agg(
+        F.max(F.struct(F.col(ts).cast("timestamp").alias("__t"), F.col(value)))[
+            value
+        ].alias("day_last"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spans = daily.groupBy(key).agg(
+        F.min("day").alias("__mn"), F.max("day").alias("__mx")
+    )
+    grid = spans.select(
+        key, F.explode(F.sequence("__mn", "__mx")).alias("day")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, [key, "day"], "left")
+        .select(
+            key,
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("day_last", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     # DuckDB's native ASOF JOIN is a genuinely independent implementation
     # of the same semantics -- a stronger oracle than mirroring our window
@@ -218,5 +271,34 @@ ORACLE_SQL: dict[str, str] = {
          AND a.event_id < b.event_id
          AND abs(epoch_us(CAST(a.ts AS TIMESTAMP))
                  - epoch_us(CAST(b.ts AS TIMESTAMP))) <= 300 * 1000000
+    """,
+    # Independent formulation: generate_series grid + last_value IGNORE
+    # NULLS (DuckDB's own gap-fill idiom), vs Spark's sequence+explode+
+    # running-last plan. Struct-max day_last mirrors Spark's
+    # max(struct(ts, value)) lexicographic tie-break exactly.
+    "user_daily_fill": """
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   (max({'t': CAST(ts AS TIMESTAMP), 'v': value}))['v'] AS day_last,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id, min(day) AS mn, max(day) AS mx FROM daily GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM spans
+        )
+        SELECT g.user_id, g.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               last_value(d.day_last IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill
+        FROM grid g LEFT JOIN daily d
+          ON g.user_id = d.user_id AND g.day = d.day
     """,
 }

@@ -571,6 +571,40 @@ def q_events_dedup_watermark_stream(spark, sf_dir):
     return streaming_ops.q_events_dedup_watermark_stream(spark, sf_dir)
 
 
+# --------------------------------------------------------------------------
+# Time-series gap-fill, fuzzy matching, sketch aggregates (§2.F additions)
+# --------------------------------------------------------------------------
+from .operators import fuzzy, sketch  # noqa: E402
+
+
+@register("user_daily_fill", temporal.ORACLE_SQL["user_daily_fill"])
+def q_user_daily_fill(spark, sf_dir):
+    return temporal.gapfill_daily(_t(spark, sf_dir, "events"))
+
+
+@register("fuzzy_part_pairs", fuzzy.ORACLE_SQL["fuzzy_part_pairs"])
+def q_fuzzy_part_pairs(spark, sf_dir):
+    return fuzzy.part_name_pairs(_t(spark, sf_dir, "part"))
+
+
+@register("user_reach", sketch.ORACLE_SQL["user_reach"])
+def q_user_reach(spark, sf_dir):
+    return sketch.user_reach_exact(_t(spark, sf_dir, "events"))
+
+
+# Approximate twins: different hash functions => estimates cannot hash-
+# match DuckDB; registered rows-only, error + merge identity pinned in
+# tests/test_sketch.py.
+@register("user_reach_hll", None)
+def q_user_reach_hll(spark, sf_dir):
+    return sketch.user_reach_hll(_t(spark, sf_dir, "events"))
+
+
+@register("user_reach_sketch", None)
+def q_user_reach_sketch(spark, sf_dir):
+    return sketch.user_reach_sketch(_t(spark, sf_dir, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

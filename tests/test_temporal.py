@@ -88,3 +88,60 @@ def test_asof_plan_is_single_shuffle(spark):
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("hashpartitioning(") == 1
+
+
+def test_gapfill_daily_matches_pandas(spark):
+    """Differential: pandas groupby-resample('D')-ffill is an independent
+    implementation of dense-grid + last-observation-carried-forward."""
+    import datetime
+
+    from map_reduce_framework_spark.operators.temporal import gapfill_daily
+
+    rng = random.Random(11)
+    rows = []
+    seen = set()
+    for i in range(300):
+        key = (rng.randrange(6), rng.randrange(60 * 86400))
+        if key in seen:
+            continue
+        seen.add(key)
+        u, off = key
+        rows.append(
+            (
+                u,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=off),
+                float(rng.randrange(1000)),
+            )
+        )
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["day"]): (r["n_events"], r["value_ffill"])
+        for r in gapfill_daily(df).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    want = {}
+    for u, g in pdf.groupby("user_id"):
+        g = g.sort_values("ts")
+        daily = g.set_index("ts").resample("D").agg(
+            n=("value", "size"), last=("value", "last")
+        )
+        daily["last"] = daily["last"].ffill()
+        for day, r in daily.iterrows():
+            want[(u, day.date())] = (int(r["n"]), float(r["last"]))
+    assert got == want
+    # the fixture actually has gaps (filled rows with n_events == 0)
+    assert any(n == 0 for n, _ in got.values())
+
+
+def test_gapfill_plan_has_no_cartesian(spark):
+    import datetime
+
+    from map_reduce_framework_spark.operators.temporal import gapfill_daily
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    plan = gapfill_daily(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
