@@ -37,14 +37,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects. Read the raw int64 nanos and truncate to micros --
-        # exactly what DuckDB's CAST(ts AS TIMESTAMP) does, so oracles align.
+        # events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+        # Spark's vectorized reader rejects -- read the raw int64 nanos and
+        # truncate to micros, exactly what DuckDB's CAST(ts AS TIMESTAMP)
+        # does) or plain TIMESTAMP(MICROS). Handle both so the engine is
+        # agnostic to the generator's parquet writer version.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            ts = F.timestamp_micros(F.expr("ts div 1000"))
+        else:
+            ts = F.col("ts")
+        return df.withColumn("ts", ts.cast("timestamp_ntz"))
     return spark.read.parquet(path)
 
 

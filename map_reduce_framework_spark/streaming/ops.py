@@ -59,7 +59,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if schema["ts"].dataType.simpleString() == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    else:
+        ts = F.col("ts")
+    return raw.withColumn("ts", ts.cast("timestamp"))
 
 
 def run_to_memory(

@@ -68,8 +68,10 @@ def _sessionize_group(
         if pdf.empty:
             continue
         saw_rows = True
+        # Normalize to datetime64[us] before the int64 view: Arrow may hand
+        # pandas ns- or us-resolution depending on the source parquet type.
         ts_us = (
-            pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            pd.to_datetime(pdf["ts"]).astype("datetime64[us]").astype("int64")
         ).sort_values()
         for us in ts_us:
             us = int(us)
