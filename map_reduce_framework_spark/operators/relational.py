@@ -421,6 +421,54 @@ def events_value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def revenue_grouping_sets(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of cube/rollup, already
+    covered by revenue_rollup/order_priority_cube): revenue at
+    (segment, priority), (segment), (priority), and grand total in ONE
+    pass -- Catalyst plans a single Expand + one aggregate, vs four
+    scans for four separate groupBys. ``gid`` is the explicit
+    ``grouping(a)*2 + grouping(b)`` bitmask, identical across engines."""
+    j = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders["o_custkey"] == customer["c_custkey"],
+    )
+    gid = (
+        F.grouping("c_mktsegment") * 2 + F.grouping("o_orderpriority")
+    ).cast("int")
+    return (
+        j.groupingSets(
+            [
+                ["c_mktsegment", "o_orderpriority"],
+                ["c_mktsegment"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "c_mktsegment",
+            "o_orderpriority",
+        )
+        .agg(
+            dsum("o_totalprice").alias("revenue"),
+            F.count("*").alias("n_orders"),
+            gid.alias("gid"),
+        )
+    )
+
+
+def events_value_histogram(events: DataFrame) -> DataFrame:
+    """Equi-width histogram of event value per type: bucket index by
+    integer arithmetic (floor(value/50), capped at 9 -- values span
+    [0, 500)). One groupBy, map-side combinable; the histogram of a
+    100 TB table costs one shuffle of n_types*10 partial rows."""
+    bucket = F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9))
+    return (
+        events.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .withColumn("lo", (F.col("bucket") * 50).cast("int"))
+    )
+
+
 def q7_volume_shipping(
     supplier: DataFrame,
     lineitem: DataFrame,
@@ -1096,6 +1144,27 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 100
     """,
 
+    "revenue_grouping_sets": f"""
+        SELECT c_mktsegment, o_orderpriority,
+               {_DSUM.format(x='o_totalprice')} AS revenue,
+               count(*) AS n_orders,
+               CAST(GROUPING(c_mktsegment)*2 + GROUPING(o_orderpriority)
+                    AS INT) AS gid
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS (
+            (c_mktsegment, o_orderpriority),
+            (c_mktsegment), (o_orderpriority), ()
+        )
+    """,
+    "events_value_histogram": f"""
+        SELECT event_type,
+               least(CAST(floor(value/50) AS INT), 9) AS bucket,
+               count(*) AS n,
+               {_DSUM.format(x='value')} AS sum_value,
+               CAST(least(CAST(floor(value/50) AS INT), 9) * 50 AS INT) AS lo
+        FROM events
+        GROUP BY 1, 2
+    """,
     "events_value_percentiles": """
         SELECT event_type,
                quantile_cont(value, 0.5) AS p50,

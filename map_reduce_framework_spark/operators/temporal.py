@@ -236,6 +236,46 @@ def gapfill_daily(
     )
 
 
+def user_rolling_features(events: DataFrame) -> DataFrame:
+    """Trailing-window feature engineering (the per-entity rolling
+    aggregates a training pipeline attaches to every interaction row):
+    for each event, the count and sum of ``value`` over that user's
+    trailing 7 days (inclusive), and the gap to the previous event.
+
+    Plan: one shuffle on user_id; both windows share the partition. The
+    7-day window is a RANGE frame over epoch-micros (Spark's range frames
+    are numeric-typed; micros keep it exact and oracle-identical). The
+    gap uses a (ts, event_id) ordering so equal timestamps are
+    deterministic; the RANGE frame is peers-inclusive so ties need no
+    tiebreak there. Sum goes through DECIMAL(18,6) (order-independent).
+    """
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
+    )
+    wlag = Window.partitionBy("user_id").orderBy(ts_us, "event_id")
+    gap = F.expr(
+        "(_ts_us - lag(_ts_us) over "
+        "(partition by user_id order by _ts_us, event_id)) div 1000000"
+    )
+    return (
+        events.withColumn("_ts_us", ts_us)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count("*").over(w7).alias("n_7d"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .over(w7)
+            .cast("double")
+            .alias("sum_7d"),
+            gap.alias("gap_sec"),
+        )
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
     # DuckDB's native ASOF JOIN is a genuinely independent implementation
     # of the same semantics -- a stronger oracle than mirroring our window
@@ -300,5 +340,22 @@ ORACLE_SQL: dict[str, str] = {
                ) AS value_ffill
         FROM grid g LEFT JOIN daily d
           ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    "user_rolling_features": """
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               count(*) OVER w7 AS n_7d,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w7 AS DOUBLE)
+                   AS sum_7d,
+               (epoch_us(CAST(ts AS TIMESTAMP))
+                - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                      PARTITION BY user_id
+                      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                  )) // 1000000 AS gap_sec
+        FROM events
+        WINDOW w7 AS (
+            PARTITION BY user_id
+            ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+            RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+        )
     """,
 }

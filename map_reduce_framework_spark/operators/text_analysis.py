@@ -198,6 +198,75 @@ def bigram_stats(documents: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def repetition_signals(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality): per doc --
+
+    * ``dup_token_ratio``   1 - distinct/total tokens;
+    * ``max_token_run``     longest run of one token repeated consecutively
+      (gaps-and-islands: group on pos - rank-within-(doc,term));
+    * ``top_bigram_ratio``  occurrences of the most frequent bigram / total
+      bigrams (the Gopher top-2-gram fraction);
+    * ``n_repeated_bigrams`` bigram occurrences beyond first use.
+
+    Plan: one posexplode -> two groupBys keyed on doc_id (+ a window for
+    the runs) -- everything shuffles on doc-local keys, so at 100 TB it
+    scales with the corpus like any per-doc aggregate; no cross-doc joins.
+    """
+    toks = tokenize_ws("text")
+    t = documents.select(
+        "doc_id", F.posexplode(toks).alias("pos", "term")
+    )
+    w = Window.partitionBy("doc_id", "term").orderBy("pos")
+    runs = (
+        t.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "term", "grp")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("int").alias("max_token_run"))
+    )
+    tok = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("term").alias("n_distinct"),
+    )
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = (
+        documents.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+            F.max("c").alias("top_bigram_n"),
+        )
+    )
+    return (
+        tok.join(runs, "doc_id")
+        .join(bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (1 - F.col("n_distinct") / F.col("n_tokens")).alias(
+                "dup_token_ratio"
+            ),
+            "max_token_run",
+            F.coalesce(
+                F.col("top_bigram_n") / F.col("n_bigrams"), F.lit(0.0)
+            ).alias("top_bigram_ratio"),
+            F.coalesce(
+                F.col("n_bigrams") - F.col("n_distinct_bigrams"), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_repeated_bigrams"),
+        )
+    )
+
+
 #: Per-language md5-prefix sampling thresholds (hex string compare ==
 #: uniform [0,1) threshold at 2-hex-digit resolution): en 75%, es 50%,
 #: fr 25%, everything else 12.5%.
@@ -336,6 +405,58 @@ ORACLE_SQL: dict[str, str] = {
         FROM b GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20
+    """,
+    "repetition_signals": f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        pos AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)+1),
+                          i -> {{'pos': i, 'term': toks[i]}}),
+                          recursive := true)
+            FROM t
+        ),
+        runs AS (
+            SELECT doc_id, CAST(max(run_len) AS INT) AS max_token_run
+            FROM (
+                SELECT doc_id, term, grp, count(*) AS run_len
+                FROM (
+                    SELECT doc_id, term,
+                           pos - row_number() OVER (
+                               PARTITION BY doc_id, term ORDER BY pos
+                           ) AS grp
+                    FROM pos
+                ) GROUP BY doc_id, term, grp
+            ) GROUP BY doc_id
+        ),
+        tok AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_distinct
+            FROM pos GROUP BY doc_id
+        ),
+        bg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_bigrams,
+                   count(*) AS n_distinct_bigrams,
+                   max(c) AS top_bigram_n
+            FROM (
+                SELECT doc_id, bigram, count(*) AS c
+                FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               range(1, greatest(len(toks) - 1, 0) + 1),
+                               i -> toks[i] || ' ' || toks[i+1]
+                           )) AS bigram
+                    FROM t
+                ) GROUP BY doc_id, bigram
+            ) GROUP BY doc_id
+        )
+        SELECT tok.doc_id, n_tokens,
+               1 - n_distinct / n_tokens AS dup_token_ratio,
+               max_token_run,
+               coalesce(top_bigram_n / n_bigrams, 0.0) AS top_bigram_ratio,
+               CAST(coalesce(n_bigrams - n_distinct_bigrams, 0) AS BIGINT)
+                   AS n_repeated_bigrams
+        FROM tok JOIN runs USING (doc_id) LEFT JOIN bg USING (doc_id)
     """,
     "stratified_sample": f"""
         SELECT doc_id, lang, source, n_chars,

@@ -342,6 +342,23 @@ def q_percentiles(spark, sf_dir):
     return rel.events_value_percentiles(_t(spark, sf_dir, "events"))
 
 
+@register("revenue_grouping_sets", rel.ORACLE_SQL["revenue_grouping_sets"])
+def q_grouping_sets(spark, sf_dir):
+    return rel.revenue_grouping_sets(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    )
+
+
+@register("events_value_histogram", rel.ORACLE_SQL["events_value_histogram"])
+def q_value_histogram(spark, sf_dir):
+    return rel.events_value_histogram(_t(spark, sf_dir, "events"))
+
+
+@register("user_rolling_features", temporal.ORACLE_SQL["user_rolling_features"])
+def q_user_rolling_features(spark, sf_dir):
+    return temporal.user_rolling_features(_t(spark, sf_dir, "events"))
+
+
 # --------------------------------------------------------------------------
 # Versioned KV store fold (SURVEY.md §2.C)
 # --------------------------------------------------------------------------
@@ -459,6 +476,24 @@ def q_bigram_stats(spark, sf_dir):
 @register("stratified_sample", text_analysis.ORACLE_SQL["stratified_sample"])
 def q_stratified_sample(spark, sf_dir):
     return text_analysis.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("repetition_signals", text_analysis.ORACLE_SQL["repetition_signals"])
+def q_repetition_signals(spark, sf_dir):
+    return text_analysis.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+from .operators import clustering  # noqa: E402
+
+
+@register("kmeans_clusters", clustering.ORACLE_SQL["kmeans_clusters"])
+def q_kmeans_clusters(spark, sf_dir):
+    return clustering.kmeans_lloyd(_t(spark, sf_dir, "embeddings"))
+
+
+@register("kmeans_cluster_sizes", clustering.ORACLE_SQL["kmeans_cluster_sizes"])
+def q_kmeans_cluster_sizes(spark, sf_dir):
+    return clustering.kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"))
 
 
 from .operators import reshape  # noqa: E402

@@ -1,0 +1,106 @@
+"""Behavioral tests for the k-means operator: differential vs a NumPy
+Lloyd's reference on the quantized vectors, and the monotone-inertia
+property that defines the algorithm."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from map_reduce_framework_spark.operators import clustering
+from map_reduce_framework_spark.sources.io import load_table
+
+
+def _numpy_lloyd(vecs: np.ndarray, k: int, iters: int):
+    """Reference Lloyd's on the same fixed-point-quantized input, with the
+    same seeding (first k rows), mean rule (exact integer sums / n), and
+    tie-break (lowest cluster id)."""
+    q = np.floor(vecs * clustering.SCALE + 0.5) / clustering.SCALE
+    cents = q[:k].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin takes the lowest index on ties
+        new = []
+        for c in range(len(cents)):
+            members = q[assign == c]
+            if len(members):
+                ints = np.floor(members * clustering.SCALE + 0.5).astype(np.int64)
+                new.append(ints.sum(axis=0) / (len(members) * clustering.SCALE))
+        cents = np.array(new)
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark, sf_oracle):
+    rows = (
+        load_table(spark, sf_oracle, "embeddings")
+        .orderBy("vec_id")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return np.array([r.embedding for r in rows], dtype=np.float64)
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_oracle, vecs):
+    got = {
+        r.vec_id: r.cluster
+        for r in clustering.kmeans_lloyd(
+            load_table(spark, sf_oracle, "embeddings")
+        ).collect()
+    }
+    want_assign, _ = _numpy_lloyd(vecs, clustering.K, clustering.ITERS)
+    # cluster ids can be renumbered when empty clusters drop; compare the
+    # induced partition instead of raw labels
+    by_got: dict[int, set[int]] = {}
+    by_want: dict[int, set[int]] = {}
+    for i in range(len(vecs)):
+        by_got.setdefault(got[i], set()).add(i)
+        by_want.setdefault(int(want_assign[i]), set()).add(i)
+    assert sorted(map(sorted, by_got.values())) == sorted(
+        map(sorted, by_want.values())
+    )
+
+
+def test_kmeans_inertia_decreases(spark, sf_oracle, vecs):
+    """Lloyd's is a descent method: total inertia must be non-increasing
+    in the iteration count."""
+    inertias = []
+    for it in range(3):
+        _, dmin = _numpy_lloyd(vecs, clustering.K, it)
+        inertias.append(dmin.sum())
+    assert inertias[1] <= inertias[0] + 1e-9
+    assert inertias[2] <= inertias[1] + 1e-9
+
+
+def test_kmeans_plan_broadcasts_centroids(spark, sf_oracle):
+    """Every assignment join must broadcast the k-row centroid side --
+    a shuffle join there would shuffle the full corpus per iteration."""
+    plan = clustering.kmeans_lloyd(
+        load_table(spark, sf_oracle, "embeddings")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_signals_detect_planted_repetition(spark, sf_oracle):
+    """A doc that is one token repeated must max out every signal."""
+    from pyspark.sql import Row
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam " * 50),
+            Row(doc_id=2, text="all tokens here are unique words"),
+        ]
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert out[1].max_token_run == 50
+    assert out[1].dup_token_ratio > 0.9
+    assert out[1].top_bigram_ratio == 1.0
+    assert out[2].max_token_run == 1
+    assert out[2].dup_token_ratio == 0.0
+    assert out[2].n_repeated_bigrams == 0

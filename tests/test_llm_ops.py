@@ -33,6 +33,9 @@ LLM_QUERIES = [
     "tfidf_top_terms",
     "bigram_stats",
     "stratified_sample",
+    "repetition_signals",
+    "kmeans_clusters",
+    "kmeans_cluster_sizes",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",

@@ -40,6 +40,9 @@ RELATIONAL_QUERIES = [
     "events_hourly",
     "events_json_metrics",
     "user_sessions",
+    "revenue_grouping_sets",
+    "events_value_histogram",
+    "user_rolling_features",
 ]
 
 
