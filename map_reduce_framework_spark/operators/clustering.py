@@ -134,6 +134,156 @@ def kmeans_cluster_sizes(embeddings: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, TPAMI 2011): compress each
+# vector to M subspace codes; approximate distances by summing per-
+# subspace lookup distances (ADC). The 100 TB ANN recipe is IVF (see
+# operators/similarity.py ann_ivf) + PQ: the codes table is ~64x smaller
+# than the raw vectors and the ADC scan never touches them.
+# ---------------------------------------------------------------------------
+
+M_SUB = 8  # subspaces of DIM/M_SUB = 8 dims each
+K_CODES = 16  # codewords per subspace (deterministic: vec_id < 16)
+N_PQ_QUERIES = 8
+PQ_TOPK = 10
+
+
+def _subvectors(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, m, sub): explode each vector into its M_SUB subvectors."""
+    d = DIM // M_SUB
+    subs = F.array(
+        *[F.slice(F.col("v"), m * d + 1, d) for m in range(M_SUB)]
+    )
+    return vectors.select(
+        id_col, F.posexplode(subs).alias("m", "sub")
+    )
+
+
+def _sqdist(a, b):
+    return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+
+def pq_codes(embeddings: DataFrame) -> DataFrame:
+    """Encode every vector as M_SUB codes: per subspace, the codeword
+    (subvector of the first K_CODES vectors) with minimum squared L2.
+
+    Plan shape: broadcast the (K_CODES * M_SUB)-row codebook against the
+    exploded subvector relation, window-argmin per (vec_id, subspace),
+    regroup to one codes array per vector -- two narrow shuffles keyed by
+    vec_id, linear in |V|, nothing pairwise."""
+    try:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    vectors = embeddings.repartition(n_parts).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cb = (
+        _subvectors(vectors.filter(F.col("vec_id") < K_CODES))
+        .select(
+            F.col("m").alias("cb_m"),
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("sub").alias("cw"),
+        )
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    return (
+        _subvectors(vectors)
+        .join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            _sqdist(F.col("sub"), F.col("cw")).alias("dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda st: st["code"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    n_queries: int = N_PQ_QUERIES,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query subvectors against the PQ
+    codes of the corpus. adc = sum over subspaces of ||q_sub - cw[code]||^2,
+    with each term fixed-point quantized to 1e-12 and summed as exact
+    BIGINTs (the DECIMAL route is NOT cross-engine-safe here: DuckDB's
+    DECIMAL(28,15)->DOUBLE cast is off by one ulp from Spark's for full-
+    mantissa values; integer sums + one IEEE division are bit-identical).
+
+    At scale the per-(query, subspace, codeword) distance table is
+    n_queries * M_SUB * K_CODES rows -- broadcast it against the codes
+    relation; the scan is linear in |codes| and touches no raw vectors."""
+    try:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    vectors = embeddings.repartition(n_parts).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cb = (
+        _subvectors(vectors.filter(F.col("vec_id") < K_CODES))
+        .select(
+            F.col("m").alias("cb_m"),
+            F.col("vec_id").cast("int").alias("code"),
+            F.col("sub").alias("cw"),
+        )
+    )
+    # per-query lookup table: distance from each query subvector to each
+    # codeword (tiny: n_queries * M_SUB * K_CODES rows)
+    lut = (
+        _subvectors(
+            vectors.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("q_id"), "v"
+            ),
+            id_col="q_id",
+        )
+        .select(F.col("q_id"), F.col("m").alias("q_m"), F.col("sub").alias("qsub"))
+        .join(F.broadcast(cb), F.col("q_m") == F.col("cb_m"))
+        .select(
+            "q_id",
+            F.col("q_m").alias("m"),
+            "code",
+            _sqdist(F.col("qsub"), F.col("cw")).alias("d"),
+        )
+    )
+    codes = pq_codes(embeddings).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("d") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(1e12)
+            ).alias("adc")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "adc", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles: the same computation unrolled as chained CTEs.
 # ---------------------------------------------------------------------------
 
@@ -200,7 +350,74 @@ def _kmeans_ctes() -> str:
     return "WITH " + ",".join(parts)
 
 
+_D_SUB = DIM // M_SUB
+
+_PQ_DIST = _DIST.format(v="s.sub", c="c.cw")
+
+_PQ_BASE = f"""
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        subs AS (
+            SELECT vec_id,
+                   unnest(list_transform(range(0, {M_SUB}),
+                          m -> {{'m': m,
+                                 'sub': v[m*{_D_SUB}+1 : m*{_D_SUB}+{_D_SUB}]}}),
+                          recursive := true)
+            FROM e
+        ),
+        cb AS (
+            SELECT m AS cb_m, CAST(vec_id AS INT) AS code, sub AS cw
+            FROM subs WHERE vec_id < {K_CODES}
+        ),
+        dists AS (
+            SELECT s.vec_id, s.m, c.code, {_PQ_DIST} AS dist,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_PQ_DIST}, c.code
+                   ) AS rnk
+            FROM subs s JOIN cb c ON s.m = c.cb_m
+        ),
+        codes AS (
+            SELECT vec_id, list(code ORDER BY m) AS codes
+            FROM dists WHERE rnk = 1 GROUP BY vec_id
+        )"""
+
 ORACLE_SQL: dict[str, str] = {
+    "pq_codes": f"""
+        WITH {_PQ_BASE}
+        SELECT vec_id, codes FROM codes
+    """,
+    "pq_adc_topk": f"""
+        WITH {_PQ_BASE},
+        lut AS (
+            SELECT s.vec_id AS q_id, s.m, c.code, {_PQ_DIST} AS d
+            FROM subs s JOIN cb c ON s.m = c.cb_m
+            WHERE s.vec_id < {N_PQ_QUERIES}
+        ),
+        ex AS (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, {M_SUB}+1),
+                          i -> {{'m': i-1, 'code': codes[i]}}),
+                          recursive := true)
+            FROM codes
+        ),
+        adc AS (
+            SELECT l.q_id, x.vec_id,
+                   CAST(sum(CAST(floor(l.d * 1000000000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       / 1000000000000.0 AS adc
+            FROM ex x JOIN lut l ON x.m = l.m AND x.code = l.code
+            WHERE l.q_id <> x.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, vec_id, adc, rnk FROM (
+            SELECT q_id, vec_id, adc,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY adc, vec_id
+                   ) AS INT) AS rnk
+            FROM adc
+        ) WHERE rnk <= {PQ_TOPK}
+    """,
     "kmeans_clusters": f"""
         {_kmeans_ctes()}
         SELECT vec_id, cid AS cluster, dist FROM afinal

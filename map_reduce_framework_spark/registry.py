@@ -496,6 +496,16 @@ def q_kmeans_cluster_sizes(spark, sf_dir):
     return clustering.kmeans_cluster_sizes(_t(spark, sf_dir, "embeddings"))
 
 
+@register("pq_codes", clustering.ORACLE_SQL["pq_codes"])
+def q_pq_codes(spark, sf_dir):
+    return clustering.pq_codes(_t(spark, sf_dir, "embeddings"))
+
+
+@register("pq_adc_topk", clustering.ORACLE_SQL["pq_adc_topk"])
+def q_pq_adc_topk(spark, sf_dir):
+    return clustering.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
+
+
 from .operators import reshape  # noqa: E402
 
 

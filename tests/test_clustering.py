@@ -83,6 +83,36 @@ def test_kmeans_plan_broadcasts_centroids(spark, sf_oracle):
     assert "SortMergeJoin" not in plan
 
 
+def test_pq_adc_recall_vs_exact(spark, sf_oracle, vecs):
+    """ADC over the (deliberately untrained: first-16-vectors) codebook
+    must still retrieve a meaningful share of the exact-L2 top-10 --
+    measured 0.30 on this data; production would k-means-train the
+    codebooks (see kmeans_lloyd) and push this toward 1.0."""
+    adc: dict[int, set[int]] = {}
+    for r in clustering.pq_adc_topk(
+        load_table(spark, sf_oracle, "embeddings")
+    ).collect():
+        adc.setdefault(r.q_id, set()).add(r.vec_id)
+    hits = 0
+    for q in range(clustering.N_PQ_QUERIES):
+        d = ((vecs - vecs[q]) ** 2).sum(axis=1)
+        d[q] = float("inf")
+        exact = set(np.argsort(d, kind="stable")[: clustering.PQ_TOPK].tolist())
+        hits += len(exact & adc[q])
+    assert hits / (clustering.N_PQ_QUERIES * clustering.PQ_TOPK) >= 0.2
+
+
+def test_pq_codes_shape(spark, sf_oracle):
+    """Every vector gets exactly M_SUB codes, each a valid codeword id."""
+    rows = clustering.pq_codes(
+        load_table(spark, sf_oracle, "embeddings")
+    ).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert len(r.codes) == clustering.M_SUB
+        assert all(0 <= c < clustering.K_CODES for c in r.codes)
+
+
 def test_repetition_signals_detect_planted_repetition(spark, sf_oracle):
     """A doc that is one token repeated must max out every signal."""
     from pyspark.sql import Row

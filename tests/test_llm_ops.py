@@ -36,6 +36,8 @@ LLM_QUERIES = [
     "repetition_signals",
     "kmeans_clusters",
     "kmeans_cluster_sizes",
+    "pq_codes",
+    "pq_adc_topk",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",
