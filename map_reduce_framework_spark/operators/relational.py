@@ -469,6 +469,51 @@ def events_value_histogram(events: DataFrame) -> DataFrame:
     )
 
 
+def customer_value_tiles(orders: DataFrame) -> DataFrame:
+    """Distribution-rank window functions over per-customer spend:
+    ntile(10) decile, percent_rank, cume_dist. Ordering includes the key
+    (spend, custkey) so ntile's arbitrary-split-of-ties is pinned to one
+    deterministic answer in every engine. One groupBy + one global-order
+    window; at scale the single-partition window is the bottleneck --
+    the standard fix is range-partitioned ranking (orderBy().window per
+    range, offsets merged), which Spark's global sort already applies to
+    the underlying exchange."""
+    spend = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+def latest_event_per_user(events: DataFrame) -> DataFrame:
+    """Arg-max aggregation: each user's latest event row in ONE groupBy
+    via max(struct(ts, event_id, ...)) -- no window, no self-join, and
+    the struct's lexicographic order makes equal-timestamp ties
+    deterministic (max_by/arg_max leave ties undefined in both engines).
+    Map-side combinable: at 100 TB this shuffles one struct per
+    (user, partition), not the event stream."""
+    packed = F.max(
+        F.struct("ts", "event_id", "event_type", "value")
+    ).alias("m")
+    return (
+        events.groupBy("user_id")
+        .agg(packed)
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
+        )
+    )
+
+
 def q7_volume_shipping(
     supplier: DataFrame,
     lineitem: DataFrame,
@@ -1144,6 +1189,31 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 100
     """,
 
+    "customer_value_tiles": f"""
+        WITH spend AS (
+            SELECT o_custkey, {_DSUM.format(x='o_totalprice')} AS spend
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, spend,
+               CAST(ntile(10) OVER w AS BIGINT) AS decile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM spend
+        WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    """,
+    "latest_event_per_user": """
+        SELECT user_id,
+               m['ts'] AS ts,
+               m['event_id'] AS event_id,
+               m['event_type'] AS event_type,
+               m['value'] AS value
+        FROM (
+            SELECT user_id,
+                   max({'ts': CAST(ts AS TIMESTAMP), 'event_id': event_id,
+                        'event_type': event_type, 'value': value}) AS m
+            FROM events GROUP BY user_id
+        )
+    """,
     "revenue_grouping_sets": f"""
         SELECT c_mktsegment, o_orderpriority,
                {_DSUM.format(x='o_totalprice')} AS revenue,

@@ -354,6 +354,16 @@ def q_value_histogram(spark, sf_dir):
     return rel.events_value_histogram(_t(spark, sf_dir, "events"))
 
 
+@register("customer_value_tiles", rel.ORACLE_SQL["customer_value_tiles"])
+def q_customer_value_tiles(spark, sf_dir):
+    return rel.customer_value_tiles(_t(spark, sf_dir, "orders"))
+
+
+@register("latest_event_per_user", rel.ORACLE_SQL["latest_event_per_user"])
+def q_latest_event_per_user(spark, sf_dir):
+    return rel.latest_event_per_user(_t(spark, sf_dir, "events"))
+
+
 @register("user_rolling_features", temporal.ORACLE_SQL["user_rolling_features"])
 def q_user_rolling_features(spark, sf_dir):
     return temporal.user_rolling_features(_t(spark, sf_dir, "events"))

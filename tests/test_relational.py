@@ -43,6 +43,8 @@ RELATIONAL_QUERIES = [
     "revenue_grouping_sets",
     "events_value_histogram",
     "user_rolling_features",
+    "customer_value_tiles",
+    "latest_event_per_user",
 ]
 
 
