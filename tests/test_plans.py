@@ -157,3 +157,57 @@ def test_top_similar_pairs_has_no_unblocked_self_join(spark):
     plan = _formatted_plan(spark, "top_similar_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_selective_join(spark):
+    """AQE runtime row-group pruning: a selective dimension filter joined
+    against a big fact should inject a runtime filter (bloom or semi-join
+    IN-list) into the fact scan -- at 100 TB this skips whole row groups
+    server-side instead of filtering post-scan. Spark gates the rewrite on
+    estimated sizes, so force the thresholds down for the assertion."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.sources.io import load_table
+
+    conf = spark.conf
+    old = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "500MB",
+        )
+        # the test files are far below the 10GB default app-side scan
+        # threshold -- zero it so size gating is out of the picture
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force the join itself to shuffle so the runtime filter is the
+        # only pruning mechanism in play
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        lineitem = load_table(spark, SF, "lineitem")
+        part = load_table(spark, SF, "part").filter(
+            F.col("p_brand") == "Brand#11"
+        )
+        joined = lineitem.join(
+            part, lineitem["l_partkey"] == part["p_partkey"]
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert ("bloom_filter_agg" in plan) or ("might_contain" in plan), plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)

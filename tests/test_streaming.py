@@ -76,3 +76,72 @@ def test_incremental_microbatches(spark, sf_oracle, tmp_path):
     got = _rows(spark.table("mrfs_incremental_test"))
     want = _rows(events.groupBy("user_id").agg(F.count("*").alias("n_events")))
     assert got == want
+
+
+def test_foreachbatch_idempotent_sink_replay(spark, sf_oracle, tmp_path):
+    """Exactly-once with foreachBatch = checkpointed offsets + an
+    IDEMPOTENT sink keyed by batchId: replaying a batch (what Spark does
+    after a sink-side failure) must leave the output byte-identical.
+    Each batch overwrites its own batchId-keyed directory -- the same
+    tmp+rename task commit the reference uses (mr/worker.go:139-157),
+    lifted to batch granularity."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(f"{sf_oracle}/events.parquet")
+    events.limit(2000).repartition(4).write.parquet(src)
+
+    seen: list[int] = []
+    slices: dict[int, list] = {}
+
+    def write_batch(df, batch_id: int) -> None:
+        if batch_id not in slices:
+            seen.append(batch_id)
+            slices[batch_id] = df.collect()
+        (
+            df.groupBy("event_type")
+            .count()
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch={batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(seen) >= 4  # one batch per file
+
+    def snapshot(batch_id: int) -> dict[str, int]:
+        return {
+            r.event_type: r["count"]
+            for r in spark.read.parquet(f"{out}/batch={batch_id}").collect()
+        }
+
+    # simulate the post-failure replay of every batch: Spark re-runs
+    # foreachBatch with the SAME batch_id and source slice; the
+    # overwrite-by-batchId sink must converge to the identical output
+    before = {b: snapshot(b) for b in seen}
+    for b in seen:
+        write_batch(
+            spark.createDataFrame(slices[b], schema=events.schema), b
+        )
+    after = {b: snapshot(b) for b in seen}
+    assert after == before
+    # and the union of per-batch outputs equals the batch answer
+    total: dict[str, int] = {}
+    for counts in after.values():
+        for k, v in counts.items():
+            total[k] = total.get(k, 0) + v
+    want = {
+        r.event_type: r["count"]
+        for r in spark.read.parquet(src).groupBy("event_type").count().collect()
+    }
+    assert total == want
