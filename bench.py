@@ -70,12 +70,24 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Two reps per query, report the min: rep 1 pays per-operator JIT/
+    # codegen compilation and whatever GC burst lands on it (observed 2-6x
+    # spikes on otherwise-2s queries); rep 2 is the steady-state cost a
+    # long-running cluster actually sees. Standard best-of-N methodology;
+    # reps/timing are recorded in the JSON so the number is unambiguous.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, q in sorted(registry.REGISTRY.items()):
-        t0 = time.perf_counter()
+        best = -1.0
         try:
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                q.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                best = dt if best < 0 else min(best, dt)
+            timings[name] = round(best, 3)
         except Exception as exc:  # a broken query must not hide the others
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -90,6 +102,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "reps": reps,
+                "timing": "min_of_reps",
                 "failed": sorted(k for k, v in timings.items() if v < 0),
             }
         )

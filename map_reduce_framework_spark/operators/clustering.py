@@ -133,6 +133,44 @@ def kmeans_cluster_sizes(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension corpus statistics (mean/var/min/max) -- the
+    normalization precursor every embedding pipeline computes before
+    whitening, outlier clipping, or quantizer training. One posexplode +
+    one groupBy on dimension index: at 100 TB this shuffles DIM partial
+    aggregates per input partition (map-side combined), never the vectors.
+
+    Mean and E[x^2] go through the integer-mantissa trick (scales 1e6 /
+    1e12); variance = E[x^2] - mean^2 evaluated in that exact expression
+    order both engines."""
+    x = F.col("x")
+    xi = F.floor(x * SCALE + F.lit(0.5)).cast("bigint")
+    x2i = F.floor(x * x * F.lit(1e12) + F.lit(0.5)).cast("bigint")
+    mean = F.col("s") / (F.col("n") * F.lit(float(SCALE)))
+    ex2 = F.col("s2") / (F.col("n") * F.lit(1e12))
+    return (
+        embeddings.select(
+            F.posexplode(as_double(F.col("embedding"))).alias("pos", "x")
+        )
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(xi).alias("s"),
+            F.sum(x2i).alias("s2"),
+            F.min("x").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .select(
+            "pos",
+            "n",
+            mean.alias("mean"),
+            (ex2 - mean * mean).alias("var"),
+            F.col("mn").alias("min_x"),
+            F.col("mx").alias("max_x"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (Jegou/Douze/Schmid, TPAMI 2011): compress each
 # vector to M subspace codes; approximate distances by summing per-
@@ -383,6 +421,31 @@ _PQ_BASE = f"""
         )"""
 
 ORACLE_SQL: dict[str, str] = {
+    "embedding_dim_stats": f"""
+        WITH x AS (
+            SELECT unnest(list_transform(
+                       range(1, {DIM}+1),
+                       i -> {{'pos': i-1,
+                              'x': CAST(embedding AS DOUBLE[])[i]}}),
+                       recursive := true)
+            FROM embeddings
+        ),
+        agg AS (
+            SELECT pos, count(*) AS n,
+                   CAST(sum(CAST(floor(x*{SCALE} + 0.5) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS s2,
+                   min(x) AS mn, max(x) AS mx
+            FROM x GROUP BY pos
+        )
+        SELECT pos, n,
+               s / (n * {SCALE}.0) AS mean,
+               s2 / (n * 1000000000000.0)
+                   - (s / (n * {SCALE}.0)) * (s / (n * {SCALE}.0)) AS var,
+               mn AS min_x, mx AS max_x
+        FROM agg
+    """,
     "pq_codes": f"""
         WITH {_PQ_BASE}
         SELECT vec_id, codes FROM codes

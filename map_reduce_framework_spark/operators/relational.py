@@ -514,6 +514,48 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, each stage
+    counts only events strictly after the user's entry into the previous
+    stage. Three chained per-user min-aggregates + semi-join-shaped
+    filters -- every shuffle keys on user_id, so the funnel over a 100 TB
+    event log costs three user-partitioned aggregations, no windows over
+    the raw stream. Output: one row per stage with the surviving-user
+    count (monotone non-increasing)."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stages = [
+        ("1_view", v),
+        ("2_view_then_click", c),
+        ("3_click_then_purchase", p),
+    ]
+    out = None
+    for name, df in stages:
+        row = df.agg(
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_users"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 def q7_volume_shipping(
     supplier: DataFrame,
     lineitem: DataFrame,
@@ -1189,6 +1231,30 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 100
     """,
 
+    "event_funnel": """
+        WITH v AS (
+            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+            FROM events e JOIN v USING (user_id)
+            WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+            FROM events e JOIN c USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND CAST(e.ts AS TIMESTAMP) > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT '2_view_then_click', count(*) FROM c
+        UNION ALL
+        SELECT '3_click_then_purchase', count(*) FROM p
+    """,
     "customer_value_tiles": f"""
         WITH spend AS (
             SELECT o_custkey, {_DSUM.format(x='o_totalprice')} AS spend

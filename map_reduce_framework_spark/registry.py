@@ -516,6 +516,16 @@ def q_pq_adc_topk(spark, sf_dir):
     return clustering.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_dim_stats", clustering.ORACLE_SQL["embedding_dim_stats"])
+def q_embedding_dim_stats(spark, sf_dir):
+    return clustering.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@register("event_funnel", rel.ORACLE_SQL["event_funnel"])
+def q_event_funnel(spark, sf_dir):
+    return rel.event_funnel(_t(spark, sf_dir, "events"))
+
+
 from .operators import reshape  # noqa: E402
 
 

@@ -38,6 +38,7 @@ LLM_QUERIES = [
     "kmeans_cluster_sizes",
     "pq_codes",
     "pq_adc_topk",
+    "embedding_dim_stats",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",

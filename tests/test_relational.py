@@ -45,6 +45,7 @@ RELATIONAL_QUERIES = [
     "user_rolling_features",
     "customer_value_tiles",
     "latest_event_per_user",
+    "event_funnel",
 ]
 
 
