@@ -232,6 +232,27 @@ def events_json_metrics(events: DataFrame) -> DataFrame:
     )
 
 
+def events_variant_metrics(events: DataFrame) -> DataFrame:
+    """Semi-structured access via Spark 4's VARIANT type: parse_json once
+    into the binary variant encoding, then typed variant_get extraction --
+    the shredded-at-scan path engines now prefer over per-access JSON
+    string parsing (get_json_object re-parses the string per call; a
+    variant column parses once and serves every field access). Same
+    aggregate shape as events_json_metrics so the two are comparable."""
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("k").alias("n_distinct_k"),
+            (F.sum("k") / F.count("*")).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: a session ends after a ``gap_minutes`` silence.
     Classic lag + cumulative-flag window; per-user partitioning keeps it
@@ -1231,6 +1252,17 @@ ORACLE_SQL: dict[str, str] = {
         LIMIT 100
     """,
 
+    "events_variant_metrics": """
+        WITH k AS (
+            SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+        )
+        SELECT event_type,
+               count(DISTINCT k) AS n_distinct_k,
+               CAST(sum(k) AS BIGINT) / count(*) AS avg_k,
+               min(k) AS min_k,
+               max(k) AS max_k
+        FROM k GROUP BY event_type
+    """,
     "event_funnel": """
         WITH v AS (
             SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view

@@ -267,6 +267,46 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+CHUNK_CHARS = 256
+
+
+def doc_chunks(documents: DataFrame) -> DataFrame:
+    """Fixed-size document chunking (the RAG/context-window prep step) as
+    a Python UDTF -- the modern form of the reference's plugin model,
+    whose Map symbol IS a user-defined table function (one row in, many
+    out; mr/worker.go:64, SURVEY.md §2.E). Chunk boundaries are plain
+    character offsets so the DuckDB substring oracle is exact.
+
+    UDTFs are the Python slow path (use explode/sequence for anything
+    expressible in Catalyst -- this query's oracle shows the pure-SQL
+    twin); they earn their keep when the per-row logic is genuinely
+    imperative (tokenizer-aware splitting, sentence packing). Arrow
+    transfer applies when spark.sql.execution.pythonUDTF.arrow.enabled
+    is on; the lateral join parallelizes over the input partitioning."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx: int, chunk: string")
+    class Chunker:
+        def eval(self, text: str, n: int):
+            if text is None:
+                return
+            for i in range(0, len(text), n):
+                yield i // n, text[i : i + n]
+
+    spark = documents.sparkSession
+    spark.udtf.register("mrfs_chunker", Chunker)
+    documents.createOrReplaceTempView("mrfs_chunk_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx,
+               length(c.chunk) AS n_chars,
+               md5(c.chunk) AS chunk_md5
+        FROM mrfs_chunk_docs d,
+             LATERAL mrfs_chunker(d.text, {CHUNK_CHARS}) c
+        """
+    )
+
+
 #: Per-language md5-prefix sampling thresholds (hex string compare ==
 #: uniform [0,1) threshold at 2-hex-digit resolution): en 75%, es 50%,
 #: fr 25%, everything else 12.5%.
@@ -405,6 +445,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM b GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20
+    """,
+    "doc_chunks": f"""
+        SELECT doc_id,
+               CAST(i AS INT) AS chunk_idx,
+               length(substr(text, i*{CHUNK_CHARS}+1, {CHUNK_CHARS}))
+                   AS n_chars,
+               md5(substr(text, i*{CHUNK_CHARS}+1, {CHUNK_CHARS}))
+                   AS chunk_md5
+        FROM documents,
+             unnest(range(0, CAST(ceil(length(text)/{CHUNK_CHARS}.0)
+                                  AS BIGINT))) AS r(i)
     """,
     "repetition_signals": f"""
         WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

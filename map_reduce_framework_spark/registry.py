@@ -493,6 +493,16 @@ def q_repetition_signals(spark, sf_dir):
     return text_analysis.repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+@register("doc_chunks", text_analysis.ORACLE_SQL["doc_chunks"])
+def q_doc_chunks(spark, sf_dir):
+    return text_analysis.doc_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register("events_variant_metrics", rel.ORACLE_SQL["events_variant_metrics"])
+def q_events_variant_metrics(spark, sf_dir):
+    return rel.events_variant_metrics(_t(spark, sf_dir, "events"))
+
+
 from .operators import clustering  # noqa: E402
 
 

@@ -39,6 +39,7 @@ LLM_QUERIES = [
     "pq_codes",
     "pq_adc_topk",
     "embedding_dim_stats",
+    "doc_chunks",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",

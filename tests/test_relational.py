@@ -46,6 +46,7 @@ RELATIONAL_QUERIES = [
     "customer_value_tiles",
     "latest_event_per_user",
     "event_funnel",
+    "events_variant_metrics",
 ]
 
 
