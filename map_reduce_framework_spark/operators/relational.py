@@ -535,6 +535,63 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def value_gini_per_type(events: DataFrame) -> DataFrame:
+    """Gini coefficient of event value per type -- the inequality metric
+    a spend/engagement pipeline reports -- via the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted values.
+
+    Exactness: values carry exactly 2 decimals, so cents are exact
+    BIGINTs; sum(i*x_i) is tie-invariant (permuting equal values does not
+    change it), so the rank window needs no tiebreak. One window + one
+    groupBy, both keyed on event_type. The integer sums stay under 2^53
+    through sf0.1; at much larger n, keep the sums integral (they stay
+    exact in int64/int128 far longer) and accept last-ulp fp in the final
+    division, or shard the rank-sum per partition range."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("cents")
+    ranked = events.select(
+        "event_type", cents.alias("cents")
+    ).withColumn("i", F.row_number().over(w).cast("bigint"))
+    n = F.count("*")
+    sw = F.sum("cents")
+    swi = F.sum(F.col("i") * F.col("cents"))
+    return ranked.groupBy("event_type").agg(
+        n.alias("n"),
+        (sw / (n * F.lit(100.0))).alias("mean_value"),
+        (
+            F.lit(2.0) * swi / (n * sw) - (n + F.lit(1.0)) / n
+        ).alias("gini"),
+    )
+
+
+def value_k_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation between event value and the JSON props.k per
+    event type, from exact integer moments: cents (values have 2
+    decimals) and k are BIGINTs, so n*sxy - sx*sy etc. are exact integer
+    expressions in both engines (int64 here, int128 in DuckDB -- same
+    values at these scales); the only roundings are the final int->double
+    casts (correctly rounded in both) and IEEE sqrt/divide. Spark's
+    built-in corr() is a running double accumulation whose result depends
+    on partition order -- unusable under a value-hash oracle; the moment
+    form is also the map-side-combinable one (5 partial sums per
+    partition, nothing re-scanned)."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    t = events.select("event_type", cents.alias("x"), k.alias("y"))
+    n = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return t.groupBy("event_type").agg(
+        n.alias("n"), (num / den).alias("corr_value_k")
+    )
+
+
 def event_funnel(events: DataFrame) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): per user, each stage
     counts only events strictly after the user's entry into the previous
@@ -1262,6 +1319,43 @@ ORACLE_SQL: dict[str, str] = {
                min(k) AS min_k,
                max(k) AS max_k
         FROM k GROUP BY event_type
+    """,
+    "value_gini_per_type": """
+        WITH ranked AS (
+            SELECT event_type,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(floor(value*100 + 0.5) AS BIGINT)
+                   ) AS BIGINT) AS i
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(cents) AS BIGINT) / (count(*) * 100.0) AS mean_value,
+               2.0 * CAST(sum(i*cents) AS BIGINT)
+                   / (count(*) * CAST(sum(cents) AS BIGINT))
+                   - (count(*) + 1.0) / count(*) AS gini
+        FROM ranked GROUP BY event_type
+    """,
+    "value_k_correlation": """
+        WITH t AS (
+            SELECT event_type,
+                   CAST(floor(value*100 + 0.5) AS BIGINT) AS x,
+                   CAST(props->>'k' AS BIGINT) AS y
+            FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               CAST(count(*)*CAST(sum(x*y) AS BIGINT)
+                    - CAST(sum(x) AS BIGINT)*CAST(sum(y) AS BIGINT)
+                    AS DOUBLE)
+               / (sqrt(CAST(count(*)*CAST(sum(x*x) AS BIGINT)
+                            - CAST(sum(x) AS BIGINT)*CAST(sum(x) AS BIGINT)
+                            AS DOUBLE))
+                  * sqrt(CAST(count(*)*CAST(sum(y*y) AS BIGINT)
+                              - CAST(sum(y) AS BIGINT)*CAST(sum(y) AS BIGINT)
+                              AS DOUBLE))) AS corr_value_k
+        FROM t GROUP BY event_type
     """,
     "event_funnel": """
         WITH v AS (

@@ -536,6 +536,16 @@ def q_event_funnel(spark, sf_dir):
     return rel.event_funnel(_t(spark, sf_dir, "events"))
 
 
+@register("value_gini_per_type", rel.ORACLE_SQL["value_gini_per_type"])
+def q_value_gini(spark, sf_dir):
+    return rel.value_gini_per_type(_t(spark, sf_dir, "events"))
+
+
+@register("value_k_correlation", rel.ORACLE_SQL["value_k_correlation"])
+def q_value_k_corr(spark, sf_dir):
+    return rel.value_k_correlation(_t(spark, sf_dir, "events"))
+
+
 from .operators import reshape  # noqa: E402
 
 

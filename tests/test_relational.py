@@ -47,6 +47,8 @@ RELATIONAL_QUERIES = [
     "latest_event_per_user",
     "event_funnel",
     "events_variant_metrics",
+    "value_gini_per_type",
+    "value_k_correlation",
 ]
 
 
