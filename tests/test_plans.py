@@ -211,3 +211,29 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", ["pq_codes", "pq_adc_topk", "kmeans_clusters"])
+def test_vector_ops_broadcast_small_sides(spark, name):
+    """Codebooks/centroids/LUTs are tiny relations: every join in the
+    vector operators must broadcast them -- a shuffle join would move the
+    full vector corpus per iteration."""
+    plan = _formatted_plan(spark, name)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_user_rolling_features_single_shuffle(spark):
+    """Both windows (7d range frame + lag) share the user_id partition:
+    the plan must contain exactly one shuffle exchange."""
+    plan = _formatted_plan(spark, "user_rolling_features")
+    # count node section headers: "(n) Exchange" (tree lines repeat names)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan one Expand + one aggregate pass, not a
+    union of four scans."""
+    plan = _formatted_plan(spark, "revenue_grouping_sets")
+    assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) <= 2, plan
