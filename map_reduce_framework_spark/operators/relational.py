@@ -535,6 +535,80 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def orders_profile(orders: DataFrame) -> DataFrame:
+    """Column-profiling (ANALYZE TABLE-style data quality report): one
+    row per column with null count, distinct count, and min/max rendered
+    as strings. Single pass: all per-column aggregates compute in ONE
+    map-side-combinable aggregate, then unpivot to long form -- the
+    profile of a 100 TB table costs one scan, not one scan per column."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+def daily_revenue_reconciliation(
+    orders: DataFrame, events: DataFrame
+) -> DataFrame:
+    """FULL OUTER reconciliation of two independent daily revenue
+    ledgers: order totals by order date vs purchase-event values by event
+    date. Days present in only one source surface with a NULL on the
+    other side -- the standard cross-system consistency report. Both
+    sides pre-aggregate to one row per day BEFORE the full join, so the
+    join input is |days|, not |rows|."""
+    o = (
+        orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("day")
+        )
+        .agg(dsum("o_totalprice").alias("order_revenue"),
+             F.count("*").alias("n_orders"))
+    )
+    e = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(dsum("value").alias("purchase_value"),
+             F.count("*").alias("n_purchases"))
+    )
+    return (
+        o.join(e, "day", "full_outer")
+        .select(
+            "day",
+            "order_revenue",
+            "n_orders",
+            "purchase_value",
+            "n_purchases",
+        )
+    )
+
+
 def value_gini_per_type(events: DataFrame) -> DataFrame:
     """Gini coefficient of event value per type -- the inequality metric
     a spend/engagement pipeline reports -- via the rank formula
@@ -1319,6 +1393,44 @@ ORACLE_SQL: dict[str, str] = {
                min(k) AS min_k,
                max(k) AS max_k
         FROM k GROUP BY event_type
+    """,
+    "orders_profile": """
+        WITH a AS (SELECT * FROM orders)
+        """
+    + " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column, count(*) AS n_rows,
+               CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_str,
+               CAST(max({c}) AS VARCHAR) AS max_str
+        FROM a
+        """
+        for c in [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ]
+    ),
+    "daily_revenue_reconciliation": f"""
+        WITH o AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {_DSUM.format(x='o_totalprice')} AS order_revenue,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        e AS (
+            SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                   {_DSUM.format(x='value')} AS purchase_value,
+                   count(*) AS n_purchases
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT day, order_revenue, n_orders, purchase_value, n_purchases
+        FROM o FULL OUTER JOIN e USING (day)
     """,
     "value_gini_per_type": """
         WITH ranked AS (

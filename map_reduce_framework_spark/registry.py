@@ -546,6 +546,21 @@ def q_value_k_corr(spark, sf_dir):
     return rel.value_k_correlation(_t(spark, sf_dir, "events"))
 
 
+@register("orders_profile", rel.ORACLE_SQL["orders_profile"])
+def q_orders_profile(spark, sf_dir):
+    return rel.orders_profile(_t(spark, sf_dir, "orders"))
+
+
+@register(
+    "daily_revenue_reconciliation",
+    rel.ORACLE_SQL["daily_revenue_reconciliation"],
+)
+def q_daily_revenue_reconciliation(spark, sf_dir):
+    return rel.daily_revenue_reconciliation(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "events")
+    )
+
+
 from .operators import reshape  # noqa: E402
 
 

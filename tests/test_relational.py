@@ -49,6 +49,8 @@ RELATIONAL_QUERIES = [
     "events_variant_metrics",
     "value_gini_per_type",
     "value_k_correlation",
+    "orders_profile",
+    "daily_revenue_reconciliation",
 ]
 
 
