@@ -535,6 +535,38 @@ def latest_event_per_user(events: DataFrame) -> DataFrame:
     )
 
 
+def daily_revenue_trend(orders: DataFrame) -> DataFrame:
+    """Daily revenue with a 7-row trailing moving average, day-over-day
+    delta, and share-of-total -- the ROWS-frame / lag / ratio-to-report
+    window trio. Aggregates to |days| rows FIRST, so the global-ordered
+    windows run over ~2.4k rows regardless of fact size (group-first is
+    what makes a single-partition window acceptable here).
+
+    Window sums go through DECIMAL: engines associate sliding-window
+    sums differently (Spark iterates the frame, DuckDB segment-trees
+    it), so double accumulation would drift; decimal is
+    association-free."""
+    day = F.col("o_orderdate").cast("date").alias("day")
+    daily = orders.groupBy(day).agg(dsum("o_totalprice").alias("revenue"))
+    dec = F.col("revenue").cast("decimal(18,6)")
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wall = Window.orderBy("day").rangeBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wlag = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "revenue",
+        (F.sum(dec).over(w7).cast("double") / F.count("*").over(w7)).alias(
+            "ma7"
+        ),
+        (F.col("revenue") - F.lag("revenue").over(wlag)).alias("delta"),
+        (
+            F.col("revenue") / F.sum(dec).over(wall).cast("double")
+        ).alias("share_of_total"),
+    )
+
+
 def orders_profile(orders: DataFrame) -> DataFrame:
     """Column-profiling (ANALYZE TABLE-style data quality report): one
     row per column with null count, distinct count, and min/max rendered
@@ -1393,6 +1425,21 @@ ORACLE_SQL: dict[str, str] = {
                min(k) AS min_k,
                max(k) AS max_k
         FROM k GROUP BY event_type
+    """,
+    "daily_revenue_trend": f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   {_DSUM.format(x='o_totalprice')} AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT day, revenue,
+               CAST(sum(CAST(revenue AS DECIMAL(18,6))) OVER w7 AS DOUBLE)
+                   / count(*) OVER w7 AS ma7,
+               revenue - lag(revenue) OVER (ORDER BY day) AS delta,
+               revenue / CAST(sum(CAST(revenue AS DECIMAL(18,6))) OVER ()
+                              AS DOUBLE) AS share_of_total
+        FROM daily
+        WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
     "orders_profile": """
         WITH a AS (SELECT * FROM orders)

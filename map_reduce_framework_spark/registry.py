@@ -551,6 +551,11 @@ def q_orders_profile(spark, sf_dir):
     return rel.orders_profile(_t(spark, sf_dir, "orders"))
 
 
+@register("daily_revenue_trend", rel.ORACLE_SQL["daily_revenue_trend"])
+def q_daily_revenue_trend(spark, sf_dir):
+    return rel.daily_revenue_trend(_t(spark, sf_dir, "orders"))
+
+
 @register(
     "daily_revenue_reconciliation",
     rel.ORACLE_SQL["daily_revenue_reconciliation"],

@@ -51,6 +51,7 @@ RELATIONAL_QUERIES = [
     "value_k_correlation",
     "orders_profile",
     "daily_revenue_reconciliation",
+    "daily_revenue_trend",
 ]
 
 
