@@ -214,6 +214,9 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     scales with the corpus like any per-doc aggregate; no cross-doc joins.
     """
     toks = tokenize_ws("text")
+    # repartition: the token explode runs in the scan task; a 1-file scan
+    # would serialize it (same trap as doc_fingerprints).
+    documents = documents.repartition(_default_parallelism(documents))
     t = documents.select(
         "doc_id", F.posexplode(toks).alias("pos", "term")
     )
@@ -295,7 +298,11 @@ def doc_chunks(documents: DataFrame) -> DataFrame:
 
     spark = documents.sparkSession
     spark.udtf.register("mrfs_chunker", Chunker)
-    documents.createOrReplaceTempView("mrfs_chunk_docs")
+    # repartition: the UDTF runs in the scan's partitioning -- a 1-file
+    # scan would push every doc through ONE Python worker.
+    documents.repartition(
+        _default_parallelism(documents)
+    ).createOrReplaceTempView("mrfs_chunk_docs")
     return spark.sql(
         f"""
         SELECT d.doc_id, c.chunk_idx,
