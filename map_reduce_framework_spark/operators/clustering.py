@@ -321,6 +321,106 @@ def pq_adc_topk(
     )
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def ann_ivf_pq(
+    embeddings: DataFrame,
+    n_queries: int = N_PQ_QUERIES,
+    k: int = PQ_TOPK,
+) -> DataFrame:
+    """IVF-PQ: the 100 TB ANN recipe (Jegou et al., TPAMI 2011). The
+    corpus is bucketed into N_CELLS coarse cells (nearest of 16
+    deterministic centroids); a query probes its N_PROBE nearest cells
+    and ranks ONLY those cells' vectors, by ADC over their PQ codes --
+    so the scan touches ~N_PROBE/N_CELLS of the codes relation and zero
+    raw vectors. This variant skips residual encoding (IVFADC encodes
+    residuals; same dataflow, different codebook inputs).
+
+    Every join broadcasts a tiny relation (centroids, codebook, query
+    LUT, probe list); the only large relation is the codes table,
+    scanned once. Recall < pq_adc_topk's (probing misses cells) which is
+    itself < exact -- the recall ladder is pinned in tests."""
+    try:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    vectors = embeddings.repartition(n_parts).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = vectors.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+    celld = _sqdist(F.col("v"), F.col("cv")).alias("cdist")
+    wcell = Window.partitionBy("vec_id").orderBy("cdist", "cell")
+    cells = (
+        vectors.join(F.broadcast(cents))
+        .select("vec_id", "cell", celld)
+        .withColumn("rnk", F.row_number().over(wcell))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell")
+    )
+    wprobe = Window.partitionBy("q_id").orderBy("cdist", "cell")
+    probes = (
+        vectors.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), "v")
+        .join(F.broadcast(cents))
+        .select("q_id", "cell", celld)
+        .withColumn("rnk", F.row_number().over(wprobe))
+        .filter(F.col("rnk") <= N_PROBE)
+        .select("q_id", "cell")
+    )
+    cb = _subvectors(vectors.filter(F.col("vec_id") < K_CODES)).select(
+        F.col("m").alias("cb_m"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sub").alias("cw"),
+    )
+    lut = (
+        _subvectors(
+            vectors.filter(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("q_id"), "v"
+            ),
+            id_col="q_id",
+        )
+        .select(F.col("q_id"), F.col("m").alias("q_m"), F.col("sub").alias("qsub"))
+        .join(F.broadcast(cb), F.col("q_m") == F.col("cb_m"))
+        .select(
+            "q_id",
+            F.col("q_m").alias("m"),
+            "code",
+            _sqdist(F.col("qsub"), F.col("cw")).alias("d"),
+        )
+    )
+    codes = pq_codes(embeddings).select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    cand = codes.join(cells, "vec_id").join(
+        F.broadcast(probes), "cell"
+    )
+    w = Window.partitionBy("q_id").orderBy("adc", "vec_id")
+    return (
+        cand.join(F.broadcast(lut), ["q_id", "m", "code"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("d") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(1e12)
+            ).alias("adc")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "vec_id", "adc", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles: the same computation unrolled as chained CTEs.
 # ---------------------------------------------------------------------------
@@ -449,6 +549,66 @@ ORACLE_SQL: dict[str, str] = {
     "pq_codes": f"""
         WITH {_PQ_BASE}
         SELECT vec_id, codes FROM codes
+    """,
+    "ann_ivf_pq": f"""
+        WITH {_PQ_BASE},
+        cents AS (
+            SELECT CAST(vec_id AS INT) AS cell, v AS cv
+            FROM e WHERE vec_id < {N_CELLS}
+        ),
+        cells AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST.format(v='e.v', c='c.cv')}, c.cell
+                       ) AS rnk
+                FROM e CROSS JOIN cents c
+            ) WHERE rnk = 1
+        ),
+        probes AS (
+            SELECT q_id, cell FROM (
+                SELECT e.vec_id AS q_id, c.cell,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DIST.format(v='e.v', c='c.cv')}, c.cell
+                       ) AS rnk
+                FROM e CROSS JOIN cents c
+                WHERE e.vec_id < {N_PQ_QUERIES}
+            ) WHERE rnk <= {N_PROBE}
+        ),
+        lut AS (
+            SELECT s.vec_id AS q_id, s.m, c.code, {_PQ_DIST} AS d
+            FROM subs s JOIN cb c ON s.m = c.cb_m
+            WHERE s.vec_id < {N_PQ_QUERIES}
+        ),
+        ex AS (
+            SELECT vec_id,
+                   unnest(list_transform(range(1, {M_SUB}+1),
+                          i -> {{'m': i-1, 'code': codes[i]}}),
+                          recursive := true)
+            FROM codes
+        ),
+        adc AS (
+            SELECT l.q_id, x.vec_id,
+                   CAST(sum(CAST(floor(l.d * 1000000000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT)
+                       / 1000000000000.0 AS adc
+            FROM ex x
+            JOIN cells ce ON x.vec_id = ce.vec_id
+            JOIN probes p ON ce.cell = p.cell
+            JOIN lut l ON x.m = l.m AND x.code = l.code
+                       AND l.q_id = p.q_id
+            WHERE l.q_id <> x.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT q_id, vec_id, adc, rnk FROM (
+            SELECT q_id, vec_id, adc,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY adc, vec_id
+                   ) AS INT) AS rnk
+            FROM adc
+        ) WHERE rnk <= {PQ_TOPK}
     """,
     "pq_adc_topk": f"""
         WITH {_PQ_BASE},

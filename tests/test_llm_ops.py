@@ -38,6 +38,7 @@ LLM_QUERIES = [
     "kmeans_cluster_sizes",
     "pq_codes",
     "pq_adc_topk",
+    "ann_ivf_pq",
     "embedding_dim_stats",
     "doc_chunks",
     "multimodal_meta",
