@@ -213,9 +213,7 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
                 conf.set(k, v)
 
 
-@pytest.mark.parametrize(
-    "name", ["pq_codes", "pq_adc_topk", "ann_ivf_pq", "kmeans_clusters"]
-)
+@pytest.mark.parametrize("name", ["pq_codes", "pq_adc_topk", "kmeans_clusters"])
 def test_vector_ops_broadcast_small_sides(spark, name):
     """Codebooks/centroids/LUTs are tiny relations: every join in the
     vector operators must broadcast them -- a shuffle join would move the
@@ -223,6 +221,18 @@ def test_vector_ops_broadcast_small_sides(spark, name):
     plan = _formatted_plan(spark, name)
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_ivf_pq_shuffles_only_the_index_build(spark):
+    """ann_ivf_pq may shuffle exactly ONCE as a join: codes x cells is
+    two |V|-row relations equi-joined on vec_id (the index-build step a
+    production system materializes offline into one table). Every
+    query-path join (probes, LUT, codebook, centroids) must broadcast."""
+    plan = _formatted_plan(spark, "ann_ivf_pq")
+    smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
+    shj = len(re.findall(r"\(\d+\) ShuffledHashJoin", plan))
+    assert smj + shj <= 1, plan
+    assert "CartesianProduct" not in plan
 
 
 def test_user_rolling_features_single_shuffle(spark):
