@@ -288,6 +288,65 @@ def user_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 _DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
 
+def session_table(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """The per-session row table behind ``user_sessions`` (gaps-and-
+    islands sessionization materialized instead of aggregated away):
+    one row per (user, session) with bounds, duration, and event count.
+    Same single user-partitioned window stack -- embarrassingly parallel."""
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    base = events.select("user_id", "event_id", tsu.alias("tsu"))
+    gap = F.col("tsu") - F.lag("tsu").over(w)
+    flagged = base.select(
+        "user_id",
+        "tsu",
+        "event_id",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.timestamp_micros(F.min("tsu"))
+        .cast("timestamp_ntz")
+        .alias("session_start"),
+        F.timestamp_micros(F.max("tsu"))
+        .cast("timestamp_ntz")
+        .alias("session_end"),
+        F.expr("(max(tsu) - min(tsu)) div 1000000").alias("duration_sec"),
+    )
+
+
+def user_recent_events(events: DataFrame, n: int = 5) -> DataFrame:
+    """Feature-store "last N interactions" aggregate: each user's most
+    recent ``n`` event ids, most-recent first. Window rank caps the rows
+    BEFORE the collect (collect_list alone is unbounded per-key state --
+    the thing to never do on a 100 TB log); descending struct sort makes
+    the array order deterministic under equal timestamps."""
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("tsu").desc(), F.col("event_id").desc()
+    )
+    recent = (
+        events.select("user_id", "event_id", tsu.alias("tsu"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+    )
+    packed = F.sort_array(
+        F.collect_list(F.struct("tsu", "event_id")), asc=False
+    )
+    return recent.groupBy("user_id").agg(
+        F.transform(packed, lambda s: s["event_id"]).alias("recent_ids"),
+        F.count("*").alias("n_recent"),
+    )
+
+
 def revenue_rollup(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
     """ROLLUP (nation, segment): per-(nation, segment) revenue plus nation
     subtotals plus a grand total in ONE aggregation pass -- Spark executes
@@ -1786,6 +1845,51 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) AS BIGINT) AS n
         FROM events
         GROUP BY event_type
+    """,
+    "session_table": """
+        WITH base AS (
+            SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, tsu, event_id,
+                   CASE WHEN lag(tsu) OVER w IS NULL
+                          OR tsu - lag(tsu) OVER w > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ),
+        sessioned AS (
+            SELECT user_id, tsu, event_id,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               make_timestamp(min(tsu)) AS session_start,
+               make_timestamp(max(tsu)) AS session_end,
+               (max(tsu) - min(tsu)) // 1000000 AS duration_sec
+        FROM sessioned GROUP BY user_id, session_id
+    """,
+    "user_recent_events": """
+        WITH base AS (
+            SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+                                event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               list(event_id ORDER BY tsu DESC, event_id DESC)
+                   AS recent_ids,
+               CAST(count(*) AS BIGINT) AS n_recent
+        FROM base WHERE rn <= 5 GROUP BY user_id
     """,
     "user_sessions": """
         WITH base AS (

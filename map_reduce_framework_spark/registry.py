@@ -294,6 +294,16 @@ def q_sessions(spark, sf_dir):
     return rel.user_sessions(_t(spark, sf_dir, "events"))
 
 
+@register("session_table", rel.ORACLE_SQL["session_table"])
+def q_session_table(spark, sf_dir):
+    return rel.session_table(_t(spark, sf_dir, "events"))
+
+
+@register("user_recent_events", rel.ORACLE_SQL["user_recent_events"])
+def q_user_recent_events(spark, sf_dir):
+    return rel.user_recent_events(_t(spark, sf_dir, "events"))
+
+
 @register("revenue_rollup", rel.ORACLE_SQL["revenue_rollup"])
 def q_rollup(spark, sf_dir):
     return rel.revenue_rollup(

@@ -52,6 +52,8 @@ RELATIONAL_QUERIES = [
     "orders_profile",
     "daily_revenue_reconciliation",
     "daily_revenue_trend",
+    "session_table",
+    "user_recent_events",
 ]
 
 
