@@ -63,7 +63,93 @@ def clean_corpus(documents: DataFrame) -> DataFrame:
 
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 
+def dedup_survivors(documents: DataFrame) -> DataFrame:
+    """Survivor selection -- the step after clustering: per near-dup
+    cluster keep the highest-quality member (longest text, ties to the
+    lowest doc_id) instead of the arbitrary min-id keeper; unclustered
+    docs survive as 'unique'. One window over the (small) clustered
+    subset + one left join back onto the corpus; the policy column is
+    where real pipelines plug in model-based quality."""
+    clusters = dedup.dedup_clusters(documents).select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    ranked = (
+        clusters.join(documents.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "rnk")
+    )
+    return (
+        documents.select("doc_id", "n_chars")
+        .join(ranked, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "cluster_id",
+            (F.col("cluster_id").isNull() | (F.col("rnk") == 1)).alias(
+                "kept"
+            ),
+            F.when(F.col("cluster_id").isNull(), "unique")
+            .when(F.col("rnk") == 1, "best_in_cluster")
+            .otherwise("duplicate")
+            .alias("reason"),
+        )
+    )
+
+
+#: candidates -> connected components CTE chain shared by the cluster-
+#: consuming oracles (built on dedup's MinHash band CTE).
+_COMP_CTES = f"""
+        candidates AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        tsets AS (
+            SELECT doc_id, list_sort({dedup._SH}) AS toks FROM documents
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM candidates
+            JOIN tsets ta ON ta.doc_id = doc_a
+            JOIN tsets tb ON tb.doc_id = doc_b
+            WHERE len(list_intersect(ta.toks, tb.toks))
+                     / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
+        ),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(doc_id, root) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc_id
+        ),
+        comp AS (
+            SELECT doc_id, min(root) AS cluster_id FROM reach GROUP BY doc_id
+        )"""
+
+
 ORACLE_SQL: dict[str, str] = {
+    "dedup_survivors": f"""
+        WITH RECURSIVE {dedup._MINHASH_CTE},
+        {_COMP_CTES},
+        ranked AS (
+            SELECT c.doc_id, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id
+                   ) AS rnk
+            FROM comp c JOIN documents d USING (doc_id)
+        )
+        SELECT d.doc_id, d.n_chars, r.cluster_id,
+               (r.cluster_id IS NULL OR r.rnk = 1) AS kept,
+               CASE WHEN r.cluster_id IS NULL THEN 'unique'
+                    WHEN r.rnk = 1 THEN 'best_in_cluster'
+                    ELSE 'duplicate' END AS reason
+        FROM documents d LEFT JOIN ranked r USING (doc_id)
+    """,
     "clean_corpus": f"""
         WITH RECURSIVE {dedup._MINHASH_CTE},
         candidates AS (

@@ -635,6 +635,11 @@ def q_clean_corpus(spark, sf_dir):
     return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))
 
 
+@register("dedup_survivors", pipeline.ORACLE_SQL["dedup_survivors"])
+def q_dedup_survivors(spark, sf_dir):
+    return pipeline.dedup_survivors(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface (bounded availableNow runs; SURVEY.md §7)
 # --------------------------------------------------------------------------

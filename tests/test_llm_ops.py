@@ -41,6 +41,7 @@ LLM_QUERIES = [
     "ann_ivf_pq",
     "embedding_dim_stats",
     "doc_chunks",
+    "dedup_survivors",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",
