@@ -757,6 +757,33 @@ def value_k_correlation(events: DataFrame) -> DataFrame:
     )
 
 
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts over each user's event-type
+    sequence (lag window keyed on user + one pair groupBy), with the
+    per-source transition probability as an exact bigint/bigint division.
+    The per-user sequences shard the lag; the final matrix is
+    |types|^2 rows regardless of log size."""
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    pairs = (
+        events.select("user_id", "event_id", "event_type", tsu.alias("tsu"))
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wsrc = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n") / F.sum("n").over(wsrc)).alias("p"),
+    )
+
+
 def event_funnel(events: DataFrame) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): per user, each stage
     counts only events strictly after the user's entry into the previous
@@ -1574,6 +1601,25 @@ ORACLE_SQL: dict[str, str] = {
                               - CAST(sum(y) AS BIGINT)*CAST(sum(y) AS BIGINT)
                               AS DOUBLE))) AS corr_value_k
         FROM t GROUP BY event_type
+    """,
+    "event_transition_matrix": """
+        WITH pairs AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   count(*) AS n
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                       ) AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               n / (CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)) AS p
+        FROM pairs
     """,
     "event_funnel": """
         WITH v AS (

@@ -551,6 +551,13 @@ def q_event_funnel(spark, sf_dir):
     return rel.event_funnel(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "event_transition_matrix", rel.ORACLE_SQL["event_transition_matrix"]
+)
+def q_event_transition_matrix(spark, sf_dir):
+    return rel.event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
 @register("value_gini_per_type", rel.ORACLE_SQL["value_gini_per_type"])
 def q_value_gini(spark, sf_dir):
     return rel.value_gini_per_type(_t(spark, sf_dir, "events"))

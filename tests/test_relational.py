@@ -54,6 +54,7 @@ RELATIONAL_QUERIES = [
     "daily_revenue_trend",
     "session_table",
     "user_recent_events",
+    "event_transition_matrix",
 ]
 
 
