@@ -757,6 +757,31 @@ def value_k_correlation(events: DataFrame) -> DataFrame:
     )
 
 
+def weekly_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-active week; for each
+    (cohort_week, k) the count of cohort users active k weeks later.
+    Two user-keyed aggregates + one |users·weeks| self-join on user_id --
+    the product-analytics staple. Weeks via date_trunc (ISO Monday in
+    both engines); k from an exact day difference // 7."""
+    week = F.date_trunc("week", F.col("ts").cast("timestamp")).cast("date")
+    active = events.select("user_id", week.alias("week")).distinct()
+    cohort = active.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("k"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "k")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def event_transition_matrix(events: DataFrame) -> DataFrame:
     """First-order Markov transition counts over each user's event-type
     sequence (lag window keyed on user + one pair groupBy), with the
@@ -1601,6 +1626,23 @@ ORACLE_SQL: dict[str, str] = {
                               - CAST(sum(y) AS BIGINT)*CAST(sum(y) AS BIGINT)
                               AS DOUBLE))) AS corr_value_k
         FROM t GROUP BY event_type
+    """,
+    "weekly_retention_cohorts": """
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+                       AS week
+            FROM events
+        ),
+        cohort AS (
+            SELECT user_id, min(week) AS cohort_week
+            FROM active GROUP BY user_id
+        )
+        SELECT cohort_week,
+               CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS k,
+               count(DISTINCT user_id) AS n_users
+        FROM active JOIN cohort USING (user_id)
+        GROUP BY 1, 2
     """,
     "event_transition_matrix": """
         WITH pairs AS (

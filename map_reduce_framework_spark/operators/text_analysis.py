@@ -270,6 +270,43 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_commonness(documents: DataFrame) -> DataFrame:
+    """Unigram-LM commonness score: mean corpus frequency of a doc's
+    tokens -- the cheap LM-quality proxy (very common-token docs are
+    boilerplate; very rare-token docs are noise/garbage). Exactly
+    sum(corpus_count(t) for t in doc) / (n_doc_tokens * N_corpus_tokens)
+    -- integer sums with ONE final division, so the score is
+    bit-identical cross-engine (no per-token float accumulation).
+
+    Plan: explode -> corpus term counts (one groupBy) -> equi-join back
+    on term -> per-doc sum. The term-count relation is |vocab| rows,
+    joined as a shuffle join (a 100 TB vocabulary with typos need not
+    broadcast)."""
+    toks = tokenize_ws("text")
+    t = documents.repartition(_default_parallelism(documents)).select(
+        "doc_id", F.explode(toks).alias("term")
+    )
+    counts = t.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = t.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        t.join(counts, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cnt").alias("sum_cnt"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_cnt")
+                / (F.col("n_tokens") * F.col("n_total"))
+            ).alias("commonness"),
+        )
+    )
+
+
 CHUNK_CHARS = 256
 
 
@@ -452,6 +489,23 @@ ORACLE_SQL: dict[str, str] = {
         FROM b GROUP BY bigram
         ORDER BY n DESC, bigram
         LIMIT 20
+    """,
+    "doc_commonness": f"""
+        WITH t AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+        ),
+        counts AS (
+            SELECT term, CAST(count(*) AS BIGINT) AS cnt
+            FROM t GROUP BY term
+        ),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM t)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(cnt) AS BIGINT)
+                   / (count(*) * (SELECT n_total FROM total))
+                   AS commonness
+        FROM t JOIN counts USING (term)
+        GROUP BY doc_id
     """,
     "doc_chunks": f"""
         SELECT doc_id,

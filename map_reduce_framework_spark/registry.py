@@ -508,6 +508,11 @@ def q_doc_chunks(spark, sf_dir):
     return text_analysis.doc_chunks(_t(spark, sf_dir, "documents"))
 
 
+@register("doc_commonness", text_analysis.ORACLE_SQL["doc_commonness"])
+def q_doc_commonness(spark, sf_dir):
+    return text_analysis.doc_commonness(_t(spark, sf_dir, "documents"))
+
+
 @register("events_variant_metrics", rel.ORACLE_SQL["events_variant_metrics"])
 def q_events_variant_metrics(spark, sf_dir):
     return rel.events_variant_metrics(_t(spark, sf_dir, "events"))
@@ -556,6 +561,13 @@ def q_event_funnel(spark, sf_dir):
 )
 def q_event_transition_matrix(spark, sf_dir):
     return rel.event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "weekly_retention_cohorts", rel.ORACLE_SQL["weekly_retention_cohorts"]
+)
+def q_weekly_retention_cohorts(spark, sf_dir):
+    return rel.weekly_retention_cohorts(_t(spark, sf_dir, "events"))
 
 
 @register("value_gini_per_type", rel.ORACLE_SQL["value_gini_per_type"])

@@ -42,6 +42,7 @@ LLM_QUERIES = [
     "embedding_dim_stats",
     "doc_chunks",
     "dedup_survivors",
+    "doc_commonness",
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",

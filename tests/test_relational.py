@@ -55,6 +55,7 @@ RELATIONAL_QUERIES = [
     "session_table",
     "user_recent_events",
     "event_transition_matrix",
+    "weekly_retention_cohorts",
 ]
 
 
