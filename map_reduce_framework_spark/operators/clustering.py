@@ -321,6 +321,98 @@ def pq_adc_topk(
     )
 
 
+def _train_codebook(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """One Lloyd update of a PQ codebook, all subspaces at once (the
+    subspace index m is a key column, so one assignment join + one mean
+    aggregate trains every subspace codebook simultaneously). Input
+    subvectors must be fixed-point quantized so the means are exact
+    integer sums (same discipline as kmeans_lloyd)."""
+    d = DIM // M_SUB
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    assigned = (
+        subs.join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            "sub",
+            _sqdist(F.col("sub"), F.col("cw")).alias("dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+    )
+    mantissa = F.floor(F.col("x") * SCALE + F.lit(0.5)).cast("bigint")
+    sums = (
+        assigned.select("m", "code", F.posexplode("sub").alias("pos", "x"))
+        .groupBy("m", "code", "pos")
+        .agg(F.sum(mantissa).alias("s"), F.count("*").alias("n"))
+    )
+    mean = F.col("s") / (F.col("n") * F.lit(float(SCALE)))
+    return (
+        sums.select("m", "code", "pos", mean.alias("mv"))
+        .groupBy("m", "code")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                lambda st: st["mv"],
+            ).alias("cw")
+        )
+        .select(F.col("m").alias("cb_m"), "code", "cw")
+    )
+
+
+def pq_codes_trained(embeddings: DataFrame, iters: int = 1) -> DataFrame:
+    """PQ encoding against a k-means-TRAINED codebook: seed with the
+    first-K_CODES subvectors, run ``iters`` Lloyd updates per subspace
+    (one joint dataflow -- subspace is a key, not a loop), then encode.
+    Lloyd's descent guarantees total quantization distortion is
+    non-increasing vs the untrained codebook (pinned in tests). Input
+    vectors are fixed-point quantized so the trained centroids are
+    bit-identical cross-engine."""
+    try:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    vectors = _quantized(embeddings, n_parts)
+    subs = _subvectors(vectors)
+    cb = subs.filter(F.col("vec_id") < K_CODES).select(
+        F.col("m").alias("cb_m"),
+        F.col("vec_id").cast("int").alias("code"),
+        F.col("sub").alias("cw"),
+    )
+    for _ in range(iters):
+        cb = _train_codebook(subs, cb)
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
+    return (
+        subs.join(F.broadcast(cb), F.col("m") == F.col("cb_m"))
+        .select(
+            "vec_id",
+            "m",
+            "code",
+            _sqdist(F.col("sub"), F.col("cw")).alias("dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "code"))),
+                lambda st: st["code"],
+            ).alias("codes"),
+            (
+                F.sum(
+                    F.floor(F.col("dist") * F.lit(1e12) + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(1e12)
+            ).alias("distortion"),
+        )
+    )
+
+
 N_CELLS = 16
 N_PROBE = 4
 
@@ -520,7 +612,74 @@ _PQ_BASE = f"""
             FROM dists WHERE rnk = 1 GROUP BY vec_id
         )"""
 
+_SUBDIST = (
+    "list_dot_product({s}, {s}) - 2*list_dot_product({s}, {c})"
+    " + list_dot_product({c}, {c})"
+)
+
+_PQT_ASSIGN = f"""
+            SELECT s.vec_id, s.m, c.code, s.sub,
+                   {_SUBDIST.format(s='s.sub', c='c.cw')} AS dist,
+                   row_number() OVER (
+                       PARTITION BY s.vec_id, s.m
+                       ORDER BY {_SUBDIST.format(s='s.sub', c='c.cw')}, c.code
+                   ) AS rnk
+            FROM subsq s JOIN {{cb}} c ON s.m = c.cb_m"""
+
 ORACLE_SQL: dict[str, str] = {
+    "pq_codes_trained": f"""
+        WITH eq AS (
+            SELECT vec_id,
+                   list_transform(CAST(embedding AS DOUBLE[]),
+                                  x -> floor(x*{SCALE} + 0.5)/{SCALE}) AS v
+            FROM embeddings
+        ),
+        subsq AS (
+            SELECT vec_id,
+                   unnest(list_transform(range(0, {M_SUB}),
+                          m -> {{'m': m,
+                                 'sub': v[m*{_D_SUB}+1 : m*{_D_SUB}+{_D_SUB}]}}),
+                          recursive := true)
+            FROM eq
+        ),
+        cbq0 AS (
+            SELECT m AS cb_m, CAST(vec_id AS INT) AS code, sub AS cw
+            FROM subsq WHERE vec_id < {K_CODES}
+        ),
+        a0 AS (
+            SELECT vec_id, m, code, sub FROM (
+                {_PQT_ASSIGN.format(cb='cbq0')}
+            ) WHERE rnk = 1
+        ),
+        s0 AS (
+            SELECT m, code, pos, CAST(sum(xi) AS BIGINT) AS s,
+                   count(*) AS n
+            FROM (
+                SELECT m, code,
+                       unnest(list_transform(range(1, {_D_SUB}+1),
+                              i -> {{'pos': i,
+                                     'xi': CAST(floor(sub[i]*{SCALE} + 0.5)
+                                                AS BIGINT)}}),
+                              recursive := true)
+                FROM a0
+            ) GROUP BY m, code, pos
+        ),
+        cbq1 AS (
+            SELECT m AS cb_m, code,
+                   list(s / (n * {SCALE}.0) ORDER BY pos) AS cw
+            FROM s0 GROUP BY m, code
+        ),
+        afin AS (
+            SELECT vec_id, m, code, dist FROM (
+                {_PQT_ASSIGN.format(cb='cbq1')}
+            ) WHERE rnk = 1
+        )
+        SELECT vec_id,
+               list(code ORDER BY m) AS codes,
+               CAST(sum(CAST(floor(dist*1000000000000.0 + 0.5) AS BIGINT))
+                    AS BIGINT) / 1000000000000.0 AS distortion
+        FROM afin GROUP BY vec_id
+    """,
     "embedding_dim_stats": f"""
         WITH x AS (
             SELECT unnest(list_transform(

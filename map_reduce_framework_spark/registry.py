@@ -536,6 +536,11 @@ def q_pq_codes(spark, sf_dir):
     return clustering.pq_codes(_t(spark, sf_dir, "embeddings"))
 
 
+@register("pq_codes_trained", clustering.ORACLE_SQL["pq_codes_trained"])
+def q_pq_codes_trained(spark, sf_dir):
+    return clustering.pq_codes_trained(_t(spark, sf_dir, "embeddings"))
+
+
 @register("pq_adc_topk", clustering.ORACLE_SQL["pq_adc_topk"])
 def q_pq_adc_topk(spark, sf_dir):
     return clustering.pq_adc_topk(_t(spark, sf_dir, "embeddings"))

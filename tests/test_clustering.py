@@ -136,6 +136,27 @@ def test_ivf_pq_recall_ladder(spark, sf_oracle):
         assert r.adc == full[(r.q_id, r.vec_id)]
 
 
+def test_trained_codebook_reduces_distortion(spark, sf_oracle, vecs):
+    """Lloyd's descent applied to PQ: one codebook training round must
+    not increase total quantization distortion vs the untrained
+    (first-16-subvectors) codebook."""
+    q = np.floor(vecs * clustering.SCALE + 0.5) / clustering.SCALE
+    d = clustering.DIM // clustering.M_SUB
+    untrained = 0.0
+    for m in range(clustering.M_SUB):
+        sub = q[:, m * d : (m + 1) * d]
+        cb = sub[: clustering.K_CODES]
+        dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+        untrained += dist.min(axis=1).sum()
+    trained = sum(
+        r.distortion
+        for r in clustering.pq_codes_trained(
+            load_table(spark, sf_oracle, "embeddings")
+        ).collect()
+    )
+    assert trained <= untrained + 1e-6
+
+
 def test_repetition_signals_detect_planted_repetition(spark, sf_oracle):
     """A doc that is one token repeated must max out every signal."""
     from pyspark.sql import Row

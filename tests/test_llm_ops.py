@@ -37,6 +37,7 @@ LLM_QUERIES = [
     "kmeans_clusters",
     "kmeans_cluster_sizes",
     "pq_codes",
+    "pq_codes_trained",
     "pq_adc_topk",
     "ann_ivf_pq",
     "embedding_dim_stats",
