@@ -757,6 +757,41 @@ def value_k_correlation(events: DataFrame) -> DataFrame:
     )
 
 
+def value_robust_stats(events: DataFrame) -> DataFrame:
+    """Robust per-type statistics: median, MAD (median absolute
+    deviation), IQR, and the |x - med| > 3*MAD outlier count -- the
+    clipping thresholds an ingestion pipeline derives before
+    normalization. Spark's percentile() interpolates identically to
+    DuckDB's quantile_cont (proven by events_value_percentiles), so the
+    whole composition stays hash-exact. Two grouped passes: medians,
+    then deviations against the broadcast medians."""
+    pct = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    dev = events.join(F.broadcast(pct), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            (F.min("p75") - F.min("p25")).alias("iqr"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * F.col("mad")
+                ).cast("bigint")
+            ).alias("n_outliers"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def weekly_retention_cohorts(events: DataFrame) -> DataFrame:
     """Cohort retention: users grouped by first-active week; for each
     (cohort_week, k) the count of cohort users active k weeks later.
@@ -1626,6 +1661,32 @@ ORACLE_SQL: dict[str, str] = {
                               - CAST(sum(y) AS BIGINT)*CAST(sum(y) AS BIGINT)
                               AS DOUBLE))) AS corr_value_k
         FROM t GROUP BY event_type
+    """,
+    "value_robust_stats": """
+        WITH pct AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med,
+                   quantile_cont(value, 0.25) AS p25,
+                   quantile_cont(value, 0.75) AS p75
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - p.med), 0.5) AS mad
+            FROM events e JOIN pct p USING (event_type)
+            GROUP BY e.event_type
+        )
+        SELECT e.event_type,
+               min(p.med) AS med,
+               min(m.mad) AS mad,
+               min(p.p75) - min(p.p25) AS iqr,
+               CAST(sum(CASE WHEN abs(e.value - p.med) > 3 * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               count(*) AS n
+        FROM events e
+        JOIN pct p USING (event_type)
+        JOIN mad m USING (event_type)
+        GROUP BY e.event_type
     """,
     "weekly_retention_cohorts": """
         WITH active AS (

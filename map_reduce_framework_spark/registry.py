@@ -575,6 +575,11 @@ def q_weekly_retention_cohorts(spark, sf_dir):
     return rel.weekly_retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+@register("value_robust_stats", rel.ORACLE_SQL["value_robust_stats"])
+def q_value_robust_stats(spark, sf_dir):
+    return rel.value_robust_stats(_t(spark, sf_dir, "events"))
+
+
 @register("value_gini_per_type", rel.ORACLE_SQL["value_gini_per_type"])
 def q_value_gini(spark, sf_dir):
     return rel.value_gini_per_type(_t(spark, sf_dir, "events"))

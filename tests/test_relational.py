@@ -56,6 +56,7 @@ RELATIONAL_QUERIES = [
     "user_recent_events",
     "event_transition_matrix",
     "weekly_retention_cohorts",
+    "value_robust_stats",
 ]
 
 
