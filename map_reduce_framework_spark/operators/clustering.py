@@ -142,7 +142,12 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
 
     Mean and E[x^2] go through the integer-mantissa trick (scales 1e6 /
     1e12); variance = E[x^2] - mean^2 evaluated in that exact expression
-    order both engines."""
+    order both engines. The per-row mantissas are BIGINT but the SUMS
+    accumulate as DECIMAL(38,0) (DuckDB: native HUGEINT): a bigint sum of
+    1e12-scaled squares wraps silently past ~9.2M magnitude-1 rows, far
+    below the 100 TB target; 38 digits cover ~1e26 rows. The final
+    decimal->double conversion is correctly rounded in both engines (the
+    sums are integers -- no fractional-decimal ulp trap)."""
     x = F.col("x")
     xi = F.floor(x * SCALE + F.lit(0.5)).cast("bigint")
     x2i = F.floor(x * x * F.lit(1e12) + F.lit(0.5)).cast("bigint")
@@ -155,8 +160,8 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         .groupBy("pos")
         .agg(
             F.count("*").alias("n"),
-            F.sum(xi).alias("s"),
-            F.sum(x2i).alias("s2"),
+            F.sum(xi.cast("decimal(38,0)")).alias("s"),
+            F.sum(x2i.cast("decimal(38,0)")).alias("s2"),
             F.min("x").alias("mn"),
             F.max("x").alias("mx"),
         )
@@ -410,6 +415,24 @@ def pq_codes_trained(embeddings: DataFrame, iters: int = 1) -> DataFrame:
                 / F.lit(1e12)
             ).alias("distortion"),
         )
+    )
+
+
+def serialize_codes(df: DataFrame) -> DataFrame:
+    """Registered/exported form of a PQ-codes relation: the ``codes``
+    int array is joined to a comma-separated string so the output schema
+    is atomic (hashable by pandas-based comparators, writable to CSV-ish
+    sinks). Internal consumers (``pq_adc_topk``, ``ann_ivf_pq``) keep the
+    array form and ``posexplode`` it."""
+    return df.select(
+        *[
+            F.array_join(
+                F.transform(c, lambda x: x.cast("string")), ","
+            ).alias(c)
+            if c == "codes"
+            else F.col(c)
+            for c in df.columns
+        ]
     )
 
 
@@ -675,7 +698,7 @@ ORACLE_SQL: dict[str, str] = {
             ) WHERE rnk = 1
         )
         SELECT vec_id,
-               list(code ORDER BY m) AS codes,
+               array_to_string(list(code ORDER BY m), ',') AS codes,
                CAST(sum(CAST(floor(dist*1000000000000.0 + 0.5) AS BIGINT))
                     AS BIGINT) / 1000000000000.0 AS distortion
         FROM afin GROUP BY vec_id
@@ -691,10 +714,9 @@ ORACLE_SQL: dict[str, str] = {
         ),
         agg AS (
             SELECT pos, count(*) AS n,
-                   CAST(sum(CAST(floor(x*{SCALE} + 0.5) AS BIGINT))
-                        AS BIGINT) AS s,
-                   CAST(sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
-                        AS BIGINT) AS s2,
+                   sum(CAST(floor(x*{SCALE} + 0.5) AS BIGINT)) AS s,
+                   sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
+                       AS s2,
                    min(x) AS mn, max(x) AS mx
             FROM x GROUP BY pos
         )
@@ -707,7 +729,7 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pq_codes": f"""
         WITH {_PQ_BASE}
-        SELECT vec_id, codes FROM codes
+        SELECT vec_id, array_to_string(codes, ',') AS codes FROM codes
     """,
     "ann_ivf_pq": f"""
         WITH {_PQ_BASE},

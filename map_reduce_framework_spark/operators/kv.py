@@ -287,22 +287,46 @@ class KVStore:
 class Clerk:
     """At-least-once client wrapper: on a resent put, ErrVersion is
     ambiguous (the first try may have applied) and degrades to ErrMaybe
-    (srv/client.go:56-91, modeled in models/kv.go:51-69)."""
+    (srv/client.go:56-91, modeled in models/kv.go:51-69).
 
-    def __init__(self, store: KVStore, drop_reply=None):
+    The network model matches labrpc's lossy channel in BOTH directions
+    (srv/labrpc/labrpc.go:1-50): ``drop_request`` loses the RPC before the
+    server sees it (no apply at all), ``drop_reply`` loses the response
+    after the server applied, and ``delay`` injects bounded latency
+    around the server call (under concurrency this is what reordering
+    looks like observationally -- other clients' ops slip between apply
+    and reply). A clerk cannot distinguish the two loss directions (both
+    are timeouts), so ANY resend makes a later ErrVersion ambiguous ->
+    ErrMaybe, even when the drop was request-side and the put definitely
+    never applied."""
+
+    def __init__(self, store: KVStore, drop_reply=None, drop_request=None, delay=None):
         self._store = store
         self._drop_reply = drop_reply or (lambda: False)
+        self._drop_request = drop_request or (lambda: False)
+        self._delay = delay or (lambda: None)
 
     def get(self, key: str) -> tuple[str | None, int, str]:
         while True:
+            self._delay()
+            if self._drop_request():
+                continue  # request lost in flight: server never saw it
             result = self._store.get(key)
+            self._delay()
             if not self._drop_reply():
                 return result
 
     def put(self, key: str, value: str, version: int) -> str:
         first_try = True
         while True:
+            self._delay()
+            if self._drop_request():
+                # Lost before the server: nothing applied, but the clerk
+                # only sees a timeout -- the resend is still "a resend".
+                first_try = False
+                continue
             err = self._store.put(key, value, version)
+            self._delay()
             delivered = not self._drop_reply()
             if delivered:
                 if err == ERR_VERSION and not first_try:

@@ -328,7 +328,9 @@ def user_recent_events(events: DataFrame, n: int = 5) -> DataFrame:
     recent ``n`` event ids, most-recent first. Window rank caps the rows
     BEFORE the collect (collect_list alone is unbounded per-key state --
     the thing to never do on a 100 TB log); descending struct sort makes
-    the array order deterministic under equal timestamps."""
+    the array order deterministic under equal timestamps. The id list is
+    serialized to a comma-joined string so the output schema is atomic
+    (hashable by any downstream comparator / feature store)."""
     tsu = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(
         F.col("tsu").desc(), F.col("event_id").desc()
@@ -342,7 +344,9 @@ def user_recent_events(events: DataFrame, n: int = 5) -> DataFrame:
         F.collect_list(F.struct("tsu", "event_id")), asc=False
     )
     return recent.groupBy("user_id").agg(
-        F.transform(packed, lambda s: s["event_id"]).alias("recent_ids"),
+        F.array_join(
+            F.transform(packed, lambda s: s["event_id"].cast("string")), ","
+        ).alias("recent_ids"),
         F.count("*").alias("n_recent"),
     )
 
@@ -656,6 +660,49 @@ def orders_profile(orders: DataFrame) -> DataFrame:
             F.col(f"{c}__n").alias("n_rows"),
             F.col(f"{c}__nulls").alias("n_nulls"),
             F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_str"),
+            F.col(f"{c}__max").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")
+
+
+def orders_profile_approx(orders: DataFrame) -> DataFrame:
+    """``orders_profile`` with ``approx_count_distinct`` (HLL++): the
+    100 TB form of the profiling report. The exact multi-distinct plan
+    Expands the scan ~7x (one replica per distinct aggregate) before
+    partial aggregation -- correct, single-scan, but the suite's slowest
+    row at 3.1 s; HLL sketches merge map-side with no Expand, so the
+    profile costs one true scan. Sketch estimates are engine-specific,
+    so this registers with a rows-only check (like the HLL reach
+    sketches); the exact twin stays the hash-gated oracle."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct_approx"),
             F.col(f"{c}__min").alias("min_str"),
             F.col(f"{c}__max").alias("max_str"),
         )
@@ -2035,8 +2082,9 @@ ORACLE_SQL: dict[str, str] = {
             FROM events
         )
         SELECT user_id,
-               list(event_id ORDER BY tsu DESC, event_id DESC)
-                   AS recent_ids,
+               array_to_string(
+                   list(event_id ORDER BY tsu DESC, event_id DESC), ','
+               ) AS recent_ids,
                CAST(count(*) AS BIGINT) AS n_recent
         FROM base WHERE rn <= 5 GROUP BY user_id
     """,

@@ -533,12 +533,16 @@ def q_kmeans_cluster_sizes(spark, sf_dir):
 
 @register("pq_codes", clustering.ORACLE_SQL["pq_codes"])
 def q_pq_codes(spark, sf_dir):
-    return clustering.pq_codes(_t(spark, sf_dir, "embeddings"))
+    return clustering.serialize_codes(
+        clustering.pq_codes(_t(spark, sf_dir, "embeddings"))
+    )
 
 
 @register("pq_codes_trained", clustering.ORACLE_SQL["pq_codes_trained"])
 def q_pq_codes_trained(spark, sf_dir):
-    return clustering.pq_codes_trained(_t(spark, sf_dir, "embeddings"))
+    return clustering.serialize_codes(
+        clustering.pq_codes_trained(_t(spark, sf_dir, "embeddings"))
+    )
 
 
 @register("pq_adc_topk", clustering.ORACLE_SQL["pq_adc_topk"])
@@ -593,6 +597,11 @@ def q_value_k_corr(spark, sf_dir):
 @register("orders_profile", rel.ORACLE_SQL["orders_profile"])
 def q_orders_profile(spark, sf_dir):
     return rel.orders_profile(_t(spark, sf_dir, "orders"))
+
+
+@register("orders_profile_approx", None)
+def q_orders_profile_approx(spark, sf_dir):
+    return rel.orders_profile_approx(_t(spark, sf_dir, "orders"))
 
 
 @register("daily_revenue_trend", rel.ORACLE_SQL["daily_revenue_trend"])

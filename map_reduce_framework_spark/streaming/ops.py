@@ -57,6 +57,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Consumers cast results back to timestamp_ntz (exact under UTC)."""
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The TIMESTAMP (LTZ) cast below only equals the batch reader's
+    # TIMESTAMP_NTZ values when the session timezone is UTC; a non-UTC
+    # session would silently shift streaming event times vs their batch
+    # twins, so fail loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT"):
+        raise ValueError(
+            f"read_events_stream requires a UTC session timezone, got {tz!r}"
+        )
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(_as_stream_dir(path))
     if schema["ts"].dataType.simpleString() == "bigint":

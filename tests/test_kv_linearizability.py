@@ -60,9 +60,11 @@ class RecordingClerk:
     """Stamps invoke/return around whole clerk calls (retries included),
     mirroring where the reference's porcupine log hooks (kvtest.go)."""
 
-    def __init__(self, client_id: int, server, drop_reply=None):
+    def __init__(self, client_id: int, server, drop_reply=None,
+                 drop_request=None, delay=None):
         self._id = client_id
-        self._clerk = Clerk(server, drop_reply=drop_reply)
+        self._clerk = Clerk(server, drop_reply=drop_reply,
+                            drop_request=drop_request, delay=delay)
         self.history: list[Op] = []
 
     def get(self, key):
@@ -107,20 +109,27 @@ def _one_client_put(me: int, ck: RecordingClerk, keys: list[str], rng) -> tuple[
     return nok, nmaybe
 
 
-def _race_clients(keys: list[str], drop_prob: float, seed: int):
+def _race_clients(keys: list[str], drop_prob: float, seed: int,
+                  drop_req_prob: float = 0.0, delay_s: float = 0.0):
     server = LockedStore()
-    clerks = [
-        RecordingClerk(
-            me,
-            server,
-            drop_reply=(
-                (lambda r: (lambda: r.random() < drop_prob))(random.Random(seed + me))
-                if drop_prob
-                else None
+
+    def _net(me: int):
+        """Per-clerk lossy channel: independent RNG streams for each of
+        the three labrpc behaviors (reply loss, request loss, delay)."""
+        r_rep = random.Random(seed + me)
+        r_req = random.Random(7919 * seed + me)
+        r_del = random.Random(104729 * seed + me)
+        return dict(
+            drop_reply=(lambda: r_rep.random() < drop_prob) if drop_prob else None,
+            drop_request=(
+                (lambda: r_req.random() < drop_req_prob) if drop_req_prob else None
+            ),
+            delay=(
+                (lambda: time.sleep(r_del.random() * delay_s)) if delay_s else None
             ),
         )
-        for me in range(NCLNT)
-    ]
+
+    clerks = [RecordingClerk(me, server, **_net(me)) for me in range(NCLNT)]
     results: list[tuple[int, int]] = [None] * NCLNT  # type: ignore[list-item]
 
     def run(me: int) -> None:
@@ -174,6 +183,48 @@ def test_put_concurrent_unreliable_multikey():
         total += version
     assert nok <= total <= nok + nmaybe
     assert check_history(history)
+
+
+def test_put_concurrent_lossy_both_directions():
+    """labrpc drops RPCs in BOTH directions (srv/labrpc/labrpc.go:1-50).
+    Request-side loss is semantically different from reply-side loss: the
+    op never applies at all -- but the clerk sees only a timeout, so
+    ErrMaybe must cover it too. With delays injected between apply and
+    reply (observational reordering), the combined history must still
+    linearize and no version may double-apply."""
+    server, history, nok, nmaybe = _race_clients(
+        ["k"], drop_prob=0.2, seed=31, drop_req_prob=0.2, delay_s=0.0003
+    )
+    assert nmaybe > 0, "two-sided lossy net never produced ErrMaybe"
+    _, version, err = server.get("k")
+    assert err == OK
+    assert nok <= version <= nok + nmaybe
+    assert check_history(history)
+
+
+def test_request_loss_alone_never_applies():
+    """A dropped REQUEST means no server apply at all -- distinguishable
+    from a dropped reply by the server's state. With a single client and
+    ONLY request-side loss, every resend carries a still-correct version
+    argument, so each round ends OK, the version advances exactly once
+    per round, and ErrMaybe never fires (nothing ever half-applied)."""
+    server = LockedStore()
+    rng = random.Random(5)
+    dropped = [0]
+
+    def drop_request():
+        d = rng.random() < 0.4
+        dropped[0] += d
+        return d
+
+    ck = RecordingClerk(0, server, drop_request=drop_request)
+    for trial in range(60):
+        err = ck.put("k", f"t{trial}", trial)
+        assert err == OK, f"pure request loss must stay unambiguous: {err}"
+        value, version, gerr = ck.get("k")
+        assert gerr == OK and version == trial + 1 and value == f"t{trial}"
+    assert dropped[0] > 0, "drop_request(0.4) never dropped"
+    assert check_history(ck.history)
 
 
 def test_unreliable_single_client_never_double_applies():

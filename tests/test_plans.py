@@ -249,3 +249,22 @@ def test_grouping_sets_single_expand(spark):
     plan = _formatted_plan(spark, "revenue_grouping_sets")
     assert len(re.findall(r"\(\d+\) Expand\b", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) <= 2, plan
+
+
+def test_orders_profile_approx_avoids_expand(spark):
+    """The exact profile's six count_distincts force an Expand that
+    replicates the scan ~7x before partial aggregation; the HLL++ twin
+    must plan with NO Expand (sketches merge map-side), and its
+    estimates must sit within HLL++ relative error of the exact counts."""
+    plan = _formatted_plan(spark, "orders_profile_approx")
+    assert "Expand" not in plan, plan
+    exact_plan = _formatted_plan(spark, "orders_profile")
+    assert "Expand" in exact_plan  # the contrast this test documents
+    exact = {
+        r.column: r.n_distinct
+        for r in registry.REGISTRY["orders_profile"].fn(spark, SF).collect()
+    }
+    for r in registry.REGISTRY["orders_profile_approx"].fn(spark, SF).collect():
+        assert r.n_distinct_approx == pytest.approx(
+            exact[r.column], rel=0.12
+        ), f"{r.column}: approx {r.n_distinct_approx} vs exact {exact[r.column]}"

@@ -116,7 +116,7 @@ def test_foreachbatch_idempotent_sink_replay(spark, sf_oracle, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not finish within 120s"
     assert len(seen) >= 4  # one batch per file
 
     def snapshot(batch_id: int) -> dict[str, int]:
