@@ -1066,6 +1066,162 @@ def top_supplier_revenue(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2 shape (correlated-min subquery -> window argmin): for
+    each qualifying part, the EUROPE supplier offering it at minimum
+    unit cost. The testdata has no partsupp table, so the part-supplier
+    catalog derives from lineitem: supplycost := min observed unit price
+    (l_extendedprice / l_quantity) per (part, supplier) -- exact in both
+    engines (one IEEE division, then min).
+
+    Plan shape: the correlated `cost = (SELECT min ...)` becomes a window
+    min over p_partkey -- one pass, no self-join; all dimensions
+    broadcast, so the only shuffle is the ps groupBy on (part, supp)."""
+    euro_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(
+                region.filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "supplycost"
+            )
+        )
+    )
+    target = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(target), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def q11_important_parts(
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against a global scalar aggregate): parts
+    whose traded value through ASIA's suppliers exceeds a fixed fraction
+    of that region's total traded value. partsupp adaptation: value :=
+    revenue (extendedprice net of discount) per part; the nation filter
+    widens to a region so the query is non-degenerate at every test SF
+    (sf0.001 has 10 suppliers across 25 nations).
+
+    Determinism note: the global total is NOT a double sum of per-part
+    doubles (order-dependent) -- it re-aggregates the same decimal
+    partials in one exact pass and broadcasts the 1-row result."""
+    n7 = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = lineitem.join(
+        F.broadcast(n7), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    per_part = base.groupBy("l_partkey").agg(dsum(rev).alias("part_value"))
+    # Scale-free threshold (TPC-H's is 0.0001/SF -- SF-dependent): a part
+    # is "important" above 1.5x the mean part value, which keeps the
+    # result non-degenerate from sf0.001 to 100 TB.
+    total = base.agg(
+        dsum(rev).alias("total_value"),
+        F.count_distinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.col("part_value")
+            > F.col("total_value") / F.col("n_parts") * 1.5
+        )
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def q20_excess_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """TPC-H Q20 shape (semi-join chain over a nested aggregate):
+    AFRICA suppliers whose 1995 shipments of small-class parts exceed
+    15% of their all-time shipments of those parts -- the "who held
+    excess stock" audit. availqty adaptation: both sides of the
+    comparison derive from lineitem, as conditional aggregates in ONE
+    groupBy (single scan, no self-join).
+
+    The part filter is a broadcast semi-join; the only shuffle is the
+    (suppkey)-keyed aggregate."""
+    small_parts = part.filter(F.col("p_name").startswith("small")).select(
+        "p_partkey"
+    )
+    in_1995 = (
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz")
+    ) & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    agg = (
+        lineitem.join(
+            F.broadcast(small_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum(F.when(in_1995, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1995"
+            ),
+            dsum("l_quantity").alias("qty_total"),
+        )
+        .filter(F.col("qty_1995") > F.col("qty_total") * 0.15)
+    )
+    african = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).join(
+        F.broadcast(region.filter(F.col("r_name") == "AFRICA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return (
+        agg.join(F.broadcast(african), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "s_acctbal", "qty_1995", "qty_total")
+        .orderBy("s_name")
+    )
+
+
 def q18_large_volume_customers(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
@@ -1591,6 +1747,85 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s_suppkey, s_name, total_revenue
         FROM revs JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM revs)
+    """,
+
+    "q2_min_cost_supplier": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        euro AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost,
+                   min(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+            FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN euro ON l_suppkey = s_suppkey
+            WHERE p_size <= 15 AND p_type = 'LARGE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supplycost
+        FROM cand WHERE supplycost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+
+    "q11_important_parts": f"""
+        WITH base AS (
+            SELECT l_partkey, l_extendedprice, l_discount
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        ),
+        per_part AS (
+            SELECT l_partkey,
+                   {_DSUM.format(x='l_extendedprice*(1-l_discount)')}
+                       AS part_value
+            FROM base GROUP BY l_partkey
+        ),
+        total AS (
+            SELECT {_DSUM.format(x='l_extendedprice*(1-l_discount)')}
+                       AS total_value,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM base
+        )
+        SELECT l_partkey, part_value
+        FROM per_part, total
+        WHERE part_value > total_value / n_parts * 1.5
+        ORDER BY part_value DESC, l_partkey
+    """,
+
+    "q20_excess_suppliers": f"""
+        WITH agg AS (
+            SELECT l_suppkey,
+                   {_DSUM.format(
+                       x="CASE WHEN CAST(l_shipdate AS TIMESTAMP)"
+                         " >= TIMESTAMP '1995-01-01'"
+                         " AND CAST(l_shipdate AS TIMESTAMP)"
+                         " < TIMESTAMP '1996-01-01'"
+                         " THEN l_quantity ELSE 0.0 END")} AS qty_1995,
+                   {_DSUM.format(x='l_quantity')} AS qty_total
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+            )
+            GROUP BY l_suppkey
+        )
+        SELECT s_name, s_acctbal, qty_1995, qty_total
+        FROM agg
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'AFRICA' AND qty_1995 > qty_total * 0.15
+        ORDER BY s_name
     """,
 
     "q18_large_volume_customers": f"""

@@ -162,6 +162,38 @@ def q_q15(spark, sf_dir):
     )
 
 
+@register("q2_min_cost_supplier", rel.ORACLE_SQL["q2_min_cost_supplier"])
+def q_q2(spark, sf_dir):
+    return rel.q2_min_cost_supplier(
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("q11_important_parts", rel.ORACLE_SQL["q11_important_parts"])
+def q_q11(spark, sf_dir):
+    return rel.q11_important_parts(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("q20_excess_suppliers", rel.ORACLE_SQL["q20_excess_suppliers"])
+def q_q20(spark, sf_dir):
+    return rel.q20_excess_suppliers(
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 @register(
     "q18_large_volume_customers", rel.ORACLE_SQL["q18_large_volume_customers"]
 )

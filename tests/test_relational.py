@@ -19,6 +19,9 @@ RELATIONAL_QUERIES = [
     "q13_order_distribution",
     "q14_promo_revenue",
     "top_supplier_revenue",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q20_excess_suppliers",
     "q18_large_volume_customers",
     "q8_market_share",
     "q9_product_profit",
