@@ -97,6 +97,76 @@ def dedup_survivors(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Training-sequence token budget + shard fan-out for sequence_packing.
+PACK_BUDGET = 128
+N_PACK_SHARDS = 8
+
+_PACK_SCHEMA = (
+    "lang string, shard bigint, doc_id bigint, n_tokens bigint, "
+    "seq_id bigint, tok_offset bigint"
+)
+
+
+def sequence_packing(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    shards: int = N_PACK_SHARDS,
+) -> DataFrame:
+    """Greedy training-sequence packing -- the step that turns a cleaned
+    corpus into fixed-budget LLM training sequences: within each
+    (lang, shard) stream, docs are taken in doc_id order and appended to
+    the current sequence until the next doc would overflow ``budget``
+    tokens, which starts a new sequence. An oversized doc occupies a
+    sequence alone (real pipelines then truncate or split it).
+
+    Greedy fill is inherently sequential *within a stream*, so the
+    parallel unit is the stream, not the doc: ``shards`` hash-splits
+    each language so the packing of a 100 TB corpus runs
+    |langs| x |shards| independent Arrow groups (at scale: thousands of
+    shards; each group's state is one running counter, so memory is
+    O(batch), not O(stream)). Packing runs per-group in doc_id order --
+    deterministic, so retries produce identical sequences and the DuckDB
+    recursive-CTE oracle is exact.
+
+    Token counts are separator-based (spaces + 1) rather than tokenizer
+    calls: identical arithmetic in both engines, and at 100 TB the count
+    comes free with ingest stats anyway."""
+    import pandas as pd
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        seq, fill = 0, 0
+        out = []
+        for r in pdf.itertuples(index=False):
+            if fill > 0 and fill + r.n_tokens > budget:
+                seq += 1
+                fill = 0
+            out.append((r.lang, r.shard, r.doc_id, r.n_tokens, seq, fill))
+            fill += r.n_tokens
+        return pd.DataFrame(
+            out,
+            columns=[
+                "lang", "shard", "doc_id", "n_tokens", "seq_id", "tok_offset",
+            ],
+        )
+
+    base = documents.select(
+        "lang",
+        (F.col("doc_id") % shards).alias("shard"),
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return base.groupBy("lang", "shard").applyInPandas(
+        _pack, schema=_PACK_SCHEMA
+    )
+
+
 #: candidates -> connected components CTE chain shared by the cluster-
 #: consuming oracles (built on dedup's MinHash band CTE).
 _COMP_CTES = f"""
@@ -132,6 +202,45 @@ _COMP_CTES = f"""
 
 
 ORACLE_SQL: dict[str, str] = {
+    "sequence_packing": f"""
+        WITH RECURSIVE base AS (
+            SELECT lang, doc_id % {N_PACK_SHARDS} AS shard, doc_id,
+                   CAST(length(text)
+                        - length(regexp_replace(text, ' ', '', 'g'))
+                        + 1 AS BIGINT) AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY lang, doc_id % {N_PACK_SHARDS}
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM documents
+        ),
+        st AS (
+            SELECT lang, shard, CAST(0 AS BIGINT) AS rn,
+                   CAST(NULL AS BIGINT) AS doc_id,
+                   CAST(NULL AS BIGINT) AS n_tokens,
+                   CAST(0 AS BIGINT) AS seq_id,
+                   CAST(0 AS BIGINT) AS tok_offset,
+                   CAST(0 AS BIGINT) AS fill_after
+            FROM (SELECT DISTINCT lang, shard FROM base)
+            UNION ALL
+            SELECT b.lang, b.shard, b.rn, b.doc_id, b.n_tokens,
+                   CASE WHEN st.fill_after > 0
+                             AND st.fill_after + b.n_tokens > {PACK_BUDGET}
+                        THEN st.seq_id + 1 ELSE st.seq_id END,
+                   CASE WHEN st.fill_after > 0
+                             AND st.fill_after + b.n_tokens > {PACK_BUDGET}
+                        THEN 0 ELSE st.fill_after END,
+                   CASE WHEN st.fill_after > 0
+                             AND st.fill_after + b.n_tokens > {PACK_BUDGET}
+                        THEN b.n_tokens
+                        ELSE st.fill_after + b.n_tokens END
+            FROM st JOIN base b
+              ON b.lang = st.lang AND b.shard = st.shard
+             AND b.rn = st.rn + 1
+        )
+        SELECT lang, shard, doc_id, n_tokens, seq_id, tok_offset
+        FROM st WHERE rn >= 1
+    """,
     "dedup_survivors": f"""
         WITH RECURSIVE {dedup._MINHASH_CTE},
         {_COMP_CTES},

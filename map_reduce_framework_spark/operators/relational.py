@@ -670,6 +670,66 @@ def orders_profile(orders: DataFrame) -> DataFrame:
     ).select("p.*")
 
 
+def user_tier_scd2(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: each
+    user's spend tier over time as validity intervals. Tier is derived
+    per event (value bands); consecutive same-tier events merge into one
+    interval (gaps-and-islands: change-flag via lag, running sum names
+    the island); valid_to = next interval's start, NULL while current --
+    the standard warehouse dimension a MERGE-based CDC pipeline
+    maintains, built here in one pass.
+
+    Scale shape: two windows and one aggregate, all partitioned by
+    user_id -- ONE shuffle total (Catalyst reuses the hash partitioning
+    across the lag window, the island sum, the groupBy, and the lead
+    window)."""
+    tier = (
+        F.when(F.col("value") < 20.0, "low")
+        .when(F.col("value") < 60.0, "mid")
+        .when(F.col("value") < 150.0, "high")
+        .otherwise("vip")
+    )
+    wo = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        tier.alias("tier"),
+    )
+    flagged = base.withColumn(
+        "chg",
+        F.when(
+            F.lag("tier").over(wo).isNull()
+            | (F.lag("tier").over(wo) != F.col("tier")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    intervals = flagged.groupBy("user_id", "island").agg(
+        # every row in an island carries the same tier by construction
+        F.min("tier").alias("tier"),
+        F.min("tsu").alias("from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("island")
+    return intervals.select(
+        "user_id",
+        "tier",
+        F.timestamp_micros(F.col("from_us"))
+        .cast("timestamp_ntz")
+        .alias("valid_from"),
+        F.timestamp_micros(F.lead("from_us").over(wl))
+        .cast("timestamp_ntz")
+        .alias("valid_to"),
+        (F.lead("from_us").over(wl).isNull()).alias("is_current"),
+        "n_events",
+    )
+
+
 def orders_profile_approx(orders: DataFrame) -> DataFrame:
     """``orders_profile`` with ``approx_count_distinct`` (HLL++): the
     100 TB form of the profiling report. The exact multi-distinct plan
@@ -2304,6 +2364,46 @@ ORACLE_SQL: dict[str, str] = {
                make_timestamp(max(tsu)) AS session_end,
                (max(tsu) - min(tsu)) // 1000000 AS duration_sec
         FROM sessioned GROUP BY user_id, session_id
+    """,
+    "user_tier_scd2": """
+        WITH base AS (
+            SELECT user_id, event_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS tsu,
+                   CASE WHEN value < 20.0 THEN 'low'
+                        WHEN value < 60.0 THEN 'mid'
+                        WHEN value < 150.0 THEN 'high'
+                        ELSE 'vip' END AS tier
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, event_id, tsu, tier,
+                   CASE WHEN lag(tier) OVER w IS NULL
+                          OR lag(tier) OVER w <> tier
+                        THEN 1 ELSE 0 END AS chg
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+        ),
+        islands AS (
+            SELECT user_id, tsu, tier,
+                   sum(chg) OVER (
+                       PARTITION BY user_id ORDER BY tsu, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        ),
+        intervals AS (
+            SELECT user_id, island, min(tier) AS tier,
+                   min(tsu) AS from_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM islands GROUP BY user_id, island
+        )
+        SELECT user_id, tier,
+               make_timestamp(from_us) AS valid_from,
+               make_timestamp(lead(from_us) OVER wl) AS valid_to,
+               (lead(from_us) OVER wl IS NULL) AS is_current,
+               n_events
+        FROM intervals
+        WINDOW wl AS (PARTITION BY user_id ORDER BY island)
     """,
     "user_recent_events": """
         WITH base AS (

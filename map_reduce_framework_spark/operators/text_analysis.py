@@ -380,6 +380,131 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Eval-set membership for the contamination sweep: every ``EVAL_MOD``-th
+#: doc plays the benchmark. Real pipelines substitute the actual eval
+#: corpus -- the plan shape (tiny broadcast side vs linear corpus scan)
+#: is the same.
+EVAL_MOD = 50
+CONTAM_N = 5
+
+
+def ngram_contamination(
+    documents: DataFrame, n: int = CONTAM_N, eval_mod: int = EVAL_MOD
+) -> DataFrame:
+    """Benchmark-contamination sweep (the decontamination step every
+    LLM training pipeline runs before training): for each training doc,
+    how many of its distinct word ``n``-grams also appear in the eval
+    set, and how many eval docs it collides with. Docs with
+    ``contamination_ratio`` above threshold get dropped or the eval row
+    gets discarded -- both policies start from exactly this table.
+
+    Plan shape for 100 TB: eval sets are a few thousand docs, so their
+    exploded n-gram relation BROADCASTS; the training corpus side is one
+    linear scan + one doc-keyed aggregate. Nothing pairwise, no
+    shuffle of corpus n-grams (the broadcast-hash join happens
+    map-side; only per-doc partial counts move)."""
+    grams = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokenize_ws("text"), n))
+        ).alias("gram"),
+    )
+    eval_grams = grams.filter(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_id"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") % eval_mod != 0)
+    hits = (
+        corpus.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("n_hit_grams"),
+            F.count_distinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
+        F.coalesce("n_eval_docs_hit", F.lit(0))
+        .cast("bigint")
+        .alias("n_eval_docs_hit"),
+        (F.coalesce("n_hit_grams", F.lit(0)) / F.col("n_grams")).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
+#: PII patterns, written to the common RE2/Java-regex subset so Spark's
+#: regexp_count and DuckDB's regexp_extract_all agree token-for-token.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ \t\n]+",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def pii_doc_counts(documents: DataFrame) -> DataFrame:
+    """Per-document PII hit counts (one narrow projection, all JVM
+    regexp_count -- no Python in the loop). The synthetic corpus contains
+    no PII, so on testdata every count is an honest zero; the planted-
+    document tests in tests/test_text_analysis prove detection."""
+    return documents.select(
+        "doc_id",
+        "source",
+        *[
+            F.regexp_count(F.col("text"), F.lit(pat)).alias(f"n_{kind}")
+            for kind, pat in sorted(PII_PATTERNS.items())
+        ],
+    )
+
+
+def pii_scan(documents: DataFrame) -> DataFrame:
+    """Corpus PII audit, per source: docs scanned, docs with any PII hit,
+    and total hits per pattern class -- the report a data-governance
+    review reads before a corpus ships. One scan + one tiny groupBy
+    (|sources| rows); at 100 TB the per-doc regexp work dominates and is
+    embarrassingly parallel."""
+    per_doc = pii_doc_counts(documents)
+    any_hit = sum(
+        (F.col(f"n_{kind}") for kind in sorted(PII_PATTERNS)), F.lit(0)
+    ) > 0
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(any_hit.cast("bigint")).alias("docs_with_pii"),
+            *[
+                F.sum(F.col(f"n_{kind}")).alias(f"total_{kind}")
+                for kind in sorted(PII_PATTERNS)
+            ],
+        )
+    )
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """Redaction transform: every PII match replaced with a typed
+    placeholder token, applied as a chain of JVM regexp_replace (one
+    projection, codegen-friendly). Returns (doc_id, text_redacted,
+    n_redactions)."""
+    red = F.col("text")
+    for kind, pat in sorted(PII_PATTERNS.items()):
+        red = F.regexp_replace(red, pat, f"<{kind.upper()}>")
+    n_red = sum(
+        (
+            F.regexp_count(F.col("text"), F.lit(pat))
+            for pat in PII_PATTERNS.values()
+        ),
+        F.lit(0),
+    )
+    return documents.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        n_red.cast("bigint").alias("n_redactions"),
+    )
+
+
 _TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
 _DTOKS = f"list_distinct({_TOKS})"
 
@@ -388,7 +513,62 @@ _PROFILE_SQL = {
     for lang, words in sorted(LANG_PROFILES.items())
 }
 
+_PII_SQL = {
+    kind: f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT)"
+    for kind, pat in sorted(PII_PATTERNS.items())
+}
+
 ORACLE_SQL: dict[str, str] = {
+    "ngram_contamination": f"""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - {CONTAM_N - 1}, 0) + 1),
+                       i -> array_to_string(w[i:i+{CONTAM_N - 1}], ' '))))
+                       AS gram
+            FROM (SELECT doc_id, {_TOKS} AS w FROM documents)
+        ),
+        ev AS (
+            SELECT doc_id AS eval_id, gram FROM g
+            WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        corpus AS (SELECT * FROM g WHERE doc_id % {EVAL_MOD} <> 0),
+        hits AS (
+            SELECT c.doc_id,
+                   CAST(count(DISTINCT c.gram) AS BIGINT) AS n_hit_grams,
+                   CAST(count(DISTINCT e.eval_id) AS BIGINT)
+                       AS n_eval_docs_hit
+            FROM corpus c JOIN ev e ON c.gram = e.gram
+            GROUP BY c.doc_id
+        ),
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+            FROM corpus GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_grams,
+               CAST(COALESCE(h.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+               CAST(COALESCE(h.n_eval_docs_hit, 0) AS BIGINT)
+                   AS n_eval_docs_hit,
+               COALESCE(h.n_hit_grams, 0) / t.n_grams
+                   AS contamination_ratio
+        FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    "pii_scan": f"""
+        WITH per_doc AS (
+            SELECT doc_id, source,
+                   {', '.join(f"{sql} AS n_{kind}" for kind, sql in _PII_SQL.items())}
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN {' + '.join(f'n_{k}' for k in sorted(PII_PATTERNS))} > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               {', '.join(
+                   f"CAST(sum(n_{kind}) AS BIGINT) AS total_{kind}"
+                   for kind in sorted(PII_PATTERNS)
+               )}
+        FROM per_doc GROUP BY source
+    """,
     "token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INT) AS n_tokens_ws,

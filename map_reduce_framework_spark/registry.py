@@ -331,6 +331,11 @@ def q_session_table(spark, sf_dir):
     return rel.session_table(_t(spark, sf_dir, "events"))
 
 
+@register("user_tier_scd2", rel.ORACLE_SQL["user_tier_scd2"])
+def q_user_tier_scd2(spark, sf_dir):
+    return rel.user_tier_scd2(_t(spark, sf_dir, "events"))
+
+
 @register("user_recent_events", rel.ORACLE_SQL["user_recent_events"])
 def q_user_recent_events(spark, sf_dir):
     return rel.user_recent_events(_t(spark, sf_dir, "events"))
@@ -545,6 +550,18 @@ def q_doc_commonness(spark, sf_dir):
     return text_analysis.doc_commonness(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "ngram_contamination", text_analysis.ORACLE_SQL["ngram_contamination"]
+)
+def q_ngram_contamination(spark, sf_dir):
+    return text_analysis.ngram_contamination(_t(spark, sf_dir, "documents"))
+
+
+@register("pii_scan", text_analysis.ORACLE_SQL["pii_scan"])
+def q_pii_scan(spark, sf_dir):
+    return text_analysis.pii_scan(_t(spark, sf_dir, "documents"))
+
+
 @register("events_variant_metrics", rel.ORACLE_SQL["events_variant_metrics"])
 def q_events_variant_metrics(spark, sf_dir):
     return rel.events_variant_metrics(_t(spark, sf_dir, "events"))
@@ -708,6 +725,11 @@ def q_clean_corpus(spark, sf_dir):
 @register("dedup_survivors", pipeline.ORACLE_SQL["dedup_survivors"])
 def q_dedup_survivors(spark, sf_dir):
     return pipeline.dedup_survivors(_t(spark, sf_dir, "documents"))
+
+
+@register("sequence_packing", pipeline.ORACLE_SQL["sequence_packing"])
+def q_sequence_packing(spark, sf_dir):
+    return pipeline.sequence_packing(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

@@ -47,6 +47,9 @@ LLM_QUERIES = [
     "multimodal_meta",
     "multimodal_resize",
     "multimodal_frames",
+    "ngram_contamination",
+    "pii_scan",
+    "sequence_packing",
 ]
 
 
@@ -253,3 +256,100 @@ def test_multimodal_binary_plumbing(spark, sf_smoke):
     meta = multimodal.extract_media_meta(media)
     row = meta.filter(F.col("doc_id") == 0).collect()[0]
     assert row["n_bytes"] > 0 and len(row["sha256"]) == 64
+
+
+def test_pii_detection_on_planted_documents(spark):
+    """The synthetic corpus has no PII (pii_scan reports honest zeros),
+    so detection is proven on planted documents: every pattern class
+    must count its hits and redaction must strip them all."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        pii_doc_counts,
+        pii_redact,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob.smith@corp.co.uk now", "s"),
+            (2, "visit https://example.com/x?q=1 and http://a.io", "s"),
+            (3, "server at 10.0.0.1 and 192.168.1.255 responded", "s"),
+            (4, "call 555-123-4567 today", "s"),
+            (5, "clean document with no pii at all", "s"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    got = {r.doc_id: r for r in pii_doc_counts(docs).collect()}
+    assert (got[1].n_email, got[1].n_url, got[1].n_ipv4, got[1].n_phone) == (2, 0, 0, 0)
+    assert got[2].n_url == 2
+    assert got[3].n_ipv4 == 2
+    assert got[4].n_phone == 1
+    assert (got[5].n_email, got[5].n_url, got[5].n_ipv4, got[5].n_phone) == (0, 0, 0, 0)
+    red = {r.doc_id: r for r in pii_redact(docs).collect()}
+    assert red[1].text_redacted == "contact <EMAIL> or <EMAIL> now"
+    assert red[1].n_redactions == 2
+    assert "<URL>" in red[2].text_redacted and "http" not in red[2].text_redacted
+    assert "<IPV4>" in red[3].text_redacted
+    assert red[4].text_redacted == "call <PHONE> today"
+    assert red[5].text_redacted == docs.filter(F.col("doc_id") == 5).collect()[0].text
+
+
+def test_contamination_catches_planted_eval_copy(spark):
+    """A corpus doc that copies an eval doc verbatim must score
+    contamination_ratio 1.0 and hit exactly that eval doc; an unrelated
+    doc must score 0.0."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        ngram_contamination,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, eval_text),          # doc_id % 50 == 0 -> eval set
+            (101, eval_text),        # verbatim copy -> fully contaminated
+            (102, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in ngram_contamination(docs).collect()}
+    assert set(got) == {101, 102}  # eval docs are excluded from the report
+    assert got[101].contamination_ratio == 1.0
+    assert got[101].n_eval_docs_hit == 1
+    assert got[102].contamination_ratio == 0.0
+    assert got[102].n_hit_grams == 0
+
+
+def test_sequence_packing_invariants(spark, sf_oracle):
+    """Greedy packing contract: within every (lang, shard, seq) the docs
+    are contiguous in doc_id order, offsets equal the running fill, the
+    fill never exceeds the budget unless the sequence is a single
+    oversized doc, and closing a sequence was always justified (the
+    next doc would have overflowed)."""
+    from map_reduce_framework_spark.operators.pipeline import (
+        PACK_BUDGET,
+        sequence_packing,
+    )
+
+    rows = sequence_packing(load_table(spark, sf_oracle, "documents")).collect()
+    assert rows
+    streams: dict[tuple, list] = {}
+    for r in rows:
+        streams.setdefault((r.lang, r.shard), []).append(r)
+    for key, docs in streams.items():
+        docs.sort(key=lambda r: r.doc_id)
+        seq, fill = 0, 0
+        for r in docs:
+            if fill > 0 and fill + r.n_tokens > PACK_BUDGET:
+                seq += 1
+                fill = 0
+            assert r.seq_id == seq, f"{key}: wrong seq for doc {r.doc_id}"
+            assert r.tok_offset == fill, f"{key}: wrong offset {r.doc_id}"
+            fill += r.n_tokens
+        # every multi-doc sequence fits the budget
+        by_seq: dict[int, int] = {}
+        n_docs: dict[int, int] = {}
+        for r in docs:
+            by_seq[r.seq_id] = by_seq.get(r.seq_id, 0) + r.n_tokens
+            n_docs[r.seq_id] = n_docs.get(r.seq_id, 0) + 1
+        for s, total in by_seq.items():
+            assert total <= PACK_BUDGET or n_docs[s] == 1, (
+                f"{key} seq {s} overflows with {n_docs[s]} docs"
+            )

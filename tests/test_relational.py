@@ -56,6 +56,7 @@ RELATIONAL_QUERIES = [
     "daily_revenue_reconciliation",
     "daily_revenue_trend",
     "session_table",
+    "user_tier_scd2",
     "user_recent_events",
     "event_transition_matrix",
     "weekly_retention_cohorts",
