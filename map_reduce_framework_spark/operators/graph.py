@@ -1,0 +1,178 @@
+"""Graph analytics as iterative dataflow: PageRank over the part
+co-purchase graph.
+
+The reference has no graph surface at all; connected components
+(operators/dedup.py) covers the clustering half of the standard graph
+toolkit, and PageRank covers the iterative-propagation half -- the same
+shape as label propagation, HITS, or belief propagation: a loop of
+(join rank to edges -> shuffle partial contributions -> aggregate),
+chained symbolically like kmeans_lloyd (no driver-side collect).
+
+100 TB design notes:
+* The edge build is the market-basket self-join on l_orderkey -- the
+  join key is the order, which is high-cardinality and well distributed,
+  so the shuffle is balanced; per-order fan-out is (items per order)^2,
+  bounded by basket size, not corpus size.
+* Each iteration shuffles (node, partial-contribution) pairs with
+  map-side combine -- the textbook Pregel step expressed as groupBy.
+* Ranks are fixed-point quantized (1e-12) after every iteration, so the
+  DuckDB unrolled-CTE oracle is hash-exact despite 3 rounds of IEEE
+  arithmetic (same discipline as kmeans/PQ, see SCALE.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ITERS = 3
+PR_DAMPING = 0.85
+PR_SCALE = int(1e12)
+
+
+def _quant(col):
+    """floor(x * 1e12 + 0.5) / 1e12 -- cross-engine-identical rounding."""
+    return (
+        F.floor(col * F.lit(float(PR_SCALE)) + F.lit(0.5)).cast("bigint")
+        / F.lit(float(PR_SCALE))
+    )
+
+
+def part_copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Distinct directed edges between parts appearing in the same order
+    (both directions, so the graph is symmetric and has no dangling
+    nodes -- every node with an in-edge has an out-edge)."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    return (
+        po.alias("a")
+        .join(po.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def part_pagerank(
+    lineitem: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """PageRank over the part co-purchase graph: ``iters`` power
+    iterations from the uniform vector, teleport probability
+    ``1 - damping``. Returns (part, out_degree, pagerank) -- the
+    "centrality of this product in the purchase graph" ranking a
+    recommender bootstrap uses.
+
+    Every per-iteration rank is quantized to 1e-12 (see module
+    docstring); the contribution term floor(pr/deg * 1e12 + 0.5) sums
+    as exact BIGINTs, so partial-aggregation order cannot perturb the
+    result."""
+    edges = part_copurchase_edges(lineitem)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n_nodes = deg.agg(F.count("*").alias("n"))
+    # init: pr = quant(1/N), attached to every node via 1-row broadcast
+    pr = deg.join(F.broadcast(n_nodes)).select(
+        "src",
+        "deg",
+        "n",
+        _quant(F.lit(1.0) / F.col("n")).alias("pr"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, "src")
+            .select(
+                "dst",
+                F.floor(
+                    F.col("pr") / F.col("deg") * F.lit(float(PR_SCALE))
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        base = pr.select("src", "deg", "n")
+        pr = (
+            base.join(contrib, base["src"] == contrib["dst"], "left")
+            .select(
+                "src",
+                "deg",
+                "n",
+                _quant(
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0))
+                        / F.lit(float(PR_SCALE))
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        F.col("src").alias("part"),
+        F.col("deg").alias("out_degree"),
+        F.col("pr").alias("pagerank"),
+    )
+
+
+_PR_EDGES = """
+        po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey <> b.l_partkey
+        ),
+        deg AS (
+            SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg)"""
+
+
+def _pr_iter_sql(prev: str, out: str, damping: float) -> str:
+    return f"""
+        c{out} AS (
+            SELECT e.dst,
+                   CAST(sum(CAST(floor(p.pr / p.deg * 1000000000000.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS s
+            FROM edges e JOIN {prev} p ON e.src = p.src
+            GROUP BY e.dst
+        ),
+        {out} AS (
+            SELECT p.src, p.deg, p.n,
+                   CAST(floor(({1.0 - damping} / p.n
+                         + {damping} * (COALESCE(c.s, 0)
+                                        / 1000000000000.0))
+                        * 1000000000000.0 + 0.5) AS BIGINT)
+                       / 1000000000000.0 AS pr
+            FROM {prev} p LEFT JOIN c{out} c ON c.dst = p.src
+        )"""
+
+
+def pagerank_oracle_sql(
+    iters: int = PR_ITERS, damping: float = PR_DAMPING
+) -> str:
+    steps = "".join(
+        "," + _pr_iter_sql(f"pr{i}", f"pr{i + 1}", damping)
+        for i in range(iters)
+    )
+    return f"""
+        WITH {_PR_EDGES},
+        pr0 AS (
+            SELECT d.src, d.deg, nn.n,
+                   CAST(floor(1.0 / nn.n * 1000000000000.0 + 0.5) AS BIGINT)
+                       / 1000000000000.0 AS pr
+            FROM deg d, nn
+        ){steps}
+        SELECT src AS part, deg AS out_degree, pr AS pagerank
+        FROM pr{iters}
+    """
+
+
+ORACLE_SQL: dict[str, str] = {
+    "part_pagerank": pagerank_oracle_sql(),
+}

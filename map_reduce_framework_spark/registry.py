@@ -732,6 +732,14 @@ def q_sequence_packing(spark, sf_dir):
     return pipeline.sequence_packing(_t(spark, sf_dir, "documents"))
 
 
+from .operators import graph  # noqa: E402
+
+
+@register("part_pagerank", graph.ORACLE_SQL["part_pagerank"])
+def q_part_pagerank(spark, sf_dir):
+    return graph.part_pagerank(_t(spark, sf_dir, "lineitem"))
+
+
 # --------------------------------------------------------------------------
 # Structured Streaming surface (bounded availableNow runs; SURVEY.md §7)
 # --------------------------------------------------------------------------
@@ -778,6 +786,14 @@ def q_events_sliding_stream(spark, sf_dir):
 )
 def q_user_session_windows_stream(spark, sf_dir):
     return streaming_ops.q_user_session_windows_stream(spark, sf_dir)
+
+
+@register(
+    "events_enriched_stream",
+    streaming_ops.ORACLE_SQL["events_enriched_stream"],
+)
+def q_events_enriched_stream(spark, sf_dir):
+    return streaming_ops.q_events_enriched_stream(spark, sf_dir)
 
 
 @register(

@@ -232,6 +232,32 @@ def user_session_windows(events: DataFrame) -> DataFrame:
     )
 
 
+def enriched_segment_totals(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static broadcast enrichment -- the canonical streaming
+    lookup join: every event resolves its user against the (static,
+    broadcast) customer dimension, then aggregates per (segment, type).
+    The static side is planned as a broadcast hash join per micro-batch:
+    no stream-side state, no shuffle of the stream beyond the final
+    aggregate -- at 100 TB/day this is the shape of every dimension
+    lookup in an ingest pipeline (the dim refreshes by restarting the
+    query or via Delta-style CDC; the plan is identical)."""
+    return (
+        events.join(
+            F.broadcast(customer),
+            events["user_id"] == customer["c_custkey"],
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
 def dedup_within_watermark(events: DataFrame) -> DataFrame:
     """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
     evicts seen-keys older than the watermark, so state is O(keys per
@@ -294,6 +320,16 @@ def q_events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_user_session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         user_session_windows(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
+def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        enriched_segment_totals(
+            read_events_stream(spark, sf_dir),
+            load_table(spark, sf_dir, "customer"),
+        ),
         output_mode="complete",
     )
 
@@ -387,5 +423,13 @@ ORACLE_SQL: dict[str, str] = {
     "events_dedup_watermark_stream": """
         SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
         FROM events
+    """,
+    "events_enriched_stream": """
+        SELECT c_mktsegment, event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
     """,
 }

@@ -46,6 +46,21 @@ def test_stream_stream_interval_join(spark, sf_oracle):
     assert len(rows) > 0
 
 
+def test_stream_static_enrichment_parity(spark, sf_oracle):
+    """The stream-static broadcast lookup join on a bounded run must
+    equal the batch join+aggregate exactly."""
+    from map_reduce_framework_spark.sources.io import load_table
+
+    streamed = ops.q_events_enriched_stream(spark, sf_oracle)
+    batch = ops.enriched_segment_totals(
+        load_table(spark, sf_oracle, "events"),
+        load_table(spark, sf_oracle, "customer"),
+    )
+    rows = _rows(streamed)
+    assert rows == _rows(batch)
+    assert len(rows) > 0
+
+
 def test_incremental_microbatches(spark, sf_oracle, tmp_path):
     """Split events into 4 files, force one file per micro-batch, and check
     the complete-mode aggregate converges to the batch answer across >=4
