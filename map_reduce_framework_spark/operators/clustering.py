@@ -418,6 +418,30 @@ def pq_codes_trained(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     )
 
 
+def embedding_whitening(embeddings: DataFrame) -> DataFrame:
+    """Apply the standardization that ``embedding_dim_stats`` computes:
+    z = (x - mean) / sqrt(var) per (vector, dimension), long form. The
+    normalize-before-index step of every embedding pipeline.
+
+    Plan shape: the stats relation is DIM rows -- broadcast; the apply
+    side is one posexplode projection, so the whole transform is
+    map-only after the (tiny) stats aggregation. Determinism: mean/var
+    are exact (integer-mantissa sums), and subtract/divide/sqrt are
+    single IEEE ops evaluated in the same order both engines."""
+    stats = embedding_dim_stats(embeddings).select("pos", "mean", "var")
+    x = embeddings.select(
+        "vec_id",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "x"),
+    )
+    z = F.when(
+        F.col("var") > 0,
+        (F.col("x") - F.col("mean")) / F.sqrt(F.col("var")),
+    ).otherwise(F.lit(0.0))
+    return x.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", z.alias("z")
+    )
+
+
 def serialize_codes(df: DataFrame) -> DataFrame:
     """Registered/exported form of a PQ-codes relation: the ``codes``
     int array is joined to a comma-separated string so the output schema
@@ -730,6 +754,37 @@ ORACLE_SQL: dict[str, str] = {
     "pq_codes": f"""
         WITH {_PQ_BASE}
         SELECT vec_id, array_to_string(codes, ',') AS codes FROM codes
+    """,
+    "embedding_whitening": f"""
+        WITH x AS (
+            SELECT vec_id,
+                   unnest(list_transform(
+                       range(1, {DIM}+1),
+                       i -> {{'pos': i-1,
+                              'x': CAST(embedding AS DOUBLE[])[i]}}),
+                       recursive := true)
+            FROM embeddings
+        ),
+        agg AS (
+            SELECT pos, count(*) AS n,
+                   sum(CAST(floor(x*{SCALE} + 0.5) AS BIGINT)) AS s,
+                   sum(CAST(floor(x*x*1000000000000.0 + 0.5) AS BIGINT))
+                       AS s2
+            FROM x GROUP BY pos
+        ),
+        stats AS (
+            SELECT pos,
+                   s / (n * {SCALE}.0) AS mean,
+                   s2 / (n * 1000000000000.0)
+                       - (s / (n * {SCALE}.0)) * (s / (n * {SCALE}.0))
+                       AS var
+            FROM agg
+        )
+        SELECT x.vec_id, x.pos,
+               CASE WHEN st.var > 0
+                    THEN (x.x - st.mean) / sqrt(st.var)
+                    ELSE 0.0 END AS z
+        FROM x JOIN stats st USING (pos)
     """,
     "ann_ivf_pq": f"""
         WITH {_PQ_BASE},

@@ -599,6 +599,11 @@ def q_pq_adc_topk(spark, sf_dir):
     return clustering.pq_adc_topk(_t(spark, sf_dir, "embeddings"))
 
 
+@register("embedding_whitening", clustering.ORACLE_SQL["embedding_whitening"])
+def q_embedding_whitening(spark, sf_dir):
+    return clustering.embedding_whitening(_t(spark, sf_dir, "embeddings"))
+
+
 @register("embedding_dim_stats", clustering.ORACLE_SQL["embedding_dim_stats"])
 def q_embedding_dim_stats(spark, sf_dir):
     return clustering.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
@@ -738,6 +743,14 @@ from .operators import graph  # noqa: E402
 @register("part_pagerank", graph.ORACLE_SQL["part_pagerank"])
 def q_part_pagerank(spark, sf_dir):
     return graph.part_pagerank(_t(spark, sf_dir, "lineitem"))
+
+
+from .operators import layout  # noqa: E402
+
+
+@register("orders_zorder_keys", layout.ORACLE_SQL["orders_zorder_keys"])
+def q_orders_zorder_keys(spark, sf_dir):
+    return layout.orders_zorder_keys(_t(spark, sf_dir, "orders"))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,87 @@
+"""Z-order layout: key correctness on known bit patterns, and the
+data-skipping property the layout exists for -- a Z-ordered write gives
+tight per-file min/max spans on BOTH dimensions, where a single-column
+sort leaves the other dimension unclustered."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators.layout import (
+    orders_zorder_keys,
+    zorder_key,
+)
+
+
+def test_zorder_key_bit_patterns(spark):
+    """Morton interleave ground truth: z(a,b) places a's bits at even
+    positions, b's at odd."""
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (2, 0), (0, 2), (3, 3), (5, 9)],
+        "a bigint, b bigint",
+    ).select("a", "b", zorder_key(F.col("a"), F.col("b")).alias("z"))
+    got = {(r.a, r.b): r.z for r in df.collect()}
+    # interleave(a=5=0b101, b=9=0b1001): even bits 1,0,1,0 odd bits 1,0,0,1
+    # z = b3 a3 b2 a2 b1 a1 b0 a0 = 1 0 0 1 0 0 1 1 = 0b10010011 = 147
+    assert got == {
+        (0, 0): 0,
+        (1, 0): 1,
+        (0, 1): 2,
+        (1, 1): 3,
+        (2, 0): 4,
+        (0, 2): 8,
+        (3, 3): 15,
+        (5, 9): 147,
+    }
+
+
+def test_zorder_layout_clusters_both_dims(spark, sf_oracle, tmp_path):
+    """Write orders 64-ways (a) range-partitioned by zkey and (b) sorted
+    by custkey alone. The z-layout's per-file min/max spans must cover a
+    small fraction of the domain on BOTH dims (measured 31% / 13% at
+    sf0.01); the single-column sort is near-perfect on custkey (1.5%)
+    but each of its files spans ~the whole day domain (99%) -- so a
+    day-filtered query skips nothing. File count matters: a z-range
+    split only clusters once it cuts into the interleaved bits, so the
+    win grows with files -- exactly the 100 TB regime (thousands of
+    files), and why the 8-file version of this test was a wash."""
+    from map_reduce_framework_spark.sources.io import load_table
+
+    keys = orders_zorder_keys(load_table(spark, sf_oracle, "orders"))
+
+    def file_spans(df, order_col):
+        out = str(tmp_path / order_col)
+        df.repartitionByRange(64, F.col(order_col)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        per_file = (
+            spark.read.parquet(out)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("custkey") - F.min("custkey")).alias("cust_span"),
+                (F.max("day_idx") - F.min("day_idx")).alias("day_span"),
+            )
+            .collect()
+        )
+        return (
+            sum(r.cust_span for r in per_file) / len(per_file),
+            sum(r.day_span for r in per_file) / len(per_file),
+        )
+
+    cust_domain = keys.agg(
+        (F.max("custkey") - F.min("custkey")).alias("d")
+    ).collect()[0].d
+    day_domain = keys.agg(
+        (F.max("day_idx") - F.min("day_idx")).alias("d")
+    ).collect()[0].d
+
+    z_cust, z_day = file_spans(keys, "zkey")
+    s_cust, s_day = file_spans(keys, "custkey")
+
+    # single-column sort: near-perfect on custkey, no clustering on day
+    assert s_cust < 0.1 * cust_domain
+    assert s_day > 0.9 * day_domain
+    # z-order: meaningfully clustered on BOTH dims simultaneously
+    assert z_cust < 0.45 * cust_domain
+    assert z_day < 0.3 * day_domain
+    assert z_day < s_day
