@@ -585,7 +585,151 @@ _SIMHASH_CTE = f"""
     )
 """
 
+CHUNK_W = 8
+CHUNK_MIN_DOCS = 3
+
+
+def _doc_chunk_rows(documents: DataFrame, w: int = CHUNK_W) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): each doc's token stream cut into
+    fixed-width ``w``-token chunks, order-preserving. Pure codegen
+    (transform + slice over the token array -- no Python, no token-level
+    explode)."""
+    toks = tokenize_ws("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(w))).cast("int")
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * w + 1, w), " "),
+    )).otherwise(F.array().cast("array<string>"))
+    return documents.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def boilerplate_chunks(
+    documents: DataFrame, w: int = CHUNK_W, min_docs: int = CHUNK_MIN_DOCS
+) -> DataFrame:
+    """Corpus-wide repeated-segment census: ``w``-token chunks appearing
+    in >= ``min_docs`` distinct documents, with doc and occurrence
+    counts -- the boilerplate table line-level dedup removes.
+
+    This is the *line dedup* step of CCNet (Wenzek et al. 2019) and
+    RefinedWeb (Penedo et al. 2023): repeated lines across a web corpus
+    are navigation chrome/cookie banners, and dropping them beats
+    document-level dedup for boilerplate. The driver's synthetic corpus
+    has no newlines, so a fixed 8-token chunk stands in for the line --
+    the plan shape (segment -> corpus-wide count -> threshold) is
+    identical.
+
+    Scale: one corpus-linear chunk pass + ONE groupBy on the chunk text
+    (map-side partial counts; at 100 TB, group on md5(chunk) and keep an
+    exemplar via min(chunk) to shuffle 16-byte keys instead of strings).
+    """
+    return (
+        _doc_chunk_rows(documents, w)
+        .groupBy("chunk")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def chunk_dedup_clean(
+    documents: DataFrame, w: int = CHUNK_W, min_docs: int = CHUNK_MIN_DOCS
+) -> DataFrame:
+    """Rewrite every document with corpus-boilerplate chunks removed:
+    (doc_id, n_chunks, n_kept, text_clean), text order preserved.
+
+    Plan: chunk rows -> left_anti against the (broadcast) hot-chunk set
+    -> one doc-keyed groupBy that reassembles the surviving chunks via
+    sort_array(collect_list(struct(idx, chunk))) -- the collect is
+    bounded by document length, never by corpus size. The hot set is
+    tiny relative to the corpus (it is the HAVING >= min_docs tail of a
+    power law), hence the explicit broadcast; if a pathological corpus
+    overflows it, drop the hint and AQE falls back to a shuffle
+    anti-join with the same semantics."""
+    ch = _doc_chunk_rows(documents, w)
+    hot = boilerplate_chunks(documents, w, min_docs).select("chunk")
+    kept = ch.join(F.broadcast(hot), "chunk", "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+#: Plain (order-preserving, non-distinct) whitespace tokens -- dedup's
+#: _TOKS is list_distinct()'d for set-similarity and must NOT be used for
+#: positional chunking.
+_SEQ_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')"
+
+_CHUNK_CTE = f"""
+    tdocs AS (SELECT doc_id, {_SEQ_TOKS} AS w FROM documents),
+    chs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, CAST(ceil(len(w) / {CHUNK_W}.0) AS BIGINT) + 1),
+                   i -> struct_pack(
+                       chunk_idx := CAST(i - 1 AS INT),
+                       chunk := array_to_string(
+                           w[((i-1)*{CHUNK_W}+1):((i-1)*{CHUNK_W}+{CHUNK_W})],
+                           ' '))
+               )) AS c
+        FROM tdocs
+    ),
+    chv AS (SELECT doc_id, c.chunk_idx AS chunk_idx, c.chunk AS chunk FROM chs)
+"""
+
 ORACLE_SQL: dict[str, str] = {
+    "boilerplate_chunks": f"""
+        WITH {_CHUNK_CTE}
+        SELECT chunk,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM chv
+        GROUP BY chunk
+        HAVING count(DISTINCT doc_id) >= {CHUNK_MIN_DOCS}
+    """,
+    "chunk_dedup_clean": f"""
+        WITH {_CHUNK_CTE},
+        hot AS (
+            SELECT chunk FROM chv GROUP BY chunk
+            HAVING count(DISTINCT doc_id) >= {CHUNK_MIN_DOCS}
+        ),
+        kept AS (
+            SELECT * FROM chv
+            WHERE chunk NOT IN (SELECT chunk FROM hot)
+        ),
+        totals AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM chv GROUP BY doc_id
+        ),
+        keptagg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_chunks,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(k.text_clean, '') AS text_clean
+        FROM totals t LEFT JOIN keptagg k USING (doc_id)
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_MINHASH_CTE},
         candidates AS (

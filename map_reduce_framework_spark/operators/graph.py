@@ -119,6 +119,53 @@ def part_pagerank(
     )
 
 
+def part_triangle_counts(lineitem: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the part co-purchase graph:
+    (part, degree, n_triangles) -- the local clustering signal
+    recommender/community pipelines compute next to PageRank.
+
+    Algorithm: canonical undirected edges (src < dst), then the ordered
+    wedge join -- E(a,b) |> E(b,c) gives wedges a<b<c, closed by an
+    equi-join back onto E(a,c). Ordering each triangle a<b<c counts it
+    exactly once and cuts the wedge relation 6x vs the naive directed
+    join; the join keys (b, then (a,c)) are plain equi-keys, so all
+    three steps are shuffle hash joins -- never a cross product. Cost is
+    sum_b deg_lo(b)^2 (wedges through each node's lower-ordered
+    neighbors) -- the standard node-ordering bound from Schank &
+    Wagner 2005 / Suri & Vassilvitskii WWW'11 (MapReduce triangle
+    counting); at 100 TB the mitigation for a skewed hub is the same
+    degree-ordering already applied here.
+
+    Per-node counts: each closed triangle contributes one row to each of
+    its three corners (explode of a 3-element array, bounded fan-out).
+    """
+    e = part_copurchase_edges(lineitem).filter(F.col("src") < F.col("dst"))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                "node"
+            )
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    ends = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("degree"))
+    return deg.join(per_node, "node", "left").select(
+        F.col("node").alias("part"),
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+    )
+
+
 _PR_EDGES = """
         po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         edges AS (
@@ -175,4 +222,37 @@ def pagerank_oracle_sql(
 
 ORACLE_SQL: dict[str, str] = {
     "part_pagerank": pagerank_oracle_sql(),
+    "part_triangle_counts": """
+        WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM po a JOIN po b ON a.l_orderkey = b.l_orderkey
+            WHERE a.l_partkey < b.l_partkey
+        ),
+        tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM e e1
+            JOIN e e2 ON e1.dst = e2.src
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        ),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ),
+        pern AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY node
+        ),
+        ends AS (
+            SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+        ),
+        deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS degree
+            FROM ends GROUP BY node
+        )
+        SELECT d.node AS part, d.degree,
+               CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
+        FROM deg d LEFT JOIN pern p USING (node)
+    """,
 }

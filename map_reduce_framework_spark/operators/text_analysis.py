@@ -179,6 +179,73 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+#: Fixed retrieval query for the registered bm25 ranking -- real systems
+#: take the terms per request; the plan is term-count-independent.
+BM25_TERMS = ["spark", "join", "stream"]
+BM25_TOPK = 10
+
+
+def bm25_top_docs(
+    documents: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 ranking (Robertson & Walker SIGIR'94): top-``k`` docs
+    per query term with k1=1.2, b=0.75.
+
+    idf uses the log-free rational variant (N - df + 0.5)/(df + 0.5) for
+    the same reason as tfidf_top_terms: ln() differs between libm and
+    the JVM in the last ulp, which would break the cross-engine
+    value-hash oracle; the ranking is order-equivalent since ln is
+    monotone. Every fractional constant appears as the same double
+    literal in both engines and the expression tree is parenthesized
+    identically, so IEEE-754 correctly-rounded +-*/ makes the scores
+    bit-identical.
+
+    Plan: tokens filtered to the query terms BEFORE the (doc, term)
+    count -- the exploded relation is |terms| x corpus hits, not the
+    full posting list; df and the global avgdl are 1-row/tiny aggregates
+    broadcast back; one window per term for the top-k. At 100 TB this is
+    the query-time path over a precomputed (doc, term, tf, dl) index --
+    the index build is the tf aggregate here."""
+    terms = BM25_TERMS if terms is None else terms
+    toks = tokenize_ws("text")
+    dl = documents.select(
+        "doc_id", F.size(toks).cast("bigint").alias("dl")
+    )
+    tf = (
+        documents.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    stats = documents.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("sum_dl"),
+    )
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (
+        F.col("df") + F.lit(0.5)
+    )
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl)
+    )
+    score = idf * ((F.col("tf") * F.lit(2.2)) / denom)
+    w = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(df_, "term")
+        .join(F.broadcast(stats))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("term", "doc_id", "tf", "dl", "score", "rnk")
+    )
+
+
 def bigram_stats(documents: DataFrame, k: int = 20) -> DataFrame:
     """Corpus-wide top-k token bigrams: zip the token array against its
     own tail (pure codegen, no Python), explode, one count aggregate,
@@ -518,7 +585,50 @@ _PII_SQL = {
     for kind, pat in sorted(PII_PATTERNS.items())
 }
 
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
 ORACLE_SQL: dict[str, str] = {
+    "bm25_top_docs": f"""
+        WITH dls AS (
+            SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS sum_dl
+            FROM dls
+        ),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            WHERE term IN ({_BM25_TERMS_SQL})
+            GROUP BY doc_id, term
+        ),
+        dfs AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT t.term, t.doc_id, t.tf, d.dl,
+                   ((s.n_docs - f.df + CAST(0.5 AS DOUBLE))
+                    / (f.df + CAST(0.5 AS DOUBLE)))
+                   * ((t.tf * CAST(2.2 AS DOUBLE))
+                      / (t.tf + CAST(1.2 AS DOUBLE)
+                         * (CAST(0.25 AS DOUBLE)
+                            + CAST(0.75 AS DOUBLE)
+                              * (d.dl / (s.sum_dl / s.n_docs)))))
+                       AS score
+            FROM tf t
+            JOIN dls d USING (doc_id)
+            JOIN dfs f USING (term), stats s
+        )
+        SELECT term, doc_id, tf, dl, score,
+               CAST(row_number() OVER (
+                   PARTITION BY term ORDER BY score DESC, doc_id
+               ) AS INT) AS rnk
+        FROM scored
+        QUALIFY rnk <= {BM25_TOPK}
+    """,
     "ngram_contamination": f"""
         WITH g AS (
             SELECT doc_id,
@@ -552,6 +662,11 @@ ORACLE_SQL: dict[str, str] = {
                COALESCE(h.n_hit_grams, 0) / t.n_grams
                    AS contamination_ratio
         FROM tot t LEFT JOIN hits h USING (doc_id)
+    """,
+    "pii_doc_counts": f"""
+        SELECT doc_id, source,
+               {', '.join(f"{sql} AS n_{kind}" for kind, sql in _PII_SQL.items())}
+        FROM documents
     """,
     "pii_scan": f"""
         WITH per_doc AS (

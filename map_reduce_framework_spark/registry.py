@@ -12,6 +12,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .session import normalize_runtime_conf
 from .sources.io import load_table
@@ -849,6 +850,59 @@ def q_user_reach_hll(spark, sf_dir):
 @register("user_reach_sketch", None)
 def q_user_reach_sketch(spark, sf_dir):
     return sketch.user_reach_sketch(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# Round-3 additions: line-proxy corpus dedup, incremental aggregate
+# maintenance, BM25 retrieval, triangle counting, PII per-doc audit,
+# sketch-merge identity
+# --------------------------------------------------------------------------
+from .operators import incremental  # noqa: E402
+
+
+@register("boilerplate_chunks", dedup.ORACLE_SQL["boilerplate_chunks"])
+def q_boilerplate_chunks(spark, sf_dir):
+    return dedup.boilerplate_chunks(_t(spark, sf_dir, "documents"))
+
+
+@register("chunk_dedup_clean", dedup.ORACLE_SQL["chunk_dedup_clean"])
+def q_chunk_dedup_clean(spark, sf_dir):
+    return dedup.chunk_dedup_clean(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "incremental_daily_agg", incremental.ORACLE_SQL["incremental_daily_agg"]
+)
+def q_incremental_daily_agg(spark, sf_dir):
+    return incremental.incremental_daily_agg(_t(spark, sf_dir, "events"))
+
+
+@register("bm25_top_docs", text_analysis.ORACLE_SQL["bm25_top_docs"])
+def q_bm25_top_docs(spark, sf_dir):
+    return text_analysis.bm25_top_docs(_t(spark, sf_dir, "documents"))
+
+
+@register("part_triangle_counts", graph.ORACLE_SQL["part_triangle_counts"])
+def q_part_triangle_counts(spark, sf_dir):
+    return graph.part_triangle_counts(_t(spark, sf_dir, "lineitem"))
+
+
+@register("pii_doc_counts", text_analysis.ORACLE_SQL["pii_doc_counts"])
+def q_pii_doc_counts(spark, sf_dir):
+    return text_analysis.pii_doc_counts(_t(spark, sf_dir, "documents"))
+
+
+# Sketch-merge identity as a registered query: two disjoint halves of the
+# event log, sketched independently and unioned -- rows-only (sketch
+# estimates use different hashes than DuckDB); equality with the
+# whole-corpus sketch is pinned in tests/test_sketch.py.
+@register("merged_reach", None)
+def q_merged_reach(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sketch.merged_reach(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -268,3 +268,26 @@ def test_orders_profile_approx_avoids_expand(spark):
         assert r.n_distinct_approx == pytest.approx(
             exact[r.column], rel=0.12
         ), f"{r.column}: approx {r.n_distinct_approx} vs exact {exact[r.column]}"
+
+
+def test_triangle_join_is_equi_only(spark):
+    """The a<b<c wedge closure must plan as equi-joins -- a cartesian or
+    nested-loop stage means the ordering predicate fell out of the join
+    condition and the plan is O(n^2) at scale."""
+    plan = _formatted_plan(spark, "part_triangle_counts")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_hot_side_broadcasts(spark):
+    """chunk_dedup_clean removes hot chunks via a broadcast anti-join:
+    the corpus side must never shuffle on the chunk text."""
+    plan = _formatted_plan(spark, "chunk_dedup_clean")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_bm25_stats_broadcast(spark):
+    """The 1-row corpus stats join must broadcast, never shuffle."""
+    plan = _formatted_plan(spark, "bm25_top_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -1,0 +1,195 @@
+"""Round-3 operator tests: chunk-level corpus dedup (line-dedup proxy),
+incremental aggregate maintenance, BM25 ranking, triangle counting.
+
+Each gets a planted-fixture semantic pin; the cross-engine value-hash
+check runs in the driver_sweep (tests/test_driver_canon.py) and the
+per-query DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators.dedup import (
+    boilerplate_chunks,
+    chunk_dedup_clean,
+)
+from map_reduce_framework_spark.operators.graph import part_triangle_counts
+from map_reduce_framework_spark.operators.incremental import (
+    incremental_daily_agg,
+)
+from map_reduce_framework_spark.operators.text_analysis import bm25_top_docs
+from map_reduce_framework_spark.sources.io import load_table
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+
+
+BOILER = "cookie banner accept all terms of service apply"  # 8 tokens
+
+
+def test_boilerplate_chunk_detected_and_removed(spark):
+    """A chunk planted in 3 docs is flagged; unique text survives."""
+    docs = _docs(
+        spark,
+        [
+            BOILER + " unique alpha text one two three four five",
+            BOILER + " other beta words six seven eight nine ten",
+            BOILER + " third gamma copy ten eleven twelve thirteen fourteen",
+            "completely unrelated document body with its own words here",
+        ],
+    )
+    hot = {r.chunk: r for r in boilerplate_chunks(docs).collect()}
+    assert BOILER in hot
+    assert hot[BOILER].n_docs == 3 and hot[BOILER].n_occurrences == 3
+    clean = {r.doc_id: r for r in chunk_dedup_clean(docs).collect()}
+    for i in range(3):
+        assert BOILER not in clean[i].text_clean
+        assert clean[i].n_kept == clean[i].n_chunks - 1
+    # untouched doc passes through verbatim (chunk reassembly is lossless)
+    assert clean[3].text_clean == (
+        "completely unrelated document body with its own words here"
+    )
+    assert clean[3].n_kept == clean[3].n_chunks
+
+
+def test_chunk_dedup_clean_keeps_every_doc(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    out = chunk_dedup_clean(docs)
+    assert out.count() == docs.count()
+
+
+def test_chunk_reassembly_preserves_order(spark):
+    """text_clean with no hot chunks is exactly the normalized text --
+    the sort_array(struct(idx, chunk)) reassembly cannot reorder."""
+    text = " ".join(f"w{i}" for i in range(37))  # 5 chunks, ragged tail
+    docs = _docs(spark, [text])
+    row = chunk_dedup_clean(docs, min_docs=2).collect()[0]
+    assert row.text_clean == text
+    assert row.n_chunks == 5 and row.n_kept == 5
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_smoke):
+    """The whole contract: state (< cutoff) + delta (>= cutoff) merged
+    must be indistinguishable from the one-shot groupBy."""
+    from map_reduce_framework_spark.operators.relational import dsum
+
+    ev = load_table(spark, sf_smoke, "events")
+    full = (
+        ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", 2).alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    merged = incremental_daily_agg(ev)
+    assert merged.count() == full.count()
+    diff = merged.exceptAll(full)
+    assert diff.count() == 0, diff.limit(5).collect()
+
+
+def test_incremental_cutoff_splits_both_sides(spark, sf_smoke):
+    """The fixture cutoff must leave real rows on both sides, or the
+    merge test is vacuous."""
+    from map_reduce_framework_spark.operators.incremental import CUTOFF
+
+    ev = load_table(spark, sf_smoke, "events")
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    assert ev.filter(F.col("ts") < cut).count() > 0
+    assert ev.filter(F.col("ts") >= cut).count() > 0
+
+
+def test_bm25_prefers_heavy_tf_and_short_docs(spark):
+    """Monotonicity pins: more term hits => higher score; same tf in a
+    shorter doc => higher score (the b-normalization)."""
+    filler = " ".join(itertools.repeat("filler", 40))
+    docs = _docs(
+        spark,
+        [
+            "spark spark spark " + filler,      # tf=3, long
+            "spark " + filler,                  # tf=1, long
+            "spark short doc",                  # tf=1, short
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in bm25_top_docs(docs, terms=["spark"]).collect()
+    }
+    assert rows[0].score > rows[1].score          # tf dominance
+    assert rows[2].score > rows[1].score          # length normalization
+    # ranks are dense 1..3 and ordered by score
+    by_rank = sorted(rows.values(), key=lambda r: r.rnk)
+    assert [r.rnk for r in by_rank] == [1, 2, 3]
+    assert by_rank[0].score >= by_rank[1].score >= by_rank[2].score
+
+
+def test_bm25_df_discounts_common_terms(spark):
+    """A term present in every doc gets a lower idf than a rare one with
+    the same tf/dl."""
+    docs = _docs(
+        spark,
+        [
+            "common rare one two three four five six",
+            "common one two three four five six seven",
+            "common eight nine ten eleven twelve thirteen fourteen",
+        ],
+    )
+    rows = bm25_top_docs(docs, terms=["common", "rare"]).collect()
+    by_term = {(r.term, r.doc_id): r.score for r in rows}
+    assert by_term[("rare", 0)] > by_term[("common", 0)]
+
+
+def test_triangle_counts_on_known_graph(spark):
+    """K4 plus a pendant edge: every K4 node sits in C(3,2)=3 triangles,
+    the pendant in none. Orders encode one edge each (2-item baskets)."""
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5)]
+    rows = []
+    for ok, (a, b) in enumerate(edges):
+        rows += [(ok, a, 1.0), (ok, b, 1.0)]
+    li = spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_quantity double"
+    )
+    out = {r.part: r for r in part_triangle_counts(li).collect()}
+    for n in (1, 2, 3):
+        assert out[n].n_triangles == 3 and out[n].degree == 3
+    assert out[4].n_triangles == 3 and out[4].degree == 4
+    assert out[5].n_triangles == 0 and out[5].degree == 1
+
+
+def test_triangle_total_matches_brute_force(spark, sf_smoke):
+    """Sum of per-node counts == 3 * (brute-force triangle count) on the
+    real co-purchase graph."""
+    from map_reduce_framework_spark.operators.graph import (
+        part_copurchase_edges,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    es = {
+        (r.src, r.dst)
+        for r in part_copurchase_edges(li)
+        .filter(F.col("src") < F.col("dst"))
+        .collect()
+    }
+    nbrs: dict[int, set[int]] = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+    brute = sum(
+        1
+        for a, bs in nbrs.items()
+        for b in bs
+        for c in nbrs.get(b, ())
+        if (a, c) in es
+    )
+    total = (
+        part_triangle_counts(li).agg(F.sum("n_triangles")).collect()[0][0]
+    )
+    assert total == 3 * brute
