@@ -447,6 +447,77 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Temperature-resampling exponent alpha = 0.5 (weight ~ n^alpha) and the
+#: overall sample size (half the corpus). alpha < 1 upsamples low-resource
+#: languages relative to proportional sampling -- the multilingual-LM
+#: mixing rule (Lample & Conneau 2019 XLM sec 3.1; mC4/mT5, Xue et al.
+#: 2021). Weights are quantized to 1e-6 fixed point so the per-language
+#: targets are exact integer arithmetic in both engines.
+TEMP_WEIGHT_SCALE = 1_000_000
+TEMP_SAMPLE_DIV = 2.0
+
+
+def _temperature_plan(documents: DataFrame) -> DataFrame:
+    per = documents.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    per = per.withColumn(
+        "weight_q",
+        F.floor(F.sqrt(F.col("n_docs")) * F.lit(float(TEMP_WEIGHT_SCALE)))
+        .cast("bigint"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.sum("weight_q").alias("total_weight"),
+    )
+    budget = F.floor(F.col("total_docs") / F.lit(TEMP_SAMPLE_DIV)).cast(
+        "bigint"
+    )
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "weight_q",
+        F.floor((budget * F.col("weight_q")) / F.col("total_weight"))
+        .cast("bigint")
+        .alias("target_docs"),
+    )
+
+
+def lang_temperature_plan(documents: DataFrame) -> DataFrame:
+    """Per-language sampling plan for temperature resampling: weight
+    ~ sqrt(n_lang) (alpha=0.5), normalized onto a half-corpus budget.
+
+    Cross-engine exactness: sqrt is IEEE-754 correctly rounded in both
+    engines, the weight is then floor-quantized to a BIGINT, and the
+    target is integer x integer / integer with floor -- no accumulated
+    float state anywhere. One tiny groupBy (|langs| rows) + a 1-row
+    broadcast."""
+    return _temperature_plan(documents)
+
+
+def lang_temperature_sample(documents: DataFrame) -> DataFrame:
+    """The actual resample: per language, keep the ``target_docs``
+    first documents in deterministic md5(doc_id) order -- rank-based
+    selection rather than threshold sampling, so the drawn set hits the
+    target EXACTLY (threshold sampling only hits it in expectation) and
+    is stable under retries/engines like stratified_sample.
+
+    Plan: one window per language over (md5(doc_id), doc_id) + a
+    broadcast join against the |langs|-row plan. The window sorts within
+    each language partition -- at 100 TB, languages are the partition
+    key, so skew toward the head language is the knob to watch (salt by
+    md5 prefix and take per-salt quotas if one language dominates)."""
+    plan = _temperature_plan(documents).select("lang", "target_docs")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = documents.select(
+        "lang",
+        "doc_id",
+        F.row_number().over(w).cast("int").alias("rnk"),
+    )
+    return ranked.join(F.broadcast(plan), "lang").filter(
+        F.col("rnk") <= F.col("target_docs")
+    ).select("lang", "doc_id", "rnk")
+
+
 #: Eval-set membership for the contamination sweep: every ``EVAL_MOD``-th
 #: doc plays the benchmark. Real pipelines substitute the actual eval
 #: corpus -- the plan shape (tiny broadcast side vs linear corpus scan)
@@ -874,3 +945,48 @@ ORACLE_SQL: dict[str, str] = {
             ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END
     """,
 }
+
+_TEMP_PLAN_CTE = f"""
+    perlang AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    weighted AS (
+        SELECT lang, n_docs,
+               CAST(floor(sqrt(n_docs) * CAST({TEMP_WEIGHT_SCALE} AS DOUBLE))
+                    AS BIGINT) AS weight_q
+        FROM perlang
+    ),
+    totals AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+               CAST(sum(weight_q) AS BIGINT) AS total_weight
+        FROM weighted
+    ),
+    lplan AS (
+        SELECT lang, n_docs, weight_q,
+               CAST(floor((CAST(floor(total_docs / CAST({TEMP_SAMPLE_DIV}
+                                AS DOUBLE)) AS BIGINT) * weight_q)
+                          / total_weight) AS BIGINT) AS target_docs
+        FROM weighted, totals
+    )
+"""
+
+ORACLE_SQL["lang_temperature_plan"] = f"""
+    WITH {_TEMP_PLAN_CTE}
+    SELECT lang, n_docs, weight_q, target_docs FROM lplan
+"""
+
+ORACLE_SQL["lang_temperature_sample"] = f"""
+    WITH {_TEMP_PLAN_CTE},
+    ranked AS (
+        SELECT lang, doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS rnk
+        FROM documents
+    )
+    SELECT r.lang, r.doc_id, r.rnk
+    FROM ranked r JOIN lplan p USING (lang)
+    WHERE r.rnk <= p.target_docs
+"""

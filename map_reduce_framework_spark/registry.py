@@ -905,6 +905,33 @@ def q_merged_reach(spark, sf_dir):
     )
 
 
+@register("word_cms", sketch.ORACLE_SQL["word_cms"])
+def q_word_cms(spark, sf_dir):
+    return sketch.word_cms(_t(spark, sf_dir, "documents"))
+
+
+@register("cms_heavy_hitters", sketch.ORACLE_SQL["cms_heavy_hitters"])
+def q_cms_heavy_hitters(spark, sf_dir):
+    return sketch.cms_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_temperature_plan", text_analysis.ORACLE_SQL["lang_temperature_plan"]
+)
+def q_lang_temperature_plan(spark, sf_dir):
+    return text_analysis.lang_temperature_plan(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "lang_temperature_sample",
+    text_analysis.ORACLE_SQL["lang_temperature_sample"],
+)
+def q_lang_temperature_sample(spark, sf_dir):
+    return text_analysis.lang_temperature_sample(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -193,3 +193,97 @@ def test_triangle_total_matches_brute_force(spark, sf_smoke):
         part_triangle_counts(li).agg(F.sum("n_triangles")).collect()[0][0]
     )
     assert total == 3 * brute
+
+
+def test_cms_estimates_dominate_true_counts(spark, sf_smoke):
+    """CMS one-sided error: estimate >= true count for every word, and
+    min-over-rows never exceeds any single row's estimate."""
+    from map_reduce_framework_spark.operators.sketch import (
+        CMS_W,
+        _word_counts,
+        cms_heavy_hitters,
+        word_cms,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    true = {r.word: r.cnt for r in _word_counts(docs).collect()}
+    n_tokens = sum(true.values())
+    sk = {(r.row_idx, r.col_idx): r.cms_count for r in word_cms(docs).collect()}
+    # every cell is a sum over colliding words -> bounded by N
+    assert all(0 < v <= n_tokens for v in sk.values())
+    hh = {r.word: r.est_count for r in cms_heavy_hitters(docs).collect()}
+    assert hh, "corpus has heavy hitters by construction"
+    for word, est in hh.items():
+        assert est >= true[word], f"{word}: est {est} < true {true[word]}"
+        # CM guarantee (deterministic form): overestimate <= N - true
+        assert est <= n_tokens
+    # no true heavy hitter is missed (one-sided error)
+    thr = n_tokens / 200
+    missed = {w for w, c in true.items() if c >= thr} - set(hh)
+    assert not missed, missed
+
+
+def test_cms_sketch_is_mergeable(spark, sf_smoke):
+    """Cell-wise sum of two halves' sketches == whole-corpus sketch (the
+    sketch is a linear projection of the count vector)."""
+    from map_reduce_framework_spark.operators.sketch import word_cms
+
+    docs = load_table(spark, sf_smoke, "documents")
+    whole = {
+        (r.row_idx, r.col_idx): r.cms_count for r in word_cms(docs).collect()
+    }
+    merged: dict[tuple, int] = {}
+    for half in (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    ):
+        for r in word_cms(half).collect():
+            k = (r.row_idx, r.col_idx)
+            merged[k] = merged.get(k, 0) + r.cms_count
+    assert merged == whole
+
+
+def test_temperature_plan_upsamples_low_resource_langs(spark, sf_smoke):
+    """alpha=0.5 must give minority languages a larger share of the
+    sample than of the corpus, and targets must sum to <= the budget."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        lang_temperature_plan,
+        lang_temperature_sample,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = {r.lang: r for r in lang_temperature_plan(docs).collect()}
+    total_docs = sum(r.n_docs for r in plan.values())
+    budget = total_docs // 2
+    assert sum(r.target_docs for r in plan.values()) <= budget
+    lo = min(plan.values(), key=lambda r: r.n_docs)
+    hi = max(plan.values(), key=lambda r: r.n_docs)
+    assert lo.n_docs < hi.n_docs, "fixture needs an imbalanced corpus"
+    # sample share vs corpus share: minority up, majority down
+    assert lo.target_docs / budget > lo.n_docs / total_docs
+    assert hi.target_docs / budget < hi.n_docs / total_docs
+    # the sample hits each target exactly (rank-based, not Bernoulli)
+    got = (
+        lang_temperature_sample(docs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    for r in got:
+        assert r.n == plan[r.lang].target_docs
+
+
+def test_temperature_sample_is_stable_across_runs(spark, sf_smoke):
+    from map_reduce_framework_spark.operators.text_analysis import (
+        lang_temperature_sample,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {(r.lang, r.doc_id) for r in lang_temperature_sample(docs).collect()}
+    b = {
+        (r.lang, r.doc_id)
+        for r in lang_temperature_sample(
+            docs.repartition(7)
+        ).collect()
+    }
+    assert a == b, "selection must not depend on partition layout"
