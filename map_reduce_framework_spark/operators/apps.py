@@ -32,6 +32,28 @@ def word_count(documents: DataFrame) -> DataFrame:
     )
 
 
+def word_count_salted(documents: DataFrame) -> DataFrame:
+    """B1 word count through the two-phase salted aggregation
+    (operators/skew.py): phase 1 groups on (word, salt) so a hot word's
+    rows spread across n_salt reducers, phase 2 merges the partials.
+    Output is bit-identical to ``word_count`` (counts are decomposable),
+    so it shares the wc oracle -- the registered proof that the skew
+    rewrite preserves semantics. This is exactly the combiner the
+    reference lacks (mrapps/wc.go:29-32 ships every (word,"1") pair to
+    one reducer per word; a hot word serializes there)."""
+    from .skew import salted_aggregate
+
+    words = documents.select(
+        F.explode(tokenize_letters("text")).alias("word")
+    )
+    return salted_aggregate(
+        words,
+        ["word"],
+        partials=[F.count("*").alias("c")],
+        merges=[F.sum("c").alias("cnt")],
+    )
+
+
 def word_count_ws(documents: DataFrame) -> DataFrame:
     """B3 ``wc_long`` tokenization: whitespace split (mrapps/wc_long.go:9-22).
     The reference's reduce comma-joins "1"s; the information content is the

@@ -221,6 +221,88 @@ def minhash_lsh_pairs(
     )
 
 
+#: Deterministic ingest-batch membership for the incremental-dedup demo:
+#: docs with doc_id % INGEST_MOD == INGEST_REM play the newly-arrived
+#: batch; the rest are the already-indexed corpus.
+INGEST_MOD = 10
+INGEST_REM = 7
+
+
+def dedup_incremental(
+    documents: DataFrame, threshold: float = 0.7
+) -> DataFrame:
+    """Incremental-ingest near-dup check: which docs of a NEW batch
+    near-duplicate something already in the corpus? Returns
+    (batch_doc, corpus_doc, jaccard >= threshold).
+
+    This is the production shape of LSH dedup at 100 TB: the corpus'
+    band signatures are a PERSISTED index table (built once, appended
+    per ingest); a new batch computes its own signatures (linear in the
+    batch, not the corpus), equi-joins them against the index on
+    (band, sig), and exact-verifies only the candidates. The corpus is
+    never rescanned -- here both sides derive from one table split by
+    doc_id % {mod} == {rem} (the index side would be a plain
+    ``spark.read`` of the signature table), and batch-vs-batch pairs are
+    deliberately excluded (a separate intra-batch pass handles those --
+    ``minhash_lsh_pairs`` on the batch alone).
+    """
+    is_batch = F.col("doc_id") % INGEST_MOD == INGEST_REM
+    bands = _band_signatures(minhash_signatures(documents))
+    batch_b = bands.filter(is_batch).select(
+        F.col("doc_id").alias("batch_doc"), "band", "sig"
+    )
+    corpus_b = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("corpus_doc"),
+        F.col("band").alias("band_c"),
+        F.col("sig").alias("sig_c"),
+    )
+    candidates = (
+        batch_b.join(
+            corpus_b,
+            (F.col("band") == F.col("band_c"))
+            & (F.col("sig") == F.col("sig_c")),
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    tsets = documents.repartition(_n_parts(documents)).select(
+        "doc_id",
+        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
+            "toks"
+        ),
+    )
+    return (
+        candidates.join(
+            tsets.select(
+                F.col("doc_id").alias("batch_doc"),
+                F.col("toks").alias("toks_a"),
+            ),
+            "batch_doc",
+        )
+        .join(
+            tsets.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "corpus_doc",
+        )
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+dedup_incremental.__doc__ = dedup_incremental.__doc__.format(
+    mod=INGEST_MOD, rem=INGEST_REM
+)
+
+
 def connected_component_labels(
     pairs: DataFrame, method: str = "label_prop"
 ) -> DataFrame:
@@ -803,6 +885,27 @@ ORACLE_SQL: dict[str, str] = {
         FROM candidates
         JOIN tsets ta ON ta.doc_id = doc_a
         JOIN tsets tb ON tb.doc_id = doc_b
+        WHERE len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
+    """,
+    "dedup_incremental": f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT nb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+            FROM bands nb JOIN bands cb
+              ON nb.band = cb.band AND nb.sig = cb.sig
+            WHERE nb.doc_id % {INGEST_MOD} = {INGEST_REM}
+              AND cb.doc_id % {INGEST_MOD} <> {INGEST_REM}
+        ),
+        tsets2 AS (
+            SELECT doc_id, list_sort({_SH}) AS toks FROM documents
+        )
+        SELECT batch_doc, corpus_doc,
+               len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+        FROM cand
+        JOIN tsets2 ta ON ta.doc_id = batch_doc
+        JOIN tsets2 tb ON tb.doc_id = corpus_doc
         WHERE len(list_intersect(ta.toks, tb.toks))
                  / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
     """,

@@ -505,6 +505,24 @@ def events_value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
+def events_value_percentiles_approx(
+    events: DataFrame, accuracy: int = 1000
+) -> DataFrame:
+    """The 100 TB twin of ``events_value_percentiles``: Greenwald-Khanna
+    approximate percentiles (``approx_percentile``) -- mergeable
+    bounded-size partial state instead of the per-group sort the exact
+    form needs. accuracy=1000 bounds the rank error at n/1000 per group.
+    Registered rows-only (the GK summary's merge order is partition-
+    dependent, so estimates cannot hash-match an oracle); the rank-error
+    envelope vs the exact form is pinned in tests."""
+    return events.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {accuracy})").alias("p50"),
+        F.expr(f"approx_percentile(value, 0.9, {accuracy})").alias("p90"),
+        F.expr(f"approx_percentile(value, 0.99, {accuracy})").alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
 def revenue_grouping_sets(
     orders: DataFrame, customer: DataFrame
 ) -> DataFrame:

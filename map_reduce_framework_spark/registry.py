@@ -932,6 +932,34 @@ def q_lang_temperature_sample(spark, sf_dir):
     )
 
 
+@register("dedup_incremental", dedup.ORACLE_SQL["dedup_incremental"])
+def q_dedup_incremental(spark, sf_dir):
+    return dedup.dedup_incremental(_t(spark, sf_dir, "documents"))
+
+
+# The salted two-phase aggregation must be output-identical to the plain
+# wc, so it shares wc's oracle -- the registered proof that the skew
+# rewrite preserves semantics.
+@register("wc_salted", apps.ORACLE_SQL["wc"])
+def q_wc_salted(spark, sf_dir):
+    return apps.word_count_salted(_t(spark, sf_dir, "documents"))
+
+
+# GK-sketch percentiles: merge order is partition-dependent => rows-only;
+# rank-error envelope vs the exact twin pinned in tests/test_round3_ops.py.
+@register("events_value_percentiles_approx", None)
+def q_events_value_percentiles_approx(spark, sf_dir):
+    return rel.events_value_percentiles_approx(_t(spark, sf_dir, "events"))
+
+
+# Streaming CMS: the sketch state is D*W counters regardless of user
+# cardinality, and the md5 hash family is deterministic -- the one
+# approximate-family stream that carries an EXACT oracle.
+@register("user_cms_stream", streaming_ops.ORACLE_SQL["user_cms_stream"])
+def q_user_cms_stream(spark, sf_dir):
+    return streaming_ops.q_user_cms_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

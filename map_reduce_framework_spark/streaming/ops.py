@@ -280,6 +280,38 @@ def dedup_within_watermark(events: DataFrame) -> DataFrame:
 # -- registry-facing runners (spark, sf_dir) -> DataFrame -------------------
 
 
+def user_cms_cells(events: DataFrame) -> DataFrame:
+    """Count-min sketch of user activity built INCREMENTALLY over the
+    stream: every event adds 1 to its user's D cells, the running
+    (row_idx, col_idx) sums ARE the sketch. Because the sketch is a
+    linear projection of the count vector (operators/sketch.py), the
+    streaming aggregation state is exactly D*W counters regardless of
+    user cardinality -- the bounded-state alternative to streaming
+    count_distinct, and the md5 hash family keeps it deterministic, so
+    unlike the HLL streams this one carries an EXACT oracle."""
+    from ..functions.hashing import md5_long
+    from ..operators.sketch import CMS_D, CMS_W
+
+    coords = F.array(
+        *[
+            (md5_long(F.col("user_id"), seed=j) % CMS_W).cast("int")
+            for j in range(CMS_D)
+        ]
+    )
+    return (
+        events.select(F.posexplode(coords).alias("row_idx", "col_idx"))
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("cms_count"))
+    )
+
+
+def q_user_cms_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_to_memory(
+        user_cms_cells(read_events_stream(spark, sf_dir)),
+        output_mode="complete",
+    )
+
+
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         hourly_counts(read_events_stream(spark, sf_dir)), output_mode="complete"
@@ -347,6 +379,17 @@ def batch_equivalent_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL: dict[str, str] = {
+    "user_cms_stream": """
+        WITH cellsq AS (
+            SELECT t.j AS row_idx,
+                   CAST(CAST(concat('0x', substr(md5(concat(t.j, ':',
+                            CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                        % 64 AS INT) AS col_idx
+            FROM events, unnest([0, 1, 2, 3]) AS t(j)
+        )
+        SELECT row_idx, col_idx, CAST(count(*) AS BIGINT) AS cms_count
+        FROM cellsq GROUP BY 1, 2
+    """,
     "events_hourly_stream": """
         SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                    AS window_start,

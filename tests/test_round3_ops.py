@@ -287,3 +287,119 @@ def test_temperature_sample_is_stable_across_runs(spark, sf_smoke):
         ).collect()
     }
     assert a == b, "selection must not depend on partition layout"
+
+
+def test_dedup_incremental_finds_planted_corpus_dup(spark):
+    """A batch doc (doc_id % 10 == 7) that clones a corpus doc must be
+    flagged against it; batch-vs-batch pairs must NOT appear."""
+    from map_reduce_framework_spark.operators.dedup import dedup_incremental
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"alt{i}" for i in range(40))
+    docs = _docs_with_ids(
+        spark,
+        [
+            (3, base),                      # corpus original
+            (17, base + " tail"),           # batch near-clone of 3
+            (27, other),                    # batch doc, unique vs corpus
+            (37, other + " tail"),          # batch near-clone of 27 (batch-batch!)
+            (5, "entirely different words " + " ".join(f"z{i}" for i in range(36))),
+        ],
+    )
+    rows = dedup_incremental(docs).collect()
+    got = {(r.batch_doc, r.corpus_doc) for r in rows}
+    assert (17, 3) in got
+    # 27/37 are a batch-batch near-pair: excluded by design
+    assert all(c % 10 != 7 for _, c in got)
+    assert all(b % 10 == 7 for b, _ in got)
+    assert (37, 27) not in got
+
+
+def _docs_with_ids(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+
+
+def test_wc_salted_equals_plain_wc(spark, sf_smoke):
+    from map_reduce_framework_spark.operators.apps import (
+        word_count,
+        word_count_salted,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plain = word_count(docs)
+    salted = word_count_salted(docs)
+    assert salted.columns == plain.columns
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_approx_percentiles_within_rank_error(spark, sf_smoke):
+    """GK accuracy=1000 bounds rank error at n/1000; with groups of a few
+    thousand rows the estimate must sit within the exact p +/- a small
+    rank window. Check value-domain proximity via the exact quantile at
+    the rank bounds."""
+    from map_reduce_framework_spark.operators.relational import (
+        events_value_percentiles,
+        events_value_percentiles_approx,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    exact = {r.event_type: r for r in events_value_percentiles(ev).collect()}
+    approx = {
+        r.event_type: r
+        for r in events_value_percentiles_approx(ev).collect()
+    }
+    vals = {
+        t: sorted(
+            x.value
+            for x in ev.filter(F.col("event_type") == t)
+            .select("value")
+            .collect()
+        )
+        for t in exact
+    }
+    for t, ex in exact.items():
+        n = ex.n
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            est = getattr(approx[t], col)
+            lo_rank = max(0, int(p * n) - max(2, n // 1000) - 1)
+            hi_rank = min(n - 1, int(p * n) + max(2, n // 1000) + 1)
+            assert vals[t][lo_rank] <= est <= vals[t][hi_rank], (
+                t, col, est, vals[t][lo_rank], vals[t][hi_rank]
+            )
+
+
+def test_user_cms_stream_equals_batch_sketch(spark, sf_smoke):
+    """The streaming CMS (availableNow run) must equal the batch-computed
+    sketch cell-for-cell -- and stays bounded at D*W cells."""
+    from map_reduce_framework_spark.operators.sketch import CMS_D, CMS_W
+    from map_reduce_framework_spark.streaming.ops import q_user_cms_stream
+
+    got = {
+        (r.row_idx, r.col_idx): r.cms_count
+        for r in q_user_cms_stream(spark, sf_smoke).collect()
+    }
+    assert len(got) <= CMS_D * CMS_W
+    from map_reduce_framework_spark.functions.hashing import md5_long
+    from map_reduce_framework_spark.sources.io import load_table as _lt
+
+    ev = _lt(spark, sf_smoke, "events")
+    coords = F.array(
+        *[
+            (md5_long(F.col("user_id"), seed=j) % CMS_W).cast("int")
+            for j in range(CMS_D)
+        ]
+    )
+    batch = {
+        (r.row_idx, r.col_idx): r.cms_count
+        for r in ev.select(
+            F.posexplode(coords).alias("row_idx", "col_idx")
+        )
+        .groupBy("row_idx", "col_idx")
+        .agg(F.count("*").alias("cms_count"))
+        .collect()
+    }
+    assert got == batch
