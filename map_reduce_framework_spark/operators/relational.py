@@ -791,6 +791,84 @@ def orders_profile_approx(orders: DataFrame) -> DataFrame:
     ).select("p.*")
 
 
+def fk_integrity_audit(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Referential-integrity / domain audit in one report: the DQ checks
+    an ingest pipeline runs before promoting a batch. One row per check:
+    (check, n_violations).
+
+    * orphan lineitems (l_orderkey not in orders) and orphan orders
+      (o_custkey not in customer) -- LEFT ANTI joins, the fact side
+      streams, the key side is the join build;
+    * domain checks (non-positive quantity, negative price, discount
+      outside [0,1]) -- single-scan conditional counts.
+
+    At 100 TB the anti-joins are the only shuffles (on the FK), and the
+    domain counts ride the same scan as any other partial aggregate. On
+    clean synthetic data every count is an honest zero -- the planted-
+    violation test proves detection (same protocol as the PII audit)."""
+    orphan_li = (
+        lineitem.select("l_orderkey")
+        .join(orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orphan_lineitem_orderkey").alias("check"), F.col("n"))
+    )
+    orphan_o = (
+        orders.select("o_custkey")
+        .join(customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orphan_order_custkey").alias("check"), F.col("n"))
+    )
+    domain = lineitem.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_quantity"
+        ),
+        F.sum(F.when(F.col("l_extendedprice") < 0, 1).otherwise(0)).alias(
+            "negative_price"
+        ),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1
+            ).otherwise(0)
+        ).alias("discount_out_of_range"),
+    )
+    domain_rows = domain.selectExpr(
+        "stack(3, 'nonpositive_quantity', nonpositive_quantity, "
+        "'negative_price', negative_price, "
+        "'discount_out_of_range', discount_out_of_range) AS (check, n)"
+    )
+    return orphan_li.unionByName(orphan_o).unionByName(domain_rows)
+
+
+def lineitem_checksum(lineitem: DataFrame) -> DataFrame:
+    """Order-independent whole-table fingerprint: n_rows plus the sum of
+    a 60-bit md5 over each row's canonical serialization -- the
+    cross-replica / cross-engine consistency check a 100 TB migration
+    runs instead of row-by-row diffing (compare two checksums, not two
+    tables). Sum (not xor) so duplicate-row multiplicity is visible;
+    BIGINT sum of 60-bit terms overflows at ~2^63/2^60 = 8 rows, so the
+    terms accumulate as DECIMAL(38,0) (same discipline as
+    embedding_dim_stats). One scan, one 1-row aggregate, shuffle-free
+    partial merge."""
+    # doubles stringify differently across engines ("1.0" vs "1"); route
+    # them through a fixed-scale DECIMAL so the canonical form is shared
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_quantity").cast("decimal(12,2)").cast("string"),
+    )
+    term = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return lineitem.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(term).cast("string").alias("checksum"),
+    )
+
+
 def daily_revenue_reconciliation(
     orders: DataFrame, events: DataFrame
 ) -> DataFrame:
@@ -2475,3 +2553,40 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_session GROUP BY user_id
     """,
 }
+
+ORACLE_SQL["fk_integrity_audit"] = """
+    SELECT 'orphan_lineitem_orderkey' AS "check",
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'orphan_order_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    UNION ALL
+    SELECT 'nonpositive_quantity',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'negative_price',
+           CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+"""
+
+ORACLE_SQL["lineitem_checksum"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(concat('0x', substr(md5(concat_ws('|',
+                    CAST(l_orderkey AS VARCHAR),
+                    CAST(l_partkey AS VARCHAR),
+                    CAST(l_suppkey AS VARCHAR),
+                    CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR))),
+                    1, 15)) AS BIGINT)
+                    AS HUGEINT)) AS VARCHAR) AS checksum
+    FROM lineitem
+"""

@@ -960,6 +960,20 @@ def q_user_cms_stream(spark, sf_dir):
     return streaming_ops.q_user_cms_stream(spark, sf_dir)
 
 
+@register("fk_integrity_audit", rel.ORACLE_SQL["fk_integrity_audit"])
+def q_fk_integrity_audit(spark, sf_dir):
+    return rel.fk_integrity_audit(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
+@register("lineitem_checksum", rel.ORACLE_SQL["lineitem_checksum"])
+def q_lineitem_checksum(spark, sf_dir):
+    return rel.lineitem_checksum(_t(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -477,3 +477,76 @@ def test_dedup_incremental_persisted_index_roundtrip(spark, sf_smoke, tmp_path):
         (r.batch_doc, r.corpus_doc) for r in dedup_incremental(docs).collect()
     }
     assert verified <= got
+
+
+def test_fk_audit_detects_planted_violations(spark):
+    from map_reduce_framework_spark.operators.relational import (
+        fk_integrity_audit,
+    )
+
+    cust = spark.createDataFrame(
+        [(1, "a", 1, 0.0, "SEG")],
+        "c_custkey bigint, c_name string, c_nationkey bigint, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 5.0, "2024-01-01", "1-URGENT"),
+         (11, 99, "O", 5.0, "2024-01-01", "1-URGENT")],   # orphan custkey
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(10, 1, 1, 1, 5.0, 10.0, 0.1, 0.0, "N", "O", "2024-01-02"),
+         (77, 1, 1, 1, -2.0, -1.0, 1.5, 0.0, "N", "O", "2024-01-02")],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    )
+    got = {r["check"]: r.n for r in fk_integrity_audit(cust, orders, li).collect()}
+    assert got == {
+        "orphan_lineitem_orderkey": 1,
+        "orphan_order_custkey": 1,
+        "nonpositive_quantity": 1,
+        "negative_price": 1,
+        "discount_out_of_range": 1,
+    }
+
+
+def test_fk_audit_clean_on_testdata(spark, sf_smoke):
+    from map_reduce_framework_spark.operators.relational import (
+        fk_integrity_audit,
+    )
+
+    got = {
+        r["check"]: r.n
+        for r in fk_integrity_audit(
+            load_table(spark, sf_smoke, "customer"),
+            load_table(spark, sf_smoke, "orders"),
+            load_table(spark, sf_smoke, "lineitem"),
+        ).collect()
+    }
+    assert set(got.values()) == {0}, got
+
+
+def test_checksum_detects_single_row_change(spark, sf_smoke):
+    """Flipping one row's quantity must change the checksum; permuting
+    row order must not (the sum is order-independent)."""
+    from map_reduce_framework_spark.operators.relational import (
+        lineitem_checksum,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    base = lineitem_checksum(li).collect()[0]
+    perm = lineitem_checksum(li.orderBy(F.rand(seed=1))).collect()[0]
+    assert (base.n_rows, base.checksum) == (perm.n_rows, perm.checksum)
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == li.limit(1).collect()[0].l_orderkey)
+            & (F.col("l_linenumber") == li.limit(1).collect()[0].l_linenumber),
+            F.col("l_quantity") + 1,
+        ).otherwise(F.col("l_quantity")),
+    )
+    got = lineitem_checksum(mutated).collect()[0]
+    assert got.n_rows == base.n_rows and got.checksum != base.checksum
