@@ -113,17 +113,9 @@ def materialize_daily_state(
     state.write.mode("overwrite").partitionBy("day_key").parquet(out_dir)
 
 
-def merge_delta_into_state(
-    spark, state_dir: str, delta: DataFrame
-) -> DataFrame:
-    """The production merge: aggregate the delta, read back ONLY the
-    state partitions for days the delta touches (partition pruning via
-    the day_key IN (...) filter -- tests assert PartitionFilters on the
-    scan), merge, and pass every other state day through untouched.
-
-    Returns the new full aggregate (in production the merged days are
-    rewritten in place with dynamic partition overwrite; returning the
-    union keeps this side-effect-free for the oracle)."""
+def _merge_parts(spark, state_dir: str, delta: DataFrame):
+    """(untouched state rows, merged touched-day rows) -- shared core of
+    the side-effect-free merge and the in-place partition upsert."""
     d = _daily_partials(delta)
     delta_days = d.select(
         F.date_format("day", "yyyy-MM-dd").alias("day_key")
@@ -169,9 +161,47 @@ def merge_delta_into_state(
             F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
         ).alias("max_value"),
     )
+    return untouched, merged_rows
+
+
+def merge_delta_into_state(
+    spark, state_dir: str, delta: DataFrame
+) -> DataFrame:
+    """The production merge: aggregate the delta, read back ONLY the
+    state partitions for days the delta touches (partition pruning via
+    the day_key IN (...) filter -- tests assert PartitionFilters on the
+    scan), merge, and pass every other state day through untouched.
+
+    Returns the new full aggregate (in production the merged days are
+    rewritten in place with dynamic partition overwrite -- that path is
+    ``apply_delta_in_place``; returning the union keeps this one
+    side-effect-free for the oracle)."""
+    untouched, merged_rows = _merge_parts(spark, state_dir, delta)
     return untouched.select(
         "day", "event_type", "n_events", "sum_value", "max_value"
     ).unionByName(merged_rows)
+
+
+def apply_delta_in_place(spark, state_dir: str, delta: DataFrame) -> None:
+    """Rewrite ONLY the touched day partitions of the persisted state
+    (dynamic partition overwrite) -- the write half of the incremental
+    pipeline, and the body of a streaming ``foreachBatch`` upserter:
+    each micro-batch merges its partials into the state table without
+    touching any other partition. New days insert (full-outer merge +
+    dynamic overwrite creates their directories)."""
+    _, merged_rows = _merge_parts(spark, state_dir, delta)
+    # The merge READS state_dir and the overwrite WRITES it: materialize
+    # the merged rows (eager localCheckpoint, executor-side) before the
+    # write job so it no longer depends on the files it replaces.
+    out = merged_rows.withColumn(
+        "day_key", F.date_format("day", "yyyy-MM-dd")
+    ).localCheckpoint()
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("day_key").parquet(state_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
 
 
 ORACLE_SQL: dict[str, str] = {

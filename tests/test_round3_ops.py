@@ -550,3 +550,50 @@ def test_checksum_detects_single_row_change(spark, sf_smoke):
     )
     got = lineitem_checksum(mutated).collect()[0]
     assert got.n_rows == base.n_rows and got.checksum != base.checksum
+
+
+def test_streaming_incremental_state_maintenance(spark, sf_smoke, tmp_path):
+    """End-to-end streaming warehouse maintenance: bootstrap the
+    day-partitioned state from pre-cutoff history, stream the late
+    events in multiple micro-batches, foreachBatch-merge each into the
+    state with dynamic partition overwrite. The final state table must
+    equal the full recompute."""
+    from map_reduce_framework_spark.operators.incremental import (
+        CUTOFF,
+        apply_delta_in_place,
+        incremental_daily_agg,
+        materialize_daily_state,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    src = str(tmp_path / "late_src")
+    # several files -> several micro-batches with maxFilesPerTrigger=1
+    ev.filter(F.col("ts") >= cut).repartition(3).write.parquet(src)
+    late_schema = spark.read.parquet(src).schema
+
+    def upsert(batch_df, batch_id):
+        apply_delta_in_place(spark, state_dir, batch_df)
+
+    q = (
+        spark.readStream.schema(late_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "stream did not finish within 180s"
+
+    final_state = spark.read.parquet(state_dir).select(
+        "day", "event_type", "n_events", "sum_value", "max_value"
+    )
+    full = incremental_daily_agg(ev)
+    assert final_state.count() == full.count()
+    assert final_state.exceptAll(full).count() == 0, (
+        final_state.exceptAll(full).limit(5).collect()
+    )
