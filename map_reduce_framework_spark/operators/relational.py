@@ -791,6 +791,81 @@ def orders_profile_approx(orders: DataFrame) -> DataFrame:
     ).select("p.*")
 
 
+AFFINITY_MIN_PAIR = 3
+AFFINITY_TOP_K = 100
+
+
+def part_affinity_rules(
+    lineitem: DataFrame,
+    min_pair: int = AFFINITY_MIN_PAIR,
+    k: int = AFFINITY_TOP_K,
+) -> DataFrame:
+    """Pairwise association rules over the order baskets (the pairwise
+    core of Apriori/FP-growth, Agrawal & Srikant VLDB'94): for each part
+    pair co-occurring in >= ``min_pair`` orders, support, confidence and
+    lift; top-``k`` by lift. The recommender bootstrap next to
+    part_pagerank/part_triangle_counts.
+
+    Exactness: support/confidence/lift are single int-over-int double
+    divisions (lift's numerator and denominator are exact BIGINT
+    products first), so the scores hash-match DuckDB. Plan: the basket
+    self-join keyed on the order (balanced -- fan-out bounded by basket
+    size), one (a,b) groupBy, two broadcast-sized joins for the per-part
+    counts, global top-k. At 100 TB min_pair is the frequency floor that
+    keeps the pair relation near-linear (the Apriori downward-closure
+    argument)."""
+    po = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = po.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    per_part = po.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    pairs = (
+        po.alias("x")
+        .join(po.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair)
+    )
+    enriched = (
+        pairs.join(
+            per_part.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            per_part.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("n_b"),
+            ),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+    )
+    return (
+        enriched.select(
+            "part_a",
+            "part_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            (F.col("pair_n") / F.col("n_orders")).alias("support"),
+            (F.col("pair_n") / F.col("n_a")).alias("confidence_a_to_b"),
+            (
+                (F.col("pair_n") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(k)
+    )
+
+
 def fk_integrity_audit(
     customer: DataFrame, orders: DataFrame, lineitem: DataFrame
 ) -> DataFrame:
@@ -2589,4 +2664,34 @@ ORACLE_SQL["lineitem_checksum"] = """
                     1, 15)) AS BIGINT)
                     AS HUGEINT)) AS VARCHAR) AS checksum
     FROM lineitem
+"""
+
+ORACLE_SQL["part_affinity_rules"] = f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (
+        SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM po
+    ),
+    per_part AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+        FROM po GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS pair_n
+        FROM po x JOIN po y ON x.l_orderkey = y.l_orderkey
+        WHERE x.l_partkey < y.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= {AFFINITY_MIN_PAIR}
+    )
+    SELECT part_a, part_b, pair_n,
+           a.n_part AS n_a, b.n_part AS n_b,
+           pair_n / n.n_orders AS support,
+           pair_n / a.n_part AS confidence_a_to_b,
+           (pair_n * n.n_orders) / (a.n_part * b.n_part) AS lift
+    FROM pairs
+    JOIN per_part a ON a.l_partkey = part_a
+    JOIN per_part b ON b.l_partkey = part_b, n_orders n
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {AFFINITY_TOP_K}
 """

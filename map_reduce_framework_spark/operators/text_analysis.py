@@ -101,6 +101,28 @@ def lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation: confusion matrix of labeled vs predicted
+    language plus per-cell share of the labeled row -- the accuracy
+    report that decides whether the classifier is good enough to drive
+    `stratified_sample`/`lang_temperature_sample` quotas. |langs|^2
+    output regardless of corpus size; one groupBy over the lang_id
+    projection."""
+    lid = lang_id(documents)
+    totals = lid.groupBy("labeled_lang").agg(
+        F.count("*").alias("n_labeled")
+    )
+    cells = lid.groupBy("labeled_lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "pred_lang",
+        "n",
+        (F.col("n") / F.col("n_labeled")).alias("row_share"),
+    )
+
+
 def _default_parallelism(df: DataFrame) -> int:
     try:
         return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -989,4 +1011,35 @@ ORACLE_SQL["lang_temperature_sample"] = f"""
     SELECT r.lang, r.doc_id, r.rnk
     FROM ranked r JOIN lplan p USING (lang)
     WHERE r.rnk <= p.target_docs
+"""
+
+ORACLE_SQL["lang_confusion"] = f"""
+    WITH scored2 AS (
+        SELECT doc_id, lang AS labeled_lang,
+               {', '.join(
+                   f"CAST(len(list_intersect({_DTOKS}, {_PROFILE_SQL[lang]})) AS BIGINT) AS score_{lang}"
+                   for lang in sorted(LANG_PROFILES)
+               )}
+        FROM documents
+    ),
+    lid AS (
+        SELECT doc_id, labeled_lang,
+               CASE
+                   {' '.join(
+                       f"WHEN score_{lang} = greatest({', '.join(f'score_{l2}' for l2 in sorted(LANG_PROFILES))}) THEN '{lang}'"
+                       for lang in sorted(LANG_PROFILES)
+                   )}
+               END AS pred_lang
+        FROM scored2
+    ),
+    totals AS (
+        SELECT labeled_lang, CAST(count(*) AS BIGINT) AS n_labeled
+        FROM lid GROUP BY labeled_lang
+    ),
+    cells AS (
+        SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        FROM lid GROUP BY labeled_lang, pred_lang
+    )
+    SELECT c.labeled_lang, c.pred_lang, c.n, c.n / t.n_labeled AS row_share
+    FROM cells c JOIN totals t USING (labeled_lang)
 """

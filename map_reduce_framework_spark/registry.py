@@ -974,6 +974,16 @@ def q_lineitem_checksum(spark, sf_dir):
     return rel.lineitem_checksum(_t(spark, sf_dir, "lineitem"))
 
 
+@register("lang_confusion", text_analysis.ORACLE_SQL["lang_confusion"])
+def q_lang_confusion(spark, sf_dir):
+    return text_analysis.lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+@register("part_affinity_rules", rel.ORACLE_SQL["part_affinity_rules"])
+def q_part_affinity_rules(spark, sf_dir):
+    return rel.part_affinity_rules(_t(spark, sf_dir, "lineitem"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -597,3 +597,61 @@ def test_streaming_incremental_state_maintenance(spark, sf_smoke, tmp_path):
     assert final_state.exceptAll(full).count() == 0, (
         final_state.exceptAll(full).limit(5).collect()
     )
+
+
+def test_affinity_lift_on_planted_baskets(spark):
+    """Parts 1,2 always co-occur (lift > 1); parts 1,9 never do. With 4
+    baskets and p(1)=1, p(2)=0.75: lift(1,2) = 3*4/(4*3) = 1.0; planted
+    exclusive pair (3,4) in 3 of 4 baskets has lift 4/3 > 1."""
+    from map_reduce_framework_spark.operators.relational import (
+        part_affinity_rules,
+    )
+
+    baskets = {
+        0: [1, 2, 3, 4],
+        1: [1, 2, 3, 4],
+        2: [1, 2, 3, 4],
+        3: [1, 9],
+    }
+    rows = [
+        (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", "2024-01-01")
+        for ok, parts in baskets.items()
+        for pk in parts
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate string",
+    )
+    got = {
+        (r.part_a, r.part_b): r
+        for r in part_affinity_rules(li, min_pair=3).collect()
+    }
+    assert (1, 9) not in got            # below min_pair
+    r34 = got[(3, 4)]
+    assert r34.pair_n == 3 and r34.n_a == 3 and r34.n_b == 3
+    assert abs(r34.lift - 4 / 3) < 1e-12
+    assert abs(r34.confidence_a_to_b - 1.0) < 1e-12
+    r12 = got[(1, 2)]
+    assert abs(r12.lift - 1.0) < 1e-12  # part 1 in every basket
+
+
+def test_lang_confusion_rows_cover_all_labels(spark, sf_smoke):
+    from map_reduce_framework_spark.operators.text_analysis import (
+        lang_confusion,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = lang_confusion(docs).collect()
+    labels = {r.labeled_lang for r in rows}
+    assert labels == {r.lang for r in docs.select("lang").distinct().collect()}
+    # row shares per labeled language sum to 1 (exact rational sums)
+    from collections import defaultdict
+
+    share = defaultdict(float)
+    for r in rows:
+        share[r.labeled_lang] += r.row_share
+    for lang, s in share.items():
+        assert abs(s - 1.0) < 1e-9, (lang, s)
