@@ -28,10 +28,11 @@ the state side is pruned to the delta's days.
 
 from __future__ import annotations
 
+import shutil
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .relational import dsum
 
 #: Fixed late-data boundary: events at/after this instant are "the late
 #: batch"; everything before is the already-materialized state. The
@@ -42,18 +43,81 @@ from .relational import dsum
 CUTOFF = "2024-01-24 00:00:00"
 
 
+#: Partial-state decimal type: wide enough that a 100 TB day-sum never
+#: overflows (1e26 headroom at scale 2), and FIXED so repeated merges
+#: don't ratchet the precision (Spark decimal addition widens by one
+#: digit per add; pinning the cast keeps the persisted state schema
+#: stable across any number of upserts).
+STATE_DEC = "decimal(28,2)"
+
+
 def _daily_partials(events: DataFrame) -> DataFrame:
     """The decomposable partial: per (day, event_type) count / decimal
-    value-sum / max. count_distinct is deliberately NOT here -- distinct
-    counts are not mergeable partials; an incremental pipeline carries an
-    HLL sketch instead (operators/sketch.py)."""
+    value-sum / max. The sum stays RAW DECIMAL here -- the partial must
+    never round-trip through double, or a state+delta merge can drift
+    0.01 from the full-recompute oracle once |sum|*100 > 2^53; the
+    single cast-to-double happens in ``_finalize`` only, matching the
+    oracle's single-cast shape. count_distinct is deliberately NOT
+    here -- distinct counts are not mergeable partials; an incremental
+    pipeline carries an HLL sketch instead (operators/sketch.py)."""
     return events.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day"),
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        dsum("value", 2).alias("sum_value"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast(STATE_DEC)
+        .alias("sum_value"),
         F.max("value").alias("max_value"),
+    )
+
+
+def _finalize(partials: DataFrame) -> DataFrame:
+    """Query-facing projection: the one and only decimal->double cast."""
+    return partials.select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+def _merge_partials(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """FULL OUTER merge of two partial sets on (day, event_type): rows
+    only in the state pass through, rows only in the delta insert,
+    collisions merge (count-add, exact decimal sum-add, max). Output is
+    still a partial (decimal sum pinned back to STATE_DEC), so merges
+    compose associatively -- N streaming upserts stay bit-exact."""
+    s = state.alias("s")
+    d = delta.alias("d")
+    merged = s.join(
+        d,
+        (F.col("s.day") == F.col("d.day"))
+        & (F.col("s.event_type") == F.col("d.event_type")),
+        "full_outer",
+    )
+    z = F.lit(0).cast("bigint")
+    zdec = F.lit(0).cast(STATE_DEC)
+    return merged.select(
+        F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
+        F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias(
+            "event_type"
+        ),
+        (
+            F.coalesce(F.col("s.n_events"), z)
+            + F.coalesce(F.col("d.n_events"), z)
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("s.sum_value").cast(STATE_DEC), zdec)
+            + F.coalesce(F.col("d.sum_value").cast(STATE_DEC), zdec)
+        )
+        .cast(STATE_DEC)
+        .alias("sum_value"),
+        F.greatest(
+            F.coalesce(F.col("s.max_value"), F.col("d.max_value")),
+            F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
+        ).alias("max_value"),
     )
 
 
@@ -69,35 +133,7 @@ def incremental_daily_agg(events: DataFrame, cutoff: str = CUTOFF) -> DataFrame:
     cut = F.lit(cutoff).cast("timestamp_ntz")
     state = _daily_partials(events.filter(F.col("ts") < cut))
     delta = _daily_partials(events.filter(F.col("ts") >= cut))
-    s = state.alias("s")
-    d = delta.alias("d")
-    merged = s.join(
-        d,
-        (F.col("s.day") == F.col("d.day"))
-        & (F.col("s.event_type") == F.col("d.event_type")),
-        "full_outer",
-    )
-    z = F.lit(0).cast("bigint")
-    return merged.select(
-        F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
-        F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias(
-            "event_type"
-        ),
-        (
-            F.coalesce(F.col("s.n_events"), z)
-            + F.coalesce(F.col("d.n_events"), z)
-        ).alias("n_events"),
-        (
-            F.coalesce(F.col("s.sum_value").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))
-            + F.coalesce(F.col("d.sum_value").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))
-        )
-        .cast("double")
-        .alias("sum_value"),
-        F.greatest(
-            F.coalesce(F.col("s.max_value"), F.col("d.max_value")),
-            F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
-        ).alias("max_value"),
-    )
+    return _finalize(_merge_partials(state, delta))
 
 
 def materialize_daily_state(
@@ -126,40 +162,9 @@ def _merge_parts(spark, state_dir: str, delta: DataFrame):
     # partitions never leave disk for the merge path.
     touched = state.join(F.broadcast(delta_days), "day_key")
     untouched = state.join(F.broadcast(delta_days), "day_key", "left_anti")
-    t = touched.alias("s")
-    dd = d.alias("d")
-    merged = t.join(
-        dd,
-        (F.col("s.day") == F.col("d.day"))
-        & (F.col("s.event_type") == F.col("d.event_type")),
-        "full_outer",
-    )
-    z = F.lit(0).cast("bigint")
-    merged_rows = merged.select(
-        F.coalesce(F.col("s.day"), F.col("d.day")).alias("day"),
-        F.coalesce(F.col("s.event_type"), F.col("d.event_type")).alias(
-            "event_type"
-        ),
-        (
-            F.coalesce(F.col("s.n_events"), z)
-            + F.coalesce(F.col("d.n_events"), z)
-        ).alias("n_events"),
-        (
-            F.coalesce(
-                F.col("s.sum_value").cast("decimal(18,2)"),
-                F.lit(0).cast("decimal(18,2)"),
-            )
-            + F.coalesce(
-                F.col("d.sum_value").cast("decimal(18,2)"),
-                F.lit(0).cast("decimal(18,2)"),
-            )
-        )
-        .cast("double")
-        .alias("sum_value"),
-        F.greatest(
-            F.coalesce(F.col("s.max_value"), F.col("d.max_value")),
-            F.coalesce(F.col("d.max_value"), F.col("s.max_value")),
-        ).alias("max_value"),
+    merged_rows = _merge_partials(
+        touched.select("day", "event_type", "n_events", "sum_value", "max_value"),
+        d,
     )
     return untouched, merged_rows
 
@@ -177,9 +182,11 @@ def merge_delta_into_state(
     ``apply_delta_in_place``; returning the union keeps this one
     side-effect-free for the oracle)."""
     untouched, merged_rows = _merge_parts(spark, state_dir, delta)
-    return untouched.select(
-        "day", "event_type", "n_events", "sum_value", "max_value"
-    ).unionByName(merged_rows)
+    return _finalize(
+        untouched.select(
+            "day", "event_type", "n_events", "sum_value", "max_value"
+        ).unionByName(merged_rows)
+    )
 
 
 def apply_delta_in_place(spark, state_dir: str, delta: DataFrame) -> None:
@@ -188,20 +195,133 @@ def apply_delta_in_place(spark, state_dir: str, delta: DataFrame) -> None:
     pipeline, and the body of a streaming ``foreachBatch`` upserter:
     each micro-batch merges its partials into the state table without
     touching any other partition. New days insert (full-outer merge +
-    dynamic overwrite creates their directories)."""
+    dynamic overwrite creates their directories).
+
+    Durability: the merge READS state_dir and the overwrite WRITES it,
+    so the merged rows are staged to a DURABLE sibling directory first
+    (a full parquet write through the committer), and only then does the
+    dynamic partition overwrite delete/replace the touched partitions --
+    reading from the staged copy, not from the files being replaced. A
+    localCheckpoint is NOT enough here: its blocks live in unreplicated
+    executor-local storage, so losing an executor between checkpoint and
+    write would destroy the only copy of the merged state mid-overwrite.
+    If the process dies after staging but before the overwrite commits,
+    the state table is untouched and the upsert simply re-runs (the
+    merge is idempotent given the same delta); the orphaned staging dir
+    is garbage, not corruption."""
     _, merged_rows = _merge_parts(spark, state_dir, delta)
-    # The merge READS state_dir and the overwrite WRITES it: materialize
-    # the merged rows (eager localCheckpoint, executor-side) before the
-    # write job so it no longer depends on the files it replaces.
     out = merged_rows.withColumn(
         "day_key", F.date_format("day", "yyyy-MM-dd")
-    ).localCheckpoint()
-    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    _staged_dynamic_overwrite(spark, out, state_dir)
+
+
+def _staged_dynamic_overwrite(spark, rows: DataFrame, state_dir: str) -> None:
+    """Durably stage ``rows`` (full parquet write beside the table),
+    then dynamic-partition-overwrite ``state_dir`` from the staged copy.
+    Breaks every read-then-overwrite cycle on the state table without
+    relying on unreplicated executor-local checkpoint blocks."""
+    staging = f"{state_dir.rstrip('/')}.staging-{uuid.uuid4().hex}"
     try:
-        out.write.mode("overwrite").partitionBy("day_key").parquet(state_dir)
+        rows.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # one writer task per day_key -> exactly one file of output
+            # per rewritten partition
+            staged.repartition("day_key").write.mode("overwrite").partitionBy(
+                "day_key"
+            ).parquet(state_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def applied_batch_ids(state_dir: str) -> set[int]:
+    """Batch-id ledger of the exactly-once upsert: marker files under
+    ``<state>/_applied_batches/`` (underscore-prefixed paths are hidden
+    from Spark's file listing, so the ledger never pollutes scans)."""
+    import os
+
+    ledger = os.path.join(state_dir, "_applied_batches")
+    if not os.path.isdir(ledger):
+        return set()
+    return {int(f) for f in os.listdir(ledger) if f.isdigit()}
+
+
+def exactly_once_upsert(
+    spark, state_dir: str, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """foreachBatch body with exactly-once effect on the state table.
+
+    foreachBatch is at-least-once: after a crash, the last UNCOMMITTED
+    micro-batch is re-delivered with the SAME batch_id, and a bare
+    ``apply_delta_in_place`` would sum that delta into the state twice.
+    The ledger closes this: a batch_id already recorded is a no-op
+    (returns False), otherwise merge-then-record (returns True). The
+    marker is written only after the partition overwrite commits, so a
+    crash anywhere before that leaves the ledger without the id and the
+    replay performs the merge as if for the first time. The one residual
+    window -- crash between overwrite-commit and marker-write -- is
+    inherent to filesystem tables; a transactional format (Delta,
+    Iceberg) closes it by committing data + ledger in one snapshot, and
+    this function is exactly the txn body you'd hand it.
+    """
+    import os
+
+    if batch_id in applied_batch_ids(state_dir):
+        return False
+    apply_delta_in_place(spark, state_dir, batch_df)
+    ledger = os.path.join(state_dir, "_applied_batches")
+    os.makedirs(ledger, exist_ok=True)
+    with open(os.path.join(ledger, str(batch_id)), "w"):
+        pass
+    return True
+
+
+def state_table_file_census(state_dir: str) -> dict[str, int]:
+    """Data-file count per day partition (driver-side listing; on a
+    cluster this comes from the table manifest/catalog, not a walk)."""
+    import os
+
+    counts: dict[str, int] = {}
+    for d in sorted(os.listdir(state_dir)):
+        if not d.startswith("day_key="):
+            continue
+        p = os.path.join(state_dir, d)
+        counts[d.split("=", 1)[1]] = sum(
+            1 for f in os.listdir(p) if f.endswith(".parquet")
+        )
+    return counts
+
+
+def compact_state_table(
+    spark, state_dir: str, max_files_per_partition: int = 4
+) -> list[str]:
+    """Small-file compaction for the persisted day-partitioned state:
+    every ``merge_delta_into_state``/``apply_delta_in_place`` upsert
+    leaves one more file in each touched partition; unchecked, a year of
+    hourly micro-batches is ~9k files per hot day and the scan goes
+    metadata-bound. Rewrite ONLY partitions whose file count exceeds the
+    threshold, one output file each (repartition by day_key -> one
+    writer task per day), through the same durable staging + dynamic
+    partition overwrite as the upsert path -- cold partitions are never
+    touched, query results are bit-identical (pure rewrite, no
+    re-aggregation). Returns the compacted day_keys."""
+    census = state_table_file_census(state_dir)
+    hot = sorted(
+        k for k, n in census.items() if n > max_files_per_partition
+    )
+    if not hot:
+        return []
+    state = spark.read.parquet(state_dir)
+    rows = state.filter(
+        F.col("day_key").cast("string").isin(hot)
+    ).withColumn("day_key", F.col("day_key").cast("string"))
+    _staged_dynamic_overwrite(spark, rows, state_dir)
+    return hot
 
 
 ORACLE_SQL: dict[str, str] = {

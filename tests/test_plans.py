@@ -279,6 +279,20 @@ def test_triangle_join_is_equi_only(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_triangle_closure_has_no_forced_broadcast(spark):
+    """The (a,c) closure join must NOT carry an unconditional broadcast
+    hint: a forced F.broadcast(edge_list) ships the complete edge set to
+    every executor and dies past the ~8 GB broadcast cap at 100 TB, and
+    the hint bypasses AQE's size-based fallback. Size-conditional
+    broadcasts chosen by Catalyst/AQE from runtime stats are fine (and
+    expected at test SF) -- the gate is on the HINT in the logical plan,
+    which is exactly the part that ignores data size."""
+    df = registry.REGISTRY["part_triangle_counts"].fn(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "UnresolvedHint" not in analyzed, analyzed
+
+
 def test_chunk_dedup_hot_side_broadcasts(spark):
     """chunk_dedup_clean removes hot chunks via a broadcast anti-join:
     the corpus side must never shuffle on the chunk text."""

@@ -540,11 +540,14 @@ def test_checksum_detects_single_row_change(spark, sf_smoke):
     base = lineitem_checksum(li).collect()[0]
     perm = lineitem_checksum(li.orderBy(F.rand(seed=1))).collect()[0]
     assert (base.n_rows, base.checksum) == (perm.n_rows, perm.checksum)
+    # collect the target row ONCE: limit(1) on an unordered frame is not
+    # guaranteed to pick the same row across actions
+    row = li.limit(1).collect()[0]
     mutated = li.withColumn(
         "l_quantity",
         F.when(
-            (F.col("l_orderkey") == li.limit(1).collect()[0].l_orderkey)
-            & (F.col("l_linenumber") == li.limit(1).collect()[0].l_linenumber),
+            (F.col("l_orderkey") == row.l_orderkey)
+            & (F.col("l_linenumber") == row.l_linenumber),
             F.col("l_quantity") + 1,
         ).otherwise(F.col("l_quantity")),
     )
@@ -590,7 +593,13 @@ def test_streaming_incremental_state_maintenance(spark, sf_smoke, tmp_path):
     assert q.awaitTermination(180), "stream did not finish within 180s"
 
     final_state = spark.read.parquet(state_dir).select(
-        "day", "event_type", "n_events", "sum_value", "max_value"
+        "day",
+        "event_type",
+        "n_events",
+        # persisted state keeps the sum as raw DECIMAL (exact across N
+        # upserts); the query-facing cast to double happens once here
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
     )
     full = incremental_daily_agg(ev)
     assert final_state.count() == full.count()

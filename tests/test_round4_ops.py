@@ -1,0 +1,183 @@
+"""Round-4 additions: state-table compaction, exactly-once streaming
+upsert (ledger + kill-and-restart), and the decimal-exact partial merge.
+
+These extend the incremental-maintenance story of operators/incremental.py:
+build (materialize) -> merge (upsert) -> maintain (compact), with the
+streaming analog of the reference's crash-test protocol
+(go-map-reduce-framework/tests/test-mr.sh crash section: kill workers
+mid-job, re-run, output must equal the no-crash run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators.incremental import (
+    CUTOFF,
+    applied_batch_ids,
+    apply_delta_in_place,
+    compact_state_table,
+    exactly_once_upsert,
+    incremental_daily_agg,
+    materialize_daily_state,
+    state_table_file_census,
+)
+from map_reduce_framework_spark.sources.io import load_table
+
+
+def _read_state_final(spark, state_dir):
+    return spark.read.parquet(state_dir).select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+def test_state_partials_stay_decimal(spark, sf_smoke, tmp_path):
+    """The persisted partial must be raw DECIMAL -- a double round-trip
+    between merges can drift 0.01 from the full recompute once
+    |sum|*100 > 2^53."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+    field = dict(
+        (f.name, f.dataType.simpleString())
+        for f in spark.read.parquet(state_dir).schema.fields
+    )
+    assert field["sum_value"].startswith("decimal"), field
+
+
+def test_upsert_writes_one_file_per_touched_partition(spark, sf_smoke, tmp_path):
+    """The at-source half of the small-file story: the upsert's
+    repartition-by-day_key write must leave exactly ONE file in every
+    partition it touches, no matter how wide the merge's shuffle ran."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    late = ev.filter(F.col("ts") >= cut)
+    apply_delta_in_place(spark, state_dir, late)
+    touched = {
+        r.day_key
+        for r in late.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day_key"
+            )
+        )
+        .distinct()
+        .collect()
+    }
+    census = state_table_file_census(state_dir)
+    for day in touched:
+        assert census[day] == 1, (day, census)
+
+
+def test_compaction_restores_one_file_per_partition(spark, sf_smoke, tmp_path):
+    """Compaction over a fragmented table (an upstream writer left many
+    small files per partition -- here a wide-shuffle bootstrap): hot
+    partitions collapse to 1 file, cold partitions are never rewritten,
+    query results are bit-identical."""
+    from map_reduce_framework_spark.operators.incremental import (
+        _daily_partials,
+    )
+
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    # fragmented bootstrap: 6 round-robin writer tasks, each emitting a
+    # file into every day partition it holds rows for
+    _daily_partials(ev).withColumn(
+        "day_key", F.date_format("day", "yyyy-MM-dd")
+    ).repartition(6).write.partitionBy("day_key").parquet(state_dir)
+
+    census_before = state_table_file_census(state_dir)
+    hot_days = {k for k, n in census_before.items() if n > 1}
+    assert hot_days, census_before  # fixture must actually fragment
+    before = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+
+    compacted = compact_state_table(spark, state_dir, max_files_per_partition=1)
+    assert sorted(hot_days) == compacted
+
+    census_after = state_table_file_census(state_dir)
+    assert all(n == 1 for n in census_after.values()), census_after
+    for day, n in census_before.items():
+        if day not in hot_days:  # cold partitions: untouched
+            assert census_after[day] == n
+    after = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    assert after == before
+
+    # idempotent: a second pass finds nothing to do
+    assert compact_state_table(spark, state_dir, max_files_per_partition=1) == []
+
+
+def test_exactly_once_upsert_skips_replayed_batch(spark, sf_smoke, tmp_path):
+    """The at-least-once hazard, directly: delivering the same
+    (batch_df, batch_id) twice must apply it once. A bare
+    apply_delta_in_place would double-count the delta."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    late = ev.filter(F.col("ts") >= cut)
+
+    assert exactly_once_upsert(spark, state_dir, late, batch_id=0) is True
+    once = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    # crash-replay: same batch id re-delivered
+    assert exactly_once_upsert(spark, state_dir, late, batch_id=0) is False
+    again = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    assert again == once
+    assert applied_batch_ids(state_dir) == {0}
+    # and the applied-once state is the full recompute
+    full = {tuple(r) for r in incremental_daily_agg(ev).collect()}
+    assert once == full
+
+
+def test_streaming_upsert_kill_and_restart(spark, sf_smoke, tmp_path):
+    """Streaming analog of the reference's crash test: run the upsert
+    stream over PART of the late data, 'crash' (stream ends; checkpoint
+    kept), land the rest of the files, restart with the SAME checkpoint
+    dir. The restarted run must process only the new batches (the
+    checkpoint's commit log + the ledger make replays no-ops) and the
+    final state must equal the single-run full recompute."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "late_src")
+    materialize_daily_state(ev, state_dir)
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    late = ev.filter(F.col("ts") >= cut)
+    # deterministic halves by event id
+    late.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def upsert(batch_df, batch_id):
+        exactly_once_upsert(spark, state_dir, batch_df, batch_id)
+
+    def run_stream():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not finish in 180s"
+
+    run_stream()  # first run: half the data, then "crash"
+    ids_after_first = applied_batch_ids(state_dir)
+    assert ids_after_first
+    # second half lands while the stream is down
+    late.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream()  # restart from the same checkpoint
+    assert applied_batch_ids(state_dir) > ids_after_first
+
+    final = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    full = {tuple(r) for r in incremental_daily_agg(ev).collect()}
+    assert final == full
