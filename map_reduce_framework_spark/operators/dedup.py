@@ -754,11 +754,22 @@ def chunk_dedup_clean(
         ).alias("text_clean"),
     )
     totals = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
-    return totals.join(reassembled, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    # Anchor on `documents`, not on the chunk rows: a document whose text
+    # is empty/whitespace-only produces NO chunks and would silently
+    # vanish from a totals-anchored output -- the contract is "rewrite
+    # EVERY document", so empty docs emit (n_chunks=0, n_kept=0, '').
+    return (
+        documents.select("doc_id")
+        .join(totals, "doc_id", "left")
+        .join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_chunks"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chunks"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
     )
 
 
@@ -814,10 +825,13 @@ ORACLE_SQL: dict[str, str] = {
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
             FROM kept GROUP BY doc_id
         )
-        SELECT t.doc_id, t.n_chunks,
+        SELECT d.doc_id,
+               CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
                CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
                COALESCE(k.text_clean, '') AS text_clean
-        FROM totals t LEFT JOIN keptagg k USING (doc_id)
+        FROM documents d
+        LEFT JOIN totals t USING (doc_id)
+        LEFT JOIN keptagg k USING (doc_id)
     """,
     "dedup_clusters": f"""
         WITH RECURSIVE {_MINHASH_CTE},

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .skew import salted_aggregate
+
 PR_ITERS = 3
 PR_DAMPING = 0.85
 PR_SCALE = int(1e12)
@@ -59,6 +61,7 @@ def part_pagerank(
     lineitem: DataFrame,
     iters: int = PR_ITERS,
     damping: float = PR_DAMPING,
+    salt_contribs: int | None = None,
 ) -> DataFrame:
     """PageRank over the part co-purchase graph: ``iters`` power
     iterations from the uniform vector, teleport probability
@@ -84,20 +87,31 @@ def part_pagerank(
         _quant(F.lit(1.0) / F.col("n")).alias("pr"),
     )
     for _ in range(iters):
-        contrib = (
-            edges.join(pr, "src")
-            .select(
-                "dst",
-                F.floor(
-                    F.col("pr") / F.col("deg") * F.lit(float(PR_SCALE))
-                    + F.lit(0.5)
-                )
-                .cast("bigint")
-                .alias("c"),
+        pairs = edges.join(pr, "src").select(
+            "dst",
+            F.floor(
+                F.col("pr") / F.col("deg") * F.lit(float(PR_SCALE))
+                + F.lit(0.5)
             )
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
+            .cast("bigint")
+            .alias("c"),
         )
+        if salt_contribs:
+            # Two-phase salted aggregate (operators/skew.py): a power-law
+            # hub's in-edges spread over n_salt reducers in phase 1, the
+            # n_salt partials merge in phase 2. The contribution is an
+            # exact BIGINT sum, so the rewrite is output-identical --
+            # proven by registering the salted twin under the plain
+            # query's oracle (registry pattern of wc_salted).
+            contrib = salted_aggregate(
+                pairs,
+                ["dst"],
+                partials=[F.sum("c").alias("cp")],
+                merges=[F.sum("cp").alias("s")],
+                n_salt=salt_contribs,
+            )
+        else:
+            contrib = pairs.groupBy("dst").agg(F.sum("c").alias("s"))
         base = pr.select("src", "deg", "n")
         pr = (
             base.join(contrib, base["src"] == contrib["dst"], "left")
@@ -119,6 +133,24 @@ def part_pagerank(
         F.col("src").alias("part"),
         F.col("deg").alias("out_degree"),
         F.col("pr").alias("pagerank"),
+    )
+
+
+def part_pagerank_salted(
+    lineitem: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-resilient PageRank: identical semantics to ``part_pagerank``
+    (shares its oracle in the registry), with every per-iteration
+    contribution aggregate salted two-phase. On a power-law graph the
+    ``groupBy(dst)`` concentrates a hub node's entire in-neighborhood on
+    one reducer; the salt caps any single reducer's share of a hot node
+    at ~1/n_salt of its in-degree. Exact BIGINT sums make the rewrite
+    bit-identical, not just approximately equal."""
+    return part_pagerank(
+        lineitem, iters=iters, damping=damping, salt_contribs=n_salt
     )
 
 

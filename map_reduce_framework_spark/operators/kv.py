@@ -150,6 +150,104 @@ def kv_fold(ops: DataFrame) -> DataFrame:
     )
 
 
+_SEG_SCHEMA = StructType(
+    _FOLD_SCHEMA.fields
+    + [StructField("row_kind", StringType())]  # 'out' per-op | 'state' carry
+)
+
+
+def _fold_segment(state_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
+    """Fold one segment of one key's history from the carried-in state.
+    Emits one 'out' row per op plus exactly one 'state' row holding the
+    (value, version) pair the next segment starts from."""
+    if len(state_pdf):
+        srow = state_pdf.iloc[0]
+        key = srow.key
+        cur_value = None if pd.isna(srow.result_value) else srow.result_value
+        cur_version = int(srow.result_version)
+    else:  # key first appears in this segment
+        key = ops_pdf.iloc[0].key
+        cur_value, cur_version = None, 0
+    out = []
+    for r in ops_pdf.sort_values("op_id").itertuples(index=False):
+        if r.op == "get":
+            if cur_version == 0:
+                out.append((r.op_id, key, "get", ERR_NO_KEY, None, 0, "out"))
+            else:
+                out.append(
+                    (r.op_id, key, "get", OK, cur_value, cur_version, "out")
+                )
+        else:
+            if r.version_arg == cur_version:
+                cur_value, cur_version = r.value, cur_version + 1
+                out.append(
+                    (r.op_id, key, "put", OK, cur_value, cur_version, "out")
+                )
+            else:
+                err = ERR_NO_KEY if cur_version == 0 else ERR_VERSION
+                out.append((r.op_id, key, "put", err, None, cur_version, "out"))
+    out.append((None, key, None, None, cur_value, cur_version, "state"))
+    return pd.DataFrame(out, columns=[f.name for f in _SEG_SCHEMA.fields])
+
+
+def kv_fold_segmented(ops: DataFrame, segment_size: int = 64) -> DataFrame:
+    """``kv_fold`` for histories larger than executor memory: each key's
+    op log is cut into fixed-size segments; round k cogroups segment k
+    with the carried (value, version) state and folds it, so a task ever
+    holds ``segment_size`` ops -- not the key's full history. Rounds are
+    driver-chained like the connected-components loop (dedup.py), with a
+    localCheckpoint per round to truncate lineage. The CAS transition is
+    a function (value, version) -> (value, version), so chaining segment
+    folds in key order reproduces the monolithic fold exactly -- proven
+    by registering this under kv_fold's recursive-CTE oracle and by the
+    random-log property test (tests/test_kv_property.py).
+
+    Cost model at 100 TB: rounds = ceil(max ops per key / segment_size);
+    each round is one cogroup shuffle of (state ~ |keys| rows) against
+    (segment ~ |keys| * segment_size rows). Parallelism stays per-key in
+    every round; memory per task is O(segment_size)."""
+    seqd = ops.withColumn(
+        "__seq",
+        F.row_number().over(Window.partitionBy("key").orderBy("op_id")),
+    ).withColumn(
+        "__seg", ((F.col("__seq") - 1) / F.lit(segment_size)).cast("int")
+    )
+    seqd = seqd.localCheckpoint(eager=False)
+    # one scalar to the driver: how many rounds to chain
+    n_segs = seqd.agg(F.max("__seg")).collect()[0][0]
+    if n_segs is None:
+        return ops.sparkSession.createDataFrame([], _FOLD_SCHEMA)
+    state = (
+        seqd.select("key")
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("op_id"),
+            "key",
+            F.lit(None).cast("string").alias("op"),
+            F.lit(None).cast("string").alias("err"),
+            F.lit(None).cast("string").alias("result_value"),
+            F.lit(0).cast("long").alias("result_version"),
+        )
+    )
+    out_parts = []
+    for k in range(int(n_segs) + 1):
+        seg = seqd.filter(F.col("__seg") == k).drop("__seq", "__seg")
+        folded = (
+            state.groupby("key")
+            .cogroup(seg.groupby("key"))
+            .applyInPandas(_fold_segment, schema=_SEG_SCHEMA)
+            .localCheckpoint(eager=False)
+        )
+        out_parts.append(
+            folded.filter(F.col("row_kind") == "out").drop("row_kind")
+        )
+        state = folded.filter(F.col("row_kind") == "state").drop("row_kind")
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def kv_final_state(ops: DataFrame) -> DataFrame:
     """The kv(key, value, version) table after replaying the whole log =
     last successful put per key.

@@ -1,12 +1,15 @@
 """Multimodal column handling: image/audio/video as opaque BINARY columns
 with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(``decode_image`` raises NotImplementedError; ``fake_decode_meta`` is the
-deterministic stand-in) -- but the Spark-side plumbing is real and tested:
-binary column construction, mapInPandas batch shapes, schema contracts,
-and partition-parallel feature extraction. Swapping the stub for
-PIL/ffmpeg is a one-function change.
+Header-level metadata (width/height/format) is REAL for BMP and PNG --
+``decode_image_header`` parses the bytes directly, no codec needed. Full
+pixel decode is stubbed (``decode_image`` raises NotImplementedError; the
+container has no PIL/libjpeg) and ``fake_decode_meta`` stands in for
+payloads with no known magic (the synthetic utf-8 corpus). The Spark-side
+plumbing is real and tested either way: binary column construction,
+mapInPandas batch shapes, schema contracts, partition-parallel feature
+extraction. Swapping the pixel stub for PIL/ffmpeg is a one-function
+change.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; filters on typed metadata (width/height/n_bytes) push down so a
@@ -33,12 +36,54 @@ from pyspark.sql.types import (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real decoder hook -- intentionally unimplemented in this container
-    (no PIL/libjpeg). Replace with PIL.Image.open(io.BytesIO(payload))."""
+    """Full pixel decode hook -- intentionally unimplemented in this
+    container (no PIL/libjpeg). Replace with
+    PIL.Image.open(io.BytesIO(payload)). Header-level metadata does NOT
+    need this: see ``decode_image_header``."""
     raise NotImplementedError(
         "image codecs are not available in this environment; "
-        "use fake_decode_meta for the deterministic test path"
+        "header metadata comes from decode_image_header, and "
+        "fake_decode_meta covers the synthetic test corpus"
     )
+
+
+#: BITMAPINFOHEADER family sizes (BMP `biSize` field): core/info/v2-v5.
+_BMP_HEADER_SIZES = {12, 40, 52, 56, 64, 108, 124}
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_header(payload: bytes) -> tuple[int, int, str] | None:
+    """REAL header decode, dependency-free: parse (width, height, format)
+    straight from the bytes of the two self-describing formats whose
+    headers are pure integer fields -- BMP (little-endian dims at offsets
+    18/22, behind the 'BM' magic + a structural biSize/planes check so
+    text that merely starts with 'BM' can't false-positive) and PNG
+    (big-endian dims in the IHDR chunk behind the 8-byte signature,
+    which contains \\x89 and so can never open valid UTF-8 text).
+    Returns None when the payload is neither -- callers fall back to
+    ``fake_decode_meta`` for the synthetic corpus."""
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        bi_size = int.from_bytes(payload[14:18], "little")
+        if bi_size in _BMP_HEADER_SIZES:
+            if bi_size == 12:  # BITMAPCOREHEADER: uint16 dims
+                width = int.from_bytes(payload[18:20], "little")
+                height = int.from_bytes(payload[20:22], "little")
+                planes = int.from_bytes(payload[22:24], "little")
+            else:  # int32 dims; height may be negative (top-down rows)
+                width = int.from_bytes(payload[18:22], "little", signed=True)
+                height = abs(
+                    int.from_bytes(payload[22:26], "little", signed=True)
+                )
+                planes = int.from_bytes(payload[26:28], "little")
+            if width > 0 and height > 0 and planes == 1:
+                return width, height, "bmp"
+    if len(payload) >= 24 and payload[:8] == _PNG_MAGIC:
+        if payload[12:16] == b"IHDR":
+            width = int.from_bytes(payload[16:20], "big")
+            height = int.from_bytes(payload[20:24], "big")
+            if width > 0 and height > 0:
+                return width, height, "png"
+    return None
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
@@ -49,6 +94,13 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
     height = 64 + (n * 31) % 419
     fmt = ("png", "jpeg", "webp")[n % 3]
     return width, height, fmt
+
+
+def decode_meta(payload: bytes) -> tuple[int, int, str]:
+    """Header-first metadata: real BMP/PNG headers when the magic bytes
+    match, deterministic fake otherwise (the synthetic corpus is utf-8
+    text, which never carries either magic)."""
+    return decode_image_header(payload) or fake_decode_meta(payload)
 
 
 def with_binary_payload(documents: DataFrame) -> DataFrame:
@@ -81,7 +133,7 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            meta = [fake_decode_meta(bytes(p)) for p in payloads]
+            meta = [decode_meta(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -135,7 +187,7 @@ def resize_images(media: DataFrame, max_dim: int = MAX_DIM) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload)
-                w, h, _fmt = fake_decode_meta(p)  # stub: real = PIL decode
+                w, h, _fmt = decode_meta(p)  # real header or deterministic fake
                 longest = max(w, h)
                 if longest <= max_dim:
                     nw, nh = w, h

@@ -111,6 +111,7 @@ def sequence_packing(
     documents: DataFrame,
     budget: int = PACK_BUDGET,
     shards: int = N_PACK_SHARDS,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy training-sequence packing -- the step that turns a cleaned
     corpus into fixed-budget LLM training sequences: within each
@@ -128,9 +129,13 @@ def sequence_packing(
     deterministic, so retries produce identical sequences and the DuckDB
     recursive-CTE oracle is exact.
 
-    Token counts are separator-based (spaces + 1) rather than tokenizer
-    calls: identical arithmetic in both engines, and at 100 TB the count
-    comes free with ingest stats anyway."""
+    Token accounting is PLUGGABLE: pass ``token_counts`` -- any
+    (doc_id, n_tokens) relation, e.g. a real tokenizer's counts computed
+    upstream (``sequence_packing_tokenized`` wires in token_stats'
+    BPE-ish counts) -- and the packing joins it in; docs missing from
+    the relation are dropped (they were never tokenized). Default is the
+    separator count (spaces + 1): identical arithmetic in both engines,
+    and at 100 TB the count comes free with ingest stats anyway."""
     import pandas as pd
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -150,20 +155,51 @@ def sequence_packing(
             ],
         )
 
-    base = documents.select(
-        "lang",
-        (F.col("doc_id") % shards).alias("shard"),
-        "doc_id",
-        (
-            F.length("text")
-            - F.length(F.regexp_replace(F.col("text"), " ", ""))
-            + 1
+    if token_counts is not None:
+        base = documents.select(
+            "lang", (F.col("doc_id") % shards).alias("shard"), "doc_id"
+        ).join(
+            token_counts.select(
+                "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+            ),
+            "doc_id",
         )
-        .cast("bigint")
-        .alias("n_tokens"),
-    )
+    else:
+        base = documents.select(
+            "lang",
+            (F.col("doc_id") % shards).alias("shard"),
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.regexp_replace(F.col("text"), " ", ""))
+                + 1
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
     return base.groupBy("lang", "shard").applyInPandas(
         _pack, schema=_PACK_SCHEMA
+    )
+
+
+def sequence_packing_tokenized(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    shards: int = N_PACK_SHARDS,
+) -> DataFrame:
+    """Sequence packing driven by a REAL tokenizer's counts: token_stats'
+    BPE-ish pretokenizer (letter runs / digit runs / punctuation,
+    text_analysis.BPE_ISH_RE) supplies n_tokens instead of the separator
+    heuristic -- the production wiring where tokenization happens once
+    upstream and every downstream consumer (packing, cost models,
+    curriculum buckets) reuses the same counts."""
+    from .text_analysis import token_stats
+
+    counts = token_stats(documents).select(
+        "doc_id", F.col("n_tokens_bpe").alias("n_tokens")
+    )
+    return sequence_packing(
+        documents, budget=budget, shards=shards, token_counts=counts
     )
 
 
@@ -201,13 +237,14 @@ _COMP_CTES = f"""
         )"""
 
 
-ORACLE_SQL: dict[str, str] = {
-    "sequence_packing": f"""
+def _packing_sql(n_tokens_sql: str) -> str:
+    """The greedy-fill recursive CTE, parameterized by the token-count
+    expression -- shared by the separator-count and tokenizer-count
+    packing oracles (only the accounting differs, never the fill rule)."""
+    return f"""
         WITH RECURSIVE base AS (
             SELECT lang, doc_id % {N_PACK_SHARDS} AS shard, doc_id,
-                   CAST(length(text)
-                        - length(regexp_replace(text, ' ', '', 'g'))
-                        + 1 AS BIGINT) AS n_tokens,
+                   CAST({n_tokens_sql} AS BIGINT) AS n_tokens,
                    row_number() OVER (
                        PARTITION BY lang, doc_id % {N_PACK_SHARDS}
                        ORDER BY doc_id
@@ -240,7 +277,23 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT lang, shard, doc_id, n_tokens, seq_id, tok_offset
         FROM st WHERE rn >= 1
-    """,
+    """
+
+
+def _bpe_count_sql() -> str:
+    from .text_analysis import BPE_ISH_RE
+
+    pattern = BPE_ISH_RE.replace(chr(92) + "t", chr(9)).replace(
+        chr(92) + "n", chr(10)
+    )
+    return f"len(regexp_extract_all(text, '{pattern}'))"
+
+
+ORACLE_SQL: dict[str, str] = {
+    "sequence_packing": _packing_sql(
+        "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
+    ),
+    "sequence_packing_tokenized": _packing_sql(_bpe_count_sql()),
     "dedup_survivors": f"""
         WITH RECURSIVE {dedup._MINHASH_CTE},
         {_COMP_CTES},

@@ -460,6 +460,49 @@ def ann_ivf(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def ann_recall_report(embeddings: DataFrame) -> DataFrame:
+    """Recall@k of every ANN variant against the exact brute-force
+    ranking on the fixed query set -- the accuracy/cost trade as a
+    first-class, driver-checkable relation instead of a pytest-only
+    number. One row per variant: (variant, k, n_queries, n_hits,
+    recall); n_hits counts (q_id, vec_id) pairs the variant shares with
+    the exact top-k at ITS k, so recall = n_hits / (n_queries * k).
+    Everything is deterministic (both rankings tiebreak on vec_id), so
+    the report carries an exact DuckDB oracle.
+
+    Scale: this is a validation query -- at 100 TB you run it on a query
+    sample; each variant's subplan is the registered production plan
+    unchanged, and the semi join + count adds one broadcast-size
+    exchange per variant."""
+    from .clustering import PQ_TOPK, ann_ivf_pq
+
+    variants = [
+        ("ann_lsh", ann_lsh(embeddings), 5),
+        ("ann_ivf", ann_ivf(embeddings), 5),
+        ("ann_ivf_pq", ann_ivf_pq(embeddings), PQ_TOPK),
+    ]
+    n_queries = 8
+    out = None
+    for name, df, k in variants:
+        exact = knn_brute_force(embeddings, n_queries=n_queries, k=k).select(
+            "q_id", "vec_id"
+        )
+        hits = df.select("q_id", "vec_id").join(
+            exact, ["q_id", "vec_id"], "left_semi"
+        )
+        rep = hits.agg(F.count("*").alias("n_hits")).select(
+            F.lit(name).alias("variant"),
+            F.lit(k).cast("int").alias("k"),
+            F.lit(n_queries).cast("int").alias("n_queries"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") / F.lit(n_queries * k))
+            .cast("double")
+            .alias("recall"),
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
 def _signs_sql(signs: list[float]) -> str:
     return "[" + ",".join(f"{s:.1f}" for s in signs) + "]::DOUBLE[]"
 
@@ -491,6 +534,46 @@ _BUCKETS_CTE = f"""
 
 
 _COS = "list_dot_product({a}, {b}) / ({na} * {nb})"
+
+
+def _knn_sql(k: int) -> str:
+    """Exact-top-k oracle, parameterized so the recall report can pin
+    each variant against the exact ranking at its own k."""
+    return f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 8),
+        scored AS (
+            SELECT q_id, vec_id,
+                   {_COS.format(a='qv', b='v', na='qn', nb='nrm')} AS cos
+            FROM e CROSS JOIN q WHERE vec_id <> q_id
+        ),
+        ranked AS (
+            SELECT q_id, vec_id, cos,
+                   CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY cos DESC, vec_id
+                   ) AS INT) AS rnk
+            FROM scored
+        )
+        SELECT * FROM ranked WHERE rnk <= {k}
+    """
+
+
+def _recall_row_sql(name: str, variant_sql: str, k: int, n_queries: int = 8) -> str:
+    return f"""
+        SELECT '{name}' AS variant, CAST({k} AS INT) AS k,
+               CAST({n_queries} AS INT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(*) AS DOUBLE) / {n_queries * k} AS recall
+        FROM ({variant_sql}) a
+        JOIN ({_knn_sql(k)}) x
+          ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    """
+
 
 ORACLE_SQL: dict[str, str] = {
     "ann_ivf": f"""
@@ -549,28 +632,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT * FROM ranked WHERE rnk <= 5
     """,
 
-    "knn_brute_force": f"""
-        WITH e AS (
-            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[]))) AS nrm
-            FROM embeddings
-        ),
-        q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM e WHERE vec_id < 8),
-        scored AS (
-            SELECT q_id, vec_id,
-                   {_COS.format(a='qv', b='v', na='qn', nb='nrm')} AS cos
-            FROM e CROSS JOIN q WHERE vec_id <> q_id
-        ),
-        ranked AS (
-            SELECT q_id, vec_id, cos,
-                   CAST(row_number() OVER (
-                       PARTITION BY q_id ORDER BY cos DESC, vec_id
-                   ) AS INT) AS rnk
-            FROM scored
-        )
-        SELECT * FROM ranked WHERE rnk <= 10
-    """,
+    "knn_brute_force": _knn_sql(10),
     "ann_lsh": f"""
         WITH {_BUCKETS_CTE},
         qb AS (
@@ -666,3 +728,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM comp c JOIN sized s USING (cluster_id)
     """,
 }
+
+
+def _build_recall_report_sql() -> str:
+    from .clustering import ORACLE_SQL as _CL_SQL
+    from .clustering import PQ_TOPK
+
+    return " UNION ALL ".join(
+        [
+            _recall_row_sql("ann_lsh", ORACLE_SQL["ann_lsh"], 5),
+            _recall_row_sql("ann_ivf", ORACLE_SQL["ann_ivf"], 5),
+            _recall_row_sql("ann_ivf_pq", _CL_SQL["ann_ivf_pq"], PQ_TOPK),
+        ]
+    )
+
+
+ORACLE_SQL["ann_recall_report"] = _build_recall_report_sql()

@@ -433,6 +433,16 @@ def q_kv_final(spark, sf_dir):
     return kv.kv_final_state(kv.kv_ops_from_events(_t(spark, sf_dir, "events")))
 
 
+# Segmented fold shares kv_fold's recursive-CTE oracle: the bounded-memory
+# rewrite (fixed-size history segments chained through a carried
+# (value, version) state) must be row-identical to the monolithic replay.
+@register("kv_fold_segmented", kv.ORACLE_SQL["kv_fold"])
+def q_kv_fold_segmented(spark, sf_dir):
+    return kv.kv_fold_segmented(
+        kv.kv_ops_from_events(_t(spark, sf_dir, "events"))
+    )
+
+
 # --------------------------------------------------------------------------
 # LLM-pipeline operators: dedup / similarity / text analysis / multimodal
 # --------------------------------------------------------------------------
@@ -492,6 +502,14 @@ def q_ann_ivf(spark, sf_dir):
 @register("top_similar_pairs", similarity.ORACLE_SQL["top_similar_pairs"])
 def q_simpairs(spark, sf_dir):
     return similarity.top_similar_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+# The ANN accuracy/cost trade as a driver-checkable relation: recall@k
+# of each ANN variant vs the exact brute-force ranking, exact arithmetic
+# on both engines (deterministic tiebreaks make both rankings unique).
+@register("ann_recall_report", similarity.ORACLE_SQL["ann_recall_report"])
+def q_ann_recall_report(spark, sf_dir):
+    return similarity.ann_recall_report(_t(spark, sf_dir, "embeddings"))
 
 
 @register("embedding_near_pairs", similarity.ORACLE_SQL["embedding_near_pairs"])
@@ -738,6 +756,17 @@ def q_sequence_packing(spark, sf_dir):
     return pipeline.sequence_packing(_t(spark, sf_dir, "documents"))
 
 
+# Same greedy fill, token counts joined from the BPE-ish tokenizer
+# (token_stats) instead of the separator heuristic -- the pluggable-
+# tokenizer wiring, under its own oracle (same CTE, different counts).
+@register(
+    "sequence_packing_tokenized",
+    pipeline.ORACLE_SQL["sequence_packing_tokenized"],
+)
+def q_sequence_packing_tokenized(spark, sf_dir):
+    return pipeline.sequence_packing_tokenized(_t(spark, sf_dir, "documents"))
+
+
 from .operators import graph  # noqa: E402
 
 
@@ -943,6 +972,15 @@ def q_dedup_incremental(spark, sf_dir):
 @register("wc_salted", apps.ORACLE_SQL["wc"])
 def q_wc_salted(spark, sf_dir):
     return apps.word_count_salted(_t(spark, sf_dir, "documents"))
+
+
+# Same shared-oracle trick for the iterative case: PageRank with every
+# per-iteration contribution aggregate salted two-phase (hub nodes in a
+# power-law graph otherwise pin one reducer) must hash-match the plain
+# PageRank under the plain query's unrolled-CTE oracle.
+@register("part_pagerank_salted", graph.ORACLE_SQL["part_pagerank"])
+def q_part_pagerank_salted(spark, sf_dir):
+    return graph.part_pagerank_salted(_t(spark, sf_dir, "lineitem"))
 
 
 # GK-sketch percentiles: merge order is partition-dependent => rows-only;

@@ -90,3 +90,40 @@ def test_kv_fold_matches_sequential_model(ops):
     )
     got = sorted(tuple(r) for r in kv.kv_fold(df).collect())
     assert got == _model_replay(ops)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_OPS)
+def test_kv_fold_segmented_matches_sequential_model(ops):
+    """The bounded-memory segmented fold must replay ANY log exactly:
+    segment_size=5 forces multi-round chaining on these 40-op histories,
+    exercising the carried-state handoff between rounds."""
+    spark = _get_spark()
+    pdf = pd.DataFrame(
+        {
+            "op_id": range(len(ops)),
+            "key": [o[0] for o in ops],
+            "op": [o[1] for o in ops],
+            "value": [o[2] if o[1] == "put" else None for o in ops],
+            "version_arg": [o[3] if o[1] == "put" else None for o in ops],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf.astype(
+            {
+                "op_id": "int64",
+                "key": "string",
+                "op": "string",
+                "value": "object",
+                "version_arg": "object",
+            }
+        )
+    )
+    got = sorted(
+        tuple(r) for r in kv.kv_fold_segmented(df, segment_size=5).collect()
+    )
+    assert got == _model_replay(ops)

@@ -258,6 +258,75 @@ def test_multimodal_binary_plumbing(spark, sf_smoke):
     assert row["n_bytes"] > 0 and len(row["sha256"]) == 64
 
 
+def _tiny_bmp(width=2, height=2):
+    """Handcrafted valid 24-bit BMP: file header + BITMAPINFOHEADER +
+    zeroed pixel rows (each row padded to 4 bytes)."""
+    import struct
+
+    row = (width * 3 + 3) & ~3
+    pixels = bytes(row * height)
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels),
+        2835, 2835, 0, 0,
+    )
+    return file_header + info + pixels
+
+
+def _tiny_png(width=1, height=1):
+    """PNG signature + IHDR chunk (CRC left zeroed -- header parsing
+    doesn't validate CRCs, same as identify/file)."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + b"\x00\x00\x00\x00"
+    )
+
+
+def test_real_header_decode_bmp_png(spark):
+    """decode_image_header reads REAL bytes: a handcrafted 2x2 BMP and
+    1x1 PNG produce exact dims through both the pure function and the
+    full mapInPandas pipeline; payloads without magic keep the
+    deterministic fake path (so the registered oracle is untouched)."""
+    assert multimodal.decode_image_header(_tiny_bmp(2, 2)) == (2, 2, "bmp")
+    assert multimodal.decode_image_header(_tiny_png(1, 1)) == (1, 1, "png")
+    assert multimodal.decode_image_header(_tiny_bmp(640, 480)) == (
+        640, 480, "bmp",
+    )
+    # text that merely starts with 'BM' must NOT parse as a bitmap
+    assert multimodal.decode_image_header(b"BMW drivers wrote this doc") is None
+    assert multimodal.decode_image_header(b"plain text") is None
+    # truncated magic-only payloads are rejected, not mis-parsed
+    assert multimodal.decode_image_header(b"BM") is None
+    assert multimodal.decode_image_header(b"\x89PNG\r\n\x1a\n") is None
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(_tiny_bmp(2, 2)), "s"),
+            (2, bytearray(_tiny_png(1, 1)), "s"),
+            (3, bytearray(b"no magic here"), "s"),
+        ],
+        "doc_id bigint, payload binary, source string",
+    )
+    got = {r.doc_id: r for r in multimodal.extract_media_meta(media).collect()}
+    assert (got[1].width, got[1].height, got[1].format) == (2, 2, "bmp")
+    assert (got[2].width, got[2].height, got[2].format) == (1, 1, "png")
+    fake = multimodal.fake_decode_meta(b"no magic here")
+    assert (got[3].width, got[3].height, got[3].format) == fake
+    # resize path consumes the real dims too
+    rs = {
+        r.doc_id: r
+        for r in multimodal.resize_images(media, max_dim=1).collect()
+    }
+    assert (rs[1].new_width, rs[1].new_height) == (1, 1)
+    assert (rs[2].new_width, rs[2].new_height) == (1, 1)
+
+
 def test_pii_detection_on_planted_documents(spark):
     """The synthetic corpus has no PII (pii_scan reports honest zeros),
     so detection is proven on planted documents: every pattern class
@@ -353,3 +422,54 @@ def test_sequence_packing_invariants(spark, sf_oracle):
             assert total <= PACK_BUDGET or n_docs[s] == 1, (
                 f"{key} seq {s} overflows with {n_docs[s]} docs"
             )
+
+
+def test_sequence_packing_pluggable_counts(spark, sf_smoke):
+    """Tokenizer pluggability: (1) feeding the separator counts back in
+    through the token_counts port reproduces the default output exactly
+    (identity); (2) the token_stats-driven variant packs by the BPE-ish
+    counts, which genuinely differ from the separator heuristic."""
+    from map_reduce_framework_spark.operators.pipeline import (
+        sequence_packing,
+        sequence_packing_tokenized,
+    )
+    from map_reduce_framework_spark.operators.text_analysis import token_stats
+
+    docs = load_table(spark, sf_smoke, "documents")
+    default = sorted(tuple(r) for r in sequence_packing(docs).collect())
+
+    sep_counts = docs.select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+            + 1
+        ).alias("n_tokens"),
+    )
+    via_port = sorted(
+        tuple(r)
+        for r in sequence_packing(docs, token_counts=sep_counts).collect()
+    )
+    assert via_port == default
+
+    tokenized = sequence_packing_tokenized(docs).collect()
+    assert len(tokenized) == len(default)  # one row per doc either way
+    bpe = {
+        r.doc_id: r.n_tokens_bpe for r in token_stats(docs).collect()
+    }
+    # every packed n_tokens is the tokenizer's count, not the heuristic
+    assert all(r.n_tokens == bpe[r.doc_id] for r in tokenized)
+
+    # and on a doc where the accountings differ (punctuation), the
+    # tokenizer's counts drive the packing
+    punct_docs = spark.createDataFrame(
+        [(1, "a,b,c d.e!", "en", "s"), (2, "one two", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    ).withColumn("n_chars", F.length("text"))
+    got = {
+        r.doc_id: r.n_tokens
+        for r in sequence_packing_tokenized(punct_docs).collect()
+    }
+    # 'a,b,c d.e!': letter-runs a,b,c,d,e + punct ,,.,! = 9 BPE tokens
+    # vs 2 separator tokens
+    assert got[1] == 9 and got[2] == 2

@@ -65,6 +65,19 @@ def test_chunk_dedup_clean_keeps_every_doc(spark, sf_smoke):
     assert out.count() == docs.count()
 
 
+def test_chunk_dedup_clean_keeps_empty_docs(spark):
+    """'Rewrite every document' includes documents with empty or
+    whitespace-only text: they produce no chunks but must still appear
+    in the output as (n_chunks=0, n_kept=0, '')."""
+    docs = _docs(spark, ["real words here", "", "   "])
+    got = {r.doc_id: r for r in chunk_dedup_clean(docs, min_docs=2).collect()}
+    assert set(got) == {0, 1, 2}
+    for empty_id in (1, 2):
+        r = got[empty_id]
+        assert (r.n_chunks, r.n_kept, r.text_clean) == (0, 0, "")
+    assert got[0].n_chunks == 1 and got[0].text_clean == "real words here"
+
+
 def test_chunk_reassembly_preserves_order(spark):
     """text_clean with no hot chunks is exactly the normalized text --
     the sort_array(struct(idx, chunk)) reassembly cannot reorder."""

@@ -68,3 +68,34 @@ def test_hot_key_split_join_equals_plain(spark):
     got = _rows(skew.broadcast_hot_keys_join(fact, dim, "k", hot))
     want = _rows(fact.join(dim, "k", "inner"))
     assert got == want
+
+
+def _star_lineitem(spark):
+    """Power-law co-purchase fixture: every one of 300 orders contains
+    part 0 (the hub) plus two parts from a long tail -- the contribution
+    groupBy(dst=0) receives ~600 in-edges while tail nodes get a few."""
+    return spark.range(0, 300).select(
+        F.col("id").alias("l_orderkey"),
+        F.explode(
+            F.array(
+                F.lit(0),
+                (F.col("id") % 40 + 1).cast("long"),
+                (F.col("id") % 53 + 41).cast("long"),
+            )
+        ).alias("l_partkey"),
+    )
+
+
+def test_salted_pagerank_equals_plain_on_hub_graph(spark):
+    """The salted contribution aggregate is a pure physical rewrite:
+    bit-identical ranks on a deliberately hub-skewed graph (exact BIGINT
+    contribution sums make this equality, not approximation)."""
+    from map_reduce_framework_spark.operators.graph import (
+        part_pagerank,
+        part_pagerank_salted,
+    )
+
+    li = _star_lineitem(spark)
+    got = _rows(part_pagerank_salted(li, n_salt=8))
+    want = _rows(part_pagerank(li))
+    assert got == want
