@@ -375,3 +375,105 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.doc_id NOT IN (SELECT doc_id FROM near_dup_drops)
     """,
 }
+
+
+#: Deterministic split fractions (percent) + salt version. Changing the
+#: salt reshuffles every assignment -- version it like a schema.
+SPLIT_SALT = "corpus-split:v1"
+VAL_PCT = 5
+TEST_PCT = 5
+
+
+def corpus_split(
+    documents: DataFrame, val_pct: int = VAL_PCT, test_pct: int = TEST_PCT
+) -> DataFrame:
+    """Deterministic train/val/test assignment -- the split step every
+    training pipeline needs and naive `rand()` gets wrong twice (not
+    reproducible across runs; not stable when the corpus grows). The
+    bucket is a salted 60-bit md5 of the doc_id mod 100, so:
+
+    * assignment is a pure function of (salt, doc_id): re-runs, retries,
+      and engine swaps agree (the DuckDB oracle is exact);
+    * growing the corpus never reassigns an existing doc (no eval-set
+      contamination from a re-shuffle);
+    * fractions hold in expectation per stratum since md5 is uniform.
+
+    Narrow (no shuffle, no Python): at 100 TB this is a free column on
+    ingest. Returns (doc_id, lang, split_bucket, split)."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(SPLIT_SALT + ":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return documents.select(
+        "doc_id",
+        "lang",
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )
+
+
+def quality_deciles(documents: DataFrame) -> DataFrame:
+    """Per-language curriculum buckets: ntile(10) over document length
+    (deterministic doc_id tiebreak), aggregated to one row per
+    (lang, decile) with doc counts and the length range -- the table a
+    curriculum scheduler samples from (short-to-long ordering, or
+    quality-ascending once a model-based score replaces n_chars; the
+    dataflow is one window + one groupBy either way)."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = documents.select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+    return ranked.groupBy("lang", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+ORACLE_SQL["corpus_split"] = f"""
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(
+                   md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 100 AS split_bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, split_bucket,
+           CASE WHEN split_bucket < {TEST_PCT} THEN 'test'
+                WHEN split_bucket < {TEST_PCT + VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+"""
+
+ORACLE_SQL["quality_deciles"] = """
+    WITH r AS (
+        SELECT lang, n_chars,
+               ntile(10) OVER (
+                   PARTITION BY lang ORDER BY n_chars, doc_id
+               ) AS decile
+        FROM documents
+    )
+    SELECT lang, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM r GROUP BY lang, decile
+"""

@@ -482,11 +482,13 @@ def ann_recall_report(embeddings: DataFrame) -> DataFrame:
         ("ann_ivf_pq", ann_ivf_pq(embeddings), PQ_TOPK),
     ]
     n_queries = 8
+    max_k = max(k for _, _, k in variants)
+    # one brute-force pass at the largest k; exact top-k' for any k' <= k
+    # is its rnk <= k' prefix (same ordering), so the O(n) scan runs once
+    exact_all = knn_brute_force(embeddings, n_queries=n_queries, k=max_k)
     out = None
     for name, df, k in variants:
-        exact = knn_brute_force(embeddings, n_queries=n_queries, k=k).select(
-            "q_id", "vec_id"
-        )
+        exact = exact_all.filter(F.col("rnk") <= k).select("q_id", "vec_id")
         hits = df.select("q_id", "vec_id").join(
             exact, ["q_id", "vec_id"], "left_semi"
         )

@@ -767,6 +767,19 @@ def q_sequence_packing_tokenized(spark, sf_dir):
     return pipeline.sequence_packing_tokenized(_t(spark, sf_dir, "documents"))
 
 
+# Deterministic hash-bucket train/val/test assignment: reproducible,
+# growth-stable (new docs never reassign old ones), engine-independent.
+@register("corpus_split", pipeline.ORACLE_SQL["corpus_split"])
+def q_corpus_split(spark, sf_dir):
+    return pipeline.corpus_split(_t(spark, sf_dir, "documents"))
+
+
+# Per-language curriculum buckets: ntile(10) by length, aggregated.
+@register("quality_deciles", pipeline.ORACLE_SQL["quality_deciles"])
+def q_quality_deciles(spark, sf_dir):
+    return pipeline.quality_deciles(_t(spark, sf_dir, "documents"))
+
+
 from .operators import graph  # noqa: E402
 
 

@@ -473,3 +473,52 @@ def test_sequence_packing_pluggable_counts(spark, sf_smoke):
     # 'a,b,c d.e!': letter-runs a,b,c,d,e + punct ,,.,! = 9 BPE tokens
     # vs 2 separator tokens
     assert got[1] == 9 and got[2] == 2
+
+
+def test_corpus_split_deterministic_and_growth_stable(spark, sf_smoke):
+    """Split assignment must be a pure function of doc_id: identical
+    across runs, and unchanged for existing docs when the corpus grows
+    (the property rand()-based splits lack, and the one that prevents
+    eval-set contamination on corpus refresh)."""
+    from map_reduce_framework_spark.operators.pipeline import corpus_split
+
+    docs = load_table(spark, sf_smoke, "documents")
+    a = {r.doc_id: (r.split_bucket, r.split) for r in corpus_split(docs).collect()}
+    b = {r.doc_id: (r.split_bucket, r.split) for r in corpus_split(docs).collect()}
+    assert a == b
+    # growth stability: assignments on a half-corpus agree with the full
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    h = {r.doc_id: (r.split_bucket, r.split) for r in corpus_split(half).collect()}
+    assert all(a[d] == v for d, v in h.items())
+    # all three splits are populated and fractions are sane
+    from collections import Counter
+
+    c = Counter(v[1] for v in a.values())
+    n = sum(c.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] / n > 0.8
+    assert 0.01 < c["val"] / n < 0.12 and 0.01 < c["test"] / n < 0.12
+
+
+def test_quality_deciles_partition_counts(spark, sf_smoke):
+    """Every language's docs spread over 10 deciles with balanced counts
+    (ntile guarantee: sizes differ by at most 1) and non-decreasing
+    length ranges."""
+    from map_reduce_framework_spark.operators.pipeline import quality_deciles
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = quality_deciles(docs).collect()
+    per_lang: dict[str, list] = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, ds in per_lang.items():
+        ds.sort(key=lambda r: r.decile)
+        assert [d.decile for d in ds] == list(range(1, len(ds) + 1))
+        assert sum(d.n_docs for d in ds) == totals[lang]
+        assert max(d.n_docs for d in ds) - min(d.n_docs for d in ds) <= 1
+        for lo, hi in zip(ds, ds[1:]):
+            assert lo.max_chars <= hi.min_chars or lo.max_chars <= hi.max_chars
