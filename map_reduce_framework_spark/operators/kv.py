@@ -206,14 +206,23 @@ def kv_fold_segmented(ops: DataFrame, segment_size: int = 64) -> DataFrame:
     each round is one cogroup shuffle of (state ~ |keys| rows) against
     (segment ~ |keys| * segment_size rows). Parallelism stays per-key in
     every round; memory per task is O(segment_size)."""
-    seqd = ops.withColumn(
+    try:
+        n = int(ops.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = 32
+    # key-pinned shuffle width, same rationale as kv_fold: the per-round
+    # cost is per-GROUP Python overhead, which AQE's byte-based coalescing
+    # cannot see -- without the pin the tiny cogroup shuffles collapse to
+    # 1 task (measured 11.2 s -> ~4 s at sf0.1 across 2 rounds).
+    seqd = ops.repartition(n, "key").withColumn(
         "__seq",
         F.row_number().over(Window.partitionBy("key").orderBy("op_id")),
     ).withColumn(
         "__seg", ((F.col("__seq") - 1) / F.lit(segment_size)).cast("int")
     )
-    seqd = seqd.localCheckpoint(eager=False)
-    # one scalar to the driver: how many rounds to chain
+    seqd = seqd.localCheckpoint(eager=True)
+    # one scalar to the driver: how many rounds to chain (the checkpoint
+    # above already materialized the window, so this is a cheap max)
     n_segs = seqd.agg(F.max("__seg")).collect()[0][0]
     if n_segs is None:
         return ops.sparkSession.createDataFrame([], _FOLD_SCHEMA)
@@ -233,8 +242,9 @@ def kv_fold_segmented(ops: DataFrame, segment_size: int = 64) -> DataFrame:
     for k in range(int(n_segs) + 1):
         seg = seqd.filter(F.col("__seg") == k).drop("__seq", "__seg")
         folded = (
-            state.groupby("key")
-            .cogroup(seg.groupby("key"))
+            state.repartition(n, "key")
+            .groupby("key")
+            .cogroup(seg.repartition(n, "key").groupby("key"))
             .applyInPandas(_fold_segment, schema=_SEG_SCHEMA)
             .localCheckpoint(eager=False)
         )
