@@ -135,6 +135,13 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
     once per min() that references it."""
     assert k % 2 == 0
     sh = _shingle_rows(documents).select("doc_id", F.col("s").alias("tok"))
+    return _minhash_from_shingle_rows(sh, k)
+
+
+def _minhash_from_shingle_rows(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Minhash components from an already-shingled (doc_id, tok) relation
+    -- lets persisted shingle tables (ingest_batch) feed the signature
+    computation without re-running the shingle UDF over the text."""
     digests = sh.select(
         "doc_id",
         *[
@@ -301,6 +308,146 @@ def dedup_incremental(
 dedup_incremental.__doc__ = dedup_incremental.__doc__.format(
     mod=INGEST_MOD, rem=INGEST_REM
 )
+
+
+#: Batch fan-out for the multi-round ingest replay.
+INGEST_BATCHES = 4
+
+
+PAIRS_SCHEMA = "batch_doc bigint, corpus_doc bigint, jaccard double"
+
+
+def ingest_batch(
+    spark,
+    state_dir: str,
+    batch_docs: DataFrame,
+    ingest_round: int,
+    threshold: float = 0.7,
+) -> None:
+    """ONE production ingest step against persisted dedup state -- three
+    jobs, each linear in the batch:
+
+      1. shingle the batch once and APPEND (doc_id, toks, r) to the
+         persisted shingle table;
+      2. derive the batch's band signatures FROM the just-written
+         shingles (no second pass over the text) and append
+         (doc_id, band, sig, r) to the band index;
+      3. probe: (band, sig) equi-join of this round's signatures against
+         all EARLIER rounds' (r < ingest_round -- the round column is
+         what keeps the probe one-directional), exact-verify jaccard via
+         the shingle table, append confirmed pairs.
+
+    This is the foreachBatch body of a streaming ingest and the loop
+    body of ``dedup_ingest_replay``; state lives in three parquet tables
+    under ``state_dir`` (band_index / tokens / pairs). The corpus text
+    is never rescanned -- every post-shingle step reads parquet state."""
+    import os
+
+    index_dir = os.path.join(state_dir, "band_index")
+    tokens_dir = os.path.join(state_dir, "tokens")
+    pairs_dir = os.path.join(state_dir, "pairs")
+    r = int(ingest_round)
+    # Write fan-out is a FILE-COUNT decision, not a compute-width one:
+    # an unconfigured session defaults shuffle.partitions to 200, and 200
+    # near-empty state files per round per table turns every later probe
+    # metadata-bound (measured 5.7 s -> 1.9 s per round at sf0.01). Cap
+    # it; at real scale size this to batch_bytes / target_file_size.
+    n_write = min(_n_parts(batch_docs), 32)
+    batch_docs.repartition(n_write).select(
+        "doc_id",
+        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
+            "toks"
+        ),
+        F.lit(r).alias("r"),
+    ).write.mode("append").parquet(tokens_dir)
+    tokens = spark.read.parquet(tokens_dir)
+    batch_sh = (
+        tokens.filter(F.col("r") == r)
+        .select("doc_id", F.explode("toks").alias("tok"))
+    )
+    _band_signatures(_minhash_from_shingle_rows(batch_sh)).withColumn(
+        "r", F.lit(r)
+    ).write.mode("append").parquet(index_dir)
+    index = spark.read.parquet(index_dir)
+    candidates = (
+        index.filter(F.col("r") == r)
+        .select(F.col("doc_id").alias("batch_doc"), "band", "sig")
+        .join(
+            index.filter(F.col("r") < r).select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("band").alias("band_c"),
+                F.col("sig").alias("sig_c"),
+            ),
+            (F.col("band") == F.col("band_c"))
+            & (F.col("sig") == F.col("sig_c")),
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    pairs = (
+        candidates.join(
+            tokens.select(
+                F.col("doc_id").alias("batch_doc"),
+                F.col("toks").alias("toks_a"),
+            ),
+            "batch_doc",
+        )
+        .join(
+            tokens.select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("toks").alias("toks_b"),
+            ),
+            "corpus_doc",
+        )
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b"))
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    pairs.write.mode("append").parquet(pairs_dir)
+
+
+def dedup_ingest_replay(
+    documents: DataFrame,
+    n_batches: int = INGEST_BATCHES,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Replay a full multi-round ingest: the corpus arrives as
+    ``n_batches`` batches (doc_id % n_batches, in order), each probed
+    against -- then appended to -- the persisted band index. Returns the
+    accumulated cross-batch near-dup pairs table: exactly the pairs
+    (a, b) with batch(a) > batch(b), a shared LSH band, and jaccard >=
+    threshold, which is what the DuckDB oracle states declaratively.
+
+    vs ``dedup_incremental`` (one batch, in-plan split): this exercises
+    the real state lifecycle -- K successive probe/verify/append rounds
+    over growing parquet state, each linear in its batch. Scale shape:
+    round k joins |batch| signatures against an index of size
+    sum(|earlier batches|) on (band, sig) -- the index side is parquet,
+    pruned by the equi-join's shuffle, never rescanned as documents."""
+    import os
+    import tempfile
+
+    spark = documents.sparkSession
+    state_dir = tempfile.mkdtemp(prefix="dedup-ingest-replay-")
+    for b in range(n_batches):
+        ingest_batch(
+            spark,
+            state_dir,
+            documents.filter(F.col("doc_id") % n_batches == b),
+            ingest_round=b,
+            threshold=threshold,
+        )
+    # explicit schema: round 0's probe legitimately appends zero rows,
+    # and an all-empty table must still read
+    return spark.read.schema(PAIRS_SCHEMA).parquet(
+        os.path.join(state_dir, "pairs")
+    )
 
 
 def connected_component_labels(
@@ -917,6 +1064,26 @@ ORACLE_SQL: dict[str, str] = {
               ON nb.band = cb.band AND nb.sig = cb.sig
             WHERE nb.doc_id % {INGEST_MOD} = {INGEST_REM}
               AND cb.doc_id % {INGEST_MOD} <> {INGEST_REM}
+        ),
+        tsets2 AS (
+            SELECT doc_id, list_sort({_SH}) AS toks FROM documents
+        )
+        SELECT batch_doc, corpus_doc,
+               len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
+        FROM cand
+        JOIN tsets2 ta ON ta.doc_id = batch_doc
+        JOIN tsets2 tb ON tb.doc_id = corpus_doc
+        WHERE len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
+    """,
+    "dedup_ingest_replay": f"""
+        WITH {_MINHASH_CTE},
+        cand AS (
+            SELECT DISTINCT nb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
+            FROM bands nb JOIN bands cb
+              ON nb.band = cb.band AND nb.sig = cb.sig
+            WHERE nb.doc_id % {INGEST_BATCHES} > cb.doc_id % {INGEST_BATCHES}
         ),
         tsets2 AS (
             SELECT doc_id, list_sort({_SH}) AS toks FROM documents

@@ -979,6 +979,15 @@ def q_dedup_incremental(spark, sf_dir):
     return dedup.dedup_incremental(_t(spark, sf_dir, "documents"))
 
 
+# The full state lifecycle: K successive ingest rounds, each probing --
+# then appending to -- persisted band-index/shingle/pairs tables. The
+# oracle states the fixpoint declaratively (all cross-batch LSH pairs
+# with batch(a) > batch(b)); the query earns it by actually replaying.
+@register("dedup_ingest_replay", dedup.ORACLE_SQL["dedup_ingest_replay"])
+def q_dedup_ingest_replay(spark, sf_dir):
+    return dedup.dedup_ingest_replay(_t(spark, sf_dir, "documents"))
+
+
 # The salted two-phase aggregation must be output-identical to the plain
 # wc, so it shares wc's oracle -- the registered proof that the skew
 # rewrite preserves semantics.

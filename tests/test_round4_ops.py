@@ -181,3 +181,49 @@ def test_streaming_upsert_kill_and_restart(spark, sf_smoke, tmp_path):
     final = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
     full = {tuple(r) for r in incremental_daily_agg(ev).collect()}
     assert final == full
+
+
+def test_streaming_ingest_dedup_matches_replay(spark, sf_smoke, tmp_path):
+    """ingest_batch as a foreachBatch body: stream the corpus in four
+    batch files through the persisted band-index state. Whatever order
+    the file source delivers batches, the UNDIRECTED cross-batch pair
+    set is order-invariant and must equal the batch replay's."""
+    from map_reduce_framework_spark.operators.dedup import (
+        PAIRS_SCHEMA,
+        dedup_ingest_replay,
+        ingest_batch,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "src")
+    for b in range(4):
+        docs.filter(F.col("doc_id") % 4 == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    state = str(tmp_path / "state")
+
+    def upsert(batch_df, batch_id):
+        ingest_batch(spark, state, batch_df, ingest_round=batch_id)
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "ingest stream did not finish in 300s"
+
+    got = {
+        frozenset((r.batch_doc, r.corpus_doc))
+        for r in spark.read.schema(PAIRS_SCHEMA)
+        .parquet(state + "/pairs")
+        .collect()
+    }
+    want = {
+        frozenset((r.batch_doc, r.corpus_doc))
+        for r in dedup_ingest_replay(docs).collect()
+    }
+    assert got == want and want, (len(got), len(want))
