@@ -564,11 +564,14 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        # Convergence = edge set unchanged. One action (symmetric
-        # difference probe over the two checkpointed sets), not three --
-        # per-round driver-job overhead dominates at small scale and is
-        # pure scheduler latency at large scale.
-        same = (
+        # Convergence = edge set unchanged. Two-tier probe: the distinct
+        # edge-set cardinality is a cheap scalar over the two
+        # checkpointed sets, and a star-ward round that changed anything
+        # almost always changes it -- only when counts MATCH does the
+        # exact symmetric-difference probe run (usually exactly once, on
+        # the converged round). Saves the expensive probe on every
+        # still-shrinking round.
+        same = small.count() == E.count() and (
             small.exceptAll(E)
             .unionByName(E.exceptAll(small))
             .limit(1)

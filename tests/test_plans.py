@@ -305,3 +305,47 @@ def test_bm25_stats_broadcast(spark):
     plan = _formatted_plan(spark, "bm25_top_docs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_split_is_narrow(spark):
+    """Split assignment is a pure projection: any Exchange in the plan
+    means someone added a shuffle to what must be a free column at
+    100 TB."""
+    plan = _formatted_plan(spark, "corpus_split")
+    assert "Exchange" not in plan, plan
+
+
+def test_ingest_probe_is_equi_join(spark, tmp_path):
+    """The ingest probe (new batch vs persisted band index) must plan as
+    an equi-join on (band, sig) -- a nested-loop/cartesian stage means
+    the join keys fell out and the probe is O(batch x corpus)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.dedup import ingest_batch
+    from map_reduce_framework_spark.sources.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    state = str(tmp_path / "state")
+    ingest_batch(spark, state, docs.filter(F.col("doc_id") % 4 == 0), 0)
+    # rebuild round 1's probe plan the way ingest_batch does
+    index = spark.read.parquet(state + "/band_index")
+    probe = (
+        index.filter(F.col("r") == 1)
+        .select(F.col("doc_id").alias("batch_doc"), "band", "sig")
+        .join(
+            index.filter(F.col("r") < 1).select(
+                F.col("doc_id").alias("corpus_doc"),
+                F.col("band").alias("band_c"),
+                F.col("sig").alias("sig_c"),
+            ),
+            (F.col("band") == F.col("band_c"))
+            & (F.col("sig") == F.col("sig_c")),
+        )
+    )
+    plan = probe._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
