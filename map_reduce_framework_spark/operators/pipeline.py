@@ -477,3 +477,77 @@ ORACLE_SQL["quality_deciles"] = """
            CAST(max(n_chars) AS BIGINT) AS max_chars
     FROM r GROUP BY lang, decile
 """
+
+
+def assign_doc_ids(documents: DataFrame) -> DataFrame:
+    """Stable dense re-IDs 0..n-1 by a deterministic content order
+    (md5(text), doc_id) -- the ingest step that turns arbitrary upstream
+    ids into a compact contiguous space. THIS form is the semantic
+    reference: one global window, which Spark executes as a
+    single-partition sort -- fine for the oracle, fatal at 100 TB. The
+    production twin ``assign_doc_ids_scalable`` computes the identical
+    mapping with range partitioning + per-partition offsets and is
+    registered under this query's oracle (same shared-oracle discipline
+    as wc_salted / part_pagerank_salted)."""
+    w = Window.orderBy(F.md5("text"), "doc_id")
+    return documents.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("new_id"),
+    )
+
+
+def assign_doc_ids_scalable(documents: DataFrame) -> DataFrame:
+    """The 100 TB form of dense global IDs -- no global sort, no
+    single-partition stage:
+
+      1. range-partition on the order key (each partition holds a
+         contiguous key range; boundary placement comes from sampling
+         and need NOT be deterministic -- see below);
+      2. count rows per partition: K scalars to the driver, prefix-sum
+         into per-partition offsets;
+      3. id = offset[partition] + (rank within partition) - 1, a window
+         partitioned BY partition id -- parallel, no global exchange.
+
+    The output is boundary-independent: a row's id is exactly the number
+    of keys ordered before it, however the sampler placed the cuts, so
+    this is bit-identical to the global-window form -- proven by sharing
+    its oracle. The materialization (localCheckpoint) pins one boundary
+    sample + partition assignment across the two passes."""
+    spark = documents.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = 32
+    keyed = (
+        documents.select("doc_id", F.md5("text").alias("k"))
+        .repartitionByRange(n, "k", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        (r.pid, r.n)
+        for r in keyed.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = spark.createDataFrame(offsets, "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy("k", "doc_id")
+    return (
+        keyed.join(F.broadcast(off), "pid")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(w) - 1)
+            .cast("bigint")
+            .alias("new_id"),
+        )
+    )
+
+
+ORACLE_SQL["assign_doc_ids"] = """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5(text), doc_id) - 1
+                AS BIGINT) AS new_id
+    FROM documents
+"""

@@ -780,6 +780,19 @@ def q_quality_deciles(spark, sf_dir):
     return pipeline.quality_deciles(_t(spark, sf_dir, "documents"))
 
 
+# Dense global re-IDs: the window form is the semantic reference...
+@register("assign_doc_ids", pipeline.ORACLE_SQL["assign_doc_ids"])
+def q_assign_doc_ids(spark, sf_dir):
+    return pipeline.assign_doc_ids(_t(spark, sf_dir, "documents"))
+
+
+# ...and the range-partition + offset form is the 100 TB plan, proven
+# bit-identical by sharing the window form's oracle.
+@register("assign_doc_ids_scalable", pipeline.ORACLE_SQL["assign_doc_ids"])
+def q_assign_doc_ids_scalable(spark, sf_dir):
+    return pipeline.assign_doc_ids_scalable(_t(spark, sf_dir, "documents"))
+
+
 from .operators import graph  # noqa: E402
 
 

@@ -349,3 +349,13 @@ def test_ingest_probe_is_equi_join(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalable_id_assignment_avoids_global_sort(spark):
+    """assign_doc_ids_scalable exists to kill the Exchange SinglePartition
+    a global window forces; its plan must not contain one. The reference
+    (window) form must -- otherwise this gate tests nothing."""
+    plan = _formatted_plan(spark, "assign_doc_ids_scalable")
+    assert "SinglePartition" not in plan, plan
+    ref_plan = _formatted_plan(spark, "assign_doc_ids")
+    assert "SinglePartition" in ref_plan, ref_plan
