@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Scaling-curve evidence for the 100 TB design claims: run one headline
+query per operator family at sf0.001 / sf0.01 / sf0.1 (100x data spread)
+and report wall-clock growth factors.
+
+What "good" looks like on local[32], where small-SF times are dominated
+by fixed per-job overhead: the 0.001->0.1 growth factor should sit FAR
+below the 100x data growth (overhead amortizes), and the 0.01->0.1
+factor (10x data) should approach but not exceed ~10x for the linear
+operators. A factor much above the data growth would expose a
+super-linear stage (an unblocked self-join, a driver-side loop) --
+exactly what the plan gates are supposed to prevent; this experiment is
+the end-to-end measurement backing them.
+
+Writes experiments/scaling_results.json:
+  {query: {sf: seconds, ..., "growth_001_to_01": f1, "growth_01_to_1": f2}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+#: One representative per family; all linear-ish by design.
+QUERIES = [
+    "wc",                   # A-surface: tokenize + agg
+    "q3_top_orders",        # relational join + agg + top-k
+    "minhash_lsh_pairs",    # dedup: shingle + sign + band join + verify
+    "ann_lsh",              # similarity: bucket + probe + exact verify
+    "part_pagerank",        # iterative graph
+    "incremental_daily_agg",  # state merge
+    "sequence_packing",     # Arrow groupwise packing
+]
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+def main() -> None:
+    from map_reduce_framework_spark import registry
+    from map_reduce_framework_spark.session import get_spark
+
+    spark = get_spark("scaling-curves")
+    # warm the session so sf0.001 doesn't absorb JVM/codegen startup
+    registry.REGISTRY["wc"].fn(spark, SFS[0]).count()
+
+    results: dict[str, dict] = {}
+    for name in QUERIES:
+        row: dict[str, float] = {}
+        for sf_dir in SFS:
+            sf = os.path.basename(sf_dir)
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                registry.REGISTRY[name].fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[sf] = round(best, 3)
+        row["growth_001_to_01"] = round(row["sf0.01"] / row["sf0.001"], 2)
+        row["growth_01_to_1"] = round(row["sf0.1"] / row["sf0.01"], 2)
+        results[name] = row
+        print(name, row, flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "scaling_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
