@@ -1043,3 +1043,49 @@ ORACLE_SQL["lang_confusion"] = f"""
     SELECT c.labeled_lang, c.pred_lang, c.n, c.n / t.n_labeled AS row_share
     FROM cells c JOIN totals t USING (labeled_lang)
 """
+
+
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Per-document perplexity under the corpus's own unigram LM -- the
+    CCNet-style (Wenzek et al. 2019) quality signal: text whose tokens
+    are corpus-typical scores low, gibberish/outlier text scores high
+    (real pipelines swap in a KenLM trained on a reference corpus; the
+    dataflow is identical -- token score lookup + per-doc average).
+
+    Returns (doc_id, n_tokens, avg_neg_log2_prob, ppl) where
+    ppl = 2^avg. Plan shape at 100 TB: one token-count aggregate over
+    the exploded corpus (shuffle carries tokens, not documents), a
+    1-row total, then the scoring join token->count (the LM table
+    shuffles once; docs stream) and one doc-keyed aggregate.
+
+    Registered rows-only: ln/log2 differ in final ulps between libm
+    implementations, so a hash oracle would be flaky by construction;
+    the value contract is pinned in pytest against an independently
+    computed reference with 1e-9 relative tolerance
+    (tests/test_round4_ops.py)."""
+    toks = documents.select(
+        "doc_id", F.explode(tokenize_ws("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    scored = (
+        toks.join(counts, "tok")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-(F.log2(F.col("c")) - F.log2(F.col("total")))).alias("nlp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("nlp").alias("avg_neg_log2_prob"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_neg_log2_prob",
+            F.pow(F.lit(2.0), F.col("avg_neg_log2_prob")).alias("ppl"),
+        )
+    )

@@ -780,6 +780,14 @@ def q_quality_deciles(spark, sf_dir):
     return pipeline.quality_deciles(_t(spark, sf_dir, "documents"))
 
 
+# Unigram-LM perplexity (CCNet-style quality): rows-only -- libm log()
+# ulps differ across engines, so the value contract is pytest-pinned
+# (1e-9 rel) instead of hash-matched.
+@register("unigram_logprob_scores", None)
+def q_unigram_logprob_scores(spark, sf_dir):
+    return text_analysis.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 # Dense global re-IDs: the window form is the semantic reference...
 @register("assign_doc_ids", pipeline.ORACLE_SQL["assign_doc_ids"])
 def q_assign_doc_ids(spark, sf_dir):

@@ -227,3 +227,48 @@ def test_streaming_ingest_dedup_matches_replay(spark, sf_smoke, tmp_path):
         for r in dedup_ingest_replay(docs).collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+def test_unigram_perplexity_matches_independent_reference(spark, sf_smoke):
+    """Rows-only query's value contract: the per-doc average negative
+    log2-prob must match an independently computed (DuckDB) reference to
+    1e-9 relative -- the float-tolerance stand-in for the hash gate that
+    libm ulp differences rule out."""
+    import duckdb
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        unigram_logprob_scores,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {
+        r.doc_id: r for r in unigram_logprob_scores(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_smoke}/documents.parquet'"
+    )
+    want = con.sql(
+        r"""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        tot AS (SELECT sum(c) AS total FROM counts)
+        SELECT t.doc_id, count(*) AS n_tokens,
+               avg(-(log2(c) - log2(total))) AS avg_nlp
+        FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+        GROUP BY t.doc_id
+        """
+    ).fetchall()
+    assert len(want) == len(got)
+    for doc_id, n_tokens, avg_nlp in want:
+        g = got[doc_id]
+        assert g.n_tokens == n_tokens
+        assert abs(g.avg_neg_log2_prob - avg_nlp) <= 1e-9 * max(
+            1.0, abs(avg_nlp)
+        ), (doc_id, g.avg_neg_log2_prob, avg_nlp)
+        assert abs(g.ppl - 2.0**avg_nlp) <= 1e-6 * 2.0**avg_nlp
