@@ -464,6 +464,100 @@ N_CELLS = 16
 N_PROBE = 4
 
 
+#: Probed cells per query for the trained-centroid IVF (of K=8 cells:
+#: scan fraction = 2/8 = 25%, matching ann_ivf's n_probe/n_centroids).
+T_PROBE = 2
+
+
+def ann_ivf_trained(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_probe: int = T_PROBE,
+) -> DataFrame:
+    """IVF ANN over TRAINED centroids -- the declared 100 TB coarse
+    quantizer: ``similarity.ann_ivf`` uses the first N vectors as cells
+    (deterministic but arbitrary); this variant runs the exact-arithmetic
+    Lloyd loop (same quantized-mantissa discipline as ``kmeans_lloyd``,
+    so the oracle unrolls it as chained CTEs) and partitions the corpus
+    by the LEARNED cells. Cell assignment and probe ranking use squared
+    L2 in the quantized space (consistent with training); final scoring
+    is exact cosine over the raw vectors, identical to every other ANN
+    variant so ``ann_recall_report`` compares like with like.
+
+    Honesty note on this corpus: the synthetic embeddings are
+    near-uniform, so learned cells have nothing to learn -- the recall
+    report measures 0.90 here vs 0.925 for the arbitrary first-N
+    quantizer at the same 25% scan fraction (8 cells/2 probes vs
+    16/4). On a real clustered corpus the learned quantizer is the one
+    that holds up; what this variant contributes NOW is the full
+    trained-coarse-quantizer pipeline with exact-arithmetic training
+    that the oracle can unroll and hash-check end to end."""
+    try:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    vectors = _quantized(embeddings, n_parts)
+    cents = vectors.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(ITERS):
+        cents = _update(_assign(vectors, cents))
+    cells = _assign(vectors, cents).select("vec_id", "cid")
+    dist = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    wq = Window.partitionBy("q_id").orderBy("dist", "cid")
+    probes = (
+        vectors.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), "v")
+        .join(F.broadcast(cents))
+        .select("q_id", "cid", dist.alias("dist"))
+        .withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= n_probe)
+        .select("q_id", "cid")
+    )
+    candidates = (
+        cells.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    raw = as_double(F.col("embedding"))
+    er = embeddings.repartition(n_parts).select(
+        "vec_id", raw.alias("rv"), F.sqrt(dot(raw, raw)).alias("nrm")
+    )
+    scored = (
+        candidates.join(er, "vec_id")
+        .join(
+            F.broadcast(
+                er.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("q_id"),
+                    F.col("rv").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                )
+            ),
+            "q_id",
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            (dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def ann_ivf_pq(
     embeddings: DataFrame,
     n_queries: int = N_PQ_QUERIES,
@@ -889,3 +983,45 @@ ORACLE_SQL: dict[str, str] = {
         FROM afinal GROUP BY cid
     """,
 }
+
+
+ORACLE_SQL["ann_ivf_trained"] = f"""
+    {_kmeans_ctes()},
+    cells AS (SELECT vec_id, cid FROM afinal),
+    probes AS (
+        SELECT q_id, cid FROM (
+            SELECT e.vec_id AS q_id, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DIST.format(v='e.v', c='c.cv')}, c.cid
+                   ) AS rnk
+            FROM e CROSS JOIN c{ITERS} c WHERE e.vec_id < 8
+        ) WHERE rnk <= {T_PROBE}
+    ),
+    er AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT p.q_id, cl.vec_id
+        FROM cells cl JOIN probes p ON cl.cid = p.cid
+        WHERE cl.vec_id <> p.q_id
+    ),
+    scored AS (
+        SELECT c.q_id, c.vec_id,
+               list_dot_product(qe.rv, ce.rv) / (qe.nrm * ce.nrm) AS cos
+        FROM cand c
+        JOIN er ce ON ce.vec_id = c.vec_id
+        JOIN er qe ON qe.vec_id = c.q_id
+    ),
+    ranked AS (
+        SELECT q_id, vec_id, cos,
+               CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY cos DESC, vec_id
+               ) AS INT) AS rnk
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rnk <= 5
+"""

@@ -474,11 +474,12 @@ def ann_recall_report(embeddings: DataFrame) -> DataFrame:
     sample; each variant's subplan is the registered production plan
     unchanged, and the semi join + count adds one broadcast-size
     exchange per variant."""
-    from .clustering import PQ_TOPK, ann_ivf_pq
+    from .clustering import PQ_TOPK, ann_ivf_pq, ann_ivf_trained
 
     variants = [
         ("ann_lsh", ann_lsh(embeddings), 5),
         ("ann_ivf", ann_ivf(embeddings), 5),
+        ("ann_ivf_trained", ann_ivf_trained(embeddings), 5),
         ("ann_ivf_pq", ann_ivf_pq(embeddings), PQ_TOPK),
     ]
     n_queries = 8
@@ -740,6 +741,9 @@ def _build_recall_report_sql() -> str:
         [
             _recall_row_sql("ann_lsh", ORACLE_SQL["ann_lsh"], 5),
             _recall_row_sql("ann_ivf", ORACLE_SQL["ann_ivf"], 5),
+            _recall_row_sql(
+                "ann_ivf_trained", _CL_SQL["ann_ivf_trained"], 5
+            ),
             _recall_row_sql("ann_ivf_pq", _CL_SQL["ann_ivf_pq"], PQ_TOPK),
         ]
     )

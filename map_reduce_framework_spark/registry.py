@@ -633,6 +633,13 @@ def q_ann_ivf_pq(spark, sf_dir):
     return clustering.ann_ivf_pq(_t(spark, sf_dir, "embeddings"))
 
 
+# IVF over TRAINED (Lloyd) centroids -- the 100 TB coarse quantizer,
+# exact-arithmetic training unrolled in the oracle's chained CTEs.
+@register("ann_ivf_trained", clustering.ORACLE_SQL["ann_ivf_trained"])
+def q_ann_ivf_trained(spark, sf_dir):
+    return clustering.ann_ivf_trained(_t(spark, sf_dir, "embeddings"))
+
+
 @register("event_funnel", rel.ORACLE_SQL["event_funnel"])
 def q_event_funnel(spark, sf_dir):
     return rel.event_funnel(_t(spark, sf_dir, "events"))
