@@ -77,6 +77,8 @@ def main() -> None:
     # reps/timing are recorded in the JSON so the number is unambiguous.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    import gc
+
     for name, q in sorted(registry.REGISTRY.items()):
         best = -1.0
         try:
@@ -91,6 +93,19 @@ def main() -> None:
         except Exception as exc:  # a broken query must not hide the others
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # Cross-query isolation: iterative operators localCheckpoint
+        # intermediate RDDs whose blocks are only released when the
+        # ContextCleaner notices the Python references are gone. Left
+        # alone, dozens of queries' blocks pile up in storage memory and
+        # the unified manager squeezes execution -- observed 2.6 s ->
+        # 9.2 s on the wedge join late in the suite. Collect both sides
+        # so each query is measured against a clean memory state (this
+        # is isolation hygiene, not a per-query cost change).
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
