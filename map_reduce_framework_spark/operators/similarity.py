@@ -1,7 +1,13 @@
 """Similarity search over the embeddings table (array<float> column).
 
 North-star operators (BASELINE.json): the reference has no vector surface,
-but a 100 TB training-data pipeline needs ANN. Two tiers:
+but a 100 TB training-data pipeline needs ANN. The family: exact
+``knn_brute_force`` (validation), ``ann_lsh`` (hyperplane blocking),
+``ann_ivf`` (first-N coarse cells), ``ann_ivf_trained``
+(Lloyd-trained cells, clustering.py), ``ann_ivf_pq`` (trained cells +
+product-quantized ADC, clustering.py), with ``ann_recall_report``
+pinning each variant's recall@k against exact as a registered query.
+The two archetypes in detail:
 
 * ``knn_brute_force`` -- exact top-k per query vector. The query side is
   tiny and broadcast; the candidate scan is embarrassingly parallel and
