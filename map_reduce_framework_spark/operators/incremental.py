@@ -340,3 +340,73 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
 }
+
+
+#: Join-IVM cutoff: splits both orders (by o_orderdate) and lineitem (by
+#: l_shipdate) into materialized/delta halves with real rows on each side
+#: at every sf (TPC-H dates span 1992-1998).
+JOIN_CUTOFF = "1996-01-01"
+
+
+def incremental_join_maintenance(
+    orders: DataFrame, lineitem: DataFrame, cutoff: str = JOIN_CUTOFF
+) -> DataFrame:
+    """Incremental JOIN maintenance -- the other half of the IVM story
+    (incremental_daily_agg covers aggregates). The delta-join identity:
+
+        J(A + dA, B + dB) = J(A,B) + J(dA,B) + J(A,dB) + J(dA,dB)
+
+    where A/B are the materialized pre-cutoff orders/lineitem and dA/dB
+    the late-arriving rows. A warehouse maintaining a materialized join
+    view computes only the three delta terms when a late batch lands --
+    each joins a SMALL delta against one big table (runtime-filter/DPP
+    prunes the big side's scan to matching keys) -- instead of re-joining
+    100 TB x 100 TB. The registered query computes all four terms and
+    aggregates to a compact per-month (n_rows, revenue) report; the
+    DuckDB oracle is the plain one-shot join, so the identity is proven
+    by hash, not asserted.
+
+    Shuffle accounting: the A ⋈ B term is amortized (it IS the
+    materialized view in production); each delta term shuffles
+    |delta| + matching-key rows only."""
+    cut = F.lit(cutoff).cast("timestamp_ntz")
+    a = orders.filter(F.col("o_orderdate") < cut)
+    da = orders.filter(F.col("o_orderdate") >= cut)
+    b = lineitem.filter(F.col("l_shipdate") < cut)
+    db = lineitem.filter(F.col("l_shipdate") >= cut)
+    terms = [
+        a.join(b, a["o_orderkey"] == b["l_orderkey"]),
+        da.join(b, da["o_orderkey"] == b["l_orderkey"]),
+        a.join(db, a["o_orderkey"] == db["l_orderkey"]),
+        da.join(db, da["o_orderkey"] == db["l_orderkey"]),
+    ]
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = [
+        t.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            revenue.alias("rev"),
+        )
+        for t in terms
+    ]
+    unioned = monthly[0]
+    for m in monthly[1:]:
+        unioned = unioned.unionByName(m)
+    return unioned.groupBy("order_month").agg(
+        F.count("*").alias("n_rows"),
+        # scale 6, not 2: the engines' double->decimal half-way rounding
+        # can disagree at coarse scales (same reason relational.dsum
+        # defaults to 6)
+        F.sum(F.col("rev").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+ORACLE_SQL["incremental_join_maintenance"] = """
+    SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS order_month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+"""

@@ -947,6 +947,19 @@ def q_incremental_daily_agg(spark, sf_dir):
     return incremental.incremental_daily_agg(_t(spark, sf_dir, "events"))
 
 
+# Join-IVM: the four-term delta-join identity
+# J(A+dA, B+dB) = J(A,B) + J(dA,B) + J(A,dB) + J(dA,dB),
+# proven against the plain one-shot-join oracle by hash.
+@register(
+    "incremental_join_maintenance",
+    incremental.ORACLE_SQL["incremental_join_maintenance"],
+)
+def q_incremental_join_maintenance(spark, sf_dir):
+    return incremental.incremental_join_maintenance(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
 @register("bm25_top_docs", text_analysis.ORACLE_SQL["bm25_top_docs"])
 def q_bm25_top_docs(spark, sf_dir):
     return text_analysis.bm25_top_docs(_t(spark, sf_dir, "documents"))

@@ -272,3 +272,21 @@ def test_unigram_perplexity_matches_independent_reference(spark, sf_smoke):
             1.0, abs(avg_nlp)
         ), (doc_id, g.avg_neg_log2_prob, avg_nlp)
         assert abs(g.ppl - 2.0**avg_nlp) <= 1e-6 * 2.0**avg_nlp
+
+
+def test_join_ivm_cutoff_populates_all_four_terms(spark, sf_smoke):
+    """The delta-join identity is only proven non-vacuously if every
+    term J(A,B), J(dA,B), J(A,dB), J(dA,dB) contributes rows."""
+    from map_reduce_framework_spark.operators.incremental import JOIN_CUTOFF
+
+    o = load_table(spark, sf_smoke, "orders")
+    li = load_table(spark, sf_smoke, "lineitem")
+    cut = F.lit(JOIN_CUTOFF).cast("timestamp_ntz")
+    a = o.filter(F.col("o_orderdate") < cut)
+    da = o.filter(F.col("o_orderdate") >= cut)
+    b = li.filter(F.col("l_shipdate") < cut)
+    db = li.filter(F.col("l_shipdate") >= cut)
+    for x, y in [(a, b), (da, b), (a, db), (da, db)]:
+        assert (
+            x.join(y, x["o_orderkey"] == y["l_orderkey"]).limit(1).count() == 1
+        )
