@@ -512,6 +512,52 @@ def ann_recall_report(embeddings: DataFrame) -> DataFrame:
     return out
 
 
+#: Standard RRF dampening constant (Cormack/Clarke/Buettcher SIGIR'09).
+RRF_K = 60
+
+
+def hybrid_retrieval_rrf(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Hybrid retrieval -- the RAG-stack fusion step: a lexical ranking
+    (BM25 for the fixed probe term) and a semantic ranking (exact cosine
+    neighbors of the fixed probe vector) merged by reciprocal rank
+    fusion, score(d) = sum over rankers of 1/(RRF_K + rank_r(d))
+    (Cormack et al. 2009). Docs found by only one ranker keep that
+    single term -- the standard treatment.
+
+    Exactness: ranks are INTs, each 1/(60+r) is one correctly-rounded
+    IEEE division, the two-term sum has a fixed order, ties break on
+    doc_id -- hash-exact against the composed oracle. The final window
+    is global but runs over <= 2k fused rows (top-k lists, not corpora),
+    so the SinglePartition stage is bounded by k, never by data size."""
+    from .text_analysis import bm25_top_docs
+
+    lex = (
+        bm25_top_docs(documents)
+        .filter(F.col("term") == "spark")
+        .select("doc_id", F.col("rnk").alias("lex_rnk"))
+    )
+    sem = knn_brute_force(embeddings, n_queries=1, k=10).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rnk").alias("sem_rnk"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer")
+    term = lambda c: F.coalesce(  # noqa: E731
+        F.lit(1.0) / (F.lit(RRF_K) + F.col(c)), F.lit(0.0)
+    )
+    scored = fused.select(
+        "doc_id",
+        "lex_rnk",
+        "sem_rnk",
+        (term("lex_rnk") + term("sem_rnk")).alias("rrf_score"),
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id"))
+    return scored.withColumn(
+        "fused_rnk", F.row_number().over(w).cast("int")
+    )
+
+
 def _signs_sql(signs: list[float]) -> str:
     return "[" + ",".join(f"{s:.1f}" for s in signs) + "]::DOUBLE[]"
 
@@ -756,3 +802,35 @@ def _build_recall_report_sql() -> str:
 
 
 ORACLE_SQL["ann_recall_report"] = _build_recall_report_sql()
+
+
+def _build_hybrid_rrf_sql() -> str:
+    from .text_analysis import ORACLE_SQL as _TA_SQL
+
+    return f"""
+        WITH lex AS (
+            SELECT doc_id, rnk AS lex_rnk
+            FROM ({_TA_SQL['bm25_top_docs']}) WHERE term = 'spark'
+        ),
+        sem AS (
+            SELECT vec_id AS doc_id, rnk AS sem_rnk
+            FROM ({_knn_sql(10)}) WHERE q_id = 0
+        ),
+        f AS (
+            SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                   l.lex_rnk, s.sem_rnk,
+                   COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + l.lex_rnk),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + s.sem_rnk),
+                              CAST(0.0 AS DOUBLE)) AS rrf_score
+            FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+        )
+        SELECT doc_id, lex_rnk, sem_rnk, rrf_score,
+               CAST(row_number() OVER (
+                   ORDER BY rrf_score DESC, doc_id
+               ) AS INT) AS fused_rnk
+        FROM f
+    """
+
+
+ORACLE_SQL["hybrid_retrieval_rrf"] = _build_hybrid_rrf_sql()

@@ -512,6 +512,15 @@ def q_ann_recall_report(spark, sf_dir):
     return similarity.ann_recall_report(_t(spark, sf_dir, "embeddings"))
 
 
+# RAG-stack rank fusion: BM25 lexical + exact-cosine semantic rankings
+# merged by reciprocal rank fusion; hash-exact composed oracle.
+@register("hybrid_retrieval_rrf", similarity.ORACLE_SQL["hybrid_retrieval_rrf"])
+def q_hybrid_retrieval_rrf(spark, sf_dir):
+    return similarity.hybrid_retrieval_rrf(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 @register("embedding_near_pairs", similarity.ORACLE_SQL["embedding_near_pairs"])
 def q_embedding_near_pairs(spark, sf_dir):
     return similarity.embedding_near_pairs(_t(spark, sf_dir, "embeddings"))
