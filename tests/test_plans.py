@@ -213,7 +213,9 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
                 conf.set(k, v)
 
 
-@pytest.mark.parametrize("name", ["pq_codes", "pq_adc_topk", "kmeans_clusters"])
+@pytest.mark.parametrize(
+    "name", ["pq_codes", "pq_adc_topk", "kmeans_clusters", "ann_ivf_trained"]
+)
 def test_vector_ops_broadcast_small_sides(spark, name):
     """Codebooks/centroids/LUTs are tiny relations: every join in the
     vector operators must broadcast them -- a shuffle join would move the
