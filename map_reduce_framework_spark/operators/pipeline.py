@@ -25,38 +25,103 @@ from ..functions.text import tokenize_ws
 from . import dedup, text_analysis
 
 
-def clean_corpus(documents: DataFrame) -> DataFrame:
-    """documents -> (doc_id, lang, n_tokens) for docs that pass the quality
-    gate, are their exact-dup group's keeper, and are their near-dup
-    cluster's keeper."""
-    quality_pass = (
+def _quality_pass_ids(documents: DataFrame) -> DataFrame:
+    return (
         text_analysis.quality_score(documents)
         .filter(F.col("keep"))
         .select("doc_id")
     )
-    # Exact-dup keeper: min doc_id per identical-text group (window top-1;
-    # singletons are trivially their own keeper).
+
+
+def _exact_keeper_ids(documents: DataFrame) -> DataFrame:
+    """Exact-dup keeper: min doc_id per identical-text group (window
+    top-1; singletons are trivially their own keeper)."""
     w = Window.partitionBy("text_hash").orderBy("doc_id")
-    exact_keepers = (
+    return (
         documents.select("doc_id", F.md5("text").alias("text_hash"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id")
     )
-    # Near-dup cluster non-keepers get dropped (docs in no cluster stay).
-    near_dup_drops = (
+
+
+def _near_dup_drop_ids(documents: DataFrame) -> DataFrame:
+    """Near-dup cluster non-keepers (docs in no cluster stay)."""
+    return (
         dedup.dedup_clusters(documents)
         .filter(~F.col("is_keeper"))
         .select("doc_id")
     )
+
+
+def clean_corpus(documents: DataFrame) -> DataFrame:
+    """documents -> (doc_id, lang, n_tokens) for docs that pass the quality
+    gate, are their exact-dup group's keeper, and are their near-dup
+    cluster's keeper."""
     return (
-        documents.join(quality_pass, "doc_id")
-        .join(exact_keepers, "doc_id")
-        .join(near_dup_drops, "doc_id", "left_anti")
+        documents.join(_quality_pass_ids(documents), "doc_id")
+        .join(_exact_keeper_ids(documents), "doc_id")
+        .join(_near_dup_drop_ids(documents), "doc_id", "left_anti")
         .select(
             "doc_id",
             "lang",
             F.size(tokenize_ws("text")).alias("n_tokens"),
+        )
+    )
+
+
+def curation_funnel(documents: DataFrame) -> DataFrame:
+    """The drop-accounting report every pipeline owner asks for: how many
+    documents survive each curation stage (raw -> quality gate -> exact-
+    dedup keeper -> near-dup keeper). Each stage count is CUMULATIVE
+    (docs surviving every gate up to that point), so consecutive rows
+    directly give each gate's kill rate. Four 1-row aggregates over
+    already-oracle-checked building blocks; the funnel's own oracle
+    composes their SQL."""
+    quality = _quality_pass_ids(documents)
+    exact = _exact_keeper_ids(documents)
+    drops = _near_dup_drop_ids(documents)
+    stages = [
+        ("raw", documents.select("doc_id")),
+        ("quality_pass", documents.select("doc_id").join(quality, "doc_id")),
+        (
+            "exact_keeper",
+            documents.select("doc_id")
+            .join(quality, "doc_id")
+            .join(exact, "doc_id"),
+        ),
+        (
+            "near_dup_keeper",
+            documents.select("doc_id")
+            .join(quality, "doc_id")
+            .join(exact, "doc_id")
+            .join(drops, "doc_id", "left_anti"),
+        ),
+    ]
+    out = None
+    for idx, (stage, df) in enumerate(stages):
+        row = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(idx).cast("int").alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def training_token_budget(documents: DataFrame) -> DataFrame:
+    """THE number a pretraining run is planned around: surviving tokens
+    per (lang, split) after the full curation pipeline -- clean_corpus
+    composed with the deterministic corpus_split, aggregated. Exact
+    BIGINT token sums; one groupBy over the (small) survivor relation."""
+    cleaned = clean_corpus(documents)
+    splits = corpus_split(documents).select("doc_id", "split")
+    return (
+        cleaned.join(splits, "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
 
@@ -289,30 +354,10 @@ def _bpe_count_sql() -> str:
     return f"len(regexp_extract_all(text, '{pattern}'))"
 
 
-ORACLE_SQL: dict[str, str] = {
-    "sequence_packing": _packing_sql(
-        "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
-    ),
-    "sequence_packing_tokenized": _packing_sql(_bpe_count_sql()),
-    "dedup_survivors": f"""
-        WITH RECURSIVE {dedup._MINHASH_CTE},
-        {_COMP_CTES},
-        ranked AS (
-            SELECT c.doc_id, c.cluster_id,
-                   row_number() OVER (
-                       PARTITION BY c.cluster_id
-                       ORDER BY d.n_chars DESC, c.doc_id
-                   ) AS rnk
-            FROM comp c JOIN documents d USING (doc_id)
-        )
-        SELECT d.doc_id, d.n_chars, r.cluster_id,
-               (r.cluster_id IS NULL OR r.rnk = 1) AS kept,
-               CASE WHEN r.cluster_id IS NULL THEN 'unique'
-                    WHEN r.rnk = 1 THEN 'best_in_cluster'
-                    ELSE 'duplicate' END AS reason
-        FROM documents d LEFT JOIN ranked r USING (doc_id)
-    """,
-    "clean_corpus": f"""
+#: Shared curation CTE chain (quality gate, exact keepers, near-dup
+#: drops over the MinHash cluster graph) -- every curation-family oracle
+#: composes on top of it.
+_CLEAN_CTES = f"""
         WITH RECURSIVE {dedup._MINHASH_CTE},
         candidates AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -368,11 +413,54 @@ ORACLE_SQL: dict[str, str] = {
                 FROM documents
             ) WHERE rn = 1
         )
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "sequence_packing": _packing_sql(
+        "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
+    ),
+    "sequence_packing_tokenized": _packing_sql(_bpe_count_sql()),
+    "dedup_survivors": f"""
+        WITH RECURSIVE {dedup._MINHASH_CTE},
+        {_COMP_CTES},
+        ranked AS (
+            SELECT c.doc_id, c.cluster_id,
+                   row_number() OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY d.n_chars DESC, c.doc_id
+                   ) AS rnk
+            FROM comp c JOIN documents d USING (doc_id)
+        )
+        SELECT d.doc_id, d.n_chars, r.cluster_id,
+               (r.cluster_id IS NULL OR r.rnk = 1) AS kept,
+               CASE WHEN r.cluster_id IS NULL THEN 'unique'
+                    WHEN r.rnk = 1 THEN 'best_in_cluster'
+                    ELSE 'duplicate' END AS reason
+        FROM documents d LEFT JOIN ranked r USING (doc_id)
+    """,
+    "clean_corpus": _CLEAN_CTES + f"""
         SELECT d.doc_id, d.lang, CAST(len({_TOKS}) AS INT) AS n_tokens
         FROM documents d
         JOIN quality_pass USING (doc_id)
         JOIN exact_keepers USING (doc_id)
         WHERE d.doc_id NOT IN (SELECT doc_id FROM near_dup_drops)
+    """,
+    "curation_funnel": _CLEAN_CTES + """
+        SELECT * FROM (
+            SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage,
+                   CAST(count(*) AS BIGINT) AS n_docs FROM documents
+            UNION ALL
+            SELECT 1, 'quality_pass', CAST(count(*) AS BIGINT)
+            FROM quality_pass
+            UNION ALL
+            SELECT 2, 'exact_keeper', CAST(count(*) AS BIGINT)
+            FROM quality_pass JOIN exact_keepers USING (doc_id)
+            UNION ALL
+            SELECT 3, 'near_dup_keeper', CAST(count(*) AS BIGINT)
+            FROM quality_pass q JOIN exact_keepers USING (doc_id)
+            WHERE q.doc_id NOT IN (SELECT doc_id FROM near_dup_drops)
+        )
     """,
 }
 
@@ -447,6 +535,34 @@ def quality_deciles(documents: DataFrame) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
     )
 
+
+ORACLE_SQL["training_token_budget"] = _CLEAN_CTES + f"""
+    , survivors AS (
+        SELECT d.doc_id, d.lang, CAST(len({_TOKS}) AS INT) AS n_tokens
+        FROM documents d
+        JOIN quality_pass USING (doc_id)
+        JOIN exact_keepers USING (doc_id)
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM near_dup_drops)
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN b < {TEST_PCT} THEN 'test'
+                    WHEN b < {TEST_PCT + VAL_PCT} THEN 'val'
+                    ELSE 'train' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(concat('0x', substr(
+                       md5('{SPLIT_SALT}:' || CAST(doc_id AS VARCHAR)),
+                       1, 15)) AS BIGINT) % 100 AS b
+            FROM documents
+        )
+    )
+    SELECT s.lang, sp.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(s.n_tokens) AS BIGINT) AS n_tokens
+    FROM survivors s JOIN sp USING (doc_id)
+    GROUP BY 1, 2
+"""
 
 ORACLE_SQL["corpus_split"] = f"""
     WITH b AS (

@@ -796,6 +796,21 @@ def q_quality_deciles(spark, sf_dir):
     return pipeline.quality_deciles(_t(spark, sf_dir, "documents"))
 
 
+# Curation drop accounting: cumulative survivors per pipeline stage.
+@register("curation_funnel", pipeline.ORACLE_SQL["curation_funnel"])
+def q_curation_funnel(spark, sf_dir):
+    return pipeline.curation_funnel(_t(spark, sf_dir, "documents"))
+
+
+# Surviving training tokens per (lang, split) -- clean_corpus composed
+# with the deterministic hash split.
+@register(
+    "training_token_budget", pipeline.ORACLE_SQL["training_token_budget"]
+)
+def q_training_token_budget(spark, sf_dir):
+    return pipeline.training_token_budget(_t(spark, sf_dir, "documents"))
+
+
 # Unigram-LM perplexity (CCNet-style quality): rows-only -- libm log()
 # ulps differ across engines, so the value contract is pytest-pinned
 # (1e-9 rel) instead of hash-matched.
