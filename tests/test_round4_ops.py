@@ -290,3 +290,33 @@ def test_join_ivm_cutoff_populates_all_four_terms(spark, sf_smoke):
         assert (
             x.join(y, x["o_orderkey"] == y["l_orderkey"]).limit(1).count() == 1
         )
+
+
+def test_curation_accounting_is_internally_consistent(spark, sf_smoke):
+    """Cross-operator integration: the funnel's final stage, the cleaned
+    corpus, and the token budget must all agree with each other, and the
+    split assignment must partition the survivors."""
+    from map_reduce_framework_spark.operators.pipeline import (
+        clean_corpus,
+        corpus_split,
+        curation_funnel,
+        training_token_budget,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    funnel = {r.stage: r.n_docs for r in curation_funnel(docs).collect()}
+    cleaned = clean_corpus(docs).collect()
+    budget = training_token_budget(docs).collect()
+
+    assert funnel["raw"] == docs.count()
+    # funnel is monotone non-increasing in stage order
+    order = ["raw", "quality_pass", "exact_keeper", "near_dup_keeper"]
+    vals = [funnel[s] for s in order]
+    assert vals == sorted(vals, reverse=True)
+    assert funnel["near_dup_keeper"] == len(cleaned)
+
+    assert sum(r.n_docs for r in budget) == len(cleaned)
+    assert sum(r.n_tokens for r in budget) == sum(r.n_tokens for r in cleaned)
+    # split assignment covers every survivor exactly once
+    splits = {r.doc_id: r.split for r in corpus_split(docs).collect()}
+    assert all(r.doc_id in splits for r in cleaned)
