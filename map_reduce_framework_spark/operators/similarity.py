@@ -834,3 +834,159 @@ def _build_hybrid_rrf_sql() -> str:
 
 
 ORACLE_SQL["hybrid_retrieval_rrf"] = _build_hybrid_rrf_sql()
+
+
+MMR_LAMBDA = 0.5
+MMR_K = 5
+
+
+def mmr_rerank(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR'98) over the hybrid-RRF candidate list: greedily pick the item
+    maximizing lam * relevance - (1-lam) * max-cosine-to-already-picked,
+    trading relevance against diversity -- the last step of a retrieval
+    stack before the context window.
+
+    Greedy selection is inherently sequential in k, so the k rounds
+    chain SYMBOLICALLY (k joined subtrees, like kmeans_lloyd) -- no
+    driver collect; every per-round relation is bounded by the
+    candidate-list size, never the corpus. Candidates without an
+    embedding row (possible where the docs table outgrows the embeddings
+    table) are excluded up front -- diversity is undefined without a
+    vector. Exact: cosines are sequential-sum doubles, lam terms are
+    fixed-order IEEE arithmetic, ties break on doc_id; the DuckDB oracle
+    unrolls the same k rounds as chained CTEs."""
+    cand = (
+        hybrid_retrieval_rrf(documents, embeddings)
+        .select("doc_id", "rrf_score")
+    )
+    e = _normed(embeddings)
+    ce = cand.join(
+        e.select(F.col("vec_id").alias("doc_id"), "v", "nrm"), "doc_id"
+    )
+    a = ce.select(
+        F.col("doc_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = ce.select(
+        F.col("doc_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = a.join(b, F.col("id_a") != F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+            "cos"
+        ),
+    )
+    remaining = ce.select("doc_id", "rrf_score")
+    selected_ids = None
+    picks = []
+    for i in range(k):
+        if selected_ids is None:
+            mmr = remaining.select(
+                "doc_id",
+                (F.lit(lam) * F.col("rrf_score")).alias("mmr_score"),
+            )
+        else:
+            maxsim = (
+                sims.join(
+                    selected_ids.select(F.col("doc_id").alias("id_b")),
+                    "id_b",
+                )
+                .groupBy("id_a")
+                .agg(F.max("cos").alias("ms"))
+                .select(F.col("id_a").alias("doc_id"), "ms")
+            )
+            mmr = remaining.join(maxsim, "doc_id", "left").select(
+                "doc_id",
+                (
+                    F.lit(lam) * F.col("rrf_score")
+                    - F.lit(1 - lam)
+                    * F.coalesce(F.col("ms"), F.lit(0.0))
+                ).alias("mmr_score"),
+            )
+        pick = (
+            mmr.orderBy(F.col("mmr_score").desc(), F.col("doc_id"))
+            .limit(1)
+            .select(
+                "doc_id",
+                F.lit(i + 1).cast("int").alias("pick_order"),
+                "mmr_score",
+            )
+        )
+        picks.append(pick)
+        picked_id = pick.select("doc_id")
+        selected_ids = (
+            picked_id
+            if selected_ids is None
+            else selected_ids.unionByName(picked_id)
+        )
+        remaining = remaining.join(picked_id, "doc_id", "left_anti")
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _build_mmr_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
+    hybrid = _build_hybrid_rrf_sql()
+    parts = [
+        f"fz AS (SELECT doc_id, rrf_score FROM ({hybrid}))",
+        """er2 AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings
+        )""",
+        """ce AS (
+            SELECT fz.doc_id, fz.rrf_score, er2.rv, er2.nrm
+            FROM fz JOIN er2 ON er2.vec_id = fz.doc_id
+        )""",
+        """sims AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   list_dot_product(a.rv, b.rv) / (a.nrm * b.nrm) AS cos
+            FROM ce a JOIN ce b ON a.doc_id <> b.doc_id
+        )""",
+    ]
+    for i in range(1, k + 1):
+        if i == 1:
+            parts.append(
+                f"""m1 AS (
+                SELECT doc_id,
+                       CAST({lam} AS DOUBLE) * rrf_score AS mmr_score
+                FROM ce
+            )"""
+            )
+        else:
+            sel = " UNION ALL ".join(
+                f"SELECT doc_id FROM s{j}" for j in range(1, i)
+            )
+            parts.append(
+                f"""m{i} AS (
+                SELECT c.doc_id,
+                       CAST({lam} AS DOUBLE) * c.rrf_score
+                       - CAST({1 - lam} AS DOUBLE) * COALESCE((
+                             SELECT max(s.cos) FROM sims s
+                             WHERE s.id_a = c.doc_id
+                               AND s.id_b IN ({sel})
+                         ), CAST(0 AS DOUBLE)) AS mmr_score
+                FROM ce c WHERE c.doc_id NOT IN ({sel})
+            )"""
+            )
+        parts.append(
+            f"""s{i} AS (
+            SELECT doc_id, CAST({i} AS INT) AS pick_order, mmr_score
+            FROM m{i} ORDER BY mmr_score DESC, doc_id LIMIT 1
+        )"""
+        )
+    final = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+ORACLE_SQL["mmr_rerank"] = _build_mmr_sql()

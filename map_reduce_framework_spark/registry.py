@@ -521,6 +521,15 @@ def q_hybrid_retrieval_rrf(spark, sf_dir):
     )
 
 
+# Diversified re-ranking: greedy MMR over the fused list, k rounds
+# chained symbolically; unrolled-CTE oracle.
+@register("mmr_rerank", similarity.ORACLE_SQL["mmr_rerank"])
+def q_mmr_rerank(spark, sf_dir):
+    return similarity.mmr_rerank(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 @register("embedding_near_pairs", similarity.ORACLE_SQL["embedding_near_pairs"])
 def q_embedding_near_pairs(spark, sf_dir):
     return similarity.embedding_near_pairs(_t(spark, sf_dir, "embeddings"))
