@@ -1124,3 +1124,73 @@ ORACLE_SQL: dict[str, str] = {
                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3
     """,
 }
+
+
+def dedup_method_agreement(documents: DataFrame) -> DataFrame:
+    """Detector-comparison report -- the dedup analog of
+    similarity.ann_recall_report: for each pair of near-dup detectors
+    (MinHash-LSH @ jaccard>=0.7, SimHash @ hamming<=6, n-gram Jaccard
+    @ >=0.3), how many pairs each finds and how many they agree on.
+    One row per method pair: (method_a, method_b, n_a, n_b, n_both).
+
+    The three detectors trade recall/precision/cost differently (banded
+    signatures vs hamming blocks vs inverted-index co-counts); this
+    report makes the trade a driver-checkable artifact instead of
+    folklore. Each method's subplan is its registered production plan
+    unchanged; the agreement join runs on (doc_a, doc_b) pair keys --
+    tiny relative to the corpus."""
+    methods = [
+        ("minhash", minhash_lsh_pairs(documents).select("doc_a", "doc_b")),
+        ("simhash", simhash_near_pairs(documents).select("doc_a", "doc_b")),
+        ("ngram", ngram_jaccard_pairs(documents).select("doc_a", "doc_b")),
+    ]
+    out = None
+    for i in range(len(methods)):
+        for j in range(i + 1, len(methods)):
+            na, a = methods[i]
+            nb, b = methods[j]
+            both = a.join(b, ["doc_a", "doc_b"])
+            row = (
+                a.agg(F.count("*").alias("n_a"))
+                .join(b.agg(F.count("*").alias("n_b")))
+                .join(both.agg(F.count("*").alias("n_both")))
+                .select(
+                    F.lit(na).alias("method_a"),
+                    F.lit(nb).alias("method_b"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.col("n_both").cast("bigint").alias("n_both"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _build_method_agreement_sql() -> str:
+    subq = {
+        "minhash": ORACLE_SQL["minhash_lsh_pairs"],
+        "simhash": ORACLE_SQL["simhash_near_pairs"],
+        "ngram": ORACLE_SQL["ngram_jaccard_pairs"],
+    }
+    names = list(subq)
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            rows.append(
+                f"""
+        SELECT '{a}' AS method_a, '{b}' AS method_b,
+               (SELECT CAST(count(*) AS BIGINT) FROM p_{a}) AS n_a,
+               (SELECT CAST(count(*) AS BIGINT) FROM p_{b}) AS n_b,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM p_{a} x JOIN p_{b} y USING (doc_a, doc_b)) AS n_both
+        """
+            )
+    ctes = ",".join(
+        f"p_{n} AS (SELECT doc_a, doc_b FROM ({sql}))"
+        for n, sql in subq.items()
+    )
+    return "WITH " + ctes + " UNION ALL ".join(rows)
+
+
+ORACLE_SQL["dedup_method_agreement"] = _build_method_agreement_sql()

@@ -1062,6 +1062,15 @@ def q_dedup_ingest_replay(spark, sf_dir):
     return dedup.dedup_ingest_replay(_t(spark, sf_dir, "documents"))
 
 
+# Detector-comparison report: pairwise agreement of the three near-dup
+# detectors -- the dedup analog of ann_recall_report.
+@register(
+    "dedup_method_agreement", dedup.ORACLE_SQL["dedup_method_agreement"]
+)
+def q_dedup_method_agreement(spark, sf_dir):
+    return dedup.dedup_method_agreement(_t(spark, sf_dir, "documents"))
+
+
 # The salted two-phase aggregation must be output-identical to the plain
 # wc, so it shares wc's oracle -- the registered proof that the skew
 # rewrite preserves semantics.
