@@ -19,6 +19,16 @@ commit are Spark's; there is no coordinator to babysit.
 Apps: wc, wc_long, indexer, crash (the nocrash payload -- deterministic
 output, no fault injection; inject faults via ``spark.task.maxFailures``
 chaos instead, see tests/test_fault_tolerance.py), early_exit.
+
+Beyond the reference apps, the analytics surface is exposed too::
+
+    python -m map_reduce_framework_spark query --list
+    python -m map_reduce_framework_spark query q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 -o /tmp/q1_out --format csv
+
+``query`` runs any of the registered queries (SURVEY.md §2 + the LLM
+pipeline surface) against a testdata directory and writes the result
+(csv/parquet/json), or prints it with --show.
 """
 
 from __future__ import annotations
@@ -55,7 +65,59 @@ def _app_fns(app: str):
     raise SystemExit(f"unknown app {app!r}; choose from {', '.join(APPS)}")
 
 
+def _query_main(argv: list[str]) -> None:
+    p = argparse.ArgumentParser(
+        prog="python -m map_reduce_framework_spark query",
+        description="Run a registered analytics query against a sf-dir.",
+    )
+    p.add_argument("name", nargs="?", help="registered query name")
+    p.add_argument("--list", action="store_true", help="list query names")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("-o", "--out", help="output directory")
+    p.add_argument(
+        "--format", default="csv", choices=("csv", "parquet", "json")
+    )
+    p.add_argument("--show", type=int, default=0, metavar="N",
+                   help="print the first N rows instead of writing")
+    p.add_argument("--cpus", default="*", help="local[...] parallelism")
+    args = p.parse_args(argv)
+
+    from . import registry
+
+    if args.list or not args.name:
+        for name in sorted(registry.REGISTRY):
+            print(name)
+        return
+    if args.name not in registry.REGISTRY:
+        raise SystemExit(
+            f"unknown query {args.name!r}; run with --list to enumerate"
+        )
+    if not args.out and not args.show:
+        raise SystemExit("pass -o/--out DIR or --show N")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"query-{args.name}")
+        .master(f"local[{args.cpus}]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    df = registry.REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.show:
+        df.show(args.show, truncate=False)
+    else:
+        df.write.mode("overwrite").format(args.format).option(
+            "header", "true"
+        ).save(args.out)
+        print(f"{args.name}: wrote {args.out} ({args.format})", file=sys.stderr)
+
+
 def main(argv: list[str] | None = None) -> None:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "query":
+        return _query_main(argv[1:])
     p = argparse.ArgumentParser(
         prog="python -m map_reduce_framework_spark",
         description="Run a MapReduce app over whole text files on Spark.",

@@ -46,3 +46,32 @@ def test_cli_wc_end_to_end(spark, tmp_path):
             assert prev_key is None or k >= prev_key  # key-sorted (A7)
             prev_key = k
     assert got == want
+
+
+def test_cli_query_subcommand(tmp_path, capsys):
+    """The analytics surface is reachable from the CLI: --list enumerates
+    the registry and a run writes the query result as csv."""
+    import csv
+
+    from map_reduce_framework_spark.__main__ import main
+
+    main(["query", "--list"])
+    listed = capsys.readouterr().out.split()
+    assert "q1_pricing_summary" in listed and len(listed) > 150
+
+    out = str(tmp_path / "q1")
+    main([
+        "query", "q1_pricing_summary",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "-o", out, "--format", "csv", "--cpus", "4",
+    ])
+    import glob
+
+    files = glob.glob(out + "/*.csv")
+    assert files
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            rows.extend(list(csv.DictReader(fh)))
+    assert len(rows) == 6  # q1's 4-group pricing summary at this sf
+    assert "sum_qty" in rows[0]
