@@ -431,23 +431,32 @@ def dedup_ingest_replay(
     sum(|earlier batches|) on (band, sig) -- the index side is parquet,
     pruned by the equi-join's shuffle, never rescanned as documents."""
     import os
+    import shutil
     import tempfile
 
     spark = documents.sparkSession
     state_dir = tempfile.mkdtemp(prefix="dedup-ingest-replay-")
-    for b in range(n_batches):
-        ingest_batch(
-            spark,
-            state_dir,
-            documents.filter(F.col("doc_id") % n_batches == b),
-            ingest_round=b,
-            threshold=threshold,
+    try:
+        for b in range(n_batches):
+            ingest_batch(
+                spark,
+                state_dir,
+                documents.filter(F.col("doc_id") % n_batches == b),
+                ingest_round=b,
+                threshold=threshold,
+            )
+        # explicit schema: round 0's probe legitimately appends zero rows,
+        # and an all-empty table must still read. localCheckpoint lifts the
+        # result off the replay's scratch directory so it can be removed
+        # before this function returns -- a registered query must not leak
+        # temp state per invocation.
+        return (
+            spark.read.schema(PAIRS_SCHEMA)
+            .parquet(os.path.join(state_dir, "pairs"))
+            .localCheckpoint()
         )
-    # explicit schema: round 0's probe legitimately appends zero rows,
-    # and an all-empty table must still read
-    return spark.read.schema(PAIRS_SCHEMA).parquet(
-        os.path.join(state_dir, "pairs")
-    )
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
 
 
 def connected_component_labels(
