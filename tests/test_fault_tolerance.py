@@ -190,3 +190,64 @@ def test_speculation_conf_mapping():
     assert "SPEC true" in out
     assert "QUANT 0.8" in out
     assert "N 100" in out
+
+
+def test_segmented_fold_survives_task_kills():
+    """D2 coverage for the round-4 multi-round cogroup pipeline: inject a
+    first-attempt failure into the Arrow fold stage of kv_fold_segmented
+    (a Python worker dying mid-cogroup) and assert the retried run's
+    output is row-identical to an undisturbed run -- the crash.go
+    protocol applied to driver-chained stateful rounds."""
+    out = _run_py(
+        """
+        import os
+        from pyspark.sql import SparkSession
+        from pyspark import TaskContext
+
+        spark = (
+            SparkSession.builder.master("local[4, 4]")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.ui.enabled", "false")
+            .appName("chaos-segfold")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        from map_reduce_framework_spark.operators import kv
+        from map_reduce_framework_spark.sources.io import load_table
+
+        ops = kv.kv_ops_from_events(
+            load_table(spark, "/root/testdata/sf0.001", "events")
+        )
+        want = sorted(
+            tuple(r) for r in kv.kv_fold_segmented(ops, segment_size=16).collect()
+        )
+
+        marker_dir = "/tmp/chaos-segfold-markers"
+        os.makedirs(marker_dir, exist_ok=True)
+        for f in os.listdir(marker_dir):
+            os.remove(os.path.join(marker_dir, f))
+
+        orig = kv._fold_segment
+
+        def chaotic(state_pdf, ops_pdf):
+            ctx = TaskContext.get()
+            if ctx is not None and ctx.attemptNumber() == 0:
+                marker = os.path.join(
+                    marker_dir, f"p{ctx.partitionId()}-s{ctx.stageId()}"
+                )
+                if not os.path.exists(marker):
+                    open(marker, "w").close()
+                    raise RuntimeError("chaos: killed first attempt")
+            return orig(state_pdf, ops_pdf)
+
+        kv._fold_segment = chaotic
+        got = sorted(
+            tuple(r) for r in kv.kv_fold_segmented(ops, segment_size=16).collect()
+        )
+        assert got == want, "retried fold diverged from undisturbed run"
+        n_kills = len(os.listdir(marker_dir))
+        assert n_kills > 0, "chaos never fired"
+        print("OK kills:", n_kills)
+        """
+    )
+    assert "OK kills:" in out
