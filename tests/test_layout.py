@@ -85,3 +85,33 @@ def test_zorder_layout_clusters_both_dims(spark, sf_oracle, tmp_path):
     assert z_cust < 0.45 * cust_domain
     assert z_day < 0.3 * day_domain
     assert z_day < s_day
+
+
+def test_zorder_key_is_invertible_interleaving(spark):
+    """Independent semantic check (the DuckDB oracle mirrors the same
+    bit expressions, so a shared formula bug would pass both engines):
+    de-interleaving the computed key in plain Python must recover the
+    inputs exactly, for random 16-bit pairs."""
+    import random
+
+    from map_reduce_framework_spark.operators.layout import Z_BITS, zorder_key
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(1 << Z_BITS), rng.randrange(1 << Z_BITS)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "a bigint, b bigint")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b")).alias("z")
+        ).collect()
+    }
+
+    def deinterleave(z: int) -> tuple[int, int]:
+        a = b = 0
+        for i in range(Z_BITS):
+            a |= ((z >> (2 * i)) & 1) << i
+            b |= ((z >> (2 * i + 1)) & 1) << i
+        return a, b
+
+    for (a, b), z in got.items():
+        assert deinterleave(z) == (a, b), (a, b, z)

@@ -522,3 +522,59 @@ def test_quality_deciles_partition_counts(spark, sf_smoke):
         assert max(d.n_docs for d in ds) - min(d.n_docs for d in ds) <= 1
         for lo, hi in zip(ds, ds[1:]):
             assert lo.max_chars <= hi.min_chars or lo.max_chars <= hi.max_chars
+
+
+def test_mmr_matches_independent_greedy(spark, sf_smoke):
+    """Independent semantic check for mmr_rerank (its DuckDB oracle
+    unrolls the SAME round structure, so a shared selection bug would
+    pass both engines): a from-scratch Python greedy over the collected
+    candidate list must pick the same docs in the same order with the
+    same scores."""
+    from map_reduce_framework_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        hybrid_retrieval_rrf,
+        mmr_rerank,
+        _normed,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    emb = load_table(spark, sf_smoke, "embeddings")
+    got = sorted(
+        ((r.pick_order, r.doc_id, r.mmr_score) for r in mmr_rerank(docs, emb).collect())
+    )
+
+    cand = {
+        r.doc_id: r.rrf_score
+        for r in hybrid_retrieval_rrf(docs, emb).collect()
+    }
+    vecs = {
+        r.vec_id: (list(r.v), r.nrm)
+        for r in _normed(emb).collect()
+        if r.vec_id in cand
+    }
+    cand = {d: s for d, s in cand.items() if d in vecs}
+
+    def cos(x, y):
+        (vx, nx), (vy, ny) = vecs[x], vecs[y]
+        acc = 0.0
+        for a, b in zip(vx, vy):
+            acc += a * b
+        return acc / (nx * ny)
+
+    selected: list[int] = []
+    want = []
+    for step in range(1, MMR_K + 1):
+        best = None
+        for d, rel in sorted(cand.items()):
+            if d in selected:
+                continue
+            pen = max((cos(d, s) for s in selected), default=0.0)
+            score = MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * pen
+            if best is None or score > best[1] or (
+                score == best[1] and d < best[0]
+            ):
+                best = (d, score)
+        selected.append(best[0])
+        want.append((step, best[0], best[1]))
+    assert got == sorted(want)
