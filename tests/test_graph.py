@@ -69,3 +69,55 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_smoke):
     assert len(got) == n
     for p in nodes:
         assert got[p] == pr[idx[p]], f"part {p}: {got[p]} != {pr[idx[p]]}"
+
+
+def test_pagerank_matches_independent_python(spark, sf_smoke):
+    """Independent semantic check (the unrolled-CTE oracle mirrors the
+    same expressions): a from-scratch Python power iteration with the
+    same 1e-12 quantization over the collected edge list must reproduce
+    every rank bit-for-bit."""
+    from map_reduce_framework_spark.operators.graph import (
+        PR_DAMPING,
+        PR_ITERS,
+        PR_SCALE,
+        part_copurchase_edges,
+        part_pagerank,
+    )
+    from map_reduce_framework_spark.sources.io import load_table
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    edges = [
+        (r.src, r.dst) for r in part_copurchase_edges(li).collect()
+    ]
+    got = {
+        r.part: (r.out_degree, r.pagerank)
+        for r in part_pagerank(li).collect()
+    }
+
+    import math
+
+    def quant(x: float) -> float:
+        return math.floor(x * PR_SCALE + 0.5) / PR_SCALE
+
+    deg: dict[int, int] = {}
+    out_edges: dict[int, list[int]] = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        out_edges.setdefault(s, []).append(d)
+    n = len(deg)
+    pr = {v: quant(1.0 / n) for v in deg}
+    for _ in range(PR_ITERS):
+        contrib: dict[int, int] = {}
+        for s, ds in out_edges.items():
+            c = math.floor(pr[s] / deg[s] * PR_SCALE + 0.5)
+            for d in ds:
+                contrib[d] = contrib.get(d, 0) + c
+        pr = {
+            v: quant(
+                (1.0 - PR_DAMPING) / n
+                + PR_DAMPING * (contrib.get(v, 0) / float(PR_SCALE))
+            )
+            for v in deg
+        }
+    want = {v: (deg[v], pr[v]) for v in deg}
+    assert got == want

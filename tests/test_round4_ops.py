@@ -320,3 +320,30 @@ def test_curation_accounting_is_internally_consistent(spark, sf_smoke):
     # split assignment covers every survivor exactly once
     splits = {r.doc_id: r.split for r in corpus_split(docs).collect()}
     assert all(r.doc_id in splits for r in cleaned)
+
+
+def test_checksum_matches_independent_python(spark, sf_smoke):
+    """Independent semantic check for the order-independent table
+    checksum (its oracle mirrors the same md5/substr/sum expressions): a
+    from-scratch Python computation over collected rows must reproduce
+    n_rows and the exact decimal checksum string."""
+    import hashlib as _hl
+    from decimal import Decimal
+
+    from map_reduce_framework_spark.operators.relational import (
+        lineitem_checksum,
+    )
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    got = lineitem_checksum(li).collect()[0]
+
+    rows = li.select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    ).collect()
+    total = 0
+    for r in rows:
+        qty = Decimal(str(r.l_quantity)).quantize(Decimal("0.01"))
+        canon = f"{r.l_orderkey}|{r.l_partkey}|{r.l_suppkey}|{qty}"
+        total += int(_hl.md5(canon.encode()).hexdigest()[:15], 16)
+    assert got.n_rows == len(rows)
+    assert got.checksum == str(total)
