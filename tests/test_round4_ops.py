@@ -347,3 +347,81 @@ def test_checksum_matches_independent_python(spark, sf_smoke):
         total += int(_hl.md5(canon.encode()).hexdigest()[:15], 16)
     assert got.n_rows == len(rows)
     assert got.checksum == str(total)
+
+
+def test_bm25_matches_independent_python(spark, sf_smoke):
+    """Independent BM25 reimplementation (same k1/b and the rational idf,
+    evaluated in the same expression order) over collected token lists
+    must reproduce every (term, doc, score, rank) bit-for-bit."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        BM25_TERMS,
+        BM25_TOPK,
+        bm25_top_docs,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = sorted(tuple(r) for r in bm25_top_docs(docs).collect())
+
+    toks = {
+        r.doc_id: r.text.split() for r in docs.select("doc_id", "text").collect()
+    }
+    dl = {d: len(t) for d, t in toks.items()}
+    n_docs = len(toks)
+    sum_dl = sum(dl.values())
+    avgdl = sum_dl / n_docs
+    want = []
+    for term in BM25_TERMS:
+        tf = {
+            d: sum(1 for w in t if w == term)
+            for d, t in toks.items()
+            if term in t
+        }
+        df = len(tf)
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        scored = []
+        for d, f in tf.items():
+            denom = f + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))
+            scored.append((d, f, dl[d], idf * ((f * 2.2) / denom)))
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        for rnk, (d, f, length, score) in enumerate(scored[:BM25_TOPK], 1):
+            want.append((term, d, f, length, score, rnk))
+    assert got == sorted(want)
+
+
+def test_simhash_matches_independent_python(spark, sf_smoke):
+    """Independent SimHash reimplementation: shingle (3-gram, distinct),
+    hash each shingle to 60 md5 bits, vote per bit, fold the sign vector
+    into a BIGINT -- from scratch, must equal every signature."""
+    import hashlib as _hl
+
+    from map_reduce_framework_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {
+        r.doc_id: r.simhash for r in simhash_signatures(docs).collect()
+    }
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split()
+        shingles = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        votes = [0] * SIMHASH_BITS
+        for s in shingles:
+            h = int(_hl.md5(f"0:{s}".encode()).hexdigest()[:15], 16)
+            for j in range(SIMHASH_BITS):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        sig = 0
+        for j in range(SIMHASH_BITS):
+            if votes[j] > 0:
+                sig |= 1 << j
+        if shingles:
+            want[r.doc_id] = sig
+    # docs with no shingles (under 3 tokens) emit no signature row
+    assert got == want
