@@ -178,3 +178,72 @@ def test_repetition_signals_detect_planted_repetition(spark, sf_oracle):
     assert out[2].max_token_run == 1
     assert out[2].dup_token_ratio == 0.0
     assert out[2].n_repeated_bigrams == 0
+
+
+def test_kmeans_matches_independent_python(spark, sf_oracle):
+    """Independent Lloyd reimplementation with the same fixed-point
+    discipline (1e-6 input quantization, integer-mantissa means, same
+    distance expression order, cid tiebreak) over collected vectors must
+    reproduce every assignment and distance bit-for-bit."""
+    import math
+
+    from map_reduce_framework_spark.operators.clustering import (
+        ITERS,
+        K,
+        SCALE,
+        kmeans_lloyd,
+    )
+    from map_reduce_framework_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    got = {
+        r.vec_id: (r.cluster, r.dist) for r in kmeans_lloyd(emb).collect()
+    }
+
+    raw = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    vecs = {
+        vid: [math.floor(x * SCALE + 0.5) / SCALE for x in v]
+        for vid, v in raw.items()
+    }
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def dist(v, c):
+        return dot(v, v) - 2 * dot(v, c) + dot(c, c)
+
+    cents = {vid: vecs[vid] for vid in sorted(vecs) if vid < K}
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = None
+            for cid in sorted(cents):
+                d = dist(v, cents[cid])
+                if best is None or d < best[1]:
+                    best = (cid, d)
+            out[vid] = best
+        return out
+
+    for _ in range(ITERS):
+        a = assign(cents)
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid, (cid, _d) in a.items():
+            counts[cid] = counts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(vecs[vid]))
+            for i, x in enumerate(vecs[vid]):
+                s[i] += math.floor(x * SCALE + 0.5)
+        cents = {
+            cid: [si / (counts[cid] * float(SCALE)) for si in s]
+            for cid, s in sums.items()
+        }
+    final = assign(cents)
+    want = {vid: (cid, d) for vid, (cid, d) in final.items()}
+    assert got == want
