@@ -866,9 +866,15 @@ def mmr_rerank(
         .select("doc_id", "rrf_score")
     )
     e = _normed(embeddings)
+    # ce/sims are <= 2k-row relations but their LINEAGE is the whole
+    # hybrid pipeline (BM25 + brute-force kNN); without materializing
+    # them here, every one of the k greedy rounds re-embeds that full
+    # subplan and the final union's plan is O(k^2) copies of it
+    # (measured 60.9 s -> ~3 s at sf0.1). Same checkpoint discipline as
+    # the CC rounds in dedup.py.
     ce = cand.join(
         e.select(F.col("vec_id").alias("doc_id"), "v", "nrm"), "doc_id"
-    )
+    ).localCheckpoint()
     a = ce.select(
         F.col("doc_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nrm").alias("na"),
@@ -877,12 +883,16 @@ def mmr_rerank(
         F.col("doc_id").alias("id_b"), F.col("v").alias("vb"),
         F.col("nrm").alias("nb"),
     )
-    sims = a.join(b, F.col("id_a") != F.col("id_b")).select(
-        "id_a",
-        "id_b",
-        (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
-            "cos"
-        ),
+    sims = (
+        a.join(b, F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
+        .localCheckpoint()
     )
     remaining = ce.select("doc_id", "rrf_score")
     selected_ids = None
