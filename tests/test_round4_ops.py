@@ -425,3 +425,43 @@ def test_simhash_matches_independent_python(spark, sf_smoke):
             want[r.doc_id] = sig
     # docs with no shingles (under 3 tokens) emit no signature row
     assert got == want
+
+
+def test_minhash_matches_independent_python(spark, sf_smoke):
+    """Independent MinHash reimplementation: per doc, the minimum over
+    distinct 3-gram shingles of each of the K/2 md5 digests' two 60-bit
+    halves -- from scratch, must equal every component of every
+    signature."""
+    import hashlib as _hl
+
+    from map_reduce_framework_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {
+        r.doc_id: tuple(r[f"mh{i}"] for i in range(MINHASH_K))
+        for r in minhash_signatures(docs).collect()
+    }
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split()
+        shingles = list(
+            dict.fromkeys(
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            )
+        )
+        if not shingles:
+            continue
+        comps = []
+        for i in range(MINHASH_K // 2):
+            hexes = [
+                _hl.md5(f"{i}:{s}".encode()).hexdigest() for s in shingles
+            ]
+            # Spark: substring(h, 1, 15) and substring(h, 17, 15)
+            comps.append(min(int(h[0:15], 16) for h in hexes))
+            comps.append(min(int(h[16:31], 16) for h in hexes))
+        want[r.doc_id] = tuple(comps)
+    assert got == want
