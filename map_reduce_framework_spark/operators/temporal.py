@@ -276,7 +276,79 @@ def user_rolling_features(events: DataFrame) -> DataFrame:
     )
 
 
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort retention -- the standard product-analytics matrix: users
+    are cohorted by their first-activity week; each (cohort, week-offset)
+    cell counts how many of that cohort were active that week and the
+    retained fraction. Three aggregates over user-keyed shuffles: first
+    week per user, distinct (user, week) activity, then the cohort cell
+    counts joined to cohort sizes. At 100 TB every shuffle carries
+    (user, week) keys -- never events -- and the output is
+    |cohorts| x |weeks| rows regardless of event volume.
+
+    Retention is one exact int/int division to double, so the report is
+    hash-exact cross-engine."""
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = events.groupBy("user_id").agg(
+        F.min(wk).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", wk.alias("week")
+    ).distinct()
+    base = firsts.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort")
+    )
+    ret = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return ret.join(base, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        (F.col("n_active") / F.col("n_cohort"))
+        .cast("double")
+        .alias("retention"),
+    )
+
+
 ORACLE_SQL: dict[str, str] = {
+    "cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id,
+                   min(date_trunc('week', CAST(ts AS TIMESTAMP)))
+                       AS cohort_week
+            FROM events GROUP BY 1
+        ),
+        active AS (
+            SELECT DISTINCT user_id,
+                   date_trunc('week', CAST(ts AS TIMESTAMP)) AS week
+            FROM events
+        ),
+        base AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+            FROM firsts GROUP BY 1
+        ),
+        ret AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INT)
+                       AS week_offset,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+            FROM active a JOIN firsts f USING (user_id)
+            GROUP BY 1, 2
+        )
+        SELECT CAST(r.cohort_week AS TIMESTAMP) AS cohort_week,
+               r.week_offset, r.n_active, b.n_cohort,
+               CAST(r.n_active AS DOUBLE) / b.n_cohort AS retention
+        FROM ret r JOIN base b USING (cohort_week)
+    """,
     # DuckDB's native ASOF JOIN is a genuinely independent implementation
     # of the same semantics -- a stronger oracle than mirroring our window
     # formulation in SQL.

@@ -279,6 +279,12 @@ def q_q22(spark, sf_dir):
 from .operators import temporal  # noqa: E402
 
 
+# Cohort retention matrix: first-week cohorts x week offsets.
+@register("cohort_retention", temporal.ORACLE_SQL["cohort_retention"])
+def q_cohort_retention(spark, sf_dir):
+    return temporal.cohort_retention(_t(spark, sf_dir, "events"))
+
+
 @register("events_asof_join", temporal.ORACLE_SQL["events_asof_join"])
 def q_events_asof(spark, sf_dir):
     return temporal.events_asof_prior_view(_t(spark, sf_dir, "events"))
