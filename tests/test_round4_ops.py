@@ -465,3 +465,37 @@ def test_minhash_matches_independent_python(spark, sf_smoke):
             comps.append(min(int(h[16:31], 16) for h in hexes))
         want[r.doc_id] = tuple(comps)
     assert got == want
+
+
+def test_tfidf_matches_independent_python(spark, sf_smoke):
+    """Independent tf-idf reimplementation (tf * N / df in the same
+    expression order, term-ascending tiebreak) must reproduce every
+    (doc_id, term, tf, df, score, rnk) row bit-for-bit."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = sorted(tuple(r) for r in tfidf_top_terms(docs).collect())
+
+    toks = {
+        r.doc_id: r.text.split()
+        for r in docs.select("doc_id", "text").collect()
+    }
+    n_docs = len(toks)
+    tf: dict[tuple, int] = {}
+    for d, t in toks.items():
+        for w in t:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    df: dict[str, int] = {}
+    for (_d, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    want = []
+    per_doc: dict[int, list] = {}
+    for (d, w), f in tf.items():
+        per_doc.setdefault(d, []).append((w, f, f * n_docs / df[w]))
+    for d, terms in per_doc.items():
+        terms.sort(key=lambda x: (-x[2], x[0]))
+        for rnk, (w, f, score) in enumerate(terms[:3], 1):
+            want.append((d, w, f, df[w], score, rnk))
+    assert got == sorted(want)
