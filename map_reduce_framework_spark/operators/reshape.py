@@ -131,3 +131,61 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY band_id, lo, hi
     """,
 }
+
+
+def events_anomaly_days(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Volume-anomaly screen -- the monitoring query a pipeline owner
+    runs before trusting a day's data: per-day event counts scored
+    against the corpus mean/std, flagging |z| > threshold days.
+
+    Exactness: daily counts are BIGINTs, so mean = sum/n and
+    var = sum_sq/n - mean^2 are single exact-integer-to-double
+    divisions evaluated in the same order both engines, sqrt is
+    correctly rounded, and the z comparison is on identical doubles --
+    the whole report hash-matches despite being 'statistics'.
+
+    Plan: one day-grain aggregate (map-side combined), one 1-row stats
+    aggregate broadcast back -- two shuffles total, output |days| rows
+    regardless of event volume."""
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s") / F.col("n_days")
+    var = F.col("s2") / F.col("n_days") - mean * mean
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return daily.join(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(z_threshold)).alias("is_anomaly"),
+    )
+
+
+ORACLE_SQL["events_anomaly_days"] = """
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS day,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(n_events) AS BIGINT) AS s,
+               CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT d.day, d.n_events,
+           (d.n_events - s.s / s.n_days)
+               / sqrt(s.s2 / s.n_days
+                      - (s.s / s.n_days) * (s.s / s.n_days)) AS zscore,
+           abs((d.n_events - s.s / s.n_days)
+               / sqrt(s.s2 / s.n_days
+                      - (s.s / s.n_days) * (s.s / s.n_days))) > 2.0
+               AS is_anomaly
+    FROM daily d, stats s
+"""

@@ -726,6 +726,13 @@ def q_daily_revenue_reconciliation(spark, sf_dir):
 from .operators import reshape  # noqa: E402
 
 
+# Volume-anomaly screen: per-day counts z-scored against corpus stats,
+# exact despite being statistics (integer-derived divisions only).
+@register("events_anomaly_days", reshape.ORACLE_SQL["events_anomaly_days"])
+def q_events_anomaly_days(spark, sf_dir):
+    return reshape.events_anomaly_days(_t(spark, sf_dir, "events"))
+
+
 @register("events_pivot", reshape.ORACLE_SQL["events_pivot"])
 def q_events_pivot(spark, sf_dir):
     return reshape.events_pivot(_t(spark, sf_dir, "events"))
