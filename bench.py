@@ -98,9 +98,18 @@ def main() -> None:
         # ContextCleaner notices the Python references are gone. Left
         # alone, dozens of queries' blocks pile up in storage memory and
         # the unified manager squeezes execution -- observed 2.6 s ->
-        # 9.2 s on the wedge join late in the suite. Collect both sides
-        # so each query is measured against a clean memory state (this
-        # is isolation hygiene, not a per-query cost change).
+        # 9.2 s on the wedge join late in the suite. Release the blocks
+        # DETERMINISTICALLY: explicitly unpersist every persistent RDD
+        # (each bench query is independent, so nothing re-reads them),
+        # then collect both sides so weak refs clear too. This is
+        # isolation hygiene, not a per-query cost change.
+        try:
+            for jrdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                jrdd.unpersist(False)
+        except Exception:
+            pass
         gc.collect()
         try:
             spark.sparkContext._jvm.System.gc()

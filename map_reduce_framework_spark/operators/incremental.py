@@ -205,10 +205,22 @@ def apply_delta_in_place(spark, state_dir: str, delta: DataFrame) -> None:
     localCheckpoint is NOT enough here: its blocks live in unreplicated
     executor-local storage, so losing an executor between checkpoint and
     write would destroy the only copy of the merged state mid-overwrite.
-    If the process dies after staging but before the overwrite commits,
-    the state table is untouched and the upsert simply re-runs (the
-    merge is idempotent given the same delta); the orphaned staging dir
-    is garbage, not corruption."""
+
+    Crash-safety scope (narrowed deliberately): a crash BEFORE the
+    overwrite starts leaves the state untouched (the orphaned staging
+    dir is garbage, not corruption) and a plain re-run is safe. A crash
+    DURING the overwrite's job commit is NOT all-or-nothing on a
+    filesystem table -- FileOutputCommitter replaces partition
+    directories sequentially, so some touched days may hold merged rows
+    and others old rows, and re-running the merge would double-count
+    the delta into the already-replaced days. This bare function
+    therefore does NOT promise re-runnability across a crash; use
+    ``exactly_once_upsert`` (which brackets the overwrite with an
+    intent marker pointing at the staged copy, so a replay first REDOES
+    the overwrite from the staging dir -- idempotent, since the staged
+    rows are the final content of every touched partition -- before the
+    batch ledger decides whether to merge at all), or a transactional
+    table format (Delta/Iceberg) whose snapshot commit is atomic."""
     _, merged_rows = _merge_parts(spark, state_dir, delta)
     out = merged_rows.withColumn(
         "day_key", F.date_format("day", "yyyy-MM-dd")
@@ -216,27 +228,114 @@ def apply_delta_in_place(spark, state_dir: str, delta: DataFrame) -> None:
     _staged_dynamic_overwrite(spark, out, state_dir)
 
 
-def _staged_dynamic_overwrite(spark, rows: DataFrame, state_dir: str) -> None:
+def _staged_dynamic_overwrite(
+    spark, rows: DataFrame, state_dir: str, batch_id: int | None = None
+) -> None:
     """Durably stage ``rows`` (full parquet write beside the table),
     then dynamic-partition-overwrite ``state_dir`` from the staged copy.
     Breaks every read-then-overwrite cycle on the state table without
-    relying on unreplicated executor-local checkpoint blocks."""
+    relying on unreplicated executor-local checkpoint blocks.
+
+    With ``batch_id`` set, the overwrite is bracketed by a write-ahead
+    INTENT marker (``<state>/_upsert_intents/<batch_id>``, pointing at
+    the staging dir): written after staging succeeds, cleared only
+    after the overwrite commits AND the applied-batch ledger records
+    the id. A crash anywhere between leaves the intent + staged copy
+    behind, and ``recover_torn_upserts`` REDOES the overwrite from the
+    staged copy -- idempotent, because the staged rows are the final
+    content of every touched partition, so redoing heals a torn
+    sequential partition-directory commit regardless of which
+    partitions it had already replaced. Without ``batch_id`` the
+    caller accepts the narrower guarantee documented on
+    ``apply_delta_in_place`` (or, as in ``compact_state_table``, the
+    rewrite is content-identical so a torn commit is harmless)."""
+    import json
+    import os
+
     staging = f"{state_dir.rstrip('/')}.staging-{uuid.uuid4().hex}"
     try:
         rows.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            # one writer task per day_key -> exactly one file of output
-            # per rewritten partition
-            staged.repartition("day_key").write.mode("overwrite").partitionBy(
-                "day_key"
-            ).parquet(state_dir)
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+        intent_path = None
+        if batch_id is not None:
+            intents = os.path.join(state_dir, "_upsert_intents")
+            os.makedirs(intents, exist_ok=True)
+            intent_path = os.path.join(intents, str(batch_id))
+            tmp = intent_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump({"staging": staging, "batch_id": batch_id}, fh)
+            os.replace(tmp, intent_path)  # atomic publish of the intent
+        _overwrite_from_staging(spark, staging, state_dir)
+        if batch_id is not None:
+            _record_applied(state_dir, batch_id)
+            os.remove(intent_path)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _overwrite_from_staging(spark, staging: str, state_dir: str) -> None:
+    """The overwrite half: dynamic-partition-overwrite the touched
+    day_key partitions of ``state_dir`` from the durable staged copy."""
+    staged = spark.read.parquet(staging)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # one writer task per day_key -> exactly one file of output
+        # per rewritten partition
+        staged.repartition("day_key").write.mode("overwrite").partitionBy(
+            "day_key"
+        ).parquet(state_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def recover_torn_upserts(spark, state_dir: str) -> list[int]:
+    """Redo-log recovery for upserts that crashed between intent and
+    commit: for every pending intent whose staging dir survives, replay
+    the dynamic partition overwrite from the staged copy (idempotent --
+    staged rows are the FINAL content of the touched partitions, so a
+    torn sequential commit heals no matter which directories it had
+    already replaced), record the batch id in the applied ledger, and
+    clear the intent + staging. Returns the recovered batch ids.
+
+    Run before processing any batch (``exactly_once_upsert`` calls it
+    first); recovery itself crashing mid-redo just leaves the intent in
+    place for the next attempt -- the staged copy IS the redo log."""
+    import json
+    import os
+
+    intents = os.path.join(state_dir, "_upsert_intents")
+    if not os.path.isdir(intents):
+        return []
+    recovered: list[int] = []
+    for name in sorted(os.listdir(intents)):
+        path = os.path.join(intents, name)
+        if name.endswith(".tmp"):  # unpublished intent: overwrite never began
+            os.remove(path)
+            continue
+        with open(path) as fh:
+            intent = json.load(fh)
+        staging = intent["staging"]
+        if os.path.isdir(staging):
+            _overwrite_from_staging(spark, staging, state_dir)
+            _record_applied(state_dir, intent["batch_id"])
+            recovered.append(intent["batch_id"])
+            os.remove(path)
+            shutil.rmtree(staging, ignore_errors=True)
+        else:
+            # staging already gone => the commit sequence finished its
+            # overwrite+ledger steps and died before intent removal
+            os.remove(path)
+    return recovered
+
+
+def _record_applied(state_dir: str, batch_id: int) -> None:
+    """Idempotently add ``batch_id`` to the applied-batch ledger."""
+    import os
+
+    ledger = os.path.join(state_dir, "_applied_batches")
+    os.makedirs(ledger, exist_ok=True)
+    with open(os.path.join(ledger, str(batch_id)), "w"):
+        pass
 
 
 def applied_batch_ids(state_dir: str) -> set[int]:
@@ -259,25 +358,37 @@ def exactly_once_upsert(
     foreachBatch is at-least-once: after a crash, the last UNCOMMITTED
     micro-batch is re-delivered with the SAME batch_id, and a bare
     ``apply_delta_in_place`` would sum that delta into the state twice.
-    The ledger closes this: a batch_id already recorded is a no-op
-    (returns False), otherwise merge-then-record (returns True). The
-    marker is written only after the partition overwrite commits, so a
-    crash anywhere before that leaves the ledger without the id and the
-    replay performs the merge as if for the first time. The one residual
-    window -- crash between overwrite-commit and marker-write -- is
-    inherent to filesystem tables; a transactional format (Delta,
-    Iceberg) closes it by committing data + ledger in one snapshot, and
-    this function is exactly the txn body you'd hand it.
-    """
-    import os
+    Two mechanisms close this:
 
+    * the applied-batch LEDGER: a batch_id already recorded is a no-op
+      (returns False), otherwise merge-then-record (returns True);
+    * the write-ahead INTENT marker around the partition overwrite
+      (``_staged_dynamic_overwrite`` with batch_id): FileOutputCommitter
+      replaces partition directories SEQUENTIALLY, so a crash mid-commit
+      is not all-or-nothing -- re-merging onto that torn state would
+      double-count the already-replaced days. ``recover_torn_upserts``
+      (run first, every call) redoes any pending overwrite from its
+      durable staged copy -- idempotent, because the staged rows are the
+      final content of every touched partition -- then records the
+      ledger entry, so the subsequent duplicate check sees the batch as
+      applied and the replayed delta is never re-merged.
+
+    Crash window accounting: before intent -> state untouched, replay
+    merges fresh; intent..ledger -> recovery redoes from staging and
+    records; ledger..intent-removal -> recovery redo is a no-op rewrite
+    and clears the marker; after intent removal -> at most an orphaned
+    staging dir (garbage, not corruption). On a transactional format
+    (Delta/Iceberg) the snapshot commit subsumes all of this; this
+    function is exactly the txn body you'd hand it.
+    """
+    recover_torn_upserts(spark, state_dir)
     if batch_id in applied_batch_ids(state_dir):
         return False
-    apply_delta_in_place(spark, state_dir, batch_df)
-    ledger = os.path.join(state_dir, "_applied_batches")
-    os.makedirs(ledger, exist_ok=True)
-    with open(os.path.join(ledger, str(batch_id)), "w"):
-        pass
+    _, merged_rows = _merge_parts(spark, state_dir, batch_df)
+    out = merged_rows.withColumn(
+        "day_key", F.date_format("day", "yyyy-MM-dd")
+    )
+    _staged_dynamic_overwrite(spark, out, state_dir, batch_id=batch_id)
     return True
 
 

@@ -241,12 +241,18 @@ def kv_fold_segmented(ops: DataFrame, segment_size: int = 64) -> DataFrame:
     out_parts = []
     for k in range(int(n_segs) + 1):
         seg = seqd.filter(F.col("__seg") == k).drop("__seq", "__seg")
+        # EAGER checkpoint: each round's lineage must be truncated
+        # before the next round builds on it. A lazy checkpoint defers
+        # truncation to the final action, so a deep history (rounds ~
+        # max-ops-per-key / segment_size) accretes the whole chain into
+        # one task closure -- StackOverflowError in task serialization
+        # at ~75 rounds (caught by the hot-key memory-bound test).
         folded = (
             state.repartition(n, "key")
             .groupby("key")
             .cogroup(seg.repartition(n, "key").groupby("key"))
             .applyInPandas(_fold_segment, schema=_SEG_SCHEMA)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         out_parts.append(
             folded.filter(F.col("row_kind") == "out").drop("row_kind")

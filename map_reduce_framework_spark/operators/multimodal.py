@@ -51,17 +51,63 @@ def decode_image(payload: bytes) -> "object":
 _BMP_HEADER_SIZES = {12, 40, 52, 56, 64, 108, 124}
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+#: JPEG frame-header (SOFn) markers: 0xC0-0xCF minus the three
+#: non-frame markers that share the range (DHT=C4, JPG=C8, DAC=CC).
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def _jpeg_dims(payload: bytes) -> tuple[int, int] | None:
+    """Walk the JPEG marker-segment stream to the first SOFn frame
+    header and read its big-endian dims. Pure byte arithmetic (ITU
+    T.81 B.1.1.4): after the SOI magic, each segment is
+    0xFF <marker> <u16 len incl. itself>, standalone markers
+    (TEM/RSTn/SOI) carry no length, repeated 0xFF are fill bytes, and
+    the SOFn payload is [precision u8][height u16][width u16]. Returns
+    None on any structural violation -- text that merely starts with
+    the SOI bytes cannot false-positive past the marker walk."""
+    n = len(payload)
+    if n < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None  # desynced: not a marker-aligned stream
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: give up
+            return None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2:
+            return None
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if i + 9 > n or seg_len < 7:
+                return None
+            height = int.from_bytes(payload[i + 5 : i + 7], "big")
+            width = int.from_bytes(payload[i + 7 : i + 9], "big")
+            return (width, height) if width > 0 and height > 0 else None
+        i += 2 + seg_len
+    return None
+
 
 def decode_image_header(payload: bytes) -> tuple[int, int, str] | None:
     """REAL header decode, dependency-free: parse (width, height, format)
-    straight from the bytes of the two self-describing formats whose
+    straight from the bytes of the three self-describing formats whose
     headers are pure integer fields -- BMP (little-endian dims at offsets
     18/22, behind the 'BM' magic + a structural biSize/planes check so
-    text that merely starts with 'BM' can't false-positive) and PNG
+    text that merely starts with 'BM' can't false-positive), PNG
     (big-endian dims in the IHDR chunk behind the 8-byte signature,
-    which contains \\x89 and so can never open valid UTF-8 text).
-    Returns None when the payload is neither -- callers fall back to
-    ``fake_decode_meta`` for the synthetic corpus."""
+    which contains \\x89 and so can never open valid UTF-8 text), and
+    JPEG (big-endian dims in the first SOFn frame header, reached by
+    walking the marker-segment stream -- ``_jpeg_dims``; pixel DECODE
+    still needs libjpeg, but dims/format, the fields every curation
+    filter keys on, do not). Returns None when the payload is none of
+    the three -- callers fall back to ``fake_decode_meta`` for the
+    synthetic corpus."""
     if len(payload) >= 26 and payload[:2] == b"BM":
         bi_size = int.from_bytes(payload[14:18], "little")
         if bi_size in _BMP_HEADER_SIZES:
@@ -83,6 +129,9 @@ def decode_image_header(payload: bytes) -> tuple[int, int, str] | None:
             height = int.from_bytes(payload[20:24], "big")
             if width > 0 and height > 0:
                 return width, height, "png"
+    jd = _jpeg_dims(payload)
+    if jd is not None:
+        return jd[0], jd[1], "jpeg"
     return None
 
 

@@ -75,38 +75,48 @@ def curation_funnel(documents: DataFrame) -> DataFrame:
     documents survive each curation stage (raw -> quality gate -> exact-
     dedup keeper -> near-dup keeper). Each stage count is CUMULATIVE
     (docs surviving every gate up to that point), so consecutive rows
-    directly give each gate's kill rate. Four 1-row aggregates over
-    already-oracle-checked building blocks; the funnel's own oracle
-    composes their SQL."""
-    quality = _quality_pass_ids(documents)
-    exact = _exact_keeper_ids(documents)
-    drops = _near_dup_drop_ids(documents)
-    stages = [
-        ("raw", documents.select("doc_id")),
-        ("quality_pass", documents.select("doc_id").join(quality, "doc_id")),
-        (
-            "exact_keeper",
-            documents.select("doc_id")
-            .join(quality, "doc_id")
-            .join(exact, "doc_id"),
-        ),
-        (
-            "near_dup_keeper",
-            documents.select("doc_id")
-            .join(quality, "doc_id")
-            .join(exact, "doc_id")
-            .join(drops, "doc_id", "left_anti"),
-        ),
-    ]
-    out = None
-    for idx, (stage, df) in enumerate(stages):
-        row = df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(idx).cast("int").alias("stage_idx"),
-            F.lit(stage).alias("stage"),
-            F.col("n_docs").cast("bigint").alias("n_docs"),
+    directly give each gate's kill rate.
+
+    ONE pass: per-doc stage flags (three left joins against the
+    already-oracle-checked gate relations, each evaluated once) feed a
+    single aggregate of conditional counts, unstacked into the 4-row
+    report. The earlier shape ran four cumulative-join COUNT JOBS, each
+    re-evaluating every upstream gate -- at 100 TB that is 4 corpus
+    scans (and 4 dedup passes) for a 4-row report; this is 1. The
+    funnel's oracle composes the stage SQL unchanged."""
+    quality = _quality_pass_ids(documents).withColumn("q", F.lit(True))
+    exact = _exact_keeper_ids(documents).withColumn("e", F.lit(True))
+    drops = _near_dup_drop_ids(documents).withColumn("d", F.lit(True))
+    flags = (
+        documents.select("doc_id")
+        .join(quality, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .join(drops, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("q"), F.lit(False)).alias("q"),
+            F.coalesce(F.col("e"), F.lit(False)).alias("e"),
+            F.coalesce(F.col("d"), F.lit(False)).alias("d"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("raw"),
+        cnt(F.col("q")).alias("quality_pass"),
+        cnt(F.col("q") & F.col("e")).alias("exact_keeper"),
+        cnt(F.col("q") & F.col("e") & ~F.col("d")).alias("near_dup_keeper"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "0, 'raw', raw, "
+        "1, 'quality_pass', quality_pass, "
+        "2, 'exact_keeper', exact_keeper, "
+        "3, 'near_dup_keeper', near_dup_keeper) "
+        "AS (stage_idx, stage, n_docs)"
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
 
 
 def training_token_budget(documents: DataFrame) -> DataFrame:

@@ -138,11 +138,17 @@ def events_anomaly_days(events: DataFrame, z_threshold: float = 2.0) -> DataFram
     runs before trusting a day's data: per-day event counts scored
     against the corpus mean/std, flagging |z| > threshold days.
 
-    Exactness: daily counts are BIGINTs, so mean = sum/n and
-    var = sum_sq/n - mean^2 are single exact-integer-to-double
-    divisions evaluated in the same order both engines, sqrt is
-    correctly rounded, and the z comparison is on identical doubles --
-    the whole report hash-matches despite being 'statistics'.
+    Exactness: daily counts are BIGINTs but sum-of-squares is
+    accumulated as decimal(38,0) (at ~1e10 events/day the squares are
+    ~1e20 >> 2^63, which would silently wrap in non-ANSI BIGINT
+    arithmetic -- same trap embedding_dim_stats avoids).  The exact
+    decimal totals convert once to double, then mean = s/n and
+    var = s2/n - mean^2 are evaluated in the same order in both
+    engines, sqrt is correctly rounded, and the z comparison is on
+    identical doubles -- the whole report hash-matches despite being
+    'statistics'.  Degenerate inputs (one day, or all daily counts
+    equal) have var = 0; both engines pin zscore = 0.0 and
+    is_anomaly = false there instead of dividing by sqrt(0).
 
     Plan: one day-grain aggregate (map-side combined), one 1-row stats
     aggregate broadcast back -- two shuffles total, output |days| rows
@@ -150,14 +156,17 @@ def events_anomaly_days(events: DataFrame, z_threshold: float = 2.0) -> DataFram
     daily = events.groupBy(
         F.date_trunc("day", F.col("ts")).alias("day")
     ).agg(F.count("*").alias("n_events"))
+    nd = F.col("n_events").cast("decimal(38,0)")
     stats = daily.agg(
         F.count("*").alias("n_days"),
-        F.sum("n_events").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+        F.sum(nd).alias("s"),
+        F.sum(nd * nd).alias("s2"),
     )
-    mean = F.col("s") / F.col("n_days")
-    var = F.col("s2") / F.col("n_days") - mean * mean
-    z = (F.col("n_events") - mean) / F.sqrt(var)
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = F.col("s2").cast("double") / F.col("n_days") - mean * mean
+    z = F.when(var <= F.lit(0.0), F.lit(0.0)).otherwise(
+        (F.col("n_events") - mean) / F.sqrt(var)
+    )
     return daily.join(F.broadcast(stats)).select(
         "day",
         "n_events",
@@ -173,19 +182,25 @@ ORACLE_SQL["events_anomaly_days"] = """
                CAST(count(*) AS BIGINT) AS n_events
         FROM events GROUP BY 1
     ),
+    -- HUGEINT accumulators (DuckDB's exact-int128 analog of Spark's
+    -- decimal(38,0)): squares of ~1e10-scale daily counts exceed 2^63.
     stats AS (
         SELECT CAST(count(*) AS BIGINT) AS n_days,
-               CAST(sum(n_events) AS BIGINT) AS s,
-               CAST(sum(n_events * n_events) AS BIGINT) AS s2
+               CAST(sum(CAST(n_events AS HUGEINT)) AS DOUBLE) AS s,
+               CAST(sum(CAST(n_events AS HUGEINT) * n_events) AS DOUBLE)
+                   AS s2
         FROM daily
+    ),
+    mv AS (
+        SELECT n_days, s / n_days AS mean,
+               s2 / n_days - (s / n_days) * (s / n_days) AS var
+        FROM stats
     )
     SELECT d.day, d.n_events,
-           (d.n_events - s.s / s.n_days)
-               / sqrt(s.s2 / s.n_days
-                      - (s.s / s.n_days) * (s.s / s.n_days)) AS zscore,
-           abs((d.n_events - s.s / s.n_days)
-               / sqrt(s.s2 / s.n_days
-                      - (s.s / s.n_days) * (s.s / s.n_days))) > 2.0
+           CASE WHEN m.var <= 0 THEN 0.0
+                ELSE (d.n_events - m.mean) / sqrt(m.var) END AS zscore,
+           abs(CASE WHEN m.var <= 0 THEN 0.0
+                    ELSE (d.n_events - m.mean) / sqrt(m.var) END) > 2.0
                AS is_anomaly
-    FROM daily d, stats s
+    FROM daily d, mv m
 """

@@ -466,7 +466,9 @@ def ann_ivf(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
-def ann_recall_report(embeddings: DataFrame) -> DataFrame:
+def ann_recall_report(
+    embeddings: DataFrame, documents: DataFrame | None = None
+) -> DataFrame:
     """Recall@k of every ANN variant against the exact brute-force
     ranking on the fixed query set -- the accuracy/cost trade as a
     first-class, driver-checkable relation instead of a pytest-only
@@ -509,6 +511,32 @@ def ann_recall_report(embeddings: DataFrame) -> DataFrame:
             .alias("recall"),
         )
         out = rep if out is None else out.unionByName(rep)
+    if documents is not None:
+        # fused-recall row: the ANN-backed hybrid's top-10 doc list vs
+        # the brute-force hybrid's (the exact twin) -- pins the quality
+        # of the production RAG entry point, not just raw ANN recall
+        exact_h = (
+            hybrid_retrieval_rrf(documents, embeddings)
+            .filter(F.col("fused_rnk") <= 10)
+            .select("doc_id")
+        )
+        ann_h = (
+            hybrid_retrieval_rrf_ann(documents, embeddings)
+            .filter(F.col("fused_rnk") <= 10)
+            .select("doc_id")
+        )
+        rep = (
+            ann_h.join(exact_h, "doc_id", "left_semi")
+            .agg(F.count("*").alias("n_hits"))
+            .select(
+                F.lit("hybrid_rrf_ann").alias("variant"),
+                F.lit(10).cast("int").alias("k"),
+                F.lit(1).cast("int").alias("n_queries"),
+                F.col("n_hits").cast("bigint").alias("n_hits"),
+                (F.col("n_hits") / F.lit(10)).cast("double").alias("recall"),
+            )
+        )
+        out = out.unionByName(rep)
     return out
 
 
@@ -542,6 +570,13 @@ def hybrid_retrieval_rrf(
         F.col("vec_id").alias("doc_id"),
         F.col("rnk").alias("sem_rnk"),
     )
+    return _rrf_fuse(lex, sem)
+
+
+def _rrf_fuse(lex: DataFrame, sem: DataFrame) -> DataFrame:
+    """RRF over two (doc_id, *_rnk) top-k lists: full-outer align, sum
+    1/(RRF_K + rank) per present ranker, global rank over <= |lex|+|sem|
+    fused rows (bounded by the two k's, never by corpus size)."""
     fused = lex.join(sem, "doc_id", "full_outer")
     term = lambda c: F.coalesce(  # noqa: E731
         F.lit(1.0) / (F.lit(RRF_K) + F.col(c)), F.lit(0.0)
@@ -556,6 +591,41 @@ def hybrid_retrieval_rrf(
     return scored.withColumn(
         "fused_rnk", F.row_number().over(w).cast("int")
     )
+
+
+def hybrid_retrieval_rrf_ann(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """The PRODUCTION hybrid: same RRF fusion as ``hybrid_retrieval_rrf``
+    but the semantic ranking comes from ``ann_ivf_pq`` (probed IVF cells,
+    ADC over PQ codes -- clustering.py:561) instead of a brute-force
+    scan + global top-k of the whole embedding table per query. At
+    100 TB the brute-force twin reads every vector per probe; this one
+    touches ~N_PROBE/N_CELLS of the (much smaller) PQ-codes relation and
+    zero raw vectors, with every query-path join a broadcast
+    (gated: tests/test_plans.py asserts no cosine ranking and at most
+    the BM25 stats nested-loop join in the plan).
+
+    The brute-force form stays registered as the exact/oracle twin, and
+    ``ann_recall_report`` pins the fused list's overlap with it -- the
+    same accuracy/cost discipline as user_reach vs user_reach_hll.
+
+    Exactness: ann_ivf_pq's ADC ranking is itself deterministic
+    (integer-mantissa summation, vec_id tiebreak), so the fused report
+    carries a full hash-exact DuckDB oracle, not a rows-only check."""
+    from .clustering import ann_ivf_pq
+    from .text_analysis import bm25_top_docs
+
+    lex = (
+        bm25_top_docs(documents)
+        .filter(F.col("term") == "spark")
+        .select("doc_id", F.col("rnk").alias("lex_rnk"))
+    )
+    sem = ann_ivf_pq(embeddings, n_queries=1, k=10).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("rnk").alias("sem_rnk"),
+    )
+    return _rrf_fuse(lex, sem)
 
 
 def _signs_sql(signs: list[float]) -> str:
@@ -786,7 +856,21 @@ ORACLE_SQL: dict[str, str] = {
 
 
 def _build_recall_report_sql() -> str:
+    """Requires the hybrid oracle builders below -- called after their
+    defs (the final ORACLE_SQL['ann_recall_report'] assignment sits past
+    the hybrid section)."""
     from .clustering import ORACLE_SQL as _CL_SQL
+
+    hybrid_row = f"""
+        SELECT 'hybrid_rrf_ann' AS variant, CAST(10 AS INT) AS k,
+               CAST(1 AS INT) AS n_queries,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(*) AS DOUBLE) / 10 AS recall
+        FROM (SELECT doc_id FROM ({_build_hybrid_rrf_ann_sql()})
+              WHERE fused_rnk <= 10) a
+        JOIN (SELECT doc_id FROM ({_build_hybrid_rrf_sql()})
+              WHERE fused_rnk <= 10) x USING (doc_id)
+    """
     from .clustering import PQ_TOPK
 
     return " UNION ALL ".join(
@@ -797,25 +881,25 @@ def _build_recall_report_sql() -> str:
                 "ann_ivf_trained", _CL_SQL["ann_ivf_trained"], 5
             ),
             _recall_row_sql("ann_ivf_pq", _CL_SQL["ann_ivf_pq"], PQ_TOPK),
+            hybrid_row,
         ]
     )
 
 
-ORACLE_SQL["ann_recall_report"] = _build_recall_report_sql()
-
-
-def _build_hybrid_rrf_sql() -> str:
+def _build_hybrid_rrf_sql(sem_sql: str | None = None) -> str:
     from .text_analysis import ORACLE_SQL as _TA_SQL
 
+    if sem_sql is None:  # exact twin: brute-force cosine ranking
+        sem_sql = f"""
+            SELECT vec_id AS doc_id, rnk AS sem_rnk
+            FROM ({_knn_sql(10)}) WHERE q_id = 0
+        """
     return f"""
         WITH lex AS (
             SELECT doc_id, rnk AS lex_rnk
             FROM ({_TA_SQL['bm25_top_docs']}) WHERE term = 'spark'
         ),
-        sem AS (
-            SELECT vec_id AS doc_id, rnk AS sem_rnk
-            FROM ({_knn_sql(10)}) WHERE q_id = 0
-        ),
+        sem AS ({sem_sql}),
         f AS (
             SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
                    l.lex_rnk, s.sem_rnk,
@@ -834,6 +918,21 @@ def _build_hybrid_rrf_sql() -> str:
 
 
 ORACLE_SQL["hybrid_retrieval_rrf"] = _build_hybrid_rrf_sql()
+
+
+def _build_hybrid_rrf_ann_sql() -> str:
+    from .clustering import ORACLE_SQL as _CL_SQL
+
+    return _build_hybrid_rrf_sql(
+        f"""
+            SELECT vec_id AS doc_id, rnk AS sem_rnk
+            FROM ({_CL_SQL['ann_ivf_pq']}) WHERE q_id = 0
+        """
+    )
+
+
+ORACLE_SQL["hybrid_retrieval_rrf_ann"] = _build_hybrid_rrf_ann_sql()
+ORACLE_SQL["ann_recall_report"] = _build_recall_report_sql()
 
 
 MMR_LAMBDA = 0.5

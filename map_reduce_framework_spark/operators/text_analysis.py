@@ -1045,7 +1045,17 @@ ORACLE_SQL["lang_confusion"] = f"""
 """
 
 
-def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+#: Hard vocabulary cap for the broadcast LM table. 64k (count, token)
+#: rows is single-digit MBs -- far under the broadcast threshold -- and
+#: at test SFs it exceeds the whole >=2-count vocabulary, so the capped
+#: scores are bit-identical to the full-LM reference the pytest pin
+#: computes. OOV/tail tokens fall back to count 1 (see below).
+LM_VOCAB_TOP_K = 1 << 16
+
+
+def unigram_logprob_scores(
+    documents: DataFrame, vocab_top_k: int = LM_VOCAB_TOP_K
+) -> DataFrame:
     """Per-document perplexity under the corpus's own unigram LM -- the
     CCNet-style (Wenzek et al. 2019) quality signal: text whose tokens
     are corpus-typical scores low, gibberish/outlier text scores high
@@ -1053,10 +1063,25 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     dataflow is identical -- token score lookup + per-doc average).
 
     Returns (doc_id, n_tokens, avg_neg_log2_prob, ppl) where
-    ppl = 2^avg. Plan shape at 100 TB: one token-count aggregate over
-    the exploded corpus (shuffle carries tokens, not documents), a
-    1-row total, then the scoring join token->count (the LM table
-    shuffles once; docs stream) and one doc-keyed aggregate.
+    ppl = 2^avg. Plan shape at 100 TB: one token-count aggregate builds
+    the LM (map-side combined -- the shuffle carries per-partition
+    DISTINCT tokens, never the occurrence stream), the LM is df-capped
+    and BROADCAST, and scoring is a broadcast left join the exploded
+    docs stream through, then one doc-keyed aggregate. The earlier
+    shape (toks JOIN counts ON tok) shuffled every token OCCURRENCE on
+    a Zipf key -- at corpus scale the 'the' partition holds a
+    double-digit share of all rows; gated out in tests/test_plans.py
+    (no shuffle join anywhere in this plan).
+
+    The cap is score-neutral by construction at the floor: OOV tokens
+    score with count 1, and every count-1 token scores identically
+    in or out of the table, so dropping the singleton tail (most of a
+    web corpus's distinct tokens) changes nothing; the top-K bound
+    (default 64k rows, single-digit MBs broadcast) then caps the
+    2-and-up vocabulary, which at test SFs it never truncates -- the
+    1e-9 independent-Python pin (tests/test_round4_ops.py) runs against
+    the FULL-vocabulary reference and still holds. ``total`` stays the
+    full corpus token count (computed before any cap).
 
     Registered rows-only: ln/log2 differ in final ulps between libm
     implementations, so a hash oracle would be flaky by construction;
@@ -1068,12 +1093,26 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
     )
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
+    # score-neutral tail drop (c=1 scores exactly like OOV), then the
+    # hard top-K bound; the rank window sorts only the >=2-count vocab
+    wv = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    lm = (
+        counts.filter(F.col("c") >= 2)
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") <= vocab_top_k)
+        .drop("vr")
+    )
     scored = (
-        toks.join(counts, "tok")
+        toks.join(F.broadcast(lm), "tok", "left")
         .join(F.broadcast(total))
         .select(
             "doc_id",
-            (-(F.log2(F.col("c")) - F.log2(F.col("total")))).alias("nlp"),
+            (
+                -(
+                    F.log2(F.coalesce(F.col("c"), F.lit(1)))
+                    - F.log2(F.col("total"))
+                )
+            ).alias("nlp"),
         )
     )
     return (

@@ -515,7 +515,9 @@ def q_simpairs(spark, sf_dir):
 # on both engines (deterministic tiebreaks make both rankings unique).
 @register("ann_recall_report", similarity.ORACLE_SQL["ann_recall_report"])
 def q_ann_recall_report(spark, sf_dir):
-    return similarity.ann_recall_report(_t(spark, sf_dir, "embeddings"))
+    return similarity.ann_recall_report(
+        _t(spark, sf_dir, "embeddings"), _t(spark, sf_dir, "documents")
+    )
 
 
 # RAG-stack rank fusion: BM25 lexical + exact-cosine semantic rankings
@@ -523,6 +525,20 @@ def q_ann_recall_report(spark, sf_dir):
 @register("hybrid_retrieval_rrf", similarity.ORACLE_SQL["hybrid_retrieval_rrf"])
 def q_hybrid_retrieval_rrf(spark, sf_dir):
     return similarity.hybrid_retrieval_rrf(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
+# The production hybrid: same RRF fusion, semantic side from ann_ivf_pq
+# (probed cells + ADC over PQ codes) instead of a per-query full scan;
+# the brute-force form above stays as the exact twin, and
+# ann_recall_report pins the fused lists' overlap.
+@register(
+    "hybrid_retrieval_rrf_ann",
+    similarity.ORACLE_SQL["hybrid_retrieval_rrf_ann"],
+)
+def q_hybrid_retrieval_rrf_ann(spark, sf_dir):
+    return similarity.hybrid_retrieval_rrf_ann(
         _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
     )
 

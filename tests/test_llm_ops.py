@@ -327,6 +327,63 @@ def test_real_header_decode_bmp_png(spark):
     assert (rs[2].new_width, rs[2].new_height) == (1, 1)
 
 
+def _tiny_jpeg(width=1, height=1, progressive=False):
+    """SOI + APP0(JFIF) + DQT + SOFn header bytes -- enough marker
+    stream for dimension parsing (no entropy data; header parsers like
+    identify/file read exactly this prefix)."""
+    import struct
+
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(64)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (
+        sof_marker
+        + struct.pack(">HBHHB", 17, 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return soi + app0 + dqt + sof
+
+
+def test_real_header_decode_jpeg(spark):
+    """JPEG SOFn dims parse dependency-free like the BMP/PNG paths:
+    baseline (SOF0) and progressive (SOF2) frames, markers before the
+    SOF skipped by their lengths, malformed/truncated streams rejected
+    rather than mis-parsed."""
+    assert multimodal.decode_image_header(_tiny_jpeg(640, 480)) == (
+        640, 480, "jpeg",
+    )
+    assert multimodal.decode_image_header(
+        _tiny_jpeg(123, 45, progressive=True)
+    ) == (123, 45, "jpeg")
+    # truncated: magic only, or stream ending before any SOF
+    assert multimodal.decode_image_header(b"\xff\xd8") is None
+    assert multimodal.decode_image_header(b"\xff\xd8\xff\xd9") is None
+    # desynced garbage after SOI must not parse
+    assert multimodal.decode_image_header(b"\xff\xd8not a marker") is None
+    # a DHT (0xC4, in the 0xC0-0xCF range but NOT a frame header) must
+    # be skipped, not read as dims
+    import struct
+
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00\x00\x00"
+    payload = b"\xff\xd8" + dht + _tiny_jpeg(7, 9)[2:]
+    assert multimodal.decode_image_header(payload) == (7, 9, "jpeg")
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_tiny_jpeg(32, 16)), "s")],
+        "doc_id bigint, payload binary, source string",
+    )
+    got = multimodal.extract_media_meta(media).collect()[0]
+    assert (got.width, got.height, got.format) == (32, 16, "jpeg")
+    rs = multimodal.resize_images(media, max_dim=8).collect()[0]
+    assert (rs.new_width, rs.new_height) == (8, 4)
+
+
 def test_pii_detection_on_planted_documents(spark):
     """The synthetic corpus has no PII (pii_scan reports honest zeros),
     so detection is proven on planted documents: every pattern class

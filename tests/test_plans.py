@@ -295,6 +295,39 @@ def test_triangle_closure_has_no_forced_broadcast(spark):
     assert "UnresolvedHint" not in analyzed, analyzed
 
 
+def test_hybrid_ann_semantic_side_is_not_brute_force(spark):
+    """The production hybrid's semantic ranking must come from the
+    IVF-PQ path (ADC over PQ codes), never the brute-force scan: a
+    full-embedding cosine top-k per probe reads the whole corpus per
+    query at 100 TB. Plan markers: the ADC column is present, the
+    brute-force twin's cosine column is absent, and the nested-loop
+    joins are exactly the three tiny-broadcast ones (BM25's 1-row
+    corpus stats, corpus x 16-centroid cell assignment, query x
+    centroid probe selection) -- a fourth would be the full
+    vectors x queries cross join sneaking back in."""
+    plan = _formatted_plan(spark, "hybrid_retrieval_rrf_ann")
+    assert "adc#" in plan, plan
+    assert "cos#" not in plan, plan
+    bnlj = len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan))
+    assert bnlj <= 3, plan
+    # the exact twin documents the contrast
+    twin = _formatted_plan(spark, "hybrid_retrieval_rrf")
+    assert "cos#" in twin
+
+
+def test_unigram_lm_scoring_never_shuffles_token_stream(spark):
+    """The LM scoring join must BROADCAST the capped vocabulary table:
+    a shuffle join there repartitions every token OCCURRENCE on a Zipf
+    key ('the' alone is a double-digit share of a web corpus). The only
+    legal shuffles are the map-side-combined vocab aggregate and the
+    doc-keyed final aggregate -- so the plan may contain no shuffle
+    join of any kind."""
+    plan = _formatted_plan(spark, "unigram_logprob_scores")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_chunk_dedup_hot_side_broadcasts(spark):
     """chunk_dedup_clean removes hot chunks via a broadcast anti-join:
     the corpus side must never shuffle on the chunk text."""

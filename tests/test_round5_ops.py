@@ -1,0 +1,228 @@
+"""Round-5 additions: torn-commit recovery for the incremental upsert
+(write-ahead intent marker + redo-from-staging), and the memory/scale
+hardening items from the round-4 review.
+
+The torn-commit scenario is the filesystem-table hazard the round-4
+advisor flagged: FileOutputCommitter replaces partition directories
+SEQUENTIALLY at job commit, so a crash mid-commit leaves some touched
+days merged and others not -- and a ledger-less replay would re-merge
+the delta into the already-replaced days (double count). These tests
+tear a commit by hand and assert the intent log heals it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_framework_spark.operators.incremental import (
+    CUTOFF,
+    _merge_parts,
+    applied_batch_ids,
+    exactly_once_upsert,
+    incremental_daily_agg,
+    materialize_daily_state,
+    recover_torn_upserts,
+)
+from map_reduce_framework_spark.sources.io import load_table
+
+
+def _read_state_final(spark, state_dir):
+    return spark.read.parquet(state_dir).select(
+        "day",
+        "event_type",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "max_value",
+    )
+
+
+def _tear_a_commit(spark, state_dir, late, batch_id):
+    """Reproduce the exact on-disk state of an upsert that crashed
+    mid-job-commit: staged copy written, intent published, and exactly
+    ONE touched day partition already replaced with merged rows while
+    the rest still hold pre-merge state. Returns (staging, torn_day)."""
+    _, merged_rows = _merge_parts(spark, state_dir, late)
+    out = merged_rows.withColumn(
+        "day_key", F.date_format("day", "yyyy-MM-dd")
+    )
+    staging = f"{state_dir.rstrip('/')}.staging-torn"
+    out.write.mode("overwrite").parquet(staging)
+    intents = os.path.join(state_dir, "_upsert_intents")
+    os.makedirs(intents, exist_ok=True)
+    with open(os.path.join(intents, str(batch_id)), "w") as fh:
+        json.dump({"staging": staging, "batch_id": batch_id}, fh)
+    staged = spark.read.parquet(staging)
+    torn_day = min(r.day_key for r in staged.select("day_key").distinct().collect())
+    part_dir = os.path.join(state_dir, f"day_key={torn_day}")
+    shutil.rmtree(part_dir, ignore_errors=True)  # new days have no dir yet
+    staged.filter(F.col("day_key") == torn_day).drop("day_key").write.parquet(
+        part_dir
+    )
+    return staging, torn_day
+
+
+def test_recovery_heals_torn_partition_overwrite(spark, sf_smoke, tmp_path):
+    """A commit torn between partitions is detected via the pending
+    intent and REDONE from the staged copy; the replayed batch is then a
+    ledger no-op, and the final state equals the one-shot recompute."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    late = ev.filter(F.col("ts") >= cut)
+
+    staging, _ = _tear_a_commit(spark, state_dir, late, batch_id=7)
+
+    # the tear is real: torn state matches neither old nor merged
+    full = {tuple(r) for r in incremental_daily_agg(ev).collect()}
+    torn = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    assert torn != full
+
+    # replay of the same batch: recovery first, then ledger dedup
+    assert exactly_once_upsert(spark, state_dir, late, batch_id=7) is False
+    healed = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    assert healed == full
+    assert applied_batch_ids(state_dir) == {7}
+    assert not os.path.isdir(staging)  # redo log consumed
+    assert os.listdir(os.path.join(state_dir, "_upsert_intents")) == []
+
+
+def test_recover_torn_upserts_direct_and_idempotent(spark, sf_smoke, tmp_path):
+    """recover_torn_upserts alone redoes the overwrite, records the
+    ledger entry, and a second call finds nothing pending."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    late = ev.filter(F.col("ts") >= cut)
+    _tear_a_commit(spark, state_dir, late, batch_id=3)
+
+    assert recover_torn_upserts(spark, state_dir) == [3]
+    full = {tuple(r) for r in incremental_daily_agg(ev).collect()}
+    healed = {tuple(r) for r in _read_state_final(spark, state_dir).collect()}
+    assert healed == full
+    assert applied_batch_ids(state_dir) == {3}
+    assert recover_torn_upserts(spark, state_dir) == []
+
+
+def test_kv_fold_segmented_memory_bound_on_hot_key(spark):
+    """The analog of the reference's 100k-client memory test
+    (srv/kvsrv_test.go:71-122, which pins server memory growth under an
+    adversarial client load): one key's history is 75x the segment
+    size, and NO fold task may ever hold more than segment_size ops in
+    memory -- measured inside the executor via accumulators wrapped
+    around the per-batch fold, not inferred from the plan. The
+    segmented result must still equal the monolithic kv_fold."""
+    import pandas as pd
+
+    import map_reduce_framework_spark.operators.kv as kv
+
+    seg = 16
+    n_hot = 1200  # single hot key, 75 segments
+    rows = []
+    version = 0
+    for i in range(n_hot):
+        if i % 3 == 2:
+            rows.append((i, "hot", "get", None, None))
+        elif i % 7 == 3:  # failing put: stale version
+            rows.append((i, "hot", "put", f"v{i}", max(0, version - 1)))
+        else:
+            rows.append((i, "hot", "put", f"v{i}", version))
+            version += 1
+    for i in range(n_hot, n_hot + 5):  # a few cold keys too
+        rows.append((i, f"cold{i}", "put", "x", 0))
+    pdf = pd.DataFrame(
+        rows, columns=["op_id", "key", "op", "value", "version_arg"]
+    ).astype({"op_id": "int64", "value": "object", "version_arg": "object"})
+    ops = spark.createDataFrame(pdf)
+
+    batches = spark.sparkContext.accumulator(0)
+    violations = spark.sparkContext.accumulator(0)
+    orig = kv._fold_segment
+
+    def spy(state_pdf, ops_pdf):
+        batches.add(1)
+        if len(ops_pdf) > seg:
+            violations.add(1)
+        return orig(state_pdf, ops_pdf)
+
+    kv._fold_segment = spy
+    try:
+        got = sorted(
+            tuple(r) for r in kv.kv_fold_segmented(ops, segment_size=seg).collect()
+        )
+    finally:
+        kv._fold_segment = orig
+    assert batches.value >= n_hot // seg  # the instrumentation ran
+    assert violations.value == 0, (
+        f"{violations.value} fold batches exceeded segment_size={seg}"
+    )
+    want = sorted(tuple(r) for r in kv.kv_fold(ops).collect())
+    assert got == want
+
+
+def test_unigram_lm_vocab_cap_oov_fallback(spark):
+    """Force the top-K cap below the vocabulary size: truncated tokens
+    must score exactly like count-1 OOV tokens (the documented
+    fallback), and tokens inside the cap keep their full-LM scores.
+    Synthetic corpus so the in/out-of-cap split is hand-checkable."""
+    import math
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa aa bb bb cc"),  # aa:4 bb:2 cc:1  (total=10)
+            (1, "aa bb cc dd"),  # dd:1
+            (2, "aa aa dd"),
+        ],
+        "doc_id long, text string",
+    )
+    # full vocab with c>=2: aa(7), bb(3) -> cap at 1 keeps only aa
+    got = {
+        r.doc_id: r
+        for r in unigram_logprob_scores(docs, vocab_top_k=1).collect()
+    }
+    total = 14.0
+
+    def nlp(c):
+        return -(math.log2(c) - math.log2(total))
+
+    # doc 2: aa aa dd -> aa in-cap (c=7), dd OOV (->1)
+    want = (nlp(7) + nlp(7) + nlp(1)) / 3
+    assert got[2].avg_neg_log2_prob == pytest.approx(want, rel=1e-12)
+    # doc 0: bb (c=3, truncated by the cap) must score as count 1
+    want0 = (4 * nlp(7) + 2 * nlp(1) + nlp(1)) / 7
+    assert got[0].avg_neg_log2_prob == pytest.approx(want0, rel=1e-12)
+    # and with a cap that covers the >=2 vocab, bb/cc score true counts
+    # (corpus-wide: aa=7, bb=3, cc=2, dd=2)
+    full = {
+        r.doc_id: r
+        for r in unigram_logprob_scores(docs, vocab_top_k=100).collect()
+    }
+    want0_full = (4 * nlp(7) + 2 * nlp(3) + nlp(2)) / 7
+    assert full[0].avg_neg_log2_prob == pytest.approx(want0_full, rel=1e-12)
+
+
+def test_clean_upsert_leaves_no_intent_residue(spark, sf_smoke, tmp_path):
+    """The happy path must clear its intent marker and staging dir --
+    otherwise every restart would pay a spurious redo."""
+    ev = load_table(spark, sf_smoke, "events")
+    state_dir = str(tmp_path / "state")
+    materialize_daily_state(ev, state_dir)
+    cut = F.lit(CUTOFF).cast("timestamp_ntz")
+    late = ev.filter(F.col("ts") >= cut)
+
+    assert exactly_once_upsert(spark, state_dir, late, batch_id=0) is True
+    intents = os.path.join(state_dir, "_upsert_intents")
+    assert os.listdir(intents) == []
+    parent = os.path.dirname(state_dir)
+    assert not [d for d in os.listdir(parent) if ".staging-" in d]
+    assert recover_torn_upserts(spark, state_dir) == []
