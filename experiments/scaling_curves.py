@@ -34,6 +34,13 @@ QUERIES = [
     "part_pagerank",        # iterative graph
     "incremental_daily_agg",  # state merge
     "sequence_packing",     # Arrow groupwise packing
+    # round-5 additions: the blocking/broadcast guarantees of the dedup
+    # and retrieval families are exactly what a super-linear curve would
+    # falsify, so measure them directly.
+    "simhash_near_pairs",   # banded hamming blocking (never all-pairs)
+    "chunk_dedup_clean",    # inverted-index co-count + hot-set broadcast
+    "hybrid_retrieval_rrf_ann",  # BM25 + IVF-PQ fusion (no full scan)
+    "unigram_logprob_scores",    # broadcast-capped LM scoring
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

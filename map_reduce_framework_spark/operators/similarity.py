@@ -944,6 +944,7 @@ def mmr_rerank(
     embeddings: DataFrame,
     k: int = MMR_K,
     lam: float = MMR_LAMBDA,
+    _hybrid=None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR'98) over the hybrid-RRF candidate list: greedily pick the item
@@ -961,7 +962,7 @@ def mmr_rerank(
     fixed-order IEEE arithmetic, ties break on doc_id; the DuckDB oracle
     unrolls the same k rounds as chained CTEs."""
     cand = (
-        hybrid_retrieval_rrf(documents, embeddings)
+        (_hybrid or hybrid_retrieval_rrf)(documents, embeddings)
         .select("doc_id", "rrf_score")
     )
     e = _normed(embeddings)
@@ -1043,8 +1044,27 @@ def mmr_rerank(
     return out
 
 
-def _build_mmr_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
-    hybrid = _build_hybrid_rrf_sql()
+def mmr_rerank_ann(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+) -> DataFrame:
+    """MMR re-ranking over the PRODUCTION hybrid's candidates
+    (hybrid_retrieval_rrf_ann: BM25 + IVF-PQ fusion) -- the last step
+    of the retrieval stack with every stage scale-safe: no stage scans
+    the full embedding table per query. Same greedy selection, same
+    bounded per-round relations; only the candidate source differs,
+    so the brute-force mmr_rerank stays as the exact-twin control."""
+    return mmr_rerank(
+        documents, embeddings, k, lam, _hybrid=hybrid_retrieval_rrf_ann
+    )
+
+
+def _build_mmr_sql(
+    k: int = MMR_K, lam: float = MMR_LAMBDA, hybrid: str | None = None
+) -> str:
+    hybrid = hybrid or _build_hybrid_rrf_sql()
     parts = [
         f"fz AS (SELECT doc_id, rrf_score FROM ({hybrid}))",
         """er2 AS (
@@ -1099,3 +1119,4 @@ def _build_mmr_sql(k: int = MMR_K, lam: float = MMR_LAMBDA) -> str:
 
 
 ORACLE_SQL["mmr_rerank"] = _build_mmr_sql()
+ORACLE_SQL["mmr_rerank_ann"] = _build_mmr_sql(hybrid=_build_hybrid_rrf_ann_sql())

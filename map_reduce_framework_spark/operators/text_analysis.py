@@ -1053,6 +1053,72 @@ ORACLE_SQL["lang_confusion"] = f"""
 LM_VOCAB_TOP_K = 1 << 16
 
 
+#: Pairs reported by bpe_top_merges.
+BPE_TOP_K = 50
+
+
+def bpe_top_merges(documents: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
+    """First BPE iteration (Sennrich et al., ACL 2016): the adjacent
+    character-pair counts a byte-pair-encoding tokenizer trainer
+    computes to pick its next merge, reported as the top-k pairs.
+
+    THE scale trick (same as every real BPE trainer): pair counts are
+    computed over the DISTINCT word vocabulary weighted by word
+    frequency, never over the raw token stream -- the corpus collapses
+    to |V| rows in one map-side-combined aggregate, and the pair
+    explode + aggregate runs on that small relation. At 100 TB the
+    token-stream shape would explode ~n_chars rows per document; this
+    explodes ~word_len rows per DISTINCT word. Iterating merges would
+    repeat the same dataflow on the re-segmented vocab (symbol arrays
+    instead of strings); one iteration exercises the whole plan.
+
+    Deterministic: exact BIGINT counts, (count desc, pair) ordering."""
+    vocab = (
+        documents.select(F.explode(tokenize_ws("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .filter(F.length("tok") >= 2)
+    )
+    pairs = (
+        vocab.select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1),"
+                    " i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+ORACLE_SQL["bpe_top_merges"] = f"""
+    WITH vocab AS (
+        SELECT t AS tok, CAST(count(*) AS BIGINT) AS c
+        FROM documents, unnest({_TOKS}) AS u(t)
+        GROUP BY t
+    ),
+    pairs AS (
+        SELECT substring(tok, i, 2) AS pair, CAST(sum(c) AS BIGINT) AS n
+        FROM vocab, unnest(range(1, length(tok))) AS r(i)
+        WHERE length(tok) >= 2
+        GROUP BY 1
+    )
+    SELECT pair, n, rnk FROM (
+        SELECT pair, n,
+               CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk
+        FROM pairs
+    ) WHERE rnk <= {BPE_TOP_K}
+"""
+
+
 def unigram_logprob_scores(
     documents: DataFrame, vocab_top_k: int = LM_VOCAB_TOP_K
 ) -> DataFrame:

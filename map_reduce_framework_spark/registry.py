@@ -251,6 +251,17 @@ def q_q17(spark, sf_dir):
     )
 
 
+@register(
+    "q18_large_volume_customers", rel.ORACLE_SQL["q18_large_volume_customers"]
+)
+def q_q18(spark, sf_dir):
+    return rel.q18_large_volume_customers(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+    )
+
+
 @register("q19_disjunctive_revenue", rel.ORACLE_SQL["q19_disjunctive_revenue"])
 def q_q19(spark, sf_dir):
     return rel.q19_disjunctive_revenue(
@@ -545,6 +556,17 @@ def q_hybrid_retrieval_rrf_ann(spark, sf_dir):
 
 # Diversified re-ranking: greedy MMR over the fused list, k rounds
 # chained symbolically; unrolled-CTE oracle.
+# MMR over the ANN-backed hybrid candidates: the retrieval stack's
+# production path end-to-end (BM25 + IVF-PQ fusion + diversity rerank)
+# with no full-embedding scan anywhere; brute-force mmr_rerank below is
+# the exact-twin control.
+@register("mmr_rerank_ann", similarity.ORACLE_SQL["mmr_rerank_ann"])
+def q_mmr_rerank_ann(spark, sf_dir):
+    return similarity.mmr_rerank_ann(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
+
+
 @register("mmr_rerank", similarity.ORACLE_SQL["mmr_rerank"])
 def q_mmr_rerank(spark, sf_dir):
     return similarity.mmr_rerank(
@@ -607,6 +629,14 @@ def q_doc_chunks(spark, sf_dir):
 @register("doc_commonness", text_analysis.ORACLE_SQL["doc_commonness"])
 def q_doc_commonness(spark, sf_dir):
     return text_analysis.doc_commonness(_t(spark, sf_dir, "documents"))
+
+
+# BPE trainer's first-iteration merge statistics: adjacent char-pair
+# counts over the frequency-weighted DISTINCT vocabulary (the real
+# trainer's scale shape -- never the raw token stream).
+@register("bpe_top_merges", text_analysis.ORACLE_SQL["bpe_top_merges"])
+def q_bpe_top_merges(spark, sf_dir):
+    return text_analysis.bpe_top_merges(_t(spark, sf_dir, "documents"))
 
 
 @register(
