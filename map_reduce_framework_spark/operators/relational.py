@@ -1648,267 +1648,6 @@ def q17_small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFram
     )
 
 
-def q18_large_volume_customers(
-    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
-) -> DataFrame:
-    """TPC-H Q18: customers with any order whose total quantity exceeds a
-    threshold -- an aggregate-HAVING subquery joined back to orders. The
-    heavy groupBy is on l_orderkey (high cardinality, well-distributed);
-    everything after the HAVING filter is tiny."""
-    big = (
-        lineitem.groupBy("l_orderkey")
-        .agg(dsum("l_quantity").alias("sum_qty"))
-        .filter(F.col("sum_qty") > 300.0)
-    )
-    return (
-        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            "sum_qty",
-        )
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(100)
-    )
-
-
-def q8_market_share(
-    part: DataFrame,
-    supplier: DataFrame,
-    lineitem: DataFrame,
-    orders: DataFrame,
-    customer: DataFrame,
-    nation: DataFrame,
-    region: DataFrame,
-) -> DataFrame:
-    """TPC-H Q8 (adapted: p_type here is a single word): yearly market
-    share of NATION_3-based suppliers within the ECONOMY-part volume sold
-    to ASIA customers. All dimension sides (part filter, customer-region
-    semi-set, supplier nation) broadcast; only lineitem<->orders shuffles.
-    The share division runs over two decimal-accumulated sums, so the
-    double result is order-independent."""
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    asia_cust = (
-        customer.join(
-            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
-        )
-        .join(
-            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-        .select("c_custkey")
-    )
-    supp_nat = supplier.join(
-        F.broadcast(
-            nation.select(
-                F.col("n_nationkey").alias("sn_nationkey"),
-                F.col("n_name").alias("supp_nation"),
-            )
-        ),
-        F.col("s_nationkey") == F.col("sn_nationkey"),
-    ).select("s_suppkey", "supp_nation")
-    return (
-        lineitem.join(
-            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        .groupBy("o_year")
-        .agg(
-            (
-                dsum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
-                / dsum(vol)
-            ).alias("mkt_share")
-        )
-    )
-
-
-def q9_product_profit(
-    part: DataFrame,
-    supplier: DataFrame,
-    lineitem: DataFrame,
-    orders: DataFrame,
-    nation: DataFrame,
-) -> DataFrame:
-    """TPC-H Q9 shape (adapted: no partsupp table, so supply cost is
-    proxied as half the part's retail price per unit): profit by supplier
-    nation and order year for parts whose name contains 'widget'. part and
-    supplier->nation broadcast; lineitem<->orders is the only shuffle."""
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
-    )
-    supp_nat = supplier.join(
-        F.broadcast(
-            nation.select(
-                F.col("n_nationkey").alias("sn_nationkey"),
-                F.col("n_name").alias("nation"),
-            )
-        ),
-        F.col("s_nationkey") == F.col("sn_nationkey"),
-    ).select("s_suppkey", "nation")
-    return (
-        lineitem.join(
-            F.broadcast(part.filter(F.col("p_name").contains("widget"))),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
-        .withColumn("o_year", F.year("o_orderdate").cast("int"))
-        .groupBy("nation", "o_year")
-        .agg(dsum(amount).alias("sum_profit"))
-    )
-
-
-def q12_shipping_delay(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q12 shape (adapted: no l_shipmode/commitdate/receiptdate
-    columns, so lines are classified by ship delay instead of ship mode):
-    for one order year, count high- vs low-priority lineitems per delay
-    bucket. One equi-join shuffle, then a 3-group CASE aggregation."""
-    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
-    bucket = (
-        F.when(delay <= 30, "fast").when(delay <= 90, "medium").otherwise("slow")
-    )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    return (
-        lineitem.join(
-            orders.filter(
-                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
-                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
-            ),
-            F.col("l_orderkey") == F.col("o_orderkey"),
-        )
-        .groupBy(bucket.alias("ship_speed"))
-        .agg(
-            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
-        )
-    )
-
-
-def q16_supplier_part_variety(part: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q16 shape (adapted: supplier set per part comes from lineitem
-    rather than the absent partsupp table): distinct supplier count per
-    (brand, type, size) for a size subset, excluding one brand. The
-    count(DISTINCT) runs as a two-phase partial-distinct aggregate keyed
-    by the high-cardinality (brand,type,size,suppkey) first."""
-    sel = part.filter(
-        (F.col("p_brand") != "Brand#1")
-        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
-    ).select("p_partkey", "p_brand", "p_type", "p_size")
-    return (
-        lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey"))
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-    )
-
-
-def q17_small_quantity_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q17: average yearly revenue lost if small-quantity orders for
-    one brand/size band were not taken. The correlated scalar subquery
-    (per-part 20%-of-average-quantity threshold) becomes a per-part
-    aggregate over the already-part-filtered lineitems joined back --
-    both joins broadcast the tiny filtered part side, so the fact table
-    is scanned once and never self-shuffles."""
-    sel = part.filter(
-        (F.col("p_brand") == "Brand#23") & (F.col("p_size") < 15)
-    ).select("p_partkey")
-    li_sel = lineitem.join(
-        F.broadcast(sel), F.col("l_partkey") == F.col("p_partkey")
-    )
-    thr = li_sel.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
-        (F.lit(0.2) * (dsum("l_quantity") / F.count("*"))).alias("qty_thr")
-    )
-    return (
-        li_sel.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .agg(
-            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
-            F.count("*").alias("n_lines"),
-        )
-    )
-
-
-def q15_top_supplier(supplier: DataFrame, lineitem: DataFrame) -> DataFrame:
-    """TPC-H Q15: the supplier(s) with maximum revenue over Q1 1996.
-    The revenue view is one (suppkey)-keyed aggregate; the scalar max
-    comes back as a 1-row broadcast, compared on the EXACT decimal
-    totals (a double-equality gate against an aggregate would be
-    fp-flaky by construction), and the supplier dim join broadcasts the
-    near-singleton top relation. One fact shuffle total."""
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    in_win = (
-        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz")
-    ) & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
-    revenue = (
-        lineitem.filter(in_win)
-        .groupBy("l_suppkey")
-        .agg(F.sum(rev.cast("decimal(18,6)")).alias("rev_dec"))
-    )
-    mx = revenue.agg(F.max("rev_dec").alias("mx_dec"))
-    top = revenue.join(F.broadcast(mx)).filter(
-        F.col("rev_dec") == F.col("mx_dec")
-    )
-    return (
-        supplier.join(
-            F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey")
-        )
-        .select(
-            "s_suppkey",
-            "s_name",
-            "s_address",
-            "s_phone",
-            F.col("rev_dec").cast("double").alias("total_revenue"),
-        )
-        .orderBy("s_suppkey")
-    )
-
-
-def q18_large_volume_customers(
-    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
-) -> DataFrame:
-    """TPC-H Q18: customers who placed orders totalling > 300 units --
-    the classic HAVING-subquery shape. The quantity HAVING is one
-    (orderkey)-keyed aggregate whose survivors are a tiny relation, so
-    the orders and customer joins resolve to broadcasts under AQE at
-    any scale where the threshold is selective (its purpose). Exact
-    decimal quantity sums; top-100 by totalprice with an orderkey
-    tiebreak so the LIMIT is deterministic in both engines."""
-    big = (
-        lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > 300)
-    )
-    return (
-        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            "o_orderdate",
-            "o_totalprice",
-            F.col("qty_dec").cast("double").alias("sum_qty"),
-        )
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .limit(100)
-    )
-
-
 def q19_disjunctive_revenue(part: DataFrame, lineitem: DataFrame) -> DataFrame:
     """TPC-H Q19 shape: revenue from three OR-ed brand/size/quantity
     bands. The disjunction stays a post-join filter on one broadcast
@@ -2102,20 +1841,6 @@ ORACLE_SQL: dict[str, str] = {
               SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*))
               FROM lineitem l2 WHERE l2.l_partkey = p_partkey
           )
-    """,
-
-    "q18_large_volume_customers": """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               CAST(qty_dec AS DOUBLE) AS sum_qty
-        FROM orders
-        JOIN (
-            SELECT l_orderkey,
-                   sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty_dec
-            FROM lineitem GROUP BY l_orderkey HAVING qty_dec > 300
-        ) ON o_orderkey = l_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_totalprice DESC, o_orderkey
-        LIMIT 100
     """,
 
     "q19_disjunctive_revenue": f"""

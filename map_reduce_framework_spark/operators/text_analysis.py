@@ -1053,6 +1053,48 @@ ORACLE_SQL["lang_confusion"] = f"""
 LM_VOCAB_TOP_K = 1 << 16
 
 
+def corpus_data_card(documents: DataFrame) -> DataFrame:
+    """The dataset card a corpus release ships: per (source, lang) doc /
+    exact-token / char counts, mean document length, and each cell's
+    share of all corpus tokens. One map-side-combined aggregate over the
+    corpus plus a 1-row total broadcast back -- output is
+    |sources| x |langs| rows regardless of volume. Token shares divide
+    exact BIGINTs by one exact BIGINT total, so the report hash-matches
+    despite being 'statistics'."""
+    toks = F.size(tokenize_ws("text")).cast("bigint")
+    per = documents.groupBy("source", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    total = per.agg(F.sum("n_tokens").alias("tot"))
+    return per.join(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        (F.col("n_tokens") / F.col("n_docs")).alias("mean_doc_tokens"),
+        (F.col("n_tokens") / F.col("tot")).alias("token_share"),
+    )
+
+
+ORACLE_SQL["corpus_data_card"] = f"""
+    WITH per AS (
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+    SELECT source, lang, n_docs, n_tokens, n_chars,
+           n_tokens / n_docs AS mean_doc_tokens,
+           n_tokens / tot AS token_share
+    FROM per, tot
+"""
+
+
 #: Pairs reported by bpe_top_merges.
 BPE_TOP_K = 50
 

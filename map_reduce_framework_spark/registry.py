@@ -631,6 +631,13 @@ def q_doc_commonness(spark, sf_dir):
     return text_analysis.doc_commonness(_t(spark, sf_dir, "documents"))
 
 
+# Per-(source, lang) dataset card: docs / exact tokens / chars / corpus
+# token share -- the release-notes table of a corpus drop.
+@register("corpus_data_card", text_analysis.ORACLE_SQL["corpus_data_card"])
+def q_corpus_data_card(spark, sf_dir):
+    return text_analysis.corpus_data_card(_t(spark, sf_dir, "documents"))
+
+
 # BPE trainer's first-iteration merge statistics: adjacent char-pair
 # counts over the frequency-weighted DISTINCT vocabulary (the real
 # trainer's scale shape -- never the raw token stream).

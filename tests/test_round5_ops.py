@@ -110,6 +110,43 @@ def test_recover_torn_upserts_direct_and_idempotent(spark, sf_smoke, tmp_path):
     assert recover_torn_upserts(spark, state_dir) == []
 
 
+def test_bpe_top_merges_matches_independent_python(spark, sf_smoke):
+    """Third verification axis for the BPE pair statistics (besides the
+    DuckDB oracle and the driver sweep): a from-scratch Python Counter
+    over the same whitespace tokenization must reproduce the top-k pair
+    table bit-for-bit, including the rank tiebreaks."""
+    import re
+    from collections import Counter
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        BPE_TOP_K,
+        bpe_top_merges,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents").select("text").collect()
+    vocab: Counter = Counter()
+    for r in docs:
+        for tok in re.split(r"\s+", r.text):
+            if tok:
+                vocab[tok] += 1
+    pairs: Counter = Counter()
+    for tok, c in vocab.items():
+        if len(tok) >= 2:
+            for i in range(len(tok) - 1):
+                pairs[tok[i : i + 2]] += c
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [
+        (pair, n, i + 1) for i, (pair, n) in enumerate(ranked[:BPE_TOP_K])
+    ]
+    got = [
+        (r.pair, r.n, r.rnk)
+        for r in bpe_top_merges(
+            load_table(spark, sf_smoke, "documents")
+        ).orderBy("rnk").collect()
+    ]
+    assert got == want
+
+
 def test_kv_fold_segmented_memory_bound_on_hot_key(spark):
     """The analog of the reference's 100k-client memory test
     (srv/kvsrv_test.go:71-122, which pins server memory growth under an
