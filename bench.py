@@ -116,22 +116,103 @@ def main() -> None:
         except Exception:
             pass
 
+    # Steady-state twin measurement for the iterative/checkpoint-heavy
+    # family: after 160+ queries share one JVM, heap fragmentation and
+    # lingering block/broadcast garbage inflate these 2-4x over their
+    # real per-query cost (explicit unpersist + double GC recovers only
+    # part of it). A fresh subprocess JVM per query gives the number a
+    # production job actually pays; BOTH are recorded so the in-suite
+    # figure stays comparable across rounds.
+    isolated = _isolated_rerun(
+        [
+            "part_triangle_counts",
+            "part_pagerank",
+            "part_pagerank_salted",
+            "dedup_ingest_replay",
+            "mmr_rerank_ann",
+        ],
+        sf_dir,
+        cpus,
+        reps,
+    )
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    # Field order matters for the archived artifact: the driver keeps
+    # only the TAIL of this (long) line, so the per-query dict goes
+    # first and the summary fields (total, failures, isolated twins)
+    # last, where they stay visible after truncation.
     print(
         json.dumps(
             {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
                 "reps": reps,
                 "timing": "min_of_reps",
+                "isolated_fresh_jvm": isolated,
                 "failed": sorted(k for k, v in timings.items() if v < 0),
+                "metric": "suite_wall_clock",
+                "unit": "sec",
+                "value": total,
             }
         )
     )
+
+
+_ISOLATED_SNIPPET = """
+import json, sys, time
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.appName("bench-isolated")
+    .master("local[{cpus}]")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.shuffle.partitions", "{cpus}")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "{mem}")
+    .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from map_reduce_framework_spark import registry
+spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+best = -1.0
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    registry.REGISTRY["{name}"].fn(spark, "{sf_dir}").write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    best = dt if best < 0 else min(best, dt)
+print("BENCH_ISOLATED", json.dumps({{"name": "{name}", "sec": round(best, 3)}}))
+"""
+
+
+def _isolated_rerun(
+    names: list[str], sf_dir: str, cpus: str, reps: int
+) -> dict[str, float]:
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in names:
+        code = _ISOLATED_SNIPPET.format(
+            name=name,
+            sf_dir=sf_dir,
+            cpus=cpus,
+            reps=reps,
+            mem=os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True,
+                text=True,
+                timeout=300,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_ISOLATED "):
+                    rec = json.loads(line.split(" ", 1)[1])
+                    out[rec["name"]] = rec["sec"]
+        except Exception as exc:
+            print(f"bench: isolated {name} failed: {exc}", file=sys.stderr)
+    return out
 
 
 if __name__ == "__main__":

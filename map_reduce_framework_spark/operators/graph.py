@@ -177,9 +177,13 @@ def part_triangle_counts(lineitem: DataFrame) -> DataFrame:
     # Canonical edges built directly (a < b in the basket self-join) --
     # half the distinct's input vs deriving them from the symmetric edge
     # set. e feeds four branches (two wedge sides, the closure, the
-    # degree count); localCheckpoint materializes the self-join once
-    # instead of re-executing it per branch (same discipline as
-    # dedup.py's CC rounds). Lazy: first consumer pays, others reuse.
+    # degree count) but is deliberately NOT checkpointed: a checkpoint
+    # hides the edge relation's runtime size from AQE (checkpoint scans
+    # carry no shuffle statistics), which forces the closure join to
+    # sort-merge even when the edge list is broadcast-sized -- measured
+    # 10.9 s -> 6.3 s at sf0.1 by deleting it. Within the single action
+    # a consumer runs, the branches share the distinct's exchange via
+    # exchange reuse, so the self-join is not re-executed per branch.
     po = lineitem.select("l_orderkey", "l_partkey").distinct()
     e = (
         po.alias("x")
@@ -190,7 +194,6 @@ def part_triangle_counts(lineitem: DataFrame) -> DataFrame:
             F.col("y.l_partkey").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
     )
     ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
@@ -206,8 +209,13 @@ def part_triangle_counts(lineitem: DataFrame) -> DataFrame:
     # join on the (a, c) equi-key -- never a cross product, and the
     # Suri-Vassilvitskii orientation bound on the wedge count still holds.
     # tests/test_plans.py gates the absence of the unconditional hint.
-    # Measured at sf0.1: 3.34 s (forced broadcast) -> 2.58 s (AQE
-    # decides) -- AQE picks the broadcast at this size anyway.
+    # Measurement note (round 5): earlier count()-based timings of this
+    # query were invalid -- count() lets Catalyst ELIMINATE the left
+    # join onto the triangle counts (right side duplicate-free, columns
+    # unused), so they measured only the degree aggregate. Honest
+    # full-materialization (noop-sink) cost at sf0.1 is ~6 s: 1.2M
+    # canonical edges -> 49M wedges -> 1.9M triangles, wedge+closure
+    # dominated, and the closure broadcast-vs-shuffle choice is AQE's.
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
     per_node = (
         tri.select(

@@ -1056,19 +1056,21 @@ LM_VOCAB_TOP_K = 1 << 16
 def corpus_data_card(documents: DataFrame) -> DataFrame:
     """The dataset card a corpus release ships: per (source, lang) doc /
     exact-token / char counts, mean document length, and each cell's
-    share of all corpus tokens. One map-side-combined aggregate over the
-    corpus plus a 1-row total broadcast back -- output is
-    |sources| x |langs| rows regardless of volume. Token shares divide
-    exact BIGINTs by one exact BIGINT total, so the report hash-matches
-    despite being 'statistics'."""
+    share of all corpus tokens. ONE map-side-combined aggregate over the
+    corpus; the total comes from a global window over the already-tiny
+    |sources| x |langs| relation, so the corpus is scanned once (a
+    1-row-aggregate join would re-run the scan subplan). Token shares
+    divide exact BIGINTs by one exact BIGINT total, so the report
+    hash-matches despite being 'statistics'."""
     toks = F.size(tokenize_ws("text")).cast("bigint")
     per = documents.groupBy("source", "lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(toks).cast("bigint").alias("n_tokens"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
     )
-    total = per.agg(F.sum("n_tokens").alias("tot"))
-    return per.join(F.broadcast(total)).select(
+    return per.withColumn(
+        "tot", F.sum("n_tokens").over(Window.partitionBy())
+    ).select(
         "source",
         "lang",
         "n_docs",
@@ -1086,12 +1088,11 @@ ORACLE_SQL["corpus_data_card"] = f"""
                CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
                CAST(sum(n_chars) AS BIGINT) AS n_chars
         FROM documents GROUP BY source, lang
-    ),
-    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+    )
     SELECT source, lang, n_docs, n_tokens, n_chars,
            n_tokens / n_docs AS mean_doc_tokens,
-           n_tokens / tot AS token_share
-    FROM per, tot
+           n_tokens / (CAST(sum(n_tokens) OVER () AS BIGINT)) AS token_share
+    FROM per
 """
 
 

@@ -315,6 +315,17 @@ def test_hybrid_ann_semantic_side_is_not_brute_force(spark):
     assert "cos#" in twin
 
 
+@pytest.mark.parametrize("name", ["corpus_data_card", "bpe_top_merges"])
+def test_corpus_reports_scan_once(spark, name):
+    """Corpus-wide report queries must read the documents table exactly
+    once: a second scan (e.g. a 1-row total derived by re-running the
+    aggregate subplan instead of a window over the tiny grouped
+    relation) doubles the IO of a summary report at 100 TB."""
+    plan = _formatted_plan(spark, name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_unigram_lm_scoring_never_shuffles_token_stream(spark):
     """The LM scoring join must BROADCAST the capped vocabulary table:
     a shuffle join there repartitions every token OCCURRENCE on a Zipf
