@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Physical-plan inventory: one row of machine-checkable plan properties
+per registered query (join strategies, exchange/scan counts, cartesian
+products, filter pushdown) at sf0.001.
+
+This is the audit artifact behind the scale claims: a reviewer can scan
+`experiments/plan_inventory.json` for `cartesian > 0`, an unexpected
+`smj` on a query documented as broadcast-only, or a scan count above the
+documented budget -- without re-deriving 160+ plans by hand. The
+targeted *assertions* live in tests/test_plans.py; this file is the
+complete census those spot-gates sample from.
+
+Queries that execute work at plan-build time (streaming run_to_memory,
+eager-checkpoint iterative ops, driver-chained rounds, filesystem-writing
+ingest pipelines) are listed with "skipped": reason instead -- their cost
+story is covered by bench.py and their plan shape by dedicated tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+SF = "/root/testdata/sf0.001"
+
+#: Queries whose DataFrame CONSTRUCTION already runs jobs (streams,
+#: eager checkpoints, driver-chained rounds, state-dir writes) -- a plan
+#: census must not re-execute them; each has dedicated plan/cost tests.
+EXECUTES_ON_BUILD = {
+    "kv_fold_segmented": "driver-chained rounds + eager checkpoints",
+    "mmr_rerank": "materializes candidate relations (localCheckpoint)",
+    "mmr_rerank_ann": "materializes candidate relations (localCheckpoint)",
+    "dedup_incremental": "writes/probes a persisted index directory",
+    "dedup_ingest_replay": "multi-round ingest with filesystem state",
+    "embedding_dup_clusters": "CC rounds with per-round checkpoints",
+    "dedup_clusters": "CC rounds with per-round checkpoints",
+    "dedup_survivors": "builds on dedup_clusters rounds",
+    "dedup_method_agreement": "builds on dedup_clusters rounds",
+    "clean_corpus": "builds on dedup_clusters rounds",
+    "curation_funnel": "builds on dedup_clusters rounds",
+    "training_token_budget": "builds on dedup_clusters rounds",
+    "incremental_daily_agg": "materializes state table on build",
+    "incremental_join_maintenance": "materializes state on build",
+    "assign_doc_ids_scalable": "collects per-partition offsets",
+    "kmeans_clusters": "Lloyd rounds with checkpoints",
+    "kmeans_cluster_sizes": "Lloyd rounds with checkpoints",
+    "ann_ivf_trained": "trained centroids (Lloyd rounds)",
+    "ann_ivf_pq": "trained codebooks",
+    "pq_codes_trained": "trained codebooks",
+    "ann_recall_report": "composes trained variants",
+    "hybrid_retrieval_rrf_ann": "composes ann_ivf_pq",
+    "part_pagerank": "iteration rounds with checkpoints",
+    "part_pagerank_salted": "iteration rounds with checkpoints",
+}
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("plan-inventory")
+        .master("local[8]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from map_reduce_framework_spark import registry
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    out: dict[str, dict] = {}
+    for name, q in sorted(registry.REGISTRY.items()):
+        if "stream" in name:
+            out[name] = {"skipped": "streaming query (executes on build)"}
+            continue
+        if name in EXECUTES_ON_BUILD:
+            out[name] = {"skipped": EXECUTES_ON_BUILD[name]}
+            continue
+        try:
+            df = q.fn(spark, SF)
+            plan = df._jdf.queryExecution().explainString(mode)
+        except Exception as exc:
+            out[name] = {"error": str(exc)[:200]}
+            continue
+        out[name] = {
+            "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+            "exchanges": len(re.findall(r"\(\d+\) Exchange\b", plan)),
+            "bhj": len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)),
+            "smj": len(re.findall(r"\(\d+\) SortMergeJoin", plan)),
+            "shj": len(re.findall(r"\(\d+\) ShuffledHashJoin", plan)),
+            "bnlj": len(
+                re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+            ),
+            "cartesian": len(re.findall(r"\(\d+\) CartesianProduct", plan)),
+            "pushed_filters": bool(
+                re.search(r"PushedFilters: \[[^\]]", plan)
+            ),
+            "codegen_spans": len(
+                re.findall(r"WholeStageCodegen", plan)
+            ),
+        }
+    path = os.path.join(os.path.dirname(__file__), "plan_inventory.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    n_plans = sum(1 for v in out.values() if "scans" in v)
+    n_cart = sum(1 for v in out.values() if v.get("cartesian"))
+    print(f"wrote {path}: {n_plans} plans, {n_cart} with cartesian products")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
