@@ -1203,13 +1203,15 @@ def unigram_logprob_scores(
     counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
     # score-neutral tail drop (c=1 scores exactly like OOV), then the
-    # hard top-K bound; the rank window sorts only the >=2-count vocab
-    wv = Window.orderBy(F.col("c").desc(), F.col("tok"))
+    # hard top-K bound. orderBy().limit() compiles to
+    # TakeOrderedAndProject -- per-partition heaps of K, no global sort
+    # of the vocabulary (a global row_number window would single-
+    # partition the whole >=2-count vocab). Deterministic: the
+    # (count desc, token) order is total.
     lm = (
         counts.filter(F.col("c") >= 2)
-        .withColumn("vr", F.row_number().over(wv))
-        .filter(F.col("vr") <= vocab_top_k)
-        .drop("vr")
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(vocab_top_k)
     )
     scored = (
         toks.join(F.broadcast(lm), "tok", "left")
