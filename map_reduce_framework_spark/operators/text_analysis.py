@@ -1135,11 +1135,12 @@ def bpe_top_merges(documents: DataFrame, top_k: int = BPE_TOP_K) -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("c").cast("bigint").alias("n"))
     )
+    # top-k first (TakeOrderedAndProject: per-partition heaps, no global
+    # sort of the pair table), then rank the k surviving rows -- the
+    # row_number window runs over top_k rows, not the full pair domain
+    top = pairs.orderBy(F.col("n").desc(), "pair").limit(top_k)
     w = Window.orderBy(F.col("n").desc(), "pair")
-    return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= top_k)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))
 
 
 ORACLE_SQL["bpe_top_merges"] = f"""
