@@ -482,13 +482,19 @@ def ann_recall_report(
     sample; each variant's subplan is the registered production plan
     unchanged, and the semi join + count adds one broadcast-size
     exchange per variant."""
-    from .clustering import PQ_TOPK, ann_ivf_pq, ann_ivf_trained
+    from .clustering import (
+        PQ_TOPK,
+        ann_ivf_pq,
+        ann_ivf_trained,
+        ann_ivfadc,
+    )
 
     variants = [
         ("ann_lsh", ann_lsh(embeddings), 5),
         ("ann_ivf", ann_ivf(embeddings), 5),
         ("ann_ivf_trained", ann_ivf_trained(embeddings), 5),
         ("ann_ivf_pq", ann_ivf_pq(embeddings), PQ_TOPK),
+        ("ann_ivfadc", ann_ivfadc(embeddings), PQ_TOPK),
     ]
     n_queries = 8
     max_k = max(k for _, _, k in variants)
@@ -881,6 +887,7 @@ def _build_recall_report_sql() -> str:
                 "ann_ivf_trained", _CL_SQL["ann_ivf_trained"], 5
             ),
             _recall_row_sql("ann_ivf_pq", _CL_SQL["ann_ivf_pq"], PQ_TOPK),
+            _recall_row_sql("ann_ivfadc", _CL_SQL["ann_ivfadc"], PQ_TOPK),
             hybrid_row,
         ]
     )

@@ -710,6 +710,17 @@ def q_ann_ivf_pq(spark, sf_dir):
     return clustering.ann_ivf_pq(_t(spark, sf_dir, "embeddings"))
 
 
+# IVFADC proper (Jegou TPAMI'11 Fig. 5): PQ codes over RESIDUALS
+# v - centroid(cell), per-(query, probed-cell) lookup tables; same
+# storage/scan cost as ann_ivf_pq. Recall vs the raw-vector variant is
+# pinned side by side in ann_recall_report (on the repo's isotropic
+# synthetic embeddings the residual trick does not win; it needs
+# clustered data + trained codebooks).
+@register("ann_ivfadc", clustering.ORACLE_SQL["ann_ivfadc"])
+def q_ann_ivfadc(spark, sf_dir):
+    return clustering.ann_ivfadc(_t(spark, sf_dir, "embeddings"))
+
+
 # IVF over TRAINED (Lloyd) centroids -- the 100 TB coarse quantizer,
 # exact-arithmetic training unrolled in the oracle's chained CTEs.
 @register("ann_ivf_trained", clustering.ORACLE_SQL["ann_ivf_trained"])

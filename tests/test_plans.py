@@ -225,12 +225,14 @@ def test_vector_ops_broadcast_small_sides(spark, name):
     assert "ShuffledHashJoin" not in plan, plan
 
 
-def test_ivf_pq_shuffles_only_the_index_build(spark):
-    """ann_ivf_pq may shuffle exactly ONCE as a join: codes x cells is
-    two |V|-row relations equi-joined on vec_id (the index-build step a
-    production system materializes offline into one table). Every
-    query-path join (probes, LUT, codebook, centroids) must broadcast."""
-    plan = _formatted_plan(spark, "ann_ivf_pq")
+@pytest.mark.parametrize("name", ["ann_ivf_pq", "ann_ivfadc"])
+def test_ivf_pq_shuffles_only_the_index_build(spark, name):
+    """ann_ivf_pq / ann_ivfadc may shuffle exactly ONCE as a join: codes
+    x cells is two |V|-row relations equi-joined on vec_id (the
+    index-build step a production system materializes offline into one
+    table). Every query-path join (probes, LUT, codebook, centroids)
+    must broadcast."""
+    plan = _formatted_plan(spark, name)
     smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
     shj = len(re.findall(r"\(\d+\) ShuffledHashJoin", plan))
     assert smj + shj <= 1, plan
