@@ -1240,3 +1240,272 @@ def unigram_logprob_scores(
             F.pow(F.lit(2.0), F.col("avg_neg_log2_prob")).alias("ppl"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+# Select raw-corpus documents whose hashed-n-gram profile looks like a
+# target domain. Here the target is the corpus's own lang='en' slice --
+# real pipelines plug in a Wikipedia/books sample; the dataflow is
+# identical (two tiny bucket LMs + a broadcast-scored doc stream).
+# ---------------------------------------------------------------------------
+
+#: Hashed feature-space size (the paper's bag of hashed n-grams).
+DSIR_BUCKETS = 1024
+#: Resample size for the Gumbel-top-k step.
+DSIR_SAMPLE_K = 128
+#: Fixed-point scale for quantized log2 scores. 1e-6 log2-units is far
+#: below any meaningful importance difference and ~1e8 above libm's
+#: cross-engine log2 ulp jitter, so floor(x*1e6 + 0.5) is bit-identical
+#: in Spark and DuckDB (same trick as TEMP_WEIGHT_SCALE / the ADC
+#: integer-mantissa oracles).
+DSIR_SCALE = 1_000_000
+#: Target-domain predicate: the slice whose distribution we resample
+#: toward.
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_features(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket): one row per unigram+bigram occurrence,
+    hashed into DSIR_BUCKETS via md5 (engine-portable, uniform)."""
+    toks = tokenize_ws("text")
+    feats = F.concat(toks, word_shingles(toks, 2))
+    return documents.select(
+        "doc_id", "lang", F.explode(feats).alias("feat")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+def _dsir_bucket_scores(fb: DataFrame) -> DataFrame:
+    """(bucket, s) where s = floor(DSIR_SCALE * log2 importance ratio
+    + 0.5) under add-1 smoothing: ratio = p_target[b] / p_raw[b] with
+    p[b] = (c_b + 1) / (T + B). Raw = the full corpus, so every bucket
+    a document can produce is present (its own features are in the raw
+    counts); smoothing only fills target-side zeros. <= DSIR_BUCKETS
+    rows -- built with two map-side-combined aggregates, broadcast to
+    the scoring join."""
+    raw = fb.groupBy("bucket").agg(F.count("*").alias("cr"))
+    tgt = (
+        fb.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    totals = fb.agg(
+        F.count("*").alias("tr"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("tt"),
+    )
+    # ratio factors multiplied in DOUBLE (IEEE-deterministic in both
+    # engines); the single transcendental (log2) is then quantized.
+    ratio = (
+        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+        * (F.col("tr") + F.lit(DSIR_BUCKETS)).cast("double")
+    ) / (
+        (F.col("cr") + F.lit(1)).cast("double")
+        * (F.col("tt") + F.lit(DSIR_BUCKETS)).cast("double")
+    )
+    return (
+        raw.join(tgt, "bucket", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.log2(ratio) * F.lit(float(DSIR_SCALE)) + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+
+
+def dsir_log_weights(documents: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weight (Xie et al. 2023): log2 of
+    prod_b (p_target[b]/p_raw[b])^{n_b} over hashed unigram+bigram
+    buckets, i.e. sum_b n_b * s_b in 1e-6 fixed point. Documents with
+    no tokens keep weight 0 (empty product).
+
+    Plan shape at 100 TB: the two bucket LMs are <= DSIR_BUCKETS-row
+    aggregates (map-side combined -- the shuffle carries per-partition
+    distinct buckets, never the occurrence stream); the score table
+    broadcasts; the only large shuffle is the final doc_id-keyed sum.
+    No Zipf-key join: features meet scores through a broadcast hash
+    join exactly like unigram_logprob_scores' capped LM.
+
+    Returns (doc_id, lang, n_feats, logw) -- logw = quantized-integer
+    sum / 1e6, bit-identical across engines (hash-exact oracle)."""
+    fb = _dsir_features(documents)
+    scores = _dsir_bucket_scores(fb)
+    per_doc = (
+        fb.join(F.broadcast(scores), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("s").alias("logw_q"),
+        )
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_feats"), F.lit(0))
+            .cast("bigint")
+            .alias("n_feats"),
+            (
+                F.coalesce(F.col("logw_q"), F.lit(0))
+                / F.lit(float(DSIR_SCALE))
+            ).alias("logw"),
+        )
+    )
+
+
+def dsir_sample(documents: DataFrame, k: int = DSIR_SAMPLE_K) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over dsir_log_weights -- the
+    paper's sampling-without-replacement step, derandomized: u =
+    md5(doc_id)-derived uniform in (0,1), key = logw + (-log2(-log2 u)).
+    A log2-domain Gumbel is the ln-domain Gumbel scaled by 1/ln2 plus a
+    constant shared by every doc, so the selected top-k set is exactly
+    the paper's (monotone transform). Hash-threshold randomness for the
+    same reason stratified_sample uses it: retry-stable, engine-portable,
+    no RNG state at 100 TB.
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    heaps of k, no global sort). Returns (doc_id, lang, logw, score,
+    rnk); score is the fixed-point-exact Gumbel-perturbed key."""
+    lw = dsir_log_weights(documents)
+    # u = (first 13 md5 hex chars + 0.5) / 2^52: 52 bits fit a double
+    # exactly, +0.5 and the power-of-two division are IEEE-exact, and u
+    # is strictly inside (0, 1) -- no log2(0) pole even on an all-zero
+    # digest prefix.
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2 ** 52))
+    g_q = F.floor(
+        -F.log2(-F.log2(u)) * F.lit(float(DSIR_SCALE)) + F.lit(0.5)
+    ).cast("bigint")
+    score_q = (
+        F.floor(F.col("logw") * F.lit(float(DSIR_SCALE)) + F.lit(0.5))
+        .cast("bigint")  # logw = logw_q/1e6; floor(x*1e6+0.5) recovers
+        + g_q            # the integer exactly for |logw_q| < 2^52
+    )
+    return (
+        lw.select(
+            "doc_id",
+            "lang",
+            "logw",
+            (score_q / F.lit(float(DSIR_SCALE))).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "lang",
+            "logw",
+            "score",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("int")
+            .alias("rnk"),
+        )
+    )
+
+
+_DSIR_CTE = f"""
+    dsw AS (
+        SELECT doc_id, lang, {_TOKS} AS w FROM documents
+    ),
+    dsfeats AS (
+        SELECT doc_id, lang,
+               unnest(list_concat(w,
+                   list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                  i -> w[i] || ' ' || w[i+1]))) AS feat
+        FROM dsw
+    ),
+    dsfb AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(feat), 1, 8)) AS BIGINT)
+                   % {DSIR_BUCKETS} AS bucket
+        FROM dsfeats
+    ),
+    dsraw AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+        FROM dsfb GROUP BY bucket
+    ),
+    dstgt AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+        FROM dsfb WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    dstots AS (
+        SELECT CAST(count(*) AS BIGINT) AS tr,
+               CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tt
+        FROM dsfb
+    ),
+    dsscores AS (
+        SELECT r.bucket,
+               CAST(floor(log2(
+                   (CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                    * CAST(s.tr + {DSIR_BUCKETS} AS DOUBLE))
+                   / (CAST(r.cr + 1 AS DOUBLE)
+                      * CAST(s.tt + {DSIR_BUCKETS} AS DOUBLE))
+               ) * {DSIR_SCALE}.0 + 0.5) AS BIGINT) AS s
+        FROM dsraw r LEFT JOIN dstgt t USING (bucket), dstots s
+    ),
+    dsperdoc AS (
+        SELECT f.doc_id,
+               CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(sc.s) AS BIGINT) AS logw_q
+        FROM dsfb f JOIN dsscores sc USING (bucket)
+        GROUP BY f.doc_id
+    ),
+    dslw AS (
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+               COALESCE(p.logw_q, 0) / {DSIR_SCALE}.0 AS logw
+        FROM documents d LEFT JOIN dsperdoc p USING (doc_id)
+    )
+"""
+
+ORACLE_SQL["dsir_log_weights"] = f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, lang, n_feats, logw FROM dslw
+"""
+
+ORACLE_SQL["dsir_sample"] = f"""
+    WITH {_DSIR_CTE},
+    keyed AS (
+        SELECT doc_id, lang, logw,
+               (CAST(floor(logw * {DSIR_SCALE}.0 + 0.5) AS BIGINT)
+                + CAST(floor(
+                    -log2(-log2(
+                        (CAST(concat('0x',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                          AS BIGINT) + 0.5) / {float(2 ** 52)!r}
+                    )) * {DSIR_SCALE}.0 + 0.5) AS BIGINT))
+                   / {DSIR_SCALE}.0 AS score
+        FROM dslw
+    )
+    SELECT doc_id, lang, logw, score,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS rnk
+    FROM keyed
+    ORDER BY score DESC, doc_id
+    LIMIT {DSIR_SAMPLE_K}
+"""

@@ -616,6 +616,21 @@ def q_stratified_sample(spark, sf_dir):
     return text_analysis.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+# DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
+# the raw corpus under a target-domain hashed-n-gram LM (here the
+# corpus's own lang='en' slice), fixed-point-exact in both engines.
+@register("dsir_log_weights", text_analysis.ORACLE_SQL["dsir_log_weights"])
+def q_dsir_log_weights(spark, sf_dir):
+    return text_analysis.dsir_log_weights(_t(spark, sf_dir, "documents"))
+
+
+# The paper's Gumbel-top-k resampling step, derandomized via md5(doc_id)
+# uniforms; TakeOrderedAndProject top-k, no global sort.
+@register("dsir_sample", text_analysis.ORACLE_SQL["dsir_sample"])
+def q_dsir_sample(spark, sf_dir):
+    return text_analysis.dsir_sample(_t(spark, sf_dir, "documents"))
+
+
 @register("repetition_signals", text_analysis.ORACLE_SQL["repetition_signals"])
 def q_repetition_signals(spark, sf_dir):
     return text_analysis.repetition_signals(_t(spark, sf_dir, "documents"))

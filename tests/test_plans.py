@@ -341,6 +341,22 @@ def test_unigram_lm_scoring_never_shuffles_token_stream(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_dsir_scoring_never_shuffles_feature_stream(spark):
+    """dsir_log_weights meets the <=DSIR_BUCKETS-row score table through
+    a BROADCAST join, like unigram_logprob_scores' capped LM: a shuffle
+    join there would repartition every hashed-n-gram OCCURRENCE on the
+    bucket key. Legal shuffles: the two map-side-combined bucket
+    aggregates and the doc-keyed sum. The final left join back to
+    documents is doc-keyed; at test SF AQE may pick any doc-keyed
+    strategy for it, so the gate forbids shuffle joins on `bucket`
+    specifically and requires the broadcast to be present."""
+    plan = _formatted_plan(spark, "dsir_log_weights")
+    assert "BroadcastHashJoin" in plan, plan
+    for m in re.finditer(r"\(\d+\) (SortMergeJoin|ShuffledHashJoin)", plan):
+        seg = plan[m.start() : m.start() + 200]
+        assert "bucket" not in seg, plan
+
+
 def test_chunk_dedup_hot_side_broadcasts(spark):
     """chunk_dedup_clean removes hot chunks via a broadcast anti-join:
     the corpus side must never shuffle on the chunk text."""

@@ -263,3 +263,83 @@ def test_clean_upsert_leaves_no_intent_residue(spark, sf_smoke, tmp_path):
     parent = os.path.dirname(state_dir)
     assert not [d for d in os.listdir(parent) if ".staging-" in d]
     assert recover_torn_upserts(spark, state_dir) == []
+
+
+def test_dsir_weights_match_independent_reference(spark, sf_smoke):
+    """Independent from-scratch Python reimplementation of DSIR
+    (hashlib md5, exact ints, math.log2) must agree with the Spark
+    operator BIT-FOR-BIT on the quantized weights -- same discipline as
+    the round-4 MinHash/BM25/PageRank pins. Also re-derives the
+    Gumbel-top-k sample set and checks dsir_sample returns exactly it."""
+    import hashlib
+    import math
+
+    from map_reduce_framework_spark.operators import text_analysis as ta
+    from map_reduce_framework_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = docs.select("doc_id", "lang", "text").collect()
+    B, SC = ta.DSIR_BUCKETS, ta.DSIR_SCALE
+
+    def feats(text):
+        w = [t for t in text.split() if t]
+        return w + [f"{a} {b}" for a, b in zip(w, w[1:])]
+
+    def bucket(feat):
+        return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % B
+
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    lang: dict[int, str] = {}
+    for r in rows:
+        bs = [bucket(f) for f in feats(r.text)]
+        per_doc[r.doc_id] = bs
+        lang[r.doc_id] = r.lang
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+            if r.lang == ta.DSIR_TARGET_LANG:
+                ct[b] = ct.get(b, 0) + 1
+    tr = sum(cr.values())
+    tt = sum(ct.values())
+    s = {
+        b: math.floor(
+            math.log2(
+                (float(ct.get(b, 0) + 1) * float(tr + B))
+                / (float(cr[b] + 1) * float(tt + B))
+            )
+            * float(SC)
+            + 0.5
+        )
+        for b in cr
+    }
+    want = {
+        d: (len(bs), sum(s[b] for b in bs) / float(SC))
+        for d, bs in per_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_feats, r.logw)
+        for r in ta.dsir_log_weights(docs).collect()
+    }
+    assert got == want
+
+    def gumbel_q(doc_id):
+        h = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16
+        )
+        u = (h + 0.5) / float(2 ** 52)
+        return math.floor(-math.log2(-math.log2(u)) * float(SC) + 0.5)
+
+    keyed = sorted(
+        (
+            -(math.floor(want[d][1] * SC + 0.5) + gumbel_q(d)),
+            d,
+        )
+        for d in want
+    )[: ta.DSIR_SAMPLE_K]
+    want_sample = [d for _, d in keyed]
+    got_sample = [
+        r.doc_id
+        for r in ta.dsir_sample(docs).orderBy("rnk").collect()
+    ]
+    assert got_sample == want_sample
