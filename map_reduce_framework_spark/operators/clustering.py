@@ -1253,7 +1253,9 @@ ORACLE_SQL["ann_ivfadc"] = f"""
 SEMDEDUP_TAU = 0.4
 
 
-def semdedup(embeddings: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
+def semdedup(
+    embeddings: DataFrame, tau: float = SEMDEDUP_TAU, k: int = K
+) -> DataFrame:
     """SemDeDup: cluster embeddings with k-means, then inside each
     cluster drop every vector that has a cosine-near-duplicate ranked
     ahead of it. The paper's keep-rule is "keep the example FARTHEST
@@ -1263,9 +1265,13 @@ def semdedup(embeddings: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
     Spark-first plan: the pairwise stage is an equi-join on the cluster
     id -- the clustering IS the blocking, cost sum_c |c|^2 instead of
-    n^2, exactly the paper's reason for clustering first (their K=50k
-    on LAION; K here scales with corpus size). One shuffle keys the
-    vector relation by cluster; skewed clusters fall to AQE skew-join.
+    n^2, exactly the paper's reason for clustering first. ``k`` is the
+    scale knob and must GROW with the corpus (the paper runs K=50k on
+    LAION): size k ~ n / target_cluster_size so the expected per-
+    cluster quadratic cost stays bounded per task; the registered
+    test-SF query keeps the exact-oracle default K=8. One shuffle keys
+    the vector relation by cluster; skewed clusters fall to AQE
+    skew-join.
     Cosines reuse the raw-vector norms (computed once per vector);
     kmeans assignment comes from the exact-arithmetic kmeans_lloyd, so
     every value is IEEE-deterministic (+,-,*,/,sqrt are correctly
@@ -1274,7 +1280,7 @@ def semdedup(embeddings: DataFrame, tau: float = SEMDEDUP_TAU) -> DataFrame:
 
     Returns (vec_id, cluster, cdist, is_dup) for EVERY vector;
     survivors = filter(~is_dup)."""
-    a = kmeans_lloyd(embeddings)
+    a = kmeans_lloyd(embeddings, k=k)
     try:
         n_parts = int(
             embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
