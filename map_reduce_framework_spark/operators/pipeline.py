@@ -677,3 +677,105 @@ ORACLE_SQL["assign_doc_ids"] = """
                 AS BIGINT) AS new_id
     FROM documents
 """
+
+
+def selection_method_agreement(documents: DataFrame) -> DataFrame:
+    """Data-SELECTION detector comparison -- the selection-side analog of
+    dedup.dedup_method_agreement: per document, does the Gopher-style
+    heuristic gate (quality_score.keep), the GPT-3-style classifier +
+    Pareto rule (quality_classifier_scores.keep), and DSIR's Gumbel-
+    top-k resample (dsir_sample membership) agree on keeping it? One
+    row per method pair: (method_a, method_b, n_a, n_b, n_both).
+
+    The three selectors embody the three published families (rules /
+    trained classifier / importance resampling); disagreement counts
+    are the first thing a curation review asks for. Plan shape: each
+    method's subplan is its registered production plan unchanged; the
+    per-doc flags join on doc_id keys; the report is ONE aggregate over
+    the flags relation (six conditional sums), unstacked into three
+    rows -- no per-pair jobs."""
+    h = text_analysis.quality_score(documents).select(
+        "doc_id", F.col("keep").alias("h")
+    )
+    c = text_analysis.quality_classifier_scores(documents).select(
+        "doc_id", F.col("keep").alias("c")
+    )
+    s = (
+        text_analysis.dsir_sample(documents)
+        .select("doc_id")
+        .withColumn("s", F.lit(True))
+    )
+    flags = (
+        documents.select("doc_id")
+        .join(h, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        .select(
+            F.coalesce(F.col("h"), F.lit(False)).alias("h"),
+            F.coalesce(F.col("c"), F.lit(False)).alias("c"),
+            F.coalesce(F.col("s"), F.lit(False)).alias("s"),
+        )
+    )
+
+    def cnt(col):
+        return F.sum(col.cast("int")).cast("bigint")
+
+    agg = flags.agg(
+        cnt(F.col("h")).alias("na_h"),
+        cnt(F.col("c")).alias("na_c"),
+        cnt(F.col("s")).alias("na_s"),
+        cnt(F.col("h") & F.col("c")).alias("nb_hc"),
+        cnt(F.col("h") & F.col("s")).alias("nb_hs"),
+        cnt(F.col("c") & F.col("s")).alias("nb_cs"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'heuristic', 'classifier', na_h, na_c, nb_hc, "
+            "'heuristic', 'dsir', na_h, na_s, nb_hs, "
+            "'classifier', 'dsir', na_c, na_s, nb_cs"
+            ") as (method_a, method_b, n_a, n_b, n_both)"
+        )
+    )
+
+
+ORACLE_SQL["selection_method_agreement"] = f"""
+    WITH hq AS (
+        SELECT doc_id, keep FROM ({text_analysis.ORACLE_SQL['quality_score']})
+    ),
+    cq AS (
+        SELECT doc_id, keep
+        FROM ({text_analysis.ORACLE_SQL['quality_classifier_scores']})
+    ),
+    dq AS (
+        SELECT doc_id FROM ({text_analysis.ORACLE_SQL['dsir_sample']})
+    ),
+    selflags AS (
+        SELECT d.doc_id,
+               COALESCE(h.keep, false) AS h,
+               COALESCE(c.keep, false) AS c,
+               (dd.doc_id IS NOT NULL) AS s
+        FROM documents d
+        LEFT JOIN hq h USING (doc_id)
+        LEFT JOIN cq c USING (doc_id)
+        LEFT JOIN dq dd USING (doc_id)
+    ),
+    selagg AS (
+        SELECT CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS na_h,
+               CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS na_c,
+               CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS na_s,
+               CAST(sum(CASE WHEN h AND c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb_hc,
+               CAST(sum(CASE WHEN h AND s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb_hs,
+               CAST(sum(CASE WHEN c AND s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb_cs
+        FROM selflags
+    )
+    SELECT 'heuristic' AS method_a, 'classifier' AS method_b,
+           na_h AS n_a, na_c AS n_b, nb_hc AS n_both FROM selagg
+    UNION ALL
+    SELECT 'heuristic', 'dsir', na_h, na_s, nb_hs FROM selagg
+    UNION ALL
+    SELECT 'classifier', 'dsir', na_c, na_s, nb_cs FROM selagg
+"""

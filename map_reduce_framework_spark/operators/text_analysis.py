@@ -1267,7 +1267,28 @@ DSIR_TARGET_LANG = "en"
 
 def _dsir_features(documents: DataFrame) -> DataFrame:
     """(doc_id, lang, bucket): one row per unigram+bigram occurrence,
-    hashed into DSIR_BUCKETS via md5 (engine-portable, uniform)."""
+    hashed into DSIR_BUCKETS via md5 (engine-portable, uniform).
+
+    Production path is Arrow-vectorized (SCALE.md interpreted-HOF
+    policy: the bigram-building ``concat(toks, word_shingles(toks, 2))``
+    expression ran interpreted per row and was ~85% of the feature-stage
+    cost); ``_dsir_features_expr`` keeps the pure-JVM expression form as
+    the parity reference, pinned equal in
+    tests/test_tokenizer_parity.py."""
+    from ..functions.text import dsir_feature_buckets_arrow
+
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.explode(dsir_feature_buckets_arrow(DSIR_BUCKETS)("text")).alias(
+            "bucket"
+        ),
+    )
+
+
+def _dsir_features_expr(documents: DataFrame) -> DataFrame:
+    """Pure-JVM expression twin of ``_dsir_features`` (the form the
+    DuckDB oracle mirrors) -- parity reference only."""
     toks = tokenize_ws("text")
     feats = F.concat(toks, word_shingles(toks, 2))
     return documents.select(
@@ -1289,41 +1310,37 @@ def _dsir_bucket_scores(fb: DataFrame) -> DataFrame:
     + 0.5) under add-1 smoothing: ratio = p_target[b] / p_raw[b] with
     p[b] = (c_b + 1) / (T + B). Raw = the full corpus, so every bucket
     a document can produce is present (its own features are in the raw
-    counts); smoothing only fills target-side zeros. <= DSIR_BUCKETS
-    rows -- built with two map-side-combined aggregates, broadcast to
-    the scoring join."""
-    raw = fb.groupBy("bucket").agg(F.count("*").alias("cr"))
-    tgt = (
-        fb.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("ct"))
-    )
-    totals = fb.agg(
-        F.count("*").alias("tr"),
+    counts); smoothing only fills target-side zeros.
+
+    ONE map-side-combined aggregate builds both LMs (raw and target
+    counts as two conditional sums over the same pass -- the feature
+    stream is traversed once here, not once per LM), and the corpus
+    totals are derived from the <= DSIR_BUCKETS-row LM relation itself
+    (a window-free broadcast cross of a 1-row aggregate), not from a
+    third scan of the occurrence stream."""
+    lm = fb.groupBy("bucket").agg(
+        F.count("*").alias("cr"),
         F.sum(
             F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("tt"),
+        ).alias("ct"),
+    )
+    totals = lm.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )
     # ratio factors multiplied in DOUBLE (IEEE-deterministic in both
     # engines); the single transcendental (log2) is then quantized.
     ratio = (
-        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+        (F.col("ct") + F.lit(1)).cast("double")
         * (F.col("tr") + F.lit(DSIR_BUCKETS)).cast("double")
     ) / (
         (F.col("cr") + F.lit(1)).cast("double")
         * (F.col("tt") + F.lit(DSIR_BUCKETS)).cast("double")
     )
-    return (
-        raw.join(tgt, "bucket", "left")
-        .join(F.broadcast(totals))
-        .select(
-            "bucket",
-            F.floor(
-                F.log2(ratio) * F.lit(float(DSIR_SCALE)) + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("s"),
-        )
+    return lm.join(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(F.log2(ratio) * F.lit(float(DSIR_SCALE)) + F.lit(0.5))
+        .cast("bigint")
+        .alias("s"),
     )
 
 
@@ -1333,12 +1350,16 @@ def dsir_log_weights(documents: DataFrame) -> DataFrame:
     buckets, i.e. sum_b n_b * s_b in 1e-6 fixed point. Documents with
     no tokens keep weight 0 (empty product).
 
-    Plan shape at 100 TB: the two bucket LMs are <= DSIR_BUCKETS-row
-    aggregates (map-side combined -- the shuffle carries per-partition
-    distinct buckets, never the occurrence stream); the score table
-    broadcasts; the only large shuffle is the final doc_id-keyed sum.
-    No Zipf-key join: features meet scores through a broadcast hash
-    join exactly like unigram_logprob_scores' capped LM.
+    Plan shape at 100 TB: the feature stream is traversed exactly
+    TWICE -- once for the combined bucket-LM aggregate (raw + target
+    counts in one map-side-combined pass; the shuffle carries
+    per-partition distinct buckets, never the occurrence stream) and
+    once for scoring; totals derive from the tiny LM relation. The
+    score table broadcasts; the only large shuffle is the final
+    doc_id-keyed sum. No Zipf-key join: features meet scores through a
+    broadcast hash join exactly like unigram_logprob_scores' capped LM.
+    (The DuckDB oracle deliberately keeps the naive two-LM-CTE
+    formulation -- an independent derivation of the same counts.)
 
     Returns (doc_id, lang, n_feats, logw) -- logw = quantized-integer
     sum / 1e6, bit-identical across engines (hash-exact oracle)."""
@@ -1508,4 +1529,151 @@ ORACLE_SQL["dsir_sample"] = f"""
     FROM keyed
     ORDER BY score DESC, doc_id
     LIMIT {DSIR_SAMPLE_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Classifier-based quality filtering (Brown et al. 2020, Appendix A; the
+# GPT-3 / LLaMA data recipe): score every document with a linear
+# quality model, then keep a document iff a Pareto(alpha) draw exceeds
+# 1 - score -- which keeps most high-scoring documents while letting a
+# long tail of low-scoring ones through (the paper's exact rule:
+# ``np.random.pareto(9) > 1 - document_score``).
+# ---------------------------------------------------------------------------
+
+#: Stand-in linear-model weights over the quality_score feature vector
+#: (stopword_ratio, mean_token_len, digit_ratio, punct_ratio, and a
+#: length feature). Real pipelines train a fastText/logistic model on
+#: labeled "reference domain vs crawl" data offline and plug the learned
+#: weights into the same expression; the dataflow is identical.
+QC_BIAS = -2.0
+QC_W_STOP = 8.0
+QC_W_MTL = 0.25
+QC_W_DIGIT = -6.0
+QC_W_PUNCT = -3.0
+QC_W_LOGLEN = 0.15
+#: The paper's Pareto shape.
+QC_PARETO_ALPHA = 9.0
+
+
+def quality_classifier_scores(documents: DataFrame) -> DataFrame:
+    """Per-document linear quality score z, sigmoid probability p, a
+    derandomized Pareto(9) draw, and the GPT-3 keep verdict
+    ``pareto_x > 1 - p``.
+
+    All features are exact int/int rational doubles (same definitions
+    as quality_score); z = w.x + b is IEEE-deterministic. The two
+    transcendentals (sigmoid's exp; the Pareto inverse-CDF pow) are
+    quantized to 1e-6 fixed point, making the whole row hash-exact
+    across engines (same policy as DSIR / TEMP_WEIGHT_SCALE). The
+    Pareto draw derives from md5(doc_id) -- retry-stable, engine-
+    portable, no RNG state (stratified_sample's argument). Tokenless
+    documents score with zero features and are never kept.
+
+    Pure Catalyst: one narrow projection, no joins, no shuffle."""
+    toks = tokenize_ws("text")
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"])))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 \\t\\n]", ""))
+    empty = n_tok == 0
+    z = F.when(F.col("n_chars") == 0, F.lit(QC_BIAS)).otherwise(
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_STOP) * F.when(empty, 0.0).otherwise(stop_hits / n_tok)
+        + F.lit(QC_W_MTL) * F.when(empty, 0.0).otherwise(sum_len / n_tok)
+        + F.lit(QC_W_DIGIT) * (digits / F.col("n_chars"))
+        + F.lit(QC_W_PUNCT) * (punct / F.col("n_chars"))
+        + F.lit(QC_W_LOGLEN)
+        * F.floor(F.log2(F.col("n_chars").cast("double")))
+    )
+    p_q = F.floor(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))))
+        * F.lit(float(DSIR_SCALE))
+        + F.lit(0.5)
+    ).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2 ** 52))
+    x_q = F.floor(
+        (F.pow(u, F.lit(-1.0 / QC_PARETO_ALPHA)) - F.lit(1.0))
+        * F.lit(float(DSIR_SCALE))
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        documents.select("doc_id", "lang", F.col("n_chars"), z.alias("z"))
+        .select(
+            "doc_id",
+            "lang",
+            "z",
+            p_q.alias("p_q"),
+            x_q.alias("x_q"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "z",
+            (F.col("p_q") / F.lit(float(DSIR_SCALE))).alias("p"),
+            (F.col("x_q") / F.lit(float(DSIR_SCALE))).alias("pareto_x"),
+            (
+                (F.col("x_q") > F.lit(DSIR_SCALE) - F.col("p_q"))
+                & (F.col("p_q") > 0)
+            ).alias("keep"),
+        )
+    )
+
+
+ORACLE_SQL["quality_classifier_scores"] = f"""
+    WITH qf AS (
+        SELECT doc_id, lang, n_chars,
+               {_TOKS} AS w,
+               length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+               length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g'))
+                   AS punct
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN n_chars = 0 THEN CAST({QC_BIAS} AS DOUBLE) ELSE
+               CAST({QC_BIAS} AS DOUBLE)
+               + CAST({QC_W_STOP} AS DOUBLE)
+                 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                    len(list_filter(w, t -> t IN ('the','a','of','and','to')))
+                    / len(w) END)
+               + CAST({QC_W_MTL} AS DOUBLE)
+                 * (CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                    list_sum(list_transform(w, t -> length(t))) / len(w) END)
+               + CAST({QC_W_DIGIT} AS DOUBLE) * (digits / n_chars)
+               + CAST({QC_W_PUNCT} AS DOUBLE) * (punct / n_chars)
+               + CAST({QC_W_LOGLEN} AS DOUBLE)
+                 * floor(log2(CAST(n_chars AS DOUBLE)))
+               END AS z
+        FROM qf
+    ),
+    keyed AS (
+        SELECT doc_id, lang, z,
+               CAST(floor((1.0 / (1.0 + exp(-z))) * {DSIR_SCALE}.0 + 0.5)
+                    AS BIGINT) AS p_q,
+               CAST(floor(
+                   (pow((CAST(concat('0x',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                         AS BIGINT) + 0.5) / {float(2 ** 52)!r},
+                        {-1.0 / QC_PARETO_ALPHA!r}) - 1.0)
+                   * {DSIR_SCALE}.0 + 0.5) AS BIGINT) AS x_q
+        FROM feats
+    )
+    SELECT doc_id, lang, z,
+           p_q / {DSIR_SCALE}.0 AS p,
+           x_q / {DSIR_SCALE}.0 AS pareto_x,
+           (x_q > {DSIR_SCALE} - p_q AND p_q > 0) AS keep
+    FROM keyed
 """

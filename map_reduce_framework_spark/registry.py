@@ -616,6 +616,19 @@ def q_stratified_sample(spark, sf_dir):
     return text_analysis.stratified_sample(_t(spark, sf_dir, "documents"))
 
 
+# Classifier-based quality filtering (Brown et al. 2020 App. A): linear
+# quality model + the GPT-3 Pareto(9) keep rule, derandomized via
+# md5(doc_id); transcendentals quantized at 1e-6 so the row hash-matches.
+@register(
+    "quality_classifier_scores",
+    text_analysis.ORACLE_SQL["quality_classifier_scores"],
+)
+def q_quality_classifier_scores(spark, sf_dir):
+    return text_analysis.quality_classifier_scores(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.
@@ -869,6 +882,19 @@ from .operators import pipeline  # noqa: E402
 @register("clean_corpus", pipeline.ORACLE_SQL["clean_corpus"])
 def q_clean_corpus(spark, sf_dir):
     return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))
+
+
+# Selection-detector comparison: rules (Gopher) vs classifier+Pareto
+# (GPT-3) vs importance resampling (DSIR), one aggregate over per-doc
+# flags -- the selection-side analog of dedup_method_agreement.
+@register(
+    "selection_method_agreement",
+    pipeline.ORACLE_SQL["selection_method_agreement"],
+)
+def q_selection_method_agreement(spark, sf_dir):
+    return pipeline.selection_method_agreement(
+        _t(spark, sf_dir, "documents")
+    )
 
 
 @register("dedup_survivors", pipeline.ORACLE_SQL["dedup_survivors"])

@@ -99,3 +99,38 @@ def test_fingerprints_arrow_matches_jvm_expression(spark, sf_smoke):
         r["doc_id"]: (r[1], r[2]) for r in doc_fingerprints_expr(docs).collect()
     }
     assert got == want and len(got) > 500
+
+
+def test_dsir_feature_buckets_arrow_matches_jvm_expression(spark, sf_smoke):
+    """The Arrow DSIR feature extractor must produce exactly the same
+    (doc_id, bucket) multiset as the pure-JVM expression form it
+    replaces (hashlib.md5 == Spark md5 over UTF-8; first-8-hex-chars
+    int == conv(substr(..), 16, 10); Python zip bigrams ==
+    word_shingles(toks, 2))."""
+    from collections import Counter
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        _dsir_features,
+        _dsir_features_expr,
+    )
+    from map_reduce_framework_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    edge = spark.createDataFrame(
+        [
+            (9001, "", "en", "srcX", 0),
+            (9002, "   ", "en", "srcX", 3),
+            (9003, "one", "fr", "srcX", 3),
+            (9004, "one two", "en", "srcX", 7),
+            (9005, "tab\tand\nnewline   runs", "de", "srcX", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs = docs.unionByName(edge.select(docs.columns))
+    got = Counter(
+        (r.doc_id, r.bucket) for r in _dsir_features(docs).collect()
+    )
+    want = Counter(
+        (r.doc_id, r.bucket) for r in _dsir_features_expr(docs).collect()
+    )
+    assert got == want and len(got) > 1000
