@@ -41,6 +41,12 @@ QUERIES = [
     "chunk_dedup_clean",    # inverted-index co-count + hot-set broadcast
     "hybrid_retrieval_rrf_ann",  # BM25 + IVF-PQ fusion (no full scan)
     "unigram_logprob_scores",    # broadcast-capped LM scoring
+    # round-5 selection/semantic-dedup additions: DSIR's broadcast-LM
+    # scoring and SemDeDup's cluster-blocked pair stage carry the same
+    # "never shuffle/pair the whole stream" claims as the rows above.
+    "dsir_log_weights",     # Arrow features + broadcast bucket LM
+    "semdedup",             # k-means-blocked within-cluster cosine
+    "quality_classifier_scores",  # pure-Catalyst narrow projection
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
