@@ -105,9 +105,14 @@ def decode_image_header(payload: bytes) -> tuple[int, int, str] | None:
     JPEG (big-endian dims in the first SOFn frame header, reached by
     walking the marker-segment stream -- ``_jpeg_dims``; pixel DECODE
     still needs libjpeg, but dims/format, the fields every curation
-    filter keys on, do not). Returns None when the payload is none of
-    the three -- callers fall back to ``fake_decode_meta`` for the
-    synthetic corpus."""
+    filter keys on, do not), and GIF (little-endian u16 dims in the
+    Logical Screen Descriptor right after the 6-byte signature; the
+    signature is printable ASCII so prose beginning exactly "GIF87a"
+    can in principle false-positive -- the documented limit of a
+    format whose header carries no checkable structure beyond non-zero
+    dims). Returns None when the payload is none of the four --
+    callers fall back to ``fake_decode_meta`` for the synthetic
+    corpus."""
     if len(payload) >= 26 and payload[:2] == b"BM":
         bi_size = int.from_bytes(payload[14:18], "little")
         if bi_size in _BMP_HEADER_SIZES:
@@ -129,6 +134,15 @@ def decode_image_header(payload: bytes) -> tuple[int, int, str] | None:
             height = int.from_bytes(payload[20:24], "big")
             if width > 0 and height > 0:
                 return width, height, "png"
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        # Logical Screen Descriptor: little-endian u16 dims right after
+        # the 6-byte signature (GIF89a spec sec. 18). The signature is
+        # printable ASCII, so require non-zero dims to reject text that
+        # merely starts with "GIF87a".
+        width = int.from_bytes(payload[6:8], "little")
+        height = int.from_bytes(payload[8:10], "little")
+        if width > 0 and height > 0:
+            return width, height, "gif"
     jd = _jpeg_dims(payload)
     if jd is not None:
         return jd[0], jd[1], "jpeg"

@@ -635,3 +635,28 @@ def test_mmr_matches_independent_greedy(spark, sf_smoke):
         selected.append(best[0])
         want.append((step, best[0], best[1]))
     assert got == sorted(want)
+
+
+def test_real_header_decode_gif(spark):
+    """GIF Logical-Screen-Descriptor dims parse dependency-free like
+    BMP/PNG/JPEG: little-endian u16 dims after the 6-byte signature;
+    both signature versions accepted; zero-dim or truncated payloads
+    rejected (the signature is printable ASCII, so text starting with
+    'GIF87a' must not false-positive)."""
+    g = b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little")
+    assert multimodal.decode_image_header(g + b"\x00" * 3) == (
+        640, 480, "gif",
+    )
+    g87 = b"GIF87a" + (12).to_bytes(2, "little") + (7).to_bytes(2, "little")
+    assert multimodal.decode_image_header(g87) == (12, 7, "gif")
+    # zero dims -> not an image (e.g. the text "GIF87a\0\0\0\0...")
+    assert multimodal.decode_image_header(b"GIF87a\x00\x00\x00\x00") is None
+    # truncated: signature only
+    assert multimodal.decode_image_header(b"GIF89a") is None
+    assert multimodal.decode_image_header(b"GIF89a is a file format") is not None  # 'i'=0x69,'s'=0x73 parse as dims -- documented limit
+    media = spark.createDataFrame(
+        [(1, bytearray(g + b"\x00" * 3), "s")],
+        "doc_id bigint, payload binary, source string",
+    )
+    got = multimodal.extract_media_meta(media).collect()[0]
+    assert (got.width, got.height, got.format) == (640, 480, "gif")
