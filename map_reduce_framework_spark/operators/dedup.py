@@ -1146,33 +1146,52 @@ def dedup_method_agreement(documents: DataFrame) -> DataFrame:
     signatures vs hamming blocks vs inverted-index co-counts); this
     report makes the trade a driver-checkable artifact instead of
     folklore. Each method's subplan is its registered production plan
-    unchanged; the agreement join runs on (doc_a, doc_b) pair keys --
-    tiny relative to the corpus."""
-    methods = [
-        ("minhash", minhash_lsh_pairs(documents).select("doc_a", "doc_b")),
-        ("simhash", simhash_near_pairs(documents).select("doc_a", "doc_b")),
-        ("ngram", ngram_jaccard_pairs(documents).select("doc_a", "doc_b")),
-    ]
-    out = None
-    for i in range(len(methods)):
-        for j in range(i + 1, len(methods)):
-            na, a = methods[i]
-            nb, b = methods[j]
-            both = a.join(b, ["doc_a", "doc_b"])
-            row = (
-                a.agg(F.count("*").alias("n_a"))
-                .join(b.agg(F.count("*").alias("n_b")))
-                .join(both.agg(F.count("*").alias("n_both")))
-                .select(
-                    F.lit(na).alias("method_a"),
-                    F.lit(nb).alias("method_b"),
-                    F.col("n_a").cast("bigint").alias("n_a"),
-                    F.col("n_b").cast("bigint").alias("n_b"),
-                    F.col("n_both").cast("bigint").alias("n_both"),
-                )
-            )
-            out = row if out is None else out.unionByName(row)
-    return out
+    unchanged and evaluated ONCE: the three pair sets union into a
+    flagged relation, one (doc_a, doc_b)-keyed aggregate ORs the flags,
+    and one tiny aggregate takes the six conditional sums -- the
+    per-method-pair join-and-count jobs of the naive form (each
+    detector run twice, 9 jobs) collapse into a single pass over pair
+    keys, which are tiny relative to the corpus."""
+    flagged = None
+    for name, pairs in (
+        ("mh", minhash_lsh_pairs(documents)),
+        ("sh", simhash_near_pairs(documents)),
+        ("ng", ngram_jaccard_pairs(documents)),
+    ):
+        p = pairs.select(
+            "doc_a",
+            "doc_b",
+            F.lit(name == "mh").alias("mh"),
+            F.lit(name == "sh").alias("sh"),
+            F.lit(name == "ng").alias("ng"),
+        )
+        flagged = p if flagged is None else flagged.unionByName(p)
+    flags = flagged.groupBy("doc_a", "doc_b").agg(
+        F.max("mh").alias("mh"),
+        F.max("sh").alias("sh"),
+        F.max("ng").alias("ng"),
+    )
+
+    def cnt(col):
+        return F.sum(col.cast("int")).cast("bigint")
+
+    agg = flags.agg(
+        cnt(F.col("mh")).alias("n_mh"),
+        cnt(F.col("sh")).alias("n_sh"),
+        cnt(F.col("ng")).alias("n_ng"),
+        cnt(F.col("mh") & F.col("sh")).alias("n_mh_sh"),
+        cnt(F.col("mh") & F.col("ng")).alias("n_mh_ng"),
+        cnt(F.col("sh") & F.col("ng")).alias("n_sh_ng"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3, "
+            "'minhash', 'simhash', n_mh, n_sh, n_mh_sh, "
+            "'minhash', 'ngram', n_mh, n_ng, n_mh_ng, "
+            "'simhash', 'ngram', n_sh, n_ng, n_sh_ng"
+            ") as (method_a, method_b, n_a, n_b, n_both)"
+        )
+    )
 
 
 def _build_method_agreement_sql() -> str:
