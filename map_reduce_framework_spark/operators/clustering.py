@@ -783,13 +783,20 @@ def ann_ivfadc(
 # DuckDB oracles: the same computation unrolled as chained CTEs.
 # ---------------------------------------------------------------------------
 
-_E = f"""
+def _e_cte(src: str = "embeddings") -> str:
+    """Quantized-vector CTE over any (vec_id, embedding) relation --
+    parameterized so derived embedding sources (doc_hash_embeddings)
+    reuse the identical k-means oracle machinery."""
+    return f"""
         e AS (
             SELECT vec_id,
                    list_transform(CAST(embedding AS DOUBLE[]),
                                   x -> floor(x*{SCALE} + 0.5)/{SCALE}) AS v
-            FROM embeddings
+            FROM {src}
         )"""
+
+
+_E = _e_cte()
 
 _DIST = (
     "list_dot_product({v}, {v}) - 2*list_dot_product({v}, {c})"
@@ -831,11 +838,13 @@ def _update_cte(name: str, assigned: str) -> str:
         )"""
 
 
-def _kmeans_ctes() -> str:
-    parts = [
-        _E,
+def _kmeans_ctes(
+    src: str = "embeddings", prelude: str = "", k: int = K
+) -> str:
+    parts = ([prelude] if prelude else []) + [
+        _e_cte(src),
         "c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv"
-        f" FROM e WHERE vec_id < {K})",
+        f" FROM e WHERE vec_id < {k})",
     ]
     cents = "c0"
     for it in range(ITERS):
@@ -1342,13 +1351,22 @@ def semdedup(
     )
 
 
-ORACLE_SQL["semdedup"] = f"""
-    {_kmeans_ctes()},
+def _semdedup_sql(
+    src: str = "embeddings",
+    prelude: str = "",
+    tau: float = SEMDEDUP_TAU,
+    k: int = K,
+) -> str:
+    """Full SemDeDup oracle over any (vec_id, embedding) relation;
+    ``prelude`` injects extra leading CTEs (the doc-embedding builder
+    for doc_semdedup); ``tau`` mirrors the Spark-side threshold."""
+    return f"""
+    {_kmeans_ctes(src, prelude, k)},
     er AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS rv,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                      CAST(embedding AS DOUBLE[]))) AS nrm
-        FROM embeddings
+        FROM {src}
     ),
     sm AS (
         SELECT a.vec_id, a.cid AS cluster, a.dist, er.rv, er.nrm
@@ -1359,7 +1377,7 @@ ORACLE_SQL["semdedup"] = f"""
         FROM sm x JOIN sm y
           ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
         WHERE list_dot_product(x.rv, y.rv) / (x.nrm * y.nrm)
-                  >= {SEMDEDUP_TAU}
+                  >= {tau}
           AND (y.dist > x.dist
                OR (y.dist = x.dist AND y.vec_id < x.vec_id))
     )
@@ -1367,3 +1385,152 @@ ORACLE_SQL["semdedup"] = f"""
            (d.vec_id IS NOT NULL) AS is_dup
     FROM sm m LEFT JOIN sdropped d USING (vec_id)
 """
+
+
+ORACLE_SQL["semdedup"] = _semdedup_sql()
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashed document embeddings (Weinberger et al., ICML 2009
+# "Feature Hashing for Large Scale Multitask Learning") + SemDeDup run
+# end-to-end ON THE TEXT CORPUS. The embeddings table is a standalone
+# synthetic fixture; this pair connects documents -> vectors -> the
+# whole ANN/semantic-dedup stack with a deterministic, oracle-checkable
+# "embedder" (real pipelines swap in a learned encoder behind the same
+# (vec_id, embedding) contract).
+# ---------------------------------------------------------------------------
+
+
+def doc_hash_embeddings(documents: DataFrame, dim: int = DIM) -> DataFrame:
+    """(vec_id, embedding): the hashing-trick bag-of-words vector of
+    every document -- each token occurrence adds +-1 (sign = parity of
+    the 9th md5 hex digit) to dimension md5[:8] % dim. Signed hashing
+    keeps the inner product an unbiased kernel estimate (Weinberger
+    2009, Lemma 2), which is exactly what the downstream cosine ops
+    consume. Integer counts cast to double, so values are IEEE-exact in
+    both engines (hash-exact oracle).
+
+    Plan: explode -> one (doc_id, dim)-keyed map-side-combined sum ->
+    one doc-keyed densify (map lookup over a sequence literal, pure
+    JVM). Zero-vector documents (sign-cancelled or tokenless) are
+    dropped -- cosine is undefined for them; both engines apply the
+    same filter."""
+    from ..functions.text import tokenize_ws
+
+    toks = documents.select(
+        "doc_id", F.explode(tokenize_ws("text")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("bigint") % 2 == 0, 1
+    ).otherwise(-1)
+    sparse = (
+        toks.select("doc_id", bucket.alias("d"), sign.alias("sgn"))
+        .groupBy("doc_id", "d")
+        .agg(F.sum("sgn").cast("double").alias("val"))
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("d", "val")))
+    dense = sparse.groupBy("doc_id").agg(m.alias("m")).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("m"), i.cast("int")), F.lit(0.0)
+            ),
+        ).alias("embedding"),
+    )
+    return dense.filter(
+        F.exists(F.col("embedding"), lambda x: x != F.lit(0.0))
+    )
+
+
+def doc_hash_embeddings_long(documents: DataFrame, dim: int = DIM) -> DataFrame:
+    """Driver-facing form of ``doc_hash_embeddings``: the dense vector
+    unrolled to (vec_id, d, val) rows -- registered queries must emit
+    atomic columns (the scoring driver's pandas canonicalizer cannot
+    hash array cells; see tests/test_driver_canon.py). The array form
+    stays the internal contract ``doc_semdedup`` consumes."""
+    return doc_hash_embeddings(documents, dim).select(
+        "vec_id", F.posexplode("embedding").alias("d", "val")
+    )
+
+
+#: Within-cluster cosine threshold for TEXT hash embeddings. Shared
+#: token mass (stopwords) gives unrelated documents substantial cosine
+#: under bag-of-words hashing -- at 0.4 (the isotropic-synthetic-vector
+#: default) 4992/5000 docs flag as dups, i.e. vacuous, and even 0.9
+#: still flags 22%. 0.95 isolates true near-duplicates (263/5000 at
+#: sf0.1, in line with the corpus's planted-dup rate; the production
+#: guidance in SEMDEDUP_TAU's note says the same).
+DOC_SEMDEDUP_TAU = 0.95
+#: Cluster count for the 5000-doc corpus: the paper's k ~ n /
+#: target_cluster_size rule (~78 docs/cluster). k=8 left ~625-doc
+#: blocks whose quadratic pair stage dominated (29 s -> 7 s at sf0.1).
+DOC_SEMDEDUP_K = 64
+
+
+def doc_semdedup(
+    documents: DataFrame,
+    tau: float = DOC_SEMDEDUP_TAU,
+    k: int = DOC_SEMDEDUP_K,
+) -> DataFrame:
+    """SemDeDup end-to-end on the TEXT corpus: hash-embed every
+    document (doc_hash_embeddings), then run the identical
+    cluster-blocked semantic dedup -- the full Abbas et al. pipeline
+    with a deterministic embedder in place of the neural one. Returns
+    (vec_id, cluster, cdist, is_dup) keyed by doc_id; plan properties
+    (blocked pair join, broadcast centroids) are semdedup's, unchanged.
+
+    The embedding relation is localCheckpointed first: the symbolic
+    kmeans plan references its input ~8 times (2 Lloyd rounds + final
+    assignment + the pair join's two sides), each reference otherwise
+    recomputing the tokenize->hash->densify subtree (~1.7 s/pass at
+    sf0.1). This is also the production shape -- pipelines persist the
+    embedding table once and index it, never re-embed per stage (same
+    policy as mmr_rerank's per-round checkpoint). k defaults to
+    DOC_SEMDEDUP_K (the paper's k ~ n/target_cluster_size sizing; see
+    the constant's note for the measured 4x effect of blocking width),
+    tau to the text-calibrated DOC_SEMDEDUP_TAU."""
+    emb = doc_hash_embeddings(documents).localCheckpoint()
+    return semdedup(emb, tau=tau, k=k)
+
+
+_DOC_EMB_PRELUDE = f"""
+    dhe_sparse AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                    % {DIM} AS INT) AS d,
+               CAST(sum(CASE WHEN CAST(concat('0x', substr(md5(tok), 9, 1))
+                                       AS BIGINT) % 2 = 0
+                             THEN 1 ELSE -1 END) AS DOUBLE) AS val
+        FROM (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    dhe AS (
+        SELECT doc_id AS vec_id, embedding FROM (
+            SELECT g.doc_id, list(COALESCE(s.val, 0.0) ORDER BY g.d)
+                       AS embedding
+            FROM (SELECT ids.doc_id, r.range AS d
+                  FROM (SELECT DISTINCT doc_id FROM dhe_sparse) ids
+                  CROSS JOIN range(0, {DIM}) r) g
+            LEFT JOIN dhe_sparse s ON s.doc_id = g.doc_id AND s.d = g.d
+            GROUP BY g.doc_id
+        )
+        WHERE len(list_filter(embedding, x -> x <> 0.0)) > 0
+    )"""
+
+ORACLE_SQL["doc_hash_embeddings"] = f"""
+    WITH {_DOC_EMB_PRELUDE}
+    SELECT vec_id, CAST(r.range AS INT) AS d,
+           embedding[r.range + 1] AS val
+    FROM dhe CROSS JOIN range(0, {DIM}) r
+"""
+
+ORACLE_SQL["doc_semdedup"] = _semdedup_sql(
+    "dhe", _DOC_EMB_PRELUDE, tau=DOC_SEMDEDUP_TAU, k=DOC_SEMDEDUP_K
+)

@@ -746,6 +746,24 @@ def q_semdedup(spark, sf_dir):
     return clustering.semdedup(_t(spark, sf_dir, "embeddings"))
 
 
+# Feature-hashing-trick document vectors (Weinberger ICML'09): signed
+# +-1 hashed bag-of-words, the deterministic embedder that connects the
+# text corpus to the vector stack. Registered in atomic long form
+# (vec_id, d, val); the array form is the internal contract.
+@register("doc_hash_embeddings", clustering.ORACLE_SQL["doc_hash_embeddings"])
+def q_doc_hash_embeddings(spark, sf_dir):
+    return clustering.doc_hash_embeddings_long(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+# SemDeDup end-to-end ON DOCUMENTS: hash-embed then cluster-blocked
+# semantic dedup -- the full Abbas et al. pipeline over text.
+@register("doc_semdedup", clustering.ORACLE_SQL["doc_semdedup"])
+def q_doc_semdedup(spark, sf_dir):
+    return clustering.doc_semdedup(_t(spark, sf_dir, "documents"))
+
+
 # IVFADC proper (Jegou TPAMI'11 Fig. 5): PQ codes over RESIDUALS
 # v - centroid(cell), per-(query, probed-cell) lookup tables; same
 # storage/scan cost as ann_ivf_pq. Recall vs the raw-vector variant is

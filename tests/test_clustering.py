@@ -323,3 +323,35 @@ def test_semdedup_survivors_are_cosine_independent(spark, sf_oracle, vecs):
             ]
             assert witnesses, (cl, r.vec_id)
     assert n_dup > 0  # the operator is non-vacuous on this data
+
+
+def test_doc_semdedup_flags_planted_duplicates(spark, sf_oracle):
+    """End-to-end SemDeDup on text: a verbatim copy of a document has
+    the identical hash embedding (cosine 1.0, same cluster by identical
+    distances), so each planted copy -- carrying a higher doc_id, hence
+    losing the equal-distance tie-break -- must be flagged while at most
+    one member of each group survives. sf0.01 has no natural exact
+    dups (sf0.1 has 8 groups), so the copies are planted."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_oracle, "documents")
+    originals = docs.orderBy("doc_id").limit(3).collect()
+    planted = spark.createDataFrame(
+        [
+            (100000 + i, r.text, r.lang, r.source, r.n_chars)
+            for i, r in enumerate(originals)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    aug = docs.unionByName(planted.select(docs.columns))
+    flagged = {
+        r.vec_id
+        for r in clustering.doc_semdedup(aug).filter("is_dup").collect()
+    }
+    for i, r in enumerate(originals):
+        copy_id = 100000 + i
+        assert copy_id in flagged, (copy_id, "copy not flagged")
+        # at most one of (original, copy) survives
+        assert not (
+            r.doc_id not in flagged and copy_id not in flagged
+        )
