@@ -1302,6 +1302,12 @@ def semdedup(
     raw = raw.select(
         "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
     )
+    # NOT checkpointed: the assigned relation feeds three references
+    # (both pair-join sides + the output), but materializing it measured
+    # SLOWER (4.9 s -> 5.8 s at sf0.1) -- the kmeans subtree is cheap
+    # relative to the pair join, and the block-store write isn't free.
+    # doc_semdedup checkpoints one level lower (the embedding relation)
+    # where recompute is genuinely expensive.
     m = a.join(raw, "vec_id").select("vec_id", "cluster", "dist", "v", "nrm")
     x = m.select(
         F.col("vec_id").alias("x_id"),
