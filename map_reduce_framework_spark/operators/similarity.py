@@ -706,9 +706,8 @@ def _recall_row_sql(name: str, variant_sql: str, k: int, n_queries: int = 8) -> 
     """
 
 
-ORACLE_SQL: dict[str, str] = {
-    "ann_ivf": f"""
-        WITH e AS (
+_IVF_CTES = f"""
+        e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                          CAST(embedding AS DOUBLE[]))) AS nrm
@@ -760,6 +759,12 @@ ORACLE_SQL: dict[str, str] = {
                    ) AS INT) AS rnk
             FROM scored
         )
+"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "ann_ivf": f"""
+        WITH {_IVF_CTES}
         SELECT * FROM ranked WHERE rnk <= 5
     """,
 
@@ -1127,3 +1132,58 @@ def _build_mmr_sql(
 
 ORACLE_SQL["mmr_rerank"] = _build_mmr_sql()
 ORACLE_SQL["mmr_rerank_ann"] = _build_mmr_sql(hybrid=_build_hybrid_rrf_ann_sql())
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (DPR, Karpukhin et al.
+# EMNLP 2020 sec 3.2; ANCE, Xiong et al. ICLR 2021): per anchor, the
+# highest-ranked retrieval results that are NOT near-duplicates of it.
+# ---------------------------------------------------------------------------
+
+#: Negatives emitted per anchor, and the ANN candidate pool they are
+#: drawn from (pool > k so the dup-band filter cannot starve the list).
+HARD_NEG_K = 5
+HARD_NEG_POOL = 20
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = HARD_NEG_K,
+    pool: int = HARD_NEG_POOL,
+    dup_tau: float = NEAR_DUP_COS,
+) -> DataFrame:
+    """ANCE-style hard negatives: for each anchor, rank the corpus with
+    the production ANN plan (ann_ivf -- probed cells only, never a full
+    scan), DROP candidates above the near-duplicate cosine band
+    (cos >= dup_tau: those are positives/dups and would poison the
+    contrastive loss), and keep the top-k of what remains -- maximally
+    confusable true negatives. This is the retrieval-side half of the
+    DPR/ANCE training loop, expressed as the existing ANN subplan + a
+    band filter + a per-anchor re-rank window over <= pool rows.
+
+    Returns (q_id, vec_id, cos, neg_rnk). Plan properties are
+    ann_ivf's, unchanged (the added window runs over pool rows per
+    anchor)."""
+    cands = ann_ivf(embeddings, n_queries=n_queries, k=pool)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        cands.filter(F.col("cos") < F.lit(dup_tau))
+        .select("q_id", "vec_id", "cos")
+        .withColumn("neg_rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("neg_rnk") <= k)
+    )
+
+
+ORACLE_SQL["hard_negative_mining"] = f"""
+    WITH {_IVF_CTES}
+    SELECT q_id, vec_id, cos,
+           CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, vec_id
+           ) AS INT) AS neg_rnk
+    FROM ranked
+    WHERE rnk <= {HARD_NEG_POOL} AND cos < {NEAR_DUP_COS}
+    QUALIFY neg_rnk <= {HARD_NEG_K}
+"""

@@ -764,6 +764,16 @@ def q_doc_semdedup(spark, sf_dir):
     return clustering.doc_semdedup(_t(spark, sf_dir, "documents"))
 
 
+# ANCE/DPR hard-negative mining: ANN-ranked candidates minus the
+# near-duplicate cosine band, re-ranked per anchor -- the retrieval-side
+# half of the contrastive training loop.
+@register(
+    "hard_negative_mining", similarity.ORACLE_SQL["hard_negative_mining"]
+)
+def q_hard_negative_mining(spark, sf_dir):
+    return similarity.hard_negative_mining(_t(spark, sf_dir, "embeddings"))
+
+
 # IVFADC proper (Jegou TPAMI'11 Fig. 5): PQ codes over RESIDUALS
 # v - centroid(cell), per-(query, probed-cell) lookup tables; same
 # storage/scan cost as ann_ivf_pq. Recall vs the raw-vector variant is
