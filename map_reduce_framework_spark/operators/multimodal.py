@@ -160,9 +160,9 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int, str]:
 
 
 def decode_meta(payload: bytes) -> tuple[int, int, str]:
-    """Header-first metadata: real BMP/PNG headers when the magic bytes
-    match, deterministic fake otherwise (the synthetic corpus is utf-8
-    text, which never carries either magic)."""
+    """Header-first metadata: real BMP/PNG/JPEG/GIF headers when the
+    magic bytes match, deterministic fake otherwise (the synthetic
+    corpus is utf-8 text, which carries none of the magics)."""
     return decode_image_header(payload) or fake_decode_meta(payload)
 
 
