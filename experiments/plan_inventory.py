@@ -55,6 +55,7 @@ EXECUTES_ON_BUILD = {
     "hybrid_retrieval_rrf_ann": "composes ann_ivf_pq",
     "part_pagerank": "iteration rounds with checkpoints",
     "part_pagerank_salted": "iteration rounds with checkpoints",
+    "doc_semdedup": "localCheckpoints the embedding relation on build",
 }
 
 
