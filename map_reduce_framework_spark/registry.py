@@ -1075,6 +1075,17 @@ def q_events_dedup_watermark_stream(spark, sf_dir):
     return streaming_ops.q_events_dedup_watermark_stream(spark, sf_dir)
 
 
+# Streaming curation ingest: the classifier+Pareto quality filter as a
+# stateless append stream -- same operator expression as the batch
+# quality_classifier_scores, so the oracle proves stream==batch.
+@register(
+    "doc_quality_filter_stream",
+    streaming_ops.ORACLE_SQL["doc_quality_filter_stream"],
+)
+def q_doc_quality_filter_stream(spark, sf_dir):
+    return streaming_ops.q_doc_quality_filter_stream(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Time-series gap-fill, fuzzy matching, sketch aggregates (§2.F additions)
 # --------------------------------------------------------------------------

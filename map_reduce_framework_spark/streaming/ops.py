@@ -476,3 +476,38 @@ ORACLE_SQL: dict[str, str] = {
         GROUP BY 1, 2
     """,
 }
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table -- the streaming
+    ingest shape of a curation pipeline (new document files arriving in
+    a directory). No timestamp/watermark: the quality filter below is
+    stateless."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_as_stream_dir(path))
+
+
+def q_doc_quality_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation ingest: the GPT-3 classifier+Pareto filter
+    (quality_classifier_scores -- a pure Catalyst projection, so the
+    SAME operator runs unchanged on the stream) applied per arriving
+    document, keep-only, append mode. Stateless: no watermark, no state
+    store; at scale this is the writeStream-to-table front of the
+    curation pipeline, with the batch operator as its exact twin (the
+    registered oracle IS the batch semantics, so the sweep proves
+    stream==batch)."""
+    from ..operators.text_analysis import quality_classifier_scores
+
+    docs = read_documents_stream(spark, sf_dir)
+    kept = quality_classifier_scores(docs).filter(F.col("keep"))
+    return run_to_memory(kept, output_mode="append")
+
+
+from ..operators.text_analysis import ORACLE_SQL as _TA_SQL  # noqa: E402
+
+ORACLE_SQL["doc_quality_filter_stream"] = f"""
+    SELECT doc_id, lang, z, p, pareto_x, keep
+    FROM ({_TA_SQL["quality_classifier_scores"]})
+    WHERE keep
+"""
