@@ -213,9 +213,16 @@ def part_triangle_counts(lineitem: DataFrame) -> DataFrame:
     # query were invalid -- count() lets Catalyst ELIMINATE the left
     # join onto the triangle counts (right side duplicate-free, columns
     # unused), so they measured only the degree aggregate. Honest
-    # full-materialization (noop-sink) cost at sf0.1 is ~6 s: 1.2M
+    # full-materialization (noop-sink) cost at sf0.1 is ~6-11 s: 1.2M
     # canonical edges -> 49M wedges -> 1.9M triangles, wedge+closure
     # dominated, and the closure broadcast-vs-shuffle choice is AQE's.
+    # The adjacency-list alternative (collect sorted up-neighbor arrays,
+    # array_intersect per edge -- emits triangles directly, no wedge
+    # relation) was tried and REJECTED: each edge row carries both
+    # endpoints' full neighbor arrays, so the joins move the same
+    # sum(deg^2) payload as the wedge shuffle but as per-row array
+    # copies -- it GC-stalled at sf0.1 where this form completes. Rows
+    # beat fat arrays here.
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
     per_node = (
         tri.select(
