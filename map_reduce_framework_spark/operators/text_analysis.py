@@ -9,6 +9,7 @@ policy, with the JVM expression form kept as the parity reference.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1677,3 +1678,58 @@ ORACLE_SQL["quality_classifier_scores"] = f"""
            (x_q > {DSIR_SCALE} - p_q AND p_q > 0) AS keep
     FROM keyed
 """
+
+
+def dsir_lm_table(documents: DataFrame) -> tuple[dict, int]:
+    """Collect the trained DSIR bucket-score LM as a plain dict plus the
+    OOV-bucket default (add-1 smoothing with zero counts both sides:
+    floor(1e6 * log2((tr+B)/(tt+B)))). <= DSIR_BUCKETS+1 scalars to the
+    driver -- the model artifact a trained filter ships; same K-scalar
+    collect budget as assign_doc_ids_scalable's offsets."""
+    import math
+
+    fb = _dsir_features(documents)
+    scores = {
+        r.bucket: r.s for r in _dsir_bucket_scores(fb).collect()
+    }
+    tr, tt = fb.groupBy().agg(
+        F.count("*"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)),
+    ).collect()[0]
+    default_s = math.floor(
+        math.log2((tr + DSIR_BUCKETS) / (tt + DSIR_BUCKETS))
+        * float(DSIR_SCALE)
+        + 0.5
+    )
+    return scores, default_s
+
+
+def dsir_scorer_arrow(scores: dict, default_s: int):
+    """Arrow-vectorized DSIR scorer over a SHIPPED LM (dict closure):
+    per document, (n_feats, logw) computed feature-by-feature with the
+    same md5 bucketing and exact integer summation as the distributed
+    dsir_log_weights -- bit-identical because integer addition is
+    order-free and the final /1e6 is the same IEEE division. This is
+    the scoring half of DSIR deployed as a trained filter (the LM is
+    the model artifact; no shuffle, no state -- pure per-row work)."""
+    from hashlib import md5
+
+    from ..functions.text import _WS_RE
+
+    def _score(text: pd.Series) -> pd.DataFrame:
+        nf, lw = [], []
+        for t in text:
+            toks = [w for w in _WS_RE.split(t or "") if w]
+            feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            q = 0
+            for ft in feats:
+                b = (
+                    int(md5(ft.encode("utf-8")).hexdigest()[:8], 16)
+                    % DSIR_BUCKETS
+                )
+                q += scores.get(b, default_s)
+            nf.append(len(feats))
+            lw.append(q / float(DSIR_SCALE))
+        return pd.DataFrame({"n_feats": nf, "logw": lw})
+
+    return F.pandas_udf(_score, "n_feats bigint, logw double")

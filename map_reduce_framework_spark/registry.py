@@ -1086,6 +1086,17 @@ def q_doc_quality_filter_stream(spark, sf_dir):
     return streaming_ops.q_doc_quality_filter_stream(spark, sf_dir)
 
 
+# DSIR as a trained filter at ingest: batch-trained bucket LM shipped
+# as a model artifact, Arrow scorer per arriving doc (no shuffle, no
+# state); the oracle is the distributed batch derivation, so one hash
+# proves stream==batch and shipped-LM==distributed-LM.
+@register(
+    "dsir_score_stream", streaming_ops.ORACLE_SQL["dsir_score_stream"]
+)
+def q_dsir_score_stream(spark, sf_dir):
+    return streaming_ops.q_dsir_score_stream(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Time-series gap-fill, fuzzy matching, sketch aggregates (§2.F additions)
 # --------------------------------------------------------------------------

@@ -511,3 +511,30 @@ ORACLE_SQL["doc_quality_filter_stream"] = f"""
     FROM ({_TA_SQL["quality_classifier_scores"]})
     WHERE keep
 """
+
+
+def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR deployed as a trained filter at ingest: the bucket-score LM
+    is built ONCE from the batch corpus and shipped as a model artifact
+    (<= 1025 scalars), then every arriving document is scored by the
+    Arrow scorer -- per-row work only, no shuffle, no state store,
+    append mode. Bit-identical to the distributed dsir_log_weights on
+    the same corpus (integer sums are order-free), so the registered
+    oracle -- the batch derivation -- proves stream==batch AND
+    shipped-LM==distributed-LM in one hash."""
+    from ..operators.text_analysis import dsir_lm_table, dsir_scorer_arrow
+    from ..sources.io import load_table
+
+    scores, default_s = dsir_lm_table(load_table(spark, sf_dir, "documents"))
+    docs = read_documents_stream(spark, sf_dir)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        dsir_scorer_arrow(scores, default_s)("text").alias("sc"),
+    ).select("doc_id", "lang", "sc.n_feats", "sc.logw")
+    return run_to_memory(scored, output_mode="append")
+
+
+from ..operators.text_analysis import ORACLE_SQL as _TA_SQL2  # noqa: E402
+
+ORACLE_SQL["dsir_score_stream"] = _TA_SQL2["dsir_log_weights"]
