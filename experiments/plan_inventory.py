@@ -57,6 +57,7 @@ EXECUTES_ON_BUILD = {
     "part_pagerank_salted": "iteration rounds with checkpoints",
     "doc_semdedup": "localCheckpoints the embedding relation on build",
 }
+# (queries with "stream" in the name are skipped generically below)
 
 
 def main() -> None:
