@@ -693,7 +693,12 @@ def selection_method_agreement(documents: DataFrame) -> DataFrame:
     method's subplan is its registered production plan unchanged; the
     per-doc flags join on doc_id keys; the report is ONE aggregate over
     the flags relation (six conditional sums), unstacked into three
-    rows -- no per-pair jobs."""
+    rows -- no per-pair jobs. The corpus IS read once per method (the
+    three selectors are deliberately the registered plans, not a fused
+    rewrite) -- at 100 TB each selector's scores would already be
+    materialized columns and the flags join reads those tables, so the
+    multi-scan is a test-SF artifact of composing live subplans, not
+    the production cost."""
     h = text_analysis.quality_score(documents).select(
         "doc_id", F.col("keep").alias("h")
     )
