@@ -47,6 +47,11 @@ QUERIES = [
     "dsir_log_weights",     # Arrow features + broadcast bucket LM
     "semdedup",             # k-means-blocked within-cluster cosine
     "quality_classifier_scores",  # pure-Catalyst narrow projection
+    # round-5 Gopher/ExactSubstr additions: rule filtering must stay
+    # scan-bound map work, and coverage's shingle groupBy + dup-only
+    # re-join must track the token stream linearly.
+    "gopher_quality_filter",      # shuffle-free seven-rule projection
+    "duplicated_ngram_coverage",  # shingle occ counts + dup-only re-join
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -166,10 +166,17 @@ def part_triangle_counts(lineitem: DataFrame) -> DataFrame:
     join; the join keys (b, then (a,c)) are plain equi-keys, so all
     three steps are shuffle hash joins -- never a cross product. Cost is
     sum_b deg_lo(b)^2 (wedges through each node's lower-ordered
-    neighbors) -- the standard node-ordering bound from Schank &
-    Wagner 2005 / Suri & Vassilvitskii WWW'11 (MapReduce triangle
-    counting); at 100 TB the mitigation for a skewed hub is the same
-    degree-ordering already applied here.
+    neighbors), the node-ordering bound of Schank & Wagner 2005 / Suri
+    & Vassilvitskii WWW'11 (MapReduce triangle counting). The order used
+    HERE is plain part-id; the stronger degree-keyed orientation
+    (orient every edge toward its higher-(degree,id) endpoint, bounding
+    out-degrees at O(sqrt m)) was built and measured at sf0.1:
+    bit-identical output, warm-run parity (11.6 s vs 11.2 s -- the
+    co-purchase degree distribution is not hub-skewed enough for the
+    ordering to matter, and the two degree-attach joins eat the wedge
+    savings). It remains the documented upgrade if a 100 TB corpus
+    shows hub skew: swap the canonical (a < b) predicate for the
+    (deg, id) comparison, nothing else changes.
 
     Per-node counts: each closed triangle contributes one row to each of
     its three corners (explode of a 3-element array, bounded fan-out).

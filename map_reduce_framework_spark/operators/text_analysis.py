@@ -1733,3 +1733,324 @@ def dsir_scorer_arrow(scores: dict, default_s: int):
         return pd.DataFrame({"n_feats": nf, "logw": lw})
 
     return F.pandas_udf(_score, "n_feats bigint, logw double")
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-based quality filter (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", App. A1.1)
+# --------------------------------------------------------------------------
+
+# The 8 stop words of Gopher rule 7 ("contains at least 2 of ...").
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality_filter(documents: DataFrame) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021 App. A1.1),
+    the canonical pre-classifier curation pass: per-doc signals for all
+    seven published rules plus per-rule booleans and the AND verdict.
+
+    Rules (published thresholds kept verbatim): 50 <= words <= 100k;
+    3 <= mean word length <= 10; (# + '...') / words <= 0.1; < 90% of
+    lines bullet-led; < 30% of lines ellipsis-terminated; > 80% of
+    words contain an alphabetic char; >= 2 distinct hits in the 8-word
+    stop list.
+
+    Exactness: every ratio is int/int evaluated once in double with
+    identical operand order in both engines; empty docs (0 words) pin
+    ratios to 0.0 and fail the verdict instead of dividing by zero.
+    Line splits keep trailing empties in both engines (Java split
+    limit=-1 == DuckDB string_split), so line counts agree.
+
+    Plan: single narrow projection -- no shuffle, no join, no UDF; all
+    seven rules evaluate inside one whole-stage-codegen pass over the
+    scan, so at 100 TB this is scan-bound map work that AQE cannot
+    mis-plan. The stop list is an inlined 8-element array literal."""
+    toks = tokenize_ws("text")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    n_lines = F.size(lines)
+    n_sym = F.regexp_count(F.col("text"), F.lit("#")) + F.regexp_count(
+        F.col("text"), F.lit(r"\.\.\.")
+    )
+    n_bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    n_ellipsis = F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    empty = n_words == 0
+    mean_len = F.when(empty, F.lit(0.0)).otherwise(sum_len / n_words)
+    sym_ratio = F.when(empty, F.lit(0.0)).otherwise(n_sym / n_words)
+    alpha_ratio = F.when(empty, F.lit(0.0)).otherwise(n_alpha / n_words)
+    bullet_ratio = n_bullet / n_lines
+    ellipsis_ratio = n_ellipsis / n_lines
+    ok_words = (n_words >= 50) & (n_words <= 100000)
+    ok_mean = (mean_len >= 3.0) & (mean_len <= 10.0)
+    ok_sym = sym_ratio <= 0.1
+    ok_bullet = bullet_ratio < 0.9
+    ok_ellipsis = ellipsis_ratio < 0.3
+    ok_alpha = alpha_ratio > 0.8
+    ok_stop = stop_hits >= 2
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_ratio.alias("bullet_line_ratio"),
+        ellipsis_ratio.alias("ellipsis_line_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        ok_words.alias("ok_word_count"),
+        ok_mean.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_bullet.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (
+            ok_words
+            & ok_mean
+            & ok_sym
+            & ok_bullet
+            & ok_ellipsis
+            & ok_alpha
+            & ok_stop
+        ).alias("gopher_pass"),
+    )
+
+
+ORACLE_SQL["gopher_quality_filter"] = f"""
+    WITH t AS (
+        SELECT doc_id, text, {_TOKS} AS toks,
+               string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_words,
+               list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(regexp_extract_all(text, '#')) AS INT)
+                   + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS INT)
+                   AS n_sym,
+               CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '^\\s*[-*•]'))) AS INT)
+                   AS n_bullet,
+               CAST(len(list_filter(lines,
+                   l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) AS INT)
+                   AS n_ellipsis,
+               CAST(len(list_filter(toks,
+                   x -> regexp_matches(x, '[a-zA-Z]'))) AS INT) AS n_alpha,
+               CAST(len(list_intersect(list_distinct(toks),
+                   {GOPHER_STOPWORDS!r})) AS INT) AS stop_hits
+        FROM t
+    ),
+    r AS (
+        SELECT doc_id, n_words,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE sum_len / n_words END AS mean_word_len,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_sym / n_words END AS symbol_word_ratio,
+               n_bullet / n_lines AS bullet_line_ratio,
+               n_ellipsis / n_lines AS ellipsis_line_ratio,
+               CASE WHEN n_words = 0 THEN 0.0
+                    ELSE n_alpha / n_words END AS alpha_word_ratio,
+               stop_hits
+        FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           stop_hits AS stopword_hits,
+           (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+           (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AS ok_mean_word_len,
+           (symbol_word_ratio <= 0.1) AS ok_symbol_ratio,
+           (bullet_line_ratio < 0.9) AS ok_bullet_lines,
+           (ellipsis_line_ratio < 0.3) AS ok_ellipsis_lines,
+           (alpha_word_ratio > 0.8) AS ok_alpha_words,
+           (stop_hits >= 2) AS ok_stopwords,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_ratio < 0.9
+            AND ellipsis_line_ratio < 0.3
+            AND alpha_word_ratio > 0.8
+            AND stop_hits >= 2) AS gopher_pass
+    FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact duplicated-substring coverage (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better" -- the ExactSubstr metric)
+# --------------------------------------------------------------------------
+
+DUP_COVERAGE_N = 5  # shingle width; Lee et al. use 50 BPE tokens at corpus scale
+
+
+def duplicated_ngram_coverage(
+    documents: DataFrame, n: int = DUP_COVERAGE_N
+) -> DataFrame:
+    """Per-doc fraction of token positions covered by an n-gram that
+    occurs more than once in the corpus -- the ExactSubstr duplication
+    metric of Lee et al. 2022: the suffix-array criterion re-expressed
+    as shingle occurrence counts (a position is 'duplicated' iff some
+    n-token window through it repeats, incl. within one doc).
+
+    Plan: posexplode shingles (fan-out len-n+1 per doc) -> one groupBy
+    gram with map-side combine to count occurrences -> semi-join the
+    >=2-occurrence grams back (equi-key on the gram; at n>=5 the gram
+    frequency tail is orders flatter than unigrams' Zipf, and ONLY
+    duplicated grams re-join, so the shuffled candidate set shrinks
+    with corpus cleanliness) -> bounded n-fold explode to positions ->
+    per-doc distinct + count, doc_id-keyed. No all-pairs, no driver
+    state; the heaviest relation is the shingle stream, linear in
+    corpus tokens -- same budget every shingle-dedup op here pays.
+    Output is |docs| rows regardless of volume."""
+    toks = tokenize_ws("text")
+    base = documents.select("doc_id", toks.alias("w"))
+    totals = base.select("doc_id", F.size("w").alias("n_tokens"))
+    pos = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("w"), n)).alias("pos", "gram"),
+    )
+    dup_grams = (
+        pos.groupBy("gram")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("gram")
+    )
+    covered = (
+        pos.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    ndp = F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint")
+    cov = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        ndp / F.col("n_tokens")
+    )
+    return totals.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        ndp.alias("n_dup_positions"),
+        cov.alias("dup_coverage"),
+        (cov >= 0.5).alias("mostly_dup"),
+    )
+
+
+ORACLE_SQL["duplicated_ngram_coverage"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    tot AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM t),
+    gpos AS (
+        SELECT doc_id, w,
+               unnest(range(1,
+                   greatest(len(w) - {DUP_COVERAGE_N - 1}, 0) + 1)) AS i
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(w[i:i+{DUP_COVERAGE_N - 1}], ' ') AS gram
+        FROM gpos
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + off AS p
+        FROM (SELECT g.doc_id, g.pos,
+                     unnest(range(0, {DUP_COVERAGE_N})) AS off
+              FROM g JOIN dup USING (gram))
+    ),
+    hits AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(h.n_dup, 0) AS BIGINT) AS n_dup_positions,
+           CASE WHEN t.n_tokens = 0 THEN 0.0
+                ELSE COALESCE(h.n_dup, 0) / t.n_tokens
+           END AS dup_coverage,
+           (CASE WHEN t.n_tokens = 0 THEN 0.0
+                 ELSE COALESCE(h.n_dup, 0) / t.n_tokens
+            END >= 0.5) AS mostly_dup
+    FROM tot t LEFT JOIN hits h USING (doc_id)
+"""
+
+
+def source_quality_report(documents: DataFrame) -> DataFrame:
+    """Per-source curation audit -- the per-dump quality report a corpus
+    owner reads before deciding which crawls/feeds to keep (the
+    FineWeb/RefinedWeb-style dump triage): docs, Gopher-rule pass rate,
+    exact token volume, and the share of tokens sitting under
+    corpus-duplicated n-grams, one row per source.
+
+    Composes two already-oracled sub-reports (gopher_quality_filter,
+    duplicated_ngram_coverage) by doc_id equi-joins, then one map-side-
+    combined groupBy(source). Every ratio divides exact BIGINT sums once
+    in double, so the report hash-matches. At 100 TB: the joins carry
+    doc_id keys (uniform), the output is |sources| rows, and the corpus
+    is scanned twice (once per sub-report) -- the coverage pass cannot
+    share the gopher scan because its shingle fan-out reshapes the rows.
+    """
+    d = documents.select("doc_id", "source")
+    gq = gopher_quality_filter(documents).select("doc_id", "gopher_pass")
+    cov = duplicated_ngram_coverage(documents).select(
+        "doc_id", "n_tokens", "n_dup_positions"
+    )
+    joined = d.join(gq, "doc_id").join(cov, "doc_id")
+    agg = joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("gopher_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_dup_positions").cast("bigint").alias("n_dup_positions"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_pass",
+        (F.col("n_pass") / F.col("n_docs")).alias("gopher_pass_rate"),
+        "n_tokens",
+        "n_dup_positions",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("n_dup_positions") / F.col("n_tokens"))
+        .alias("dup_token_share"),
+    )
+
+
+ORACLE_SQL["source_quality_report"] = f"""
+    WITH gq AS ({ORACLE_SQL["gopher_quality_filter"]}),
+    cov AS ({ORACLE_SQL["duplicated_ngram_coverage"]}),
+    j AS (
+        SELECT d.source, gq.gopher_pass, cov.n_tokens, cov.n_dup_positions
+        FROM documents d
+        JOIN gq USING (doc_id) JOIN cov USING (doc_id)
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(sum(n_dup_positions) AS BIGINT) AS n_dup_positions
+        FROM j GROUP BY source
+    )
+    SELECT source, n_docs, n_pass,
+           n_pass / n_docs AS gopher_pass_rate,
+           n_tokens, n_dup_positions,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE n_dup_positions / n_tokens END AS dup_token_share
+    FROM agg
+"""

@@ -629,6 +629,38 @@ def q_quality_classifier_scores(spark, sf_dir):
     )
 
 
+# Gopher rule filter (Rae et al. 2021 App. A1.1): all seven published
+# rules in one codegen'd projection, per-rule flags + AND verdict.
+@register(
+    "gopher_quality_filter",
+    text_analysis.ORACLE_SQL["gopher_quality_filter"],
+)
+def q_gopher_quality_filter(spark, sf_dir):
+    return text_analysis.gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+# ExactSubstr duplication coverage (Lee et al. 2022): fraction of token
+# positions under a corpus-repeated n-gram, via shingle occurrence counts.
+@register(
+    "duplicated_ngram_coverage",
+    text_analysis.ORACLE_SQL["duplicated_ngram_coverage"],
+)
+def q_duplicated_ngram_coverage(spark, sf_dir):
+    return text_analysis.duplicated_ngram_coverage(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+# Per-source curation audit (FineWeb-style dump triage): Gopher pass
+# rate + duplicated-token share per source, |sources| rows out.
+@register(
+    "source_quality_report",
+    text_analysis.ORACLE_SQL["source_quality_report"],
+)
+def q_source_quality_report(spark, sf_dir):
+    return text_analysis.source_quality_report(_t(spark, sf_dir, "documents"))
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.

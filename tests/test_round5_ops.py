@@ -343,3 +343,66 @@ def test_dsir_weights_match_independent_reference(spark, sf_smoke):
         for r in ta.dsir_sample(docs).orderBy("rnk").collect()
     ]
     assert got_sample == want_sample
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule filter: crafted docs hit each rule's boundary exactly.
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_on_crafted_docs(spark):
+    from map_reduce_framework_spark.operators.text_analysis import (
+        gopher_quality_filter,
+    )
+
+    # 56 words, mean len 47/14, stop hits {the, and, that, to, be, of, with}
+    good = " ".join(
+        ["the quick brown fox jumps over and that is to be of with dog"] * 4
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, good, "en", "s", len(good)),
+            (1, "short doc", "en", "s", 9),  # fails 50-word floor
+            (2, "- a\n- b\n- c\nthe end of that be", "en", "s", 30),  # 75% bullets: ok
+            (3, "x ...\ny ...\nz ...\nw", "en", "s", 19),  # 75% ellipsis lines: fail
+            (4, "", "en", "s", 0),  # empty: ratios pinned 0.0, fail
+            (5, " ".join(["1234 5678"] * 30), "en", "s", 299),  # no alpha: fail
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.doc_id: r for r in gopher_quality_filter(docs).collect()}
+    assert rows[0].gopher_pass and rows[0].ok_word_count and rows[0].ok_stopwords
+    assert not rows[1].ok_word_count
+    assert rows[2].ok_bullet_lines and rows[2].bullet_line_ratio == 0.75
+    assert not rows[3].ok_ellipsis_lines and rows[3].ellipsis_line_ratio == 0.75
+    assert rows[4].n_words == 0 and rows[4].mean_word_len == 0.0
+    assert not rows[4].gopher_pass
+    assert not rows[5].ok_alpha_words and rows[5].alpha_word_ratio == 0.0
+    assert not rows[5].ok_stopwords
+
+
+def test_duplicated_ngram_coverage_spans(spark):
+    """Coverage is the UNION of duplicated windows: doc 0/1 share one
+    5-gram ('a b c d e'), so exactly positions 0..4 of each are covered
+    (5/8 and 5/5); doc 2 repeats its own gram in-doc and is fully
+    covered; doc 3 shares nothing -> 0.0; doc 4 shorter than n -> 0.0."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        duplicated_ngram_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e q r s", "en", "s", 15),
+            (1, "a b c d e", "en", "s", 9),
+            (2, "m n o p t m n o p t m n o p t", "en", "s", 29),
+            (3, "u v w x y z zz", "en", "s", 14),
+            (4, "a b c", "en", "s", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.doc_id: r for r in duplicated_ngram_coverage(docs).collect()}
+    assert rows[0].n_dup_positions == 5 and rows[0].dup_coverage == 5 / 8
+    assert rows[1].dup_coverage == 1.0 and rows[1].mostly_dup
+    assert rows[2].dup_coverage == 1.0  # in-doc repetition counts (Lee et al.)
+    assert rows[3].n_dup_positions == 0 and not rows[3].mostly_dup
+    assert rows[4].n_tokens == 3 and rows[4].dup_coverage == 0.0
