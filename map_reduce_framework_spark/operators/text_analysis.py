@@ -2054,3 +2054,242 @@ ORACLE_SQL["source_quality_report"] = f"""
                 ELSE n_dup_positions / n_tokens END AS dup_token_share
     FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition-removal filter (Rae et al. 2021 App. A1.2) -- the
+# companion to gopher_quality_filter's A1.1 rule set. repetition_signals
+# samples these measures; this op implements the FULL published table.
+# --------------------------------------------------------------------------
+
+# (threshold, kind) per measure, verbatim from Rae et al. Table A1:
+# fractions at or below the threshold pass.
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup6_char_frac": 0.14,
+    "dup7_char_frac": 0.13,
+    "dup8_char_frac": 0.12,
+    "dup9_char_frac": 0.11,
+    "dup10_char_frac": 0.10,
+}
+_REP_PACK = 2**32  # (cnt, chars) packed into one BIGINT for a portable argmax
+
+
+def gopher_repetition_filter(documents: DataFrame) -> DataFrame:
+    """Gopher repetition-removal filter (Rae et al. 2021 App. A1.2),
+    complete: duplicate line/paragraph fraction and character fraction,
+    most-frequent {2,3,4}-gram character fraction, and duplicated
+    {5..10}-gram character fraction, each against the published
+    threshold, plus the AND verdict `repetition_pass`.
+
+    Definitions (documented because the paper leaves them loose, same
+    reading as the public NeMo-Curator implementation): an n-gram's
+    character mass is occurrences x length (spaces included); 'top'
+    fractions use the most frequent n-gram (ties broken toward the
+    larger character mass -- made portable/deterministic by taking
+    max(cnt * 2^32 + chars), exact while per-doc char counts < 2^32);
+    'dup' fractions sum the mass of every n-gram occurring >= 2 times.
+    Denominator is length(text); empty docs pin fractions to 0.0 and
+    pass (A1.1's word-count floor is the rule that kills them).
+
+    Plan: line/paragraph measures are pure array expressions inside the
+    scan projection (no shuffle). The nine n-gram sizes are generated
+    in ONE pass -- a single explode of the per-doc struct array of all
+    (n, gram) shingles (one corpus scan, not nine) -> one (doc,n,gram)
+    count with map-side combine -> one (doc,n) aggregate -> conditional
+    pivot to |docs| rows. Everything shuffles on doc-local keys; no
+    cross-doc joins, so the op scales like any per-doc aggregate."""
+    ns = list(range(2, 11))
+    toks = tokenize_ws("text")
+    lines = F.split(F.col("text"), "\n")
+    paras = F.split(F.col("text"), "\n\n")
+
+    def _dup_count(arr):
+        return F.size(arr) - F.size(F.array_distinct(arr))
+
+    def _char_sum(arr):
+        return F.aggregate(
+            F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+        )
+
+    base = documents.select(
+        "doc_id",
+        F.length("text").alias("len_t"),
+        F.size(lines).alias("n_lines"),
+        _dup_count(lines).alias("dup_lines"),
+        (_char_sum(lines) - _char_sum(F.array_distinct(lines))).alias(
+            "dup_line_chars"
+        ),
+        F.size(paras).alias("n_paras"),
+        _dup_count(paras).alias("dup_paras"),
+        (_char_sum(paras) - _char_sum(F.array_distinct(paras))).alias(
+            "dup_para_chars"
+        ),
+        toks.alias("w"),
+    )
+    def _tag(n):
+        # single-arg lambda: a 2-arg callable would make F.transform
+        # bind the ELEMENT INDEX to the second parameter.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    allgrams = F.flatten(
+        F.array(
+            *[F.transform(word_shingles(F.col("w"), n), _tag(n)) for n in ns]
+        )
+    )
+    g = base.select("doc_id", F.explode(allgrams).alias("s")).select(
+        "doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram")
+    )
+    cnt = g.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    chars = F.col("cnt") * F.length("gram")
+    stats = cnt.groupBy("doc_id", "n").agg(
+        F.max(F.col("cnt") * F.lit(_REP_PACK) + chars).alias("packed"),
+        F.sum(F.when(F.col("cnt") >= 2, chars).otherwise(0)).alias(
+            "dup_chars"
+        ),
+    )
+    piv = stats.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("n") == k, F.col("packed") % F.lit(_REP_PACK))
+            ).alias(f"top{k}_chars")
+            for k in (2, 3, 4)
+        ],
+        *[
+            F.max(F.when(F.col("n") == k, F.col("dup_chars"))).alias(
+                f"dup{k}_chars"
+            )
+            for k in range(5, 11)
+        ],
+    )
+    j = base.drop("w").join(piv, "doc_id", "left")
+
+    def _frac(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            F.coalesce(num, F.lit(0)) / den
+        )
+
+    fracs = {
+        "dup_line_frac": _frac(F.col("dup_lines"), F.col("n_lines")),
+        "dup_para_frac": _frac(F.col("dup_paras"), F.col("n_paras")),
+        "dup_line_char_frac": _frac(F.col("dup_line_chars"), F.col("len_t")),
+        "dup_para_char_frac": _frac(F.col("dup_para_chars"), F.col("len_t")),
+        **{
+            f"top{k}_char_frac": _frac(F.col(f"top{k}_chars"), F.col("len_t"))
+            for k in (2, 3, 4)
+        },
+        **{
+            f"dup{k}_char_frac": _frac(F.col(f"dup{k}_chars"), F.col("len_t"))
+            for k in range(5, 11)
+        },
+    }
+    verdict = None
+    for name, expr in fracs.items():
+        ok = expr <= F.lit(GOPHER_REP_THRESHOLDS[name])
+        verdict = ok if verdict is None else (verdict & ok)
+    return j.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in fracs.items()],
+        verdict.alias("repetition_pass"),
+    )
+
+
+def _rep_gram_union_sql() -> str:
+    selects = []
+    for n in range(2, 11):
+        selects.append(
+            f"""SELECT doc_id, {n} AS n,
+                   array_to_string(w[i:i+{n - 1}], ' ') AS gram
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1))
+                             AS i
+                  FROM t)"""
+        )
+    return " UNION ALL ".join(selects)
+
+
+ORACLE_SQL["gopher_repetition_filter"] = f"""
+    WITH t AS (
+        SELECT doc_id, text, length(text) AS len_t, {_TOKS} AS w,
+               string_split(text, chr(10)) AS lines,
+               string_split(text, chr(10) || chr(10)) AS paras
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len_t,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(lines) - len(list_distinct(lines)) AS INT)
+                   AS dup_lines,
+               COALESCE(list_sum(list_transform(lines, x -> length(x))), 0)
+                   - COALESCE(list_sum(list_transform(
+                         list_distinct(lines), x -> length(x))), 0)
+                   AS dup_line_chars,
+               CAST(len(paras) AS INT) AS n_paras,
+               CAST(len(paras) - len(list_distinct(paras)) AS INT)
+                   AS dup_paras,
+               COALESCE(list_sum(list_transform(paras, x -> length(x))), 0)
+                   - COALESCE(list_sum(list_transform(
+                         list_distinct(paras), x -> length(x))), 0)
+                   AS dup_para_chars
+        FROM t
+    ),
+    grams AS ({_rep_gram_union_sql()}),
+    cnt AS (
+        SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(count(*) * length(gram) AS BIGINT) AS chars
+        FROM grams GROUP BY doc_id, n, gram
+    ),
+    stats AS (
+        SELECT doc_id, n,
+               max(cnt * {_REP_PACK} + chars) AS packed,
+               sum(CASE WHEN cnt >= 2 THEN chars ELSE 0 END) AS dup_chars
+        FROM cnt GROUP BY doc_id, n
+    ),
+    piv AS (
+        SELECT doc_id,
+               {', '.join(
+                   f"max(CASE WHEN n = {k} THEN packed % {_REP_PACK} END)"
+                   f" AS top{k}_chars" for k in (2, 3, 4))},
+               {', '.join(
+                   f"max(CASE WHEN n = {k} THEN dup_chars END)"
+                   f" AS dup{k}_chars" for k in range(5, 11))}
+        FROM stats GROUP BY doc_id
+    ),
+    f AS (
+        SELECT b.doc_id,
+               CASE WHEN b.n_lines = 0 THEN 0.0
+                    ELSE COALESCE(b.dup_lines, 0) / b.n_lines END
+                   AS dup_line_frac,
+               CASE WHEN b.n_paras = 0 THEN 0.0
+                    ELSE COALESCE(b.dup_paras, 0) / b.n_paras END
+                   AS dup_para_frac,
+               CASE WHEN b.len_t = 0 THEN 0.0
+                    ELSE COALESCE(b.dup_line_chars, 0) / b.len_t END
+                   AS dup_line_char_frac,
+               CASE WHEN b.len_t = 0 THEN 0.0
+                    ELSE COALESCE(b.dup_para_chars, 0) / b.len_t END
+                   AS dup_para_char_frac,
+               {', '.join(
+                   f"CASE WHEN b.len_t = 0 THEN 0.0"
+                   f" ELSE COALESCE(p.top{k}_chars, 0) / b.len_t END"
+                   f" AS top{k}_char_frac" for k in (2, 3, 4))},
+               {', '.join(
+                   f"CASE WHEN b.len_t = 0 THEN 0.0"
+                   f" ELSE COALESCE(p.dup{k}_chars, 0) / b.len_t END"
+                   f" AS dup{k}_char_frac" for k in range(5, 11))}
+        FROM base b LEFT JOIN piv p USING (doc_id)
+    )
+    SELECT *,
+           ({' AND '.join(
+               f"{name} <= {thr}"
+               for name, thr in GOPHER_REP_THRESHOLDS.items())})
+               AS repetition_pass
+    FROM f
+"""

@@ -661,6 +661,18 @@ def q_source_quality_report(spark, sf_dir):
     return text_analysis.source_quality_report(_t(spark, sf_dir, "documents"))
 
 
+# Gopher repetition-removal filter (Rae et al. 2021 App. A1.2): the full
+# published table -- line/para duplication + top/dup n-gram char mass.
+@register(
+    "gopher_repetition_filter",
+    text_analysis.ORACLE_SQL["gopher_repetition_filter"],
+)
+def q_gopher_repetition_filter(spark, sf_dir):
+    return text_analysis.gopher_repetition_filter(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.

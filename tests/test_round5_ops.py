@@ -406,3 +406,37 @@ def test_duplicated_ngram_coverage_spans(spark):
     assert rows[2].dup_coverage == 1.0  # in-doc repetition counts (Lee et al.)
     assert rows[3].n_dup_positions == 0 and not rows[3].mostly_dup
     assert rows[4].n_tokens == 3 and rows[4].dup_coverage == 0.0
+
+
+def test_gopher_repetition_rules_on_crafted_docs(spark):
+    """A1.2 boundary checks: repeated lines trip the line rules, a
+    dominating bigram trips top2, a repeated 5-gram trips dup5, and an
+    empty doc passes trivially (A1.1's word floor is what kills it)."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        gopher_repetition_filter,
+    )
+
+    dup_lines = "same line\nsame line\nsame line\nother"
+    # 'x y' bigram mass dominates: "x y x y x y x y" -> top2 'x y'(4 occ? no:
+    # bigrams: x y, y x, x y, ... 'x y' occurs 4 times, len 3 -> 12/15 chars
+    top_bi = "x y x y x y x y"
+    # long enough that a unique 4-gram's 27 chars stay under 16% of text
+    # (the rules are paper-literal: short all-unique docs trip top4)
+    clean = " ".join(f"word{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, dup_lines, "en", "s", len(dup_lines)),
+            (1, top_bi, "en", "s", len(top_bi)),
+            (2, clean, "en", "s", len(clean)),
+            (3, "", "en", "s", 0),
+            (4, "a b c d e f a b c d e f", "en", "s", 23),  # dup 5-grams
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.doc_id: r for r in gopher_repetition_filter(docs).collect()}
+    assert rows[0].dup_line_frac == 0.5 and not rows[0].repetition_pass
+    assert rows[0].dup_line_char_frac == 18 / 35  # 2 extra 'same line' / len
+    assert rows[1].top2_char_frac == 12 / 15 and not rows[1].repetition_pass
+    assert rows[2].repetition_pass and rows[2].dup5_char_frac == 0.0
+    assert rows[3].repetition_pass and rows[3].dup_line_frac == 0.0
+    assert rows[4].dup5_char_frac > 0.10 and not rows[4].repetition_pass
