@@ -2293,3 +2293,92 @@ ORACLE_SQL["gopher_repetition_filter"] = f"""
                AS repetition_pass
     FROM f
 """
+
+
+# --------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning..." §2.2) -- the third canonical rule-filter family
+# next to Gopher A1.1/A1.2.
+# --------------------------------------------------------------------------
+
+
+def c4_quality_filter(documents: DataFrame) -> DataFrame:
+    """C4 page cleaning (Raffel et al. 2020 §2.2), line rules + page
+    rules: keep only lines that end in terminal punctuation (. ! ? or
+    closing quote), contain >= 5 words, and do not mention
+    'javascript'; drop the whole page if it contains 'lorem ipsum' or
+    a curly brace, or if fewer than 3 terminal-punctuated sentences
+    survive. (The paper's span-level dedup is duplicated_ngram_coverage
+    here; its bad-words list is license-encumbered and intentionally
+    not shipped.)
+
+    Output: per doc, the cleaned text (kept lines re-joined), line
+    accounting, the page-rule flags, and keep_doc. Exactness: counts
+    are ints, flags are pure string predicates -- no floats anywhere.
+
+    Plan: one shuffle-free narrow projection (array filter + rejoin in
+    the scan task), the same scan-bound budget as
+    gopher_quality_filter -- at 100 TB these rule filters chain into
+    one stage."""
+    lines = F.split(F.col("text"), "\n")
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+"), lambda t: t != "")
+    )
+    keep_line = (
+        lambda l: l.rlike(r'[.!?"]\s*$')  # noqa: E731
+        & (line_words(l) >= 5)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    keep_doc = (
+        (n_sentences >= 3) & ~has_lorem & ~has_brace
+    )
+    return documents.select(
+        "doc_id",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        kept_text.alias("clean_text"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        keep_doc.alias("keep_doc"),
+    )
+
+
+ORACLE_SQL["c4_quality_filter"] = """
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS lines
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, text, lines,
+               list_filter(lines, l ->
+                   regexp_matches(l, '[.!?"]\\s*$')
+                   AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                           x -> x <> '')) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_lines_kept,
+               COALESCE(array_to_string(kept, chr(10)), '')
+                   AS clean_text,
+               CAST(len(regexp_extract_all(
+                   COALESCE(array_to_string(kept, chr(10)), ''),
+                   '[.!?]')) AS INT) AS n_sentences,
+               contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+               contains(text, '{') AS has_curly_brace
+        FROM k
+    )
+    SELECT doc_id, n_lines, n_lines_kept, clean_text, n_sentences,
+           has_lorem_ipsum, has_curly_brace,
+           (n_sentences >= 3 AND NOT has_lorem_ipsum
+            AND NOT has_curly_brace) AS keep_doc
+    FROM m
+"""

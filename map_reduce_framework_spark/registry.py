@@ -673,6 +673,16 @@ def q_gopher_repetition_filter(spark, sf_dir):
     )
 
 
+# C4 cleaning rules (Raffel et al. 2020 §2.2): line retention + page
+# drops, shuffle-free; span dedup lives in duplicated_ngram_coverage.
+@register(
+    "c4_quality_filter",
+    text_analysis.ORACLE_SQL["c4_quality_filter"],
+)
+def q_c4_quality_filter(spark, sf_dir):
+    return text_analysis.c4_quality_filter(_t(spark, sf_dir, "documents"))
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.

@@ -432,14 +432,18 @@ def test_scalable_id_assignment_avoids_global_sort(spark):
     assert "SinglePartition" in ref_plan, ref_plan
 
 
-def test_gopher_filter_is_shuffle_free_map_work(spark):
-    """All seven Gopher rules must evaluate in ONE narrow projection
-    over the scan: no Exchange, no join, no aggregate. At 100 TB this
-    is the guarantee that rule filtering is scan-bound map work that
-    composes into any pipeline without a stage boundary. (The
-    projection itself is CodegenFallback -- higher-order lambda
-    expressions don't codegen -- but it stays fused over the scan.)"""
-    plan = _formatted_plan(spark, "gopher_quality_filter")
+@pytest.mark.parametrize(
+    "name", ["gopher_quality_filter", "c4_quality_filter"]
+)
+def test_rule_filters_are_shuffle_free_map_work(spark, name):
+    """The rule filters (Gopher A1.1, C4 §2.2) must evaluate in ONE
+    narrow projection over the scan: no Exchange, no join, no
+    aggregate. At 100 TB this is the guarantee that rule filtering is
+    scan-bound map work that composes into any pipeline without a
+    stage boundary. (The projection itself is CodegenFallback --
+    higher-order lambda expressions don't codegen -- but it stays
+    fused over the scan.)"""
+    plan = _formatted_plan(spark, name)
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Aggregate" not in plan, plan

@@ -440,3 +440,36 @@ def test_gopher_repetition_rules_on_crafted_docs(spark):
     assert rows[2].repetition_pass and rows[2].dup5_char_frac == 0.0
     assert rows[3].repetition_pass and rows[3].dup_line_frac == 0.0
     assert rows[4].dup5_char_frac > 0.10 and not rows[4].repetition_pass
+
+
+def test_c4_rules_on_crafted_docs(spark):
+    from map_reduce_framework_spark.operators.text_analysis import (
+        c4_quality_filter,
+    )
+
+    page = (
+        "This is a good first sentence with many words.\n"
+        "short line.\n"
+        "Enable javascript to view this page today please.\n"
+        "Another quite long sentence that ends properly!\n"
+        "Is this a third proper sentence with enough words?\n"
+        "no terminal punctuation on this long line here"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, page, "en", "s", len(page)),
+            (1, "Lorem Ipsum dolor sit amet and more words here.", "en", "s", 47),
+            (2, "function() { return 1; } and other code words here.", "en", "s", 51),
+            (3, "One good sentence here only, sadly just the one.", "en", "s", 48),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.doc_id: r for r in c4_quality_filter(docs).collect()}
+    # page: 6 lines -> keep 3 (short line dropped, javascript dropped,
+    # unterminated dropped); 3 sentences -> keep_doc
+    assert rows[0].n_lines == 6 and rows[0].n_lines_kept == 3
+    assert rows[0].n_sentences == 3 and rows[0].keep_doc
+    assert "javascript" not in rows[0].clean_text.lower()
+    assert rows[1].has_lorem_ipsum and not rows[1].keep_doc
+    assert rows[2].has_curly_brace and not rows[2].keep_doc
+    assert rows[3].n_lines_kept == 1 and not rows[3].keep_doc  # < 3 sentences
