@@ -473,3 +473,70 @@ def test_c4_rules_on_crafted_docs(spark):
     assert rows[1].has_lorem_ipsum and not rows[1].keep_doc
     assert rows[2].has_curly_brace and not rows[2].keep_doc
     assert rows[3].n_lines_kept == 1 and not rows[3].keep_doc  # < 3 sentences
+
+
+def test_gopher_repetition_matches_independent_python(spark, sf_smoke):
+    """Independent-reimplementation axis for gopher_repetition_filter
+    (besides the DuckDB oracle + crafted docs): a from-scratch Python
+    pass over the same corpus must reproduce every fraction
+    bit-for-bit, including the packed (cnt, chars) top-gram tie-break
+    and the empty-doc pins."""
+    import re
+    from collections import Counter
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        GOPHER_REP_THRESHOLDS,
+        gopher_repetition_filter,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {r.doc_id: r for r in gopher_repetition_filter(docs).collect()}
+    raw = docs.select("doc_id", "text").collect()
+    assert len(got) == len(raw)
+
+    for r in raw:
+        text = r.text
+        toks = [t for t in re.split(r"\s+", text) if t]
+        lines = text.split("\n")
+        paras = text.split("\n\n")
+        len_t = len(text)
+
+        def dup_frac(xs):
+            return (len(xs) - len(set(xs))) / len(xs) if xs else 0.0
+
+        def dup_chars(xs):
+            return sum(map(len, xs)) - sum(len(x) for x in set(xs))
+
+        want = {
+            "dup_line_frac": dup_frac(lines),
+            "dup_para_frac": dup_frac(paras),
+            "dup_line_char_frac": dup_chars(lines) / len_t if len_t else 0.0,
+            "dup_para_char_frac": dup_chars(paras) / len_t if len_t else 0.0,
+        }
+        for n in range(2, 11):
+            grams = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            if grams:
+                packed = max(
+                    c * 2**32 + c * len(g) for g, c in grams.items()
+                )
+                top_chars = packed % 2**32
+                dupc = sum(
+                    c * len(g) for g, c in grams.items() if c >= 2
+                )
+            else:
+                top_chars, dupc = 0, 0
+            if n in (2, 3, 4):
+                want[f"top{n}_char_frac"] = (
+                    top_chars / len_t if len_t else 0.0
+                )
+            else:
+                want[f"dup{n}_char_frac"] = dupc / len_t if len_t else 0.0
+        want_pass = all(
+            want[k] <= thr for k, thr in GOPHER_REP_THRESHOLDS.items()
+        )
+        row = got[r.doc_id]
+        for k, v in want.items():
+            assert getattr(row, k) == v, (r.doc_id, k, getattr(row, k), v)
+        assert row.repetition_pass == want_pass, r.doc_id
