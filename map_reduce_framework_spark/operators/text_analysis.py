@@ -2382,3 +2382,79 @@ ORACLE_SQL["c4_quality_filter"] = """
             AND NOT has_curly_brace) AS keep_doc
     FROM m
 """
+
+
+def rule_filter_funnel(documents: DataFrame) -> DataFrame:
+    """Cumulative survival through the three published rule families --
+    raw -> Gopher A1.1 quality rules -> Gopher A1.2 repetition rules ->
+    C4 page rules -- the 4-row kill-rate report for the rule-only
+    (pre-classifier, pre-dedup) part of a curation pipeline.
+
+    Same one-pass shape as curation_funnel: per-doc verdict flags from
+    the three already-oracled filters meet in doc_id equi-joins, one
+    conditional aggregate, stack to 4 rows. Each sub-filter is a
+    single-scan projection, so the whole funnel costs three corpus
+    scans and one tiny aggregate at any scale."""
+    g = gopher_quality_filter(documents).select("doc_id", "gopher_pass")
+    r = gopher_repetition_filter(documents).select(
+        "doc_id", "repetition_pass"
+    )
+    c = c4_quality_filter(documents).select("doc_id", "keep_doc")
+    flags = g.join(r, "doc_id").join(c, "doc_id")
+    cnt = lambda x: F.sum(F.when(x, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    agg = flags.agg(
+        F.count("*").cast("bigint").alias("raw"),
+        cnt(F.col("gopher_pass")).alias("gopher_pass"),
+        cnt(F.col("gopher_pass") & F.col("repetition_pass")).alias(
+            "repetition_pass"
+        ),
+        cnt(
+            F.col("gopher_pass")
+            & F.col("repetition_pass")
+            & F.col("keep_doc")
+        ).alias("c4_pass"),
+    )
+    return agg.selectExpr(
+        "stack(4, "
+        "0, 'raw', raw, "
+        "1, 'gopher_quality', gopher_pass, "
+        "2, 'gopher_repetition', repetition_pass, "
+        "3, 'c4_rules', c4_pass) "
+        "AS (stage_idx, stage, n_docs)"
+    ).select(
+        F.col("stage_idx").cast("int").alias("stage_idx"),
+        "stage",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+ORACLE_SQL["rule_filter_funnel"] = f"""
+    WITH g AS ({ORACLE_SQL["gopher_quality_filter"]}),
+    r AS ({ORACLE_SQL["gopher_repetition_filter"]}),
+    c AS ({ORACLE_SQL["c4_quality_filter"]}),
+    flags AS (
+        SELECT g.doc_id, g.gopher_pass, r.repetition_pass, c.keep_doc
+        FROM g JOIN r USING (doc_id) JOIN c USING (doc_id)
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS raw,
+               CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS gp,
+               CAST(sum(CASE WHEN gopher_pass AND repetition_pass
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rp,
+               CAST(sum(CASE WHEN gopher_pass AND repetition_pass
+                             AND keep_doc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cp
+        FROM flags
+    )
+    SELECT CAST(stage_idx AS INT) AS stage_idx, stage, n_docs
+    FROM (
+        SELECT 0 AS stage_idx, 'raw' AS stage, raw AS n_docs FROM agg
+        UNION ALL
+        SELECT 1, 'gopher_quality', gp FROM agg
+        UNION ALL
+        SELECT 2, 'gopher_repetition', rp FROM agg
+        UNION ALL
+        SELECT 3, 'c4_rules', cp FROM agg
+    )
+"""

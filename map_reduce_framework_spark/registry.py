@@ -683,6 +683,16 @@ def q_c4_quality_filter(spark, sf_dir):
     return text_analysis.c4_quality_filter(_t(spark, sf_dir, "documents"))
 
 
+# Rule-family funnel: cumulative survival raw -> Gopher A1.1 -> A1.2 ->
+# C4, one conditional aggregate over doc_id-joined verdict flags.
+@register(
+    "rule_filter_funnel",
+    text_analysis.ORACLE_SQL["rule_filter_funnel"],
+)
+def q_rule_filter_funnel(spark, sf_dir):
+    return text_analysis.rule_filter_funnel(_t(spark, sf_dir, "documents"))
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.

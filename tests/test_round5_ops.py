@@ -540,3 +540,51 @@ def test_gopher_repetition_matches_independent_python(spark, sf_smoke):
         for k, v in want.items():
             assert getattr(row, k) == v, (r.doc_id, k, getattr(row, k), v)
         assert row.repetition_pass == want_pass, r.doc_id
+
+
+def test_rule_filter_funnel_discriminates_stages(spark):
+    """The sf0.01 synthetic docs all die at the Gopher word floor (the
+    funnel is legally all-zero there), so stage discrimination is
+    pinned here on crafted docs: one survives everything, one dies at
+    A1.1, one at A1.2 (repeated lines), one at C4 (curly brace)."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        rule_filter_funnel,
+    )
+
+    # A1.2 counts n-grams PER DOC, so a survivor needs genuinely varied
+    # text: distinct filler words with stop words woven in, three
+    # terminal-punctuated lines.
+    stop = ["the", "and", "that", "with", "have", "of", "to", "be"]
+    it = iter(f"item{i:03d}" for i in range(400))
+
+    def line(k):
+        ws = []
+        for j in range(18):
+            ws.append(next(it))
+            if j % 6 == 2:
+                ws.append(stop[(k * 3 + j) % 8])
+        return " ".join(ws) + " today."
+
+    survivor = "\n".join(line(k) for k in range(3))
+    dies_a11 = "too short to pass."
+    dies_a12 = (line(7) + "\n") * 12  # repeated lines trip dup_line_frac
+    dies_c4 = (
+        "\n".join(line(k) for k in range(10, 13))
+        + "\n{ code block here always fails pages. }"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, survivor, "en", "s", len(survivor)),
+            (1, dies_a11, "en", "s", len(dies_a11)),
+            (2, dies_a12, "en", "s", len(dies_a12)),
+            (3, dies_c4, "en", "s", len(dies_c4)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.stage: r.n_docs for r in rule_filter_funnel(docs).collect()}
+    assert rows == {
+        "raw": 4,
+        "gopher_quality": 3,  # doc 1 out
+        "gopher_repetition": 2,  # doc 2 out
+        "c4_rules": 1,  # doc 3 out; doc 0 survives
+    }
