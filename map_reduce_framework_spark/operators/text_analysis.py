@@ -1744,27 +1744,10 @@ def dsir_scorer_arrow(scores: dict, default_s: int):
 GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
 
 
-def gopher_quality_filter(documents: DataFrame) -> DataFrame:
-    """Gopher rule-based document filter (Rae et al. 2021 App. A1.1),
-    the canonical pre-classifier curation pass: per-doc signals for all
-    seven published rules plus per-rule booleans and the AND verdict.
-
-    Rules (published thresholds kept verbatim): 50 <= words <= 100k;
-    3 <= mean word length <= 10; (# + '...') / words <= 0.1; < 90% of
-    lines bullet-led; < 30% of lines ellipsis-terminated; > 80% of
-    words contain an alphabetic char; >= 2 distinct hits in the 8-word
-    stop list.
-
-    Exactness: every ratio is int/int evaluated once in double with
-    identical operand order in both engines; empty docs (0 words) pin
-    ratios to 0.0 and fail the verdict instead of dividing by zero.
-    Line splits keep trailing empties in both engines (Java split
-    limit=-1 == DuckDB string_split), so line counts agree.
-
-    Plan: single narrow projection -- no shuffle, no join, no UDF; all
-    seven rules evaluate inside one whole-stage-codegen pass over the
-    scan, so at 100 TB this is scan-bound map work that AQE cannot
-    mis-plan. The stop list is an inlined 8-element array literal."""
+def gopher_rule_exprs() -> dict:
+    """The A1.1 rule columns as named expressions over an implicit
+    `text` column -- shared by the batch filter and the streaming twin
+    (rule_filter_stream) so both are the SAME single projection."""
     toks = tokenize_ws("text")
     lines = F.split(F.col("text"), "\n")
     n_words = F.size(toks)
@@ -1797,23 +1780,22 @@ def gopher_quality_filter(documents: DataFrame) -> DataFrame:
     ok_ellipsis = ellipsis_ratio < 0.3
     ok_alpha = alpha_ratio > 0.8
     ok_stop = stop_hits >= 2
-    return documents.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        sym_ratio.alias("symbol_word_ratio"),
-        bullet_ratio.alias("bullet_line_ratio"),
-        ellipsis_ratio.alias("ellipsis_line_ratio"),
-        alpha_ratio.alias("alpha_word_ratio"),
-        stop_hits.alias("stopword_hits"),
-        ok_words.alias("ok_word_count"),
-        ok_mean.alias("ok_mean_word_len"),
-        ok_sym.alias("ok_symbol_ratio"),
-        ok_bullet.alias("ok_bullet_lines"),
-        ok_ellipsis.alias("ok_ellipsis_lines"),
-        ok_alpha.alias("ok_alpha_words"),
-        ok_stop.alias("ok_stopwords"),
-        (
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": sym_ratio,
+        "bullet_line_ratio": bullet_ratio,
+        "ellipsis_line_ratio": ellipsis_ratio,
+        "alpha_word_ratio": alpha_ratio,
+        "stopword_hits": stop_hits,
+        "ok_word_count": ok_words,
+        "ok_mean_word_len": ok_mean,
+        "ok_symbol_ratio": ok_sym,
+        "ok_bullet_lines": ok_bullet,
+        "ok_ellipsis_lines": ok_ellipsis,
+        "ok_alpha_words": ok_alpha,
+        "ok_stopwords": ok_stop,
+        "gopher_pass": (
             ok_words
             & ok_mean
             & ok_sym
@@ -1821,7 +1803,34 @@ def gopher_quality_filter(documents: DataFrame) -> DataFrame:
             & ok_ellipsis
             & ok_alpha
             & ok_stop
-        ).alias("gopher_pass"),
+        ),
+    }
+
+
+def gopher_quality_filter(documents: DataFrame) -> DataFrame:
+    """Gopher rule-based document filter (Rae et al. 2021 App. A1.1),
+    the canonical pre-classifier curation pass: per-doc signals for all
+    seven published rules plus per-rule booleans and the AND verdict.
+
+    Rules (published thresholds kept verbatim): 50 <= words <= 100k;
+    3 <= mean word length <= 10; (# + '...') / words <= 0.1; < 90% of
+    lines bullet-led; < 30% of lines ellipsis-terminated; > 80% of
+    words contain an alphabetic char; >= 2 distinct hits in the 8-word
+    stop list.
+
+    Exactness: every ratio is int/int evaluated once in double with
+    identical operand order in both engines; empty docs (0 words) pin
+    ratios to 0.0 and fail the verdict instead of dividing by zero.
+    Line splits keep trailing empties in both engines (Java split
+    limit=-1 == DuckDB string_split), so line counts agree.
+
+    Plan: single narrow projection -- no shuffle, no join, no UDF; all
+    seven rules evaluate inside one whole-stage-codegen pass over the
+    scan, so at 100 TB this is scan-bound map work that AQE cannot
+    mis-plan. The stop list is an inlined 8-element array literal."""
+    exprs = gopher_rule_exprs()
+    return documents.select(
+        "doc_id", *[c.alias(name) for name, c in exprs.items()]
     )
 
 
@@ -2302,6 +2311,36 @@ ORACLE_SQL["gopher_repetition_filter"] = f"""
 # --------------------------------------------------------------------------
 
 
+def c4_rule_exprs() -> dict:
+    """The C4 §2.2 rule columns as named expressions over an implicit
+    `text` column -- shared by the batch filter and rule_filter_stream
+    (same single-projection discipline as gopher_rule_exprs)."""
+    lines = F.split(F.col("text"), "\n")
+    line_words = lambda l: F.size(  # noqa: E731
+        F.filter(F.split(l, r"\s+"), lambda t: t != "")
+    )
+    keep_line = (
+        lambda l: l.rlike(r'[.!?"]\s*$')  # noqa: E731
+        & (line_words(l) >= 5)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    keep_doc = (n_sentences >= 3) & ~has_lorem & ~has_brace
+    return {
+        "n_lines": F.size(lines),
+        "n_lines_kept": F.size(kept),
+        "clean_text": kept_text,
+        "n_sentences": n_sentences,
+        "has_lorem_ipsum": has_lorem,
+        "has_curly_brace": has_brace,
+        "keep_doc": keep_doc,
+    }
+
+
 def c4_quality_filter(documents: DataFrame) -> DataFrame:
     """C4 page cleaning (Raffel et al. 2020 §2.2), line rules + page
     rules: keep only lines that end in terminal punctuation (. ! ? or
@@ -2320,32 +2359,9 @@ def c4_quality_filter(documents: DataFrame) -> DataFrame:
     the scan task), the same scan-bound budget as
     gopher_quality_filter -- at 100 TB these rule filters chain into
     one stage."""
-    lines = F.split(F.col("text"), "\n")
-    line_words = lambda l: F.size(  # noqa: E731
-        F.filter(F.split(l, r"\s+"), lambda t: t != "")
-    )
-    keep_line = (
-        lambda l: l.rlike(r'[.!?"]\s*$')  # noqa: E731
-        & (line_words(l) >= 5)
-        & ~F.lower(l).contains("javascript")
-    )
-    kept = F.filter(lines, keep_line)
-    kept_text = F.array_join(kept, "\n")
-    n_sentences = F.regexp_count(kept_text, F.lit(r"[.!?]"))
-    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
-    has_brace = F.col("text").contains("{")
-    keep_doc = (
-        (n_sentences >= 3) & ~has_lorem & ~has_brace
-    )
+    exprs = c4_rule_exprs()
     return documents.select(
-        "doc_id",
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_lines_kept"),
-        kept_text.alias("clean_text"),
-        n_sentences.alias("n_sentences"),
-        has_lorem.alias("has_lorem_ipsum"),
-        has_brace.alias("has_curly_brace"),
-        keep_doc.alias("keep_doc"),
+        "doc_id", *[c.alias(name) for name, c in exprs.items()]
     )
 
 

@@ -1161,6 +1161,15 @@ def q_dsir_score_stream(spark, sf_dir):
     return streaming_ops.q_dsir_score_stream(spark, sf_dir)
 
 
+# Rule filters at ingest: Gopher A1.1 + C4 verdicts in ONE stateless
+# stream projection (expressions shared with the batch filters).
+@register(
+    "rule_filter_stream", streaming_ops.ORACLE_SQL["rule_filter_stream"]
+)
+def q_rule_filter_stream(spark, sf_dir):
+    return streaming_ops.q_rule_filter_stream(spark, sf_dir)
+
+
 # --------------------------------------------------------------------------
 # Time-series gap-fill, fuzzy matching, sketch aggregates (§2.F additions)
 # --------------------------------------------------------------------------

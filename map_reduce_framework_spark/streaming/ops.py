@@ -538,3 +538,34 @@ def q_dsir_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.text_analysis import ORACLE_SQL as _TA_SQL2  # noqa: E402
 
 ORACLE_SQL["dsir_score_stream"] = _TA_SQL2["dsir_log_weights"]
+
+
+def q_rule_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published rule filters at ingest: Gopher A1.1 + C4 verdicts
+    per arriving document, append mode, truly stateless -- the rule
+    expressions are shared with the batch filters (gopher_rule_exprs /
+    c4_rule_exprs), so BOTH rule families evaluate in ONE projection
+    over the stream: no join, no state store, no watermark. The
+    registered oracle composes the two batch oracles, so the sweep
+    proves stream==batch for the rule family. (A1.2 repetition needs
+    per-doc n-gram aggregates -- doc-local too, but its groupBys make
+    it a separate micro-batch stage; the batch op remains its home.)"""
+    from ..operators.text_analysis import c4_rule_exprs, gopher_rule_exprs
+
+    docs = read_documents_stream(spark, sf_dir)
+    g = gopher_rule_exprs()
+    c = c4_rule_exprs()
+    verdicts = docs.select(
+        "doc_id",
+        g["gopher_pass"].alias("gopher_pass"),
+        c["n_sentences"].alias("n_sentences"),
+        c["keep_doc"].alias("keep_doc"),
+    )
+    return run_to_memory(verdicts, output_mode="append")
+
+
+ORACLE_SQL["rule_filter_stream"] = f"""
+    SELECT g.doc_id, g.gopher_pass, c.n_sentences, c.keep_doc
+    FROM ({_TA_SQL["gopher_quality_filter"]}) g
+    JOIN ({_TA_SQL["c4_quality_filter"]}) c USING (doc_id)
+"""
