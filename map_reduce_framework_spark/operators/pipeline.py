@@ -528,6 +528,71 @@ def corpus_split(
     )
 
 
+#: Leakage-safe split salt -- distinct from SPLIT_SALT so the two
+#: registered split assignments are visibly independent functions.
+LEAK_SPLIT_SALT = "leakage-safe-split:v1"
+
+
+def leakage_safe_split(
+    documents: DataFrame, val_pct: int = VAL_PCT, test_pct: int = TEST_PCT
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every member of a near-dup
+    cluster is assigned the SAME split, so an eval document can never
+    have a training-set near twin. ``corpus_split`` hashes raw doc_ids
+    -- reproducible, but it happily puts two 0.9-Jaccard copies on
+    opposite sides of the train/test fence (the classic eval-leak that
+    inflates benchmark numbers); this op hashes the cluster
+    REPRESENTATIVE (component-min doc_id from ``dedup_clusters``;
+    unclustered docs represent themselves), which closes the leak by
+    construction.
+
+    Scale shape: the clustering is the SAME job the dedup stage of the
+    pipeline already runs (banded LSH candidates -> exact verify ->
+    O(log n)-round components, never all-pairs) -- a curation pipeline
+    gets this split for one extra LEFT JOIN on doc_id plus a narrow
+    salted-md5 map. Stability: a doc's split moves only if its cluster
+    representative changes, i.e. exactly when new near-duplicates merge
+    clusters -- which is the one case where re-splitting is the CORRECT
+    behavior (the old split had become leaky)."""
+    clusters = dedup.dedup_clusters(documents).select("doc_id", "cluster_id")
+    grp = (
+        documents.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("group_id"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(LEAK_SPLIT_SALT + ":"),
+                        F.col("group_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return grp.select(
+        "doc_id",
+        "group_id",
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )
+
+
 def quality_deciles(documents: DataFrame) -> DataFrame:
     """Per-language curriculum buckets: ntile(10) over document length
     (deterministic doc_id tiebreak), aggregated to one row per
@@ -583,6 +648,27 @@ ORACLE_SQL["corpus_split"] = f"""
         FROM documents
     )
     SELECT doc_id, lang, split_bucket,
+           CASE WHEN split_bucket < {TEST_PCT} THEN 'test'
+                WHEN split_bucket < {TEST_PCT + VAL_PCT} THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+"""
+
+ORACLE_SQL["leakage_safe_split"] = f"""
+    WITH RECURSIVE {dedup._MINHASH_CTE},
+    {_COMP_CTES},
+    grp AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    b AS (
+        SELECT doc_id, group_id,
+               CAST(concat('0x', substr(
+                   md5('{LEAK_SPLIT_SALT}:' || CAST(group_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) % 100 AS split_bucket
+        FROM grp
+    )
+    SELECT doc_id, group_id, split_bucket,
            CASE WHEN split_bucket < {TEST_PCT} THEN 'test'
                 WHEN split_bucket < {TEST_PCT + VAL_PCT} THEN 'val'
                 ELSE 'train' END AS split

@@ -2474,3 +2474,162 @@ ORACLE_SQL["rule_filter_funnel"] = f"""
         SELECT 3, 'c4_rules', cp FROM agg
     )
 """
+
+
+# --------------------------------------------------------------------------
+# Full BPE: train on the df-capped vocab, apply distributed (Sennrich
+# et al. ACL 2016) -- completes the tokenizer story begun by
+# bpe_top_merges (which exercises one training round distributed).
+# --------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 60
+BPE_VOCAB_CAP = 20000
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = BPE_TRAIN_MERGES,
+    vocab_cap: int = BPE_VOCAB_CAP,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge list with the train-small / apply-distributed
+    split every real tokenizer trainer uses: ONE map-side-combined word
+    count over the corpus, the top-`vocab_cap` vocabulary collected
+    (TakeOrderedAndProject -- per-partition heaps, never a global
+    sort), then the merge loop runs in pure Python over the
+    |V|-bounded Counter (the Zipf head carries ~all pair mass, which is
+    why every production BPE trainer caps the vocab). The merge list is
+    the model artifact -- K strings to the driver, same collect budget
+    as dsir_lm_table / assign_doc_ids_scalable.
+
+    Deterministic: exact integer pair counts; ties break toward the
+    lexicographically smallest pair (same (count desc, pair) order as
+    bpe_top_merges, whose rank-1 row equals this trainer's first merge
+    whenever the vocab cap is not binding)."""
+    rows = (
+        documents.select(F.explode(tokenize_ws("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        key = tuple(r.tok)
+        vocab[key] = vocab.get(key, 0) + r.c
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + c
+        if not pc:
+            break
+        (a, b) = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        merged = a + b
+        new: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + c
+        vocab = new
+    return merges
+
+
+def bpe_encoder_arrow(merges: list[tuple[str, str]]):
+    """Arrow-vectorized BPE application over a SHIPPED merge list: per
+    word, greedily merge the lowest-rank adjacent pair until none
+    applies (the standard rank-greedy application, equivalent to
+    replaying the merges in training order). Pure per-row work -- no
+    shuffle, no state; the distributed half of the train-small /
+    apply-distributed split."""
+    from ..functions.text import _WS_RE
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def _enc(text: pd.Series) -> pd.DataFrame:
+        n_words, n_pieces = [], []
+        for t in text:
+            toks = [w for w in _WS_RE.split(t or "") if w]
+            total = 0
+            for w in toks:
+                syms = list(w)
+                while len(syms) >= 2:
+                    best_rank, best_i = None, -1
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (
+                            best_rank is None or r < best_rank
+                        ):
+                            best_rank, best_i = r, i
+                    if best_rank is None:
+                        break
+                    syms[best_i : best_i + 2] = [
+                        syms[best_i] + syms[best_i + 1]
+                    ]
+                total += len(syms)
+            n_words.append(len(toks))
+            n_pieces.append(total)
+        return pd.DataFrame({"n_words": n_words, "n_pieces": n_pieces})
+
+    return F.pandas_udf(_enc, "n_words bigint, n_pieces bigint")
+
+
+def bpe_tokenize_corpus(documents: DataFrame) -> DataFrame:
+    """Tokenize the corpus with a corpus-trained BPE: per doc, word and
+    piece counts plus chars-per-piece (the compression ratio a
+    tokenizer report quotes). Registered rows-only (applying a merge
+    list is not SQL-expressible); correctness is pinned by an
+    independent sequential-replay reimplementation that must agree
+    bit-for-bit, and by the trainer's first merge equalling
+    bpe_top_merges' rank-1 row."""
+    merges = bpe_train(documents)
+    enc = bpe_encoder_arrow(merges)
+    scored = documents.select(
+        "doc_id", F.col("n_chars"), enc("text").alias("s")
+    ).select("doc_id", "n_chars", "s.n_words", "s.n_pieces")
+    return scored.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.when(F.col("n_pieces") == 0, F.lit(0.0))
+        .otherwise(F.col("n_chars") / F.col("n_pieces"))
+        .alias("chars_per_piece"),
+    )
+
+
+def bpe_fertility_by_lang(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer report over the corpus-trained BPE: doc /
+    word / piece totals, fertility (pieces per word) and compression
+    (chars per piece) -- the table a tokenizer release quotes per
+    language, and the signal that decides whether a vocab under-serves
+    a language (fertility blowup => that language pays more sequence
+    budget per sentence). One exact-integer groupBy over the per-doc
+    ``bpe_tokenize_corpus`` rows (bit-for-bit pinned by its replay
+    test); each ratio is a single double division of BIGINT sums, so
+    the result is shuffle-order invariant. Rows-only registration for
+    the same reason as the per-doc op: merge replay is not SQL."""
+    scored = bpe_tokenize_corpus(documents)
+    per_doc = scored.join(
+        documents.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.when(F.sum("n_words") == 0, F.lit(0.0))
+        .otherwise(F.sum("n_pieces") / F.sum("n_words"))
+        .alias("fertility"),
+        F.when(F.sum("n_pieces") == 0, F.lit(0.0))
+        .otherwise(F.sum("n_chars") / F.sum("n_pieces"))
+        .alias("chars_per_piece"),
+    )

@@ -693,6 +693,20 @@ def q_rule_filter_funnel(spark, sf_dir):
     return text_analysis.rule_filter_funnel(_t(spark, sf_dir, "documents"))
 
 
+# Full BPE tokenization (Sennrich ACL'16): train on the df-capped vocab
+# driver-side, apply via Arrow. Rows-only: merge replay is not SQL.
+@register("bpe_tokenize_corpus", None)
+def q_bpe_tokenize_corpus(spark, sf_dir):
+    return text_analysis.bpe_tokenize_corpus(_t(spark, sf_dir, "documents"))
+
+
+# Per-language fertility/compression report over the corpus-trained BPE.
+# Rows-only like the per-doc op it aggregates.
+@register("bpe_fertility_by_lang", None)
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    return text_analysis.bpe_fertility_by_lang(_t(spark, sf_dir, "documents"))
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.
@@ -1015,6 +1029,13 @@ def q_sequence_packing_tokenized(spark, sf_dir):
 @register("corpus_split", pipeline.ORACLE_SQL["corpus_split"])
 def q_corpus_split(spark, sf_dir):
     return pipeline.corpus_split(_t(spark, sf_dir, "documents"))
+
+
+# Near-dup-aware split: hash the dedup-cluster representative so a
+# near-duplicate pair can never straddle train/test (eval-leak closure).
+@register("leakage_safe_split", pipeline.ORACLE_SQL["leakage_safe_split"])
+def q_leakage_safe_split(spark, sf_dir):
+    return pipeline.leakage_safe_split(_t(spark, sf_dir, "documents"))
 
 
 # Per-language curriculum buckets: ntile(10) by length, aggregated.

@@ -588,3 +588,160 @@ def test_rule_filter_funnel_discriminates_stages(spark):
         "gopher_repetition": 2,  # doc 2 out
         "c4_rules": 1,  # doc 3 out; doc 0 survives
     }
+
+
+def test_bpe_tokenize_matches_sequential_replay(spark, sf_smoke):
+    """bpe_tokenize_corpus is registered rows-only, so its correctness
+    axis lives here: an independent from-scratch reimplementation that
+    TRAINS the merges by brute force over the collected corpus and
+    APPLIES them by sequential replay (each merge in training order
+    replaces all its occurrences) -- a different formulation from the
+    engine's rank-greedy Arrow encoder -- must agree bit-for-bit on
+    every (n_words, n_pieces, chars_per_piece) row. Also pins the
+    trainer's first merge to bpe_top_merges' rank-1 pair (the two ops
+    share their first round by construction)."""
+    import re
+    from collections import Counter
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        BPE_TRAIN_MERGES,
+        bpe_top_merges,
+        bpe_tokenize_corpus,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {r.doc_id: r for r in bpe_tokenize_corpus(docs).collect()}
+
+    raw = docs.select("doc_id", "text", "n_chars").collect()
+    vocab: Counter = Counter()
+    for r in raw:
+        for w in re.split(r"\s+", r.text):
+            if w:
+                vocab[tuple(w)] += 1
+    merges = []
+    v = dict(vocab)
+    for _ in range(BPE_TRAIN_MERGES):
+        pc: Counter = Counter()
+        for syms, c in v.items():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += c
+        if not pc:
+            break
+        pair = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(pair)
+        a, b = pair
+        nv: dict = {}
+        for syms, c in v.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        v = nv
+
+    top1 = bpe_top_merges(docs).orderBy("rnk").first()
+    assert top1.pair == merges[0][0] + merges[0][1]
+
+    def seq_encode(word):
+        syms = list(word)
+        for a, b in merges:  # sequential replay, training order
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for r in raw:
+        toks = [w for w in re.split(r"\s+", r.text) if w]
+        pieces = sum(len(seq_encode(w)) for w in toks)
+        row = got[r.doc_id]
+        assert row.n_words == len(toks), r.doc_id
+        assert row.n_pieces == pieces, (r.doc_id, row.n_pieces, pieces)
+        want_cpp = r.n_chars / pieces if pieces else 0.0
+        assert row.chars_per_piece == want_cpp, r.doc_id
+
+
+def test_bpe_fertility_by_lang_aggregates_per_doc_rows(spark, sf_smoke):
+    """The fertility report must equal an independent driver-side
+    aggregation of the per-doc rows (which are themselves replay-pinned
+    above): exact BIGINT sums, ratios as one double division each."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        bpe_fertility_by_lang,
+        bpe_tokenize_corpus,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    got = {r.lang: r for r in bpe_fertility_by_lang(docs).collect()}
+
+    per_doc = {r.doc_id: r for r in bpe_tokenize_corpus(docs).collect()}
+    meta = docs.select("doc_id", "lang", "n_chars").collect()
+    agg: dict = {}
+    for m in meta:
+        d = agg.setdefault(m.lang, [0, 0, 0, 0])
+        r = per_doc[m.doc_id]
+        d[0] += 1
+        d[1] += r.n_words
+        d[2] += r.n_pieces
+        d[3] += m.n_chars
+    assert set(got) == set(agg)
+    for lang, (n_docs, n_words, n_pieces, n_chars) in agg.items():
+        row = got[lang]
+        assert row.n_docs == n_docs
+        assert row.n_words == n_words
+        assert row.n_pieces == n_pieces
+        assert row.fertility == (n_pieces / n_words if n_words else 0.0)
+        assert row.chars_per_piece == (
+            n_chars / n_pieces if n_pieces else 0.0
+        )
+
+
+def test_leakage_safe_split_closes_the_near_dup_leak(spark, sf_smoke):
+    """Three properties of the near-dup-aware split: (1) no near-dup
+    pair straddles splits; (2) the naive doc_id split DOES leak on this
+    corpus (the measured reason the op exists); (3) full coverage --
+    one row per document, bucket in [0, 100), representative == the
+    dedup cluster id for clustered docs and the doc itself otherwise."""
+    from map_reduce_framework_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+    from map_reduce_framework_spark.operators.pipeline import (
+        corpus_split,
+        leakage_safe_split,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    sp = leakage_safe_split(docs)
+    rows = sp.collect()
+    n_docs = docs.count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    assert all(0 <= r.split_bucket < 100 for r in rows)
+
+    split_of = {r.doc_id: r.split for r in rows}
+    pairs = [
+        (p.doc_a, p.doc_b)
+        for p in minhash_lsh_pairs(docs, 0.7).select("doc_a", "doc_b").collect()
+    ]
+    assert pairs, "corpus should contain planted near-dups"
+    assert all(split_of[a] == split_of[b] for a, b in pairs)
+
+    naive_of = {r.doc_id: r.split for r in corpus_split(docs).collect()}
+    naive_leaks = sum(1 for a, b in pairs if naive_of[a] != naive_of[b])
+    assert naive_leaks > 0, "naive split unexpectedly leak-free here"
+
+    cluster_of = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(docs).collect()
+    }
+    for r in rows:
+        assert r.group_id == cluster_of.get(r.doc_id, r.doc_id)
