@@ -596,6 +596,53 @@ def ngram_contamination(
     )
 
 
+def eval_neardup_contamination(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    eval_mod: int = EVAL_MOD,
+) -> DataFrame:
+    """Near-duplicate benchmark contamination: the leak
+    ``ngram_contamination`` cannot see. Exact n-gram overlap misses the
+    paraphrased / lightly-edited eval copy (a 0.8-Jaccard rewrite shares
+    few exact 5-grams but is still memorizable), so production
+    decontamination runs BOTH sweeps. For every eval doc (the same
+    ``doc_id % eval_mod`` stand-in as the n-gram sweep): how many
+    training docs sit within the MinHash near-dup band, and the worst
+    (max) verified Jaccard among them.
+
+    Scale shape: reuses ``minhash_lsh_pairs`` unchanged -- banded
+    (band, sig) equi-join for candidates, exact Jaccard verify on
+    candidates only, never all-pairs; the eval-vs-train orientation is
+    a narrow post-filter on the already-verified pair relation, and the
+    final report is one groupBy over |eval| keys."""
+    from .dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(documents, threshold)
+    a_eval = F.col("doc_a") % eval_mod == 0
+    b_eval = F.col("doc_b") % eval_mod == 0
+    spanning = pairs.filter(a_eval != b_eval).select(
+        F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "eval_id"
+        ),
+        "jaccard",
+    )
+    per_eval = spanning.groupBy("eval_id").agg(
+        F.count("*").alias("n_train_twins"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    eval_docs = documents.filter(F.col("doc_id") % eval_mod == 0).select(
+        F.col("doc_id").alias("eval_id")
+    )
+    return eval_docs.join(per_eval, "eval_id", "left").select(
+        "eval_id",
+        F.coalesce("n_train_twins", F.lit(0))
+        .cast("bigint")
+        .alias("n_train_twins"),
+        F.coalesce("max_jaccard", F.lit(0.0)).alias("max_jaccard"),
+        (F.coalesce("n_train_twins", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 #: PII patterns, written to the common RE2/Java-regex subset so Spark's
 #: regexp_count and DuckDB's regexp_extract_all agree token-for-token.
 PII_PATTERNS: dict[str, str] = {
@@ -2633,3 +2680,54 @@ def bpe_fertility_by_lang(documents: DataFrame) -> DataFrame:
         .otherwise(F.sum("n_chars") / F.sum("n_pieces"))
         .alias("chars_per_piece"),
     )
+
+
+def _neardup_contam_sql() -> str:
+    """Oracle for eval_neardup_contamination: the shared MinHash band +
+    exact-Jaccard-verify CTEs, oriented eval-vs-train and aggregated per
+    eval doc (deferred into a builder so the dedup import stays local)."""
+    from . import dedup
+
+    return f"""
+    WITH {dedup._MINHASH_CTE},
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    tsets AS (
+        SELECT doc_id, list_sort({dedup._SH}) AS toks FROM documents
+    ),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks)))
+                   AS jaccard
+        FROM candidates
+        JOIN tsets ta ON ta.doc_id = doc_a
+        JOIN tsets tb ON tb.doc_id = doc_b
+        WHERE len(list_intersect(ta.toks, tb.toks))
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.7
+    ),
+    spanning AS (
+        SELECT CASE WHEN doc_a % {EVAL_MOD} = 0 THEN doc_a ELSE doc_b END
+                   AS eval_id,
+               jaccard
+        FROM verified
+        WHERE (doc_a % {EVAL_MOD} = 0) <> (doc_b % {EVAL_MOD} = 0)
+    ),
+    per_eval AS (
+        SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_twins,
+               max(jaccard) AS max_jaccard
+        FROM spanning GROUP BY eval_id
+    )
+    SELECT d.doc_id AS eval_id,
+           COALESCE(p.n_train_twins, 0) AS n_train_twins,
+           COALESCE(p.max_jaccard, 0.0) AS max_jaccard,
+           COALESCE(p.n_train_twins, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN per_eval p ON p.eval_id = d.doc_id
+    WHERE d.doc_id % {EVAL_MOD} = 0
+    """
+
+
+ORACLE_SQL["eval_neardup_contamination"] = _neardup_contam_sql()

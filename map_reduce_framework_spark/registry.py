@@ -707,6 +707,18 @@ def q_bpe_fertility_by_lang(spark, sf_dir):
     return text_analysis.bpe_fertility_by_lang(_t(spark, sf_dir, "documents"))
 
 
+# Near-dup benchmark contamination: the paraphrase leak the exact n-gram
+# sweep misses; banded-LSH candidates, exact-Jaccard verify, per-eval agg.
+@register(
+    "eval_neardup_contamination",
+    text_analysis.ORACLE_SQL["eval_neardup_contamination"],
+)
+def q_eval_neardup_contamination(spark, sf_dir):
+    return text_analysis.eval_neardup_contamination(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # DSIR data selection (Xie et al., NeurIPS 2023): per-doc importance of
 # the raw corpus under a target-domain hashed-n-gram LM (here the
 # corpus's own lang='en' slice), fixed-point-exact in both engines.

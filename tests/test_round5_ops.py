@@ -745,3 +745,33 @@ def test_leakage_safe_split_closes_the_near_dup_leak(spark, sf_smoke):
     }
     for r in rows:
         assert r.group_id == cluster_of.get(r.doc_id, r.doc_id)
+
+
+def test_eval_neardup_contamination_flags_planted_paraphrase(spark):
+    """Plant a lightly-edited eval copy of a training doc (high shingle
+    Jaccard, the paraphrase case exact n-gram matching under-counts):
+    it must be flagged with exactly its one training twin. An eval-eval
+    duplicate pair must NOT count toward n_train_twins (orientation
+    filter), and a clean eval doc reports honest zeros."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        eval_neardup_contamination,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = " ".join(f"w{i}" for i in range(39)) + " zz"
+    rows = [
+        (1, base),  # train original
+        (2, " ".join(f"v{i}" for i in range(40))),  # train, unrelated
+        (50, near),  # eval: paraphrased copy of doc 1
+        (100, " ".join(f"u{i}" for i in range(40))),  # eval: clean
+        (150, near),  # eval: exact dup of eval doc 50 (eval-eval pair)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.eval_id: r for r in eval_neardup_contamination(docs).collect()}
+    assert set(got) == {50, 100, 150}
+    assert got[50].contaminated
+    assert got[50].n_train_twins == 1  # doc 1 only; 150 is eval-side
+    assert got[50].max_jaccard >= 0.7
+    assert got[150].contaminated and got[150].n_train_twins == 1
+    assert not got[100].contaminated
+    assert got[100].n_train_twins == 0 and got[100].max_jaccard == 0.0
