@@ -52,6 +52,13 @@ QUERIES = [
     # re-join must track the token stream linearly.
     "gopher_quality_filter",      # shuffle-free seven-rule projection
     "duplicated_ngram_coverage",  # shingle occ counts + dup-only re-join
+    # round-5 tokenizer/split/decontamination additions: BPE must stay
+    # train-small/apply-linear, the leakage-safe split adds only a doc_id
+    # join over the dedup clustering, and the near-dup contamination
+    # sweep shares minhash_lsh_pairs' banded blocking.
+    "bpe_tokenize_corpus",        # driver-trained merges, Arrow apply
+    "leakage_safe_split",         # cluster-representative hash split
+    "eval_neardup_contamination", # banded eval-vs-train orientation
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -150,6 +150,17 @@ def test_interval_overlap_join_is_binned_equi(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_neardup_contamination_is_band_blocked(spark):
+    """eval_neardup_contamination inherits minhash_lsh_pairs' blocking
+    guarantee: every pairwise stage is an equi-join on (band, sig) --
+    never a cartesian/nested-loop eval x train sweep. At 100 TB the
+    eval-vs-train orientation must stay a narrow post-filter on the
+    already-banded pair relation, which this gate pins."""
+    plan = _formatted_plan(spark, "eval_neardup_contamination")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 @pytest.mark.parametrize("name", ["top_similar_pairs", "semdedup"])
 def test_pair_ops_have_no_unblocked_self_join(spark, name):
     """Pairwise operators must run their blocked plan: top_similar_pairs
