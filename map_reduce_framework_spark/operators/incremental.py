@@ -253,6 +253,8 @@ def _staged_dynamic_overwrite(
     import os
 
     staging = f"{state_dir.rstrip('/')}.staging-{uuid.uuid4().hex}"
+    intent_published = False
+    committed = False
     try:
         rows.write.mode("overwrite").parquet(staging)
         intent_path = None
@@ -264,12 +266,21 @@ def _staged_dynamic_overwrite(
             with open(tmp, "w") as fh:
                 json.dump({"staging": staging, "batch_id": batch_id}, fh)
             os.replace(tmp, intent_path)  # atomic publish of the intent
+            intent_published = True
         _overwrite_from_staging(spark, staging, state_dir)
         if batch_id is not None:
             _record_applied(state_dir, batch_id)
             os.remove(intent_path)
+        committed = True
     finally:
-        shutil.rmtree(staging, ignore_errors=True)
+        # The staged copy IS the redo log once the intent is published:
+        # if the overwrite raises after that point (e.g. a Spark job
+        # abort mid partition-commit leaves a torn state), the staging
+        # dir must survive so recover_torn_upserts can redo from it.
+        # Delete it only on success, or on failure BEFORE the intent
+        # exists (orphaned staging is garbage, not a redo log).
+        if committed or not intent_published:
+            shutil.rmtree(staging, ignore_errors=True)
 
 
 def _overwrite_from_staging(spark, staging: str, state_dir: str) -> None:
@@ -307,7 +318,14 @@ def recover_torn_upserts(spark, state_dir: str) -> list[int]:
     if not os.path.isdir(intents):
         return []
     recovered: list[int] = []
-    for name in sorted(os.listdir(intents)):
+    # Replay in BATCH order, not lexicographic filename order ('10'
+    # sorts before '9' as a string): if several pending intents touch
+    # the same day partitions, the newest staged content must win.
+    pending = sorted(
+        os.listdir(intents),
+        key=lambda n: (int(n.split(".")[0]) if n.split(".")[0].isdigit() else -1, n),
+    )
+    for name in pending:
         path = os.path.join(intents, name)
         if name.endswith(".tmp"):  # unpublished intent: overwrite never began
             os.remove(path)
@@ -321,10 +339,23 @@ def recover_torn_upserts(spark, state_dir: str) -> list[int]:
             recovered.append(intent["batch_id"])
             os.remove(path)
             shutil.rmtree(staging, ignore_errors=True)
-        else:
-            # staging already gone => the commit sequence finished its
-            # overwrite+ledger steps and died before intent removal
+        elif intent["batch_id"] in applied_batch_ids(state_dir):
+            # Commit sequence finished its overwrite+ledger steps and
+            # died before intent removal: safe to clear the intent.
             os.remove(path)
+        else:
+            # Intent present, staging gone, batch NOT in the applied
+            # ledger: the redo log was destroyed before the commit was
+            # known good (a bug or manual deletion). Silently removing
+            # the intent would let the foreachBatch replay re-merge the
+            # delta onto a possibly-torn state and double-count the
+            # already-replaced partitions -- fail loudly instead.
+            raise RuntimeError(
+                f"torn upsert for batch {intent['batch_id']}: intent "
+                f"{path} points at missing staging dir {staging} and "
+                "the batch is not in the applied ledger; state may be "
+                "torn and cannot be healed automatically"
+            )
     return recovered
 
 

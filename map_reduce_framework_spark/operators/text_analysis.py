@@ -1616,7 +1616,10 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
     across engines (same policy as DSIR / TEMP_WEIGHT_SCALE). The
     Pareto draw derives from md5(doc_id) -- retry-stable, engine-
     portable, no RNG state (stratified_sample's argument). Tokenless
-    documents score with zero features and are never kept.
+    documents score with zero features and are never kept: the keep
+    verdict carries an explicit n_chars > 0 conjunct (the bias-only
+    z = -2 still sigmoids to p ~ 0.119, which the luckiest ~0.3% of
+    Pareto draws would otherwise clear).
 
     Pure Catalyst: one narrow projection, no joins, no shuffle."""
     toks = tokenize_ws("text")
@@ -1662,6 +1665,7 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "lang",
+            "n_chars",
             "z",
             p_q.alias("p_q"),
             x_q.alias("x_q"),
@@ -1675,6 +1679,7 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
             (
                 (F.col("x_q") > F.lit(DSIR_SCALE) - F.col("p_q"))
                 & (F.col("p_q") > 0)
+                & (F.col("n_chars") > 0)
             ).alias("keep"),
         )
     )
@@ -1708,7 +1713,7 @@ ORACLE_SQL["quality_classifier_scores"] = f"""
         FROM qf
     ),
     keyed AS (
-        SELECT doc_id, lang, z,
+        SELECT doc_id, lang, n_chars, z,
                CAST(floor((1.0 / (1.0 + exp(-z))) * {DSIR_SCALE}.0 + 0.5)
                     AS BIGINT) AS p_q,
                CAST(floor(
@@ -1722,7 +1727,7 @@ ORACLE_SQL["quality_classifier_scores"] = f"""
     SELECT doc_id, lang, z,
            p_q / {DSIR_SCALE}.0 AS p,
            x_q / {DSIR_SCALE}.0 AS pareto_x,
-           (x_q > {DSIR_SCALE} - p_q AND p_q > 0) AS keep
+           (x_q > {DSIR_SCALE} - p_q AND p_q > 0 AND n_chars > 0) AS keep
     FROM keyed
 """
 
@@ -2138,30 +2143,47 @@ GOPHER_REP_THRESHOLDS = {
 _REP_PACK = 2**32  # (cnt, chars) packed into one BIGINT for a portable argmax
 
 
-def gopher_repetition_filter(documents: DataFrame) -> DataFrame:
+def gopher_repetition_filter(
+    documents: DataFrame, extra_exprs: dict | None = None
+) -> DataFrame:
     """Gopher repetition-removal filter (Rae et al. 2021 App. A1.2),
     complete: duplicate line/paragraph fraction and character fraction,
     most-frequent {2,3,4}-gram character fraction, and duplicated
     {5..10}-gram character fraction, each against the published
     threshold, plus the AND verdict `repetition_pass`.
 
-    Definitions (documented because the paper leaves them loose, same
-    reading as the public NeMo-Curator implementation): an n-gram's
-    character mass is occurrences x length (spaces included); 'top'
-    fractions use the most frequent n-gram (ties broken toward the
-    larger character mass -- made portable/deterministic by taking
-    max(cnt * 2^32 + chars), exact while per-doc char counts < 2^32);
-    'dup' fractions sum the mass of every n-gram occurring >= 2 times.
-    Denominator is length(text); empty docs pin fractions to 0.0 and
-    pass (A1.1's word-count floor is the rule that kills them).
+    Definitions (documented because the paper leaves them loose): an
+    n-gram's character mass for the 'top' fractions is occurrences x
+    length (spaces included; ties broken toward the larger character
+    mass -- made portable/deterministic by taking max(cnt * 2^32 +
+    chars), exact while per-doc char counts < 2^32). The 'dup'
+    fractions are POSITIONAL coverage, matching the paper's "fraction
+    of characters contained within duplicated n-grams" and the union
+    reading duplicated_ngram_coverage uses: a token position is covered
+    iff some >=2x n-gram passes through it; the numerator sums the
+    lengths of covered tokens plus one joining space per ADJACENT pair
+    of covered positions (the single-space mass of the duplicated
+    windows; occurrence-summing instead would multi-count overlapping
+    repeats and exceed 1.0). Denominator is length(text); empty docs
+    pin fractions to 0.0 and pass (A1.1's word-count floor is the rule
+    that kills them).
 
-    Plan: line/paragraph measures are pure array expressions inside the
-    scan projection (no shuffle). The nine n-gram sizes are generated
-    in ONE pass -- a single explode of the per-doc struct array of all
-    (n, gram) shingles (one corpus scan, not nine) -> one (doc,n,gram)
-    count with map-side combine -> one (doc,n) aggregate -> conditional
-    pivot to |docs| rows. Everything shuffles on doc-local keys; no
-    cross-doc joins, so the op scales like any per-doc aggregate."""
+    `extra_exprs` (name -> Column over the raw `text`/`doc_id` row)
+    rides the same scan projection and comes back as output columns --
+    how rule_filter_funnel gets all three rule families from ONE scan.
+
+    Plan: ONE corpus scan, no joins. The scan projection computes the
+    line/paragraph measures, the token-length array, and any
+    extra_exprs flags into a per-doc metadata struct, and emits a
+    single exploded stream: one n=0 marker element carrying the
+    metadata plus the (n, pos, gram) shingles for all nine sizes. Three
+    doc-keyed aggregates follow -- (doc,n,gram) occurrence counts with
+    map-side combine (positions collected per gram, bounded by doc
+    length), (doc,n) top-gram packing + covered-position union, then
+    the per-doc pivot -- and the metadata struct flows through them as
+    one first(ignorenulls) row per doc, so the final projection needs
+    no join back to the table. Everything shuffles on doc-local keys;
+    no cross-doc joins, so the op scales like any per-doc aggregate."""
     ns = list(range(2, 11))
     toks = tokenize_ws("text")
     lines = F.split(F.col("text"), "\n")
@@ -2175,8 +2197,8 @@ def gopher_repetition_filter(documents: DataFrame) -> DataFrame:
             F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
         )
 
-    base = documents.select(
-        "doc_id",
+    extra = dict(extra_exprs or {})
+    meta = F.struct(
         F.length("text").alias("len_t"),
         F.size(lines).alias("n_lines"),
         _dup_count(lines).alias("dup_lines"),
@@ -2188,28 +2210,69 @@ def gopher_repetition_filter(documents: DataFrame) -> DataFrame:
         (_char_sum(paras) - _char_sum(F.array_distinct(paras))).alias(
             "dup_para_chars"
         ),
-        toks.alias("w"),
+        F.transform(toks, lambda t: F.length(t)).alias("tlens"),
+        *[c.alias(f"x_{name}") for name, c in extra.items()],
     )
-    def _tag(n):
-        # single-arg lambda: a 2-arg callable would make F.transform
-        # bind the ELEMENT INDEX to the second parameter.
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+    # typed NULL of meta's struct type for the gram elements (never
+    # evaluated -- constant-folds to a null literal)
+    null_meta = F.when(F.lit(False), meta)
 
-    allgrams = F.flatten(
-        F.array(
-            *[F.transform(word_shingles(F.col("w"), n), _tag(n)) for n in ns]
+    def _tag(n):
+        # 2-arg lambda ON PURPOSE: F.transform binds the element index
+        # to the second parameter, giving the shingle's token position.
+        return lambda g, i: F.struct(
+            F.lit(n).alias("n"),
+            i.alias("pos"),
+            g.alias("gram"),
+            null_meta.alias("meta"),
         )
-    )
-    g = base.select("doc_id", F.explode(allgrams).alias("s")).select(
-        "doc_id", F.col("s.n").alias("n"), F.col("s.gram").alias("gram")
-    )
-    cnt = g.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
-    chars = F.col("cnt") * F.length("gram")
-    stats = cnt.groupBy("doc_id", "n").agg(
-        F.max(F.col("cnt") * F.lit(_REP_PACK) + chars).alias("packed"),
-        F.sum(F.when(F.col("cnt") >= 2, chars).otherwise(0)).alias(
-            "dup_chars"
+
+    stream = F.concat(
+        F.array(
+            F.struct(
+                F.lit(0).alias("n"),
+                F.lit(0).alias("pos"),
+                F.lit(None).cast("string").alias("gram"),
+                meta.alias("meta"),
+            )
         ),
+        F.flatten(
+            F.array(*[F.transform(word_shingles(toks, n), _tag(n)) for n in ns])
+        ),
+    )
+    g = documents.select("doc_id", F.explode(stream).alias("s")).select(
+        "doc_id",
+        F.col("s.n").alias("n"),
+        F.col("s.pos").alias("pos"),
+        F.col("s.gram").alias("gram"),
+        F.col("s.meta").alias("meta"),
+    )
+    cnt = g.groupBy("doc_id", "n", "gram").agg(
+        F.count("*").alias("cnt"),
+        F.collect_list("pos").alias("poss"),
+        F.first("meta", ignorenulls=True).alias("meta"),
+    )
+    chars = F.col("cnt") * F.length("gram")
+    expanded = cnt.select(
+        "doc_id",
+        "n",
+        "meta",
+        (F.col("cnt") * F.lit(_REP_PACK) + chars).alias("packed"),
+        F.when(
+            (F.col("n") >= 5) & (F.col("cnt") >= 2),
+            F.flatten(
+                F.transform(
+                    "poss", lambda p: F.sequence(p, p + F.col("n") - 1)
+                )
+            ),
+        ).alias("dup_pos"),
+    )
+    stats = expanded.groupBy("doc_id", "n").agg(
+        F.max("packed").alias("packed"),
+        F.array_distinct(F.flatten(F.collect_list("dup_pos"))).alias(
+            "covered"
+        ),
+        F.first("meta", ignorenulls=True).alias("meta"),
     )
     piv = stats.groupBy("doc_id").agg(
         *[
@@ -2219,30 +2282,52 @@ def gopher_repetition_filter(documents: DataFrame) -> DataFrame:
             for k in (2, 3, 4)
         ],
         *[
-            F.max(F.when(F.col("n") == k, F.col("dup_chars"))).alias(
-                f"dup{k}_chars"
-            )
+            F.first(
+                F.when(F.col("n") == k, F.col("covered")), ignorenulls=True
+            ).alias(f"cov{k}")
             for k in range(5, 11)
         ],
+        F.first("meta", ignorenulls=True).alias("meta"),
     )
-    j = base.drop("w").join(piv, "doc_id", "left")
+
+    m = F.col("meta")
+    tlens = m["tlens"]
+
+    def _dup_chars(k):
+        # union char mass: covered token lengths + one space per
+        # ADJACENT covered pair (sorted positions, linear zip_with)
+        cov = F.array_sort(
+            F.coalesce(F.col(f"cov{k}"), F.array().cast("array<int>"))
+        )
+        tok_chars = F.aggregate(
+            cov, F.lit(0), lambda a, p: a + F.element_at(tlens, p + 1)
+        )
+        nxt = F.slice(cov, 2, F.greatest(F.size(cov) - 1, F.lit(0)))
+        adj = F.size(
+            F.filter(
+                F.zip_with(cov, nxt, lambda a, b: b - a),
+                lambda d: d == F.lit(1),
+            )
+        )
+        return tok_chars + adj
 
     def _frac(num, den):
         return F.when(den == 0, F.lit(0.0)).otherwise(
             F.coalesce(num, F.lit(0)) / den
         )
 
+    len_t = m["len_t"]
     fracs = {
-        "dup_line_frac": _frac(F.col("dup_lines"), F.col("n_lines")),
-        "dup_para_frac": _frac(F.col("dup_paras"), F.col("n_paras")),
-        "dup_line_char_frac": _frac(F.col("dup_line_chars"), F.col("len_t")),
-        "dup_para_char_frac": _frac(F.col("dup_para_chars"), F.col("len_t")),
+        "dup_line_frac": _frac(m["dup_lines"], m["n_lines"]),
+        "dup_para_frac": _frac(m["dup_paras"], m["n_paras"]),
+        "dup_line_char_frac": _frac(m["dup_line_chars"], len_t),
+        "dup_para_char_frac": _frac(m["dup_para_chars"], len_t),
         **{
-            f"top{k}_char_frac": _frac(F.col(f"top{k}_chars"), F.col("len_t"))
+            f"top{k}_char_frac": _frac(F.col(f"top{k}_chars"), len_t)
             for k in (2, 3, 4)
         },
         **{
-            f"dup{k}_char_frac": _frac(F.col(f"dup{k}_chars"), F.col("len_t"))
+            f"dup{k}_char_frac": _frac(_dup_chars(k), len_t)
             for k in range(5, 11)
         },
     }
@@ -2250,10 +2335,11 @@ def gopher_repetition_filter(documents: DataFrame) -> DataFrame:
     for name, expr in fracs.items():
         ok = expr <= F.lit(GOPHER_REP_THRESHOLDS[name])
         verdict = ok if verdict is None else (verdict & ok)
-    return j.select(
+    return piv.select(
         "doc_id",
         *[expr.alias(name) for name, expr in fracs.items()],
         verdict.alias("repetition_pass"),
+        *[m[f"x_{name}"].alias(name) for name in extra],
     )
 
 
@@ -2261,7 +2347,7 @@ def _rep_gram_union_sql() -> str:
     selects = []
     for n in range(2, 11):
         selects.append(
-            f"""SELECT doc_id, {n} AS n,
+            f"""SELECT doc_id, {n} AS n, i - 1 AS pos,
                    array_to_string(w[i:i+{n - 1}], ' ') AS gram
             FROM (SELECT doc_id, w,
                          unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1))
@@ -2304,19 +2390,53 @@ ORACLE_SQL["gopher_repetition_filter"] = f"""
     ),
     stats AS (
         SELECT doc_id, n,
-               max(cnt * {_REP_PACK} + chars) AS packed,
-               sum(CASE WHEN cnt >= 2 THEN chars ELSE 0 END) AS dup_chars
-        FROM cnt GROUP BY doc_id, n
+               max(cnt * {_REP_PACK} + chars) AS packed
+        FROM cnt WHERE n <= 4 GROUP BY doc_id, n
     ),
-    piv AS (
+    pivtop AS (
         SELECT doc_id,
                {', '.join(
                    f"max(CASE WHEN n = {k} THEN packed % {_REP_PACK} END)"
-                   f" AS top{k}_chars" for k in (2, 3, 4))},
+                   f" AS top{k}_chars" for k in (2, 3, 4))}
+        FROM stats GROUP BY doc_id
+    ),
+    dupg AS (SELECT doc_id, n, gram FROM cnt WHERE n >= 5 AND cnt >= 2),
+    covered AS (
+        SELECT DISTINCT doc_id, n, pos + off AS p
+        FROM (SELECT g.doc_id, g.n, g.pos, unnest(range(0, g.n)) AS off
+              FROM grams g JOIN dupg USING (doc_id, n, gram))
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS p, length(w[i]) AS tlen
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)
+    ),
+    cov2 AS (
+        SELECT c.doc_id, c.n, tp.tlen,
+               CASE WHEN c.p - lag(c.p) OVER (
+                        PARTITION BY c.doc_id, c.n ORDER BY c.p) = 1
+                    THEN 1 ELSE 0 END AS adj
+        FROM covered c
+        JOIN tokpos tp ON tp.doc_id = c.doc_id AND tp.p = c.p
+    ),
+    dupstats AS (
+        SELECT doc_id, n,
+               CAST(sum(tlen) + sum(adj) AS BIGINT) AS dup_chars
+        FROM cov2 GROUP BY doc_id, n
+    ),
+    pivdup AS (
+        SELECT doc_id,
                {', '.join(
                    f"max(CASE WHEN n = {k} THEN dup_chars END)"
                    f" AS dup{k}_chars" for k in range(5, 11))}
-        FROM stats GROUP BY doc_id
+        FROM dupstats GROUP BY doc_id
+    ),
+    piv AS (
+        SELECT b0.doc_id,
+               {', '.join(f"pt.top{k}_chars" for k in (2, 3, 4))},
+               {', '.join(f"pd.dup{k}_chars" for k in range(5, 11))}
+        FROM base b0
+        LEFT JOIN pivtop pt USING (doc_id)
+        LEFT JOIN pivdup pd USING (doc_id)
     ),
     f AS (
         SELECT b.doc_id,
@@ -2453,17 +2573,21 @@ def rule_filter_funnel(documents: DataFrame) -> DataFrame:
     C4 page rules -- the 4-row kill-rate report for the rule-only
     (pre-classifier, pre-dedup) part of a curation pipeline.
 
-    Same one-pass shape as curation_funnel: per-doc verdict flags from
-    the three already-oracled filters meet in doc_id equi-joins, one
-    conditional aggregate, stack to 4 rows. Each sub-filter is a
-    single-scan projection, so the whole funnel costs three corpus
-    scans and one tiny aggregate at any scale."""
-    g = gopher_quality_filter(documents).select("doc_id", "gopher_pass")
-    r = gopher_repetition_filter(documents).select(
-        "doc_id", "repetition_pass"
-    )
-    c = c4_quality_filter(documents).select("doc_id", "keep_doc")
-    flags = g.join(r, "doc_id").join(c, "doc_id")
+    ONE corpus scan for all three families: the A1.1 verdict and the C4
+    page verdict are shuffle-free expressions over the raw text, so
+    they ride gopher_repetition_filter's scan projection as extra_exprs
+    (carried through its doc-keyed aggregates in the metadata struct)
+    and meet the A1.2 verdict without any doc_id join; one conditional
+    aggregate stacks to 4 rows. At 100 TB that is 1 scan of the corpus
+    where the naive three-filter join costs 3 (plan-gated in
+    tests/test_plans.py)."""
+    flags = gopher_repetition_filter(
+        documents,
+        extra_exprs={
+            "gopher_pass": gopher_rule_exprs()["gopher_pass"],
+            "keep_doc": c4_rule_exprs()["keep_doc"],
+        },
+    ).select("repetition_pass", "gopher_pass", "keep_doc")
     cnt = lambda x: F.sum(F.when(x, 1).otherwise(0)).cast("bigint")  # noqa: E731
     agg = flags.agg(
         F.count("*").cast("bigint").alias("raw"),

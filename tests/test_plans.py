@@ -335,6 +335,21 @@ def test_hybrid_ann_semantic_side_is_not_brute_force(spark):
     assert "cos#" in twin
 
 
+@pytest.mark.parametrize(
+    "name", ["gopher_repetition_filter", "rule_filter_funnel"]
+)
+def test_rule_filters_scan_corpus_once(spark, name):
+    """The A1.2 repetition filter is a single-scan plan (the per-doc
+    metadata struct rides the exploded shingle stream through its
+    doc-keyed aggregates -- no join back to the table), and the funnel
+    inherits it: A1.1 + C4 verdicts are extra columns in the SAME scan
+    projection. Three scans for a 4-row report was the round-5 weak."""
+    plan = _formatted_plan(spark, name)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("name", ["corpus_data_card", "bpe_top_merges"])
 def test_corpus_reports_scan_once(spark, name):
     """Corpus-wide report queries must read the documents table exactly

@@ -517,21 +517,29 @@ def test_gopher_repetition_matches_independent_python(spark, sf_smoke):
             grams = Counter(
                 " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
             )
-            if grams:
-                packed = max(
-                    c * 2**32 + c * len(g) for g, c in grams.items()
-                )
-                top_chars = packed % 2**32
-                dupc = sum(
-                    c * len(g) for g, c in grams.items() if c >= 2
-                )
-            else:
-                top_chars, dupc = 0, 0
             if n in (2, 3, 4):
+                if grams:
+                    packed = max(
+                        c * 2**32 + c * len(g) for g, c in grams.items()
+                    )
+                    top_chars = packed % 2**32
+                else:
+                    top_chars = 0
                 want[f"top{n}_char_frac"] = (
                     top_chars / len_t if len_t else 0.0
                 )
             else:
+                # positional union coverage: a token position is
+                # duplicated iff some >=2x n-gram passes through it;
+                # char mass = covered token lengths + one joining
+                # space per adjacent covered pair
+                covered: set = set()
+                for i in range(len(toks) - n + 1):
+                    if grams[" ".join(toks[i : i + n])] >= 2:
+                        covered.update(range(i, i + n))
+                dupc = sum(len(toks[p]) for p in covered) + sum(
+                    1 for p in covered if p + 1 in covered
+                )
                 want[f"dup{n}_char_frac"] = dupc / len_t if len_t else 0.0
         want_pass = all(
             want[k] <= thr for k, thr in GOPHER_REP_THRESHOLDS.items()
