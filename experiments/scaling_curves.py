@@ -59,6 +59,9 @@ QUERIES = [
     "bpe_tokenize_corpus",        # driver-trained merges, Arrow apply
     "leakage_safe_split",         # cluster-representative hash split
     "eval_neardup_contamination", # banded eval-vs-train orientation
+    # round-6: the span-removal transform shares coverage's shingle
+    # budget plus one doc-keyed anti-join and a doc-local reassembly.
+    "exact_substr_dedup",         # keep-first span removal, cleaned text
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

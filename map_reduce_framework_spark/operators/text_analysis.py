@@ -550,7 +550,10 @@ CONTAM_N = 5
 
 
 def ngram_contamination(
-    documents: DataFrame, n: int = CONTAM_N, eval_mod: int = EVAL_MOD
+    documents: DataFrame,
+    n: int = CONTAM_N,
+    eval_mod: int = EVAL_MOD,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-contamination sweep (the decontamination step every
     LLM training pipeline runs before training): for each training doc,
@@ -559,21 +562,37 @@ def ngram_contamination(
     ``contamination_ratio`` above threshold get dropped or the eval row
     gets discarded -- both policies start from exactly this table.
 
+    Eval side: pass ``eval_docs`` (any relation with ``doc_id`` and
+    ``text`` -- a real benchmark table loaded from its own parquet) to
+    screen ``documents`` against it; with ``eval_docs=None`` the
+    registered/oracled stand-in carves every ``eval_mod``-th doc out of
+    the corpus to play the benchmark, same plan shape either way.
+
     Plan shape for 100 TB: eval sets are a few thousand docs, so their
     exploded n-gram relation BROADCASTS; the training corpus side is one
     linear scan + one doc-keyed aggregate. Nothing pairwise, no
     shuffle of corpus n-grams (the broadcast-hash join happens
     map-side; only per-doc partial counts move)."""
-    grams = documents.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(word_shingles(tokenize_ws("text"), n))
-        ).alias("gram"),
-    )
-    eval_grams = grams.filter(F.col("doc_id") % eval_mod == 0).select(
-        F.col("doc_id").alias("eval_id"), "gram"
-    )
-    corpus = grams.filter(F.col("doc_id") % eval_mod != 0)
+
+    def _grams(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(tokenize_ws("text"), n))
+            ).alias("gram"),
+        )
+
+    if eval_docs is not None:
+        eval_grams = _grams(eval_docs).select(
+            F.col("doc_id").alias("eval_id"), "gram"
+        )
+        corpus = _grams(documents)
+    else:
+        grams = _grams(documents)
+        eval_grams = grams.filter(F.col("doc_id") % eval_mod == 0).select(
+            F.col("doc_id").alias("eval_id"), "gram"
+        )
+        corpus = grams.filter(F.col("doc_id") % eval_mod != 0)
     hits = (
         corpus.join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
@@ -600,40 +619,76 @@ def eval_neardup_contamination(
     documents: DataFrame,
     threshold: float = 0.7,
     eval_mod: int = EVAL_MOD,
+    eval_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate benchmark contamination: the leak
     ``ngram_contamination`` cannot see. Exact n-gram overlap misses the
     paraphrased / lightly-edited eval copy (a 0.8-Jaccard rewrite shares
     few exact 5-grams but is still memorizable), so production
-    decontamination runs BOTH sweeps. For every eval doc (the same
-    ``doc_id % eval_mod`` stand-in as the n-gram sweep): how many
+    decontamination runs BOTH sweeps. For every eval doc: how many
     training docs sit within the MinHash near-dup band, and the worst
     (max) verified Jaccard among them.
+
+    Eval side: pass ``eval_docs`` (``doc_id``/``text``, ids DISJOINT
+    from the training corpus -- a real benchmark loaded from its own
+    parquet) and the sweep unions it with ``documents`` before the
+    banded pair stage, classifying pairs by broadcast eval-id lookup;
+    with ``eval_docs=None`` the registered/oracled stand-in uses the
+    same ``doc_id % eval_mod`` carve-out as the n-gram sweep.
 
     Scale shape: reuses ``minhash_lsh_pairs`` unchanged -- banded
     (band, sig) equi-join for candidates, exact Jaccard verify on
     candidates only, never all-pairs; the eval-vs-train orientation is
-    a narrow post-filter on the already-verified pair relation, and the
-    final report is one groupBy over |eval| keys."""
+    a narrow post-filter on the already-verified pair relation (the
+    external form broadcasts the |eval|-row id set), and the final
+    report is one groupBy over |eval| keys."""
     from .dedup import minhash_lsh_pairs
 
-    pairs = minhash_lsh_pairs(documents, threshold)
-    a_eval = F.col("doc_a") % eval_mod == 0
-    b_eval = F.col("doc_b") % eval_mod == 0
-    spanning = pairs.filter(a_eval != b_eval).select(
-        F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
-            "eval_id"
-        ),
-        "jaccard",
-    )
+    if eval_docs is not None:
+        cols = ["doc_id", "text"]
+        corpus = documents.select(*cols).unionByName(eval_docs.select(*cols))
+        eval_ids = eval_docs.select(F.col("doc_id").alias("eval_id"))
+        pairs = minhash_lsh_pairs(corpus, threshold)
+        flagged = pairs.join(
+            F.broadcast(eval_ids.withColumnRenamed("eval_id", "doc_a")).withColumn(
+                "a_eval", F.lit(True)
+            ),
+            "doc_a",
+            "left",
+        ).join(
+            F.broadcast(eval_ids.withColumnRenamed("eval_id", "doc_b")).withColumn(
+                "b_eval", F.lit(True)
+            ),
+            "doc_b",
+            "left",
+        )
+        a_eval = F.coalesce(F.col("a_eval"), F.lit(False))
+        b_eval = F.coalesce(F.col("b_eval"), F.lit(False))
+        spanning = flagged.filter(a_eval != b_eval).select(
+            F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "eval_id"
+            ),
+            "jaccard",
+        )
+        eval_side = eval_ids
+    else:
+        pairs = minhash_lsh_pairs(documents, threshold)
+        a_eval = F.col("doc_a") % eval_mod == 0
+        b_eval = F.col("doc_b") % eval_mod == 0
+        spanning = pairs.filter(a_eval != b_eval).select(
+            F.when(a_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+                "eval_id"
+            ),
+            "jaccard",
+        )
+        eval_side = documents.filter(F.col("doc_id") % eval_mod == 0).select(
+            F.col("doc_id").alias("eval_id")
+        )
     per_eval = spanning.groupBy("eval_id").agg(
         F.count("*").alias("n_train_twins"),
         F.max("jaccard").alias("max_jaccard"),
     )
-    eval_docs = documents.filter(F.col("doc_id") % eval_mod == 0).select(
-        F.col("doc_id").alias("eval_id")
-    )
-    return eval_docs.join(per_eval, "eval_id", "left").select(
+    return eval_side.join(per_eval, "eval_id", "left").select(
         "eval_id",
         F.coalesce("n_train_twins", F.lit(0))
         .cast("bigint")
@@ -2049,6 +2104,153 @@ ORACLE_SQL["duplicated_ngram_coverage"] = f"""
 """
 
 
+_ES_PACK = 2**32  # (doc_id, pos) packed into one BIGINT for a portable argmin
+
+
+def exact_substr_dedup(
+    documents: DataFrame, n: int = DUP_COVERAGE_N
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.1): rewrite each
+    document with corpus-duplicated spans removed, keeping the FIRST
+    occurrence -- the pipeline stage practitioners actually run, on top
+    of the duplication metric duplicated_ngram_coverage computes.
+
+    Semantics (the suffix-array criterion re-expressed on the shingle
+    approximation, documented as such): an n-token window is duplicated
+    iff its gram occurs >= 2 times in the corpus; the globally FIRST
+    occurrence of each such gram (min over the packed doc_id * 2^32 +
+    pos key -- portable across engines, exact while doc_id < 2^31 and
+    docs < 2^32 tokens) is the keeper, every other occurrence is a
+    span to remove. A token position is removed iff some NON-FIRST
+    duplicated window covers it (union, exactly the positional reading
+    of duplicated_ngram_coverage); the cleaned text is the surviving
+    tokens joined by single spaces (whitespace is not reconstructed --
+    the same token-stream approximation the shingles are built on).
+    A verbatim copy of an earlier document therefore collapses to ''
+    while the original survives untouched (planted-duplicate test).
+
+    Plan: the same shingle stream duplicated_ngram_coverage pays --
+    posexplode -> one gram aggregate with map-side combine (count +
+    packed argmin) -> ONLY >=2x grams re-join the position stream
+    (equi-key on the gram, shrinking with corpus cleanliness) ->
+    bounded n-fold explode to covered positions -> distinct -> one
+    doc-keyed anti-join against the token-position stream -> per-doc
+    sort-free reassembly (array_sort(collect_list(struct(pos, tok)))
+    is doc-local). No all-pairs, no driver state; output is |docs|
+    rows with the cleaned text column."""
+    toks = tokenize_ws("text")
+    base = documents.select("doc_id", toks.alias("w"))
+    totals = base.select("doc_id", F.size("w").alias("n_tokens"))
+    pos = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("w"), n)).alias("pos", "gram"),
+    )
+    key = F.col("doc_id") * F.lit(_ES_PACK) + F.col("pos")
+    wins = (
+        pos.select("gram", key.alias("k"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("occ"), F.min("k").alias("first_k"))
+        .filter(F.col("occ") >= 2)
+        .select("gram", "first_k")
+    )
+    dup_occ = pos.join(wins, "gram").filter(key != F.col("first_k"))
+    covered = (
+        dup_occ.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    removed = covered.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_removed")
+    )
+    tokpos = base.select(
+        "doc_id", F.posexplode("w").alias("p", "tok")
+    )
+    kept = (
+        tokpos.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("p", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("cleaned_text")
+        )
+    )
+    nrm = F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
+    return (
+        totals.join(removed, "doc_id", "left")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            nrm.alias("n_removed"),
+            (F.col("n_tokens") - nrm).cast("bigint").alias("n_kept"),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
+                "cleaned_text"
+            ),
+        )
+    )
+
+
+ORACLE_SQL["exact_substr_dedup"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    tot AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM t),
+    g AS (
+        SELECT doc_id, i - 1 AS pos,
+               array_to_string(w[i:i+{DUP_COVERAGE_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, w,
+                     unnest(range(1,
+                         greatest(len(w) - {DUP_COVERAGE_N - 1}, 0) + 1)) AS i
+              FROM t)
+    ),
+    wins AS (
+        SELECT gram, min(doc_id * {_ES_PACK} + pos) AS first_k
+        FROM g GROUP BY gram HAVING count(*) >= 2
+    ),
+    dup AS (
+        SELECT g.doc_id, g.pos
+        FROM g JOIN wins USING (gram)
+        WHERE g.doc_id * {_ES_PACK} + g.pos <> wins.first_k
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pos + off AS p
+        FROM (SELECT doc_id, pos, unnest(range(0, {DUP_COVERAGE_N})) AS off
+              FROM dup)
+    ),
+    rem AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        FROM cov GROUP BY doc_id
+    ),
+    tokpos AS (
+        SELECT doc_id, i - 1 AS p, w[i] AS tok
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t)
+    ),
+    kept AS (
+        SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.p)
+                   AS cleaned_text
+        FROM tokpos tp
+        LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.p = tp.p
+        WHERE cov.p IS NULL
+        GROUP BY tp.doc_id
+    )
+    SELECT t.doc_id, t.n_tokens,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST(t.n_tokens - COALESCE(r.n_removed, 0) AS BIGINT) AS n_kept,
+           COALESCE(k.cleaned_text, '') AS cleaned_text
+    FROM tot t
+    LEFT JOIN rem r USING (doc_id)
+    LEFT JOIN kept k USING (doc_id)
+"""
+
+
 def source_quality_report(documents: DataFrame) -> DataFrame:
     """Per-source curation audit -- the per-dump quality report a corpus
     owner reads before deciding which crawls/feeds to keep (the
@@ -2804,6 +3006,72 @@ def bpe_fertility_by_lang(documents: DataFrame) -> DataFrame:
         .otherwise(F.sum("n_chars") / F.sum("n_pieces"))
         .alias("chars_per_piece"),
     )
+
+
+def bpe_decoder_arrow(merges: list[tuple[str, str]]):
+    """Arrow-vectorized encode-then-decode round trip over a SHIPPED
+    merge list: each word is BPE-encoded with the same rank-greedy loop
+    as bpe_encoder_arrow, then DECODED by concatenating its pieces, and
+    the document is reassembled piece-by-piece. Going through the piece
+    list for real is the point -- a broken merge application (lost or
+    doubled characters, wrong piece boundaries) surfaces as a mangled
+    reconstruction, not a silent count drift."""
+    from ..functions.text import _WS_RE
+
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def _dec(text: pd.Series) -> pd.DataFrame:
+        n_words, rebuilt = [], []
+        for t in text:
+            toks = [w for w in _WS_RE.split(t or "") if w]
+            words = []
+            for w in toks:
+                syms = list(w)
+                while len(syms) >= 2:
+                    best_rank, best_i = None, -1
+                    for i in range(len(syms) - 1):
+                        r = ranks.get((syms[i], syms[i + 1]))
+                        if r is not None and (
+                            best_rank is None or r < best_rank
+                        ):
+                            best_rank, best_i = r, i
+                    if best_rank is None:
+                        break
+                    syms[best_i : best_i + 2] = [
+                        syms[best_i] + syms[best_i + 1]
+                    ]
+                words.append("".join(syms))  # decode = piece concat
+            n_words.append(len(toks))
+            rebuilt.append(" ".join(words))
+        return pd.DataFrame({"n_words": n_words, "reconstructed": rebuilt})
+
+    return F.pandas_udf(_dec, "n_words bigint, reconstructed string")
+
+
+def bpe_roundtrip_identity(documents: DataFrame) -> DataFrame:
+    """Driver-visible tokenizer correctness: encode every document with
+    the corpus-trained BPE, decode by replaying piece concatenation,
+    and return the reconstruction next to the word count. The DuckDB
+    oracle computes what a correct round trip MUST equal -- the
+    whitespace-normalized token join -- without running BPE at all, so
+    the sweep's hash compare IS the identity proof (pure string concat,
+    no floats): any lost/doubled character or wrong piece boundary in
+    the encoder breaks the hash. Same train-small / apply-distributed
+    plan as bpe_tokenize_corpus: K merges to the driver, one
+    Arrow-batched projection, no shuffle."""
+    merges = bpe_train(documents)
+    dec = bpe_decoder_arrow(merges)
+    return documents.select(
+        "doc_id", dec("text").alias("s")
+    ).select("doc_id", "s.n_words", "s.reconstructed")
+
+
+ORACLE_SQL["bpe_roundtrip_identity"] = f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS n_words,
+           array_to_string({_TOKS}, ' ') AS reconstructed
+    FROM documents
+"""
 
 
 def _neardup_contam_sql() -> str:

@@ -651,6 +651,16 @@ def q_duplicated_ngram_coverage(spark, sf_dir):
     )
 
 
+# ExactSubstr span REMOVAL (Lee et al. 2022): the cleaned corpus --
+# corpus-duplicated spans removed, globally-first occurrence kept.
+@register(
+    "exact_substr_dedup",
+    text_analysis.ORACLE_SQL["exact_substr_dedup"],
+)
+def q_exact_substr_dedup(spark, sf_dir):
+    return text_analysis.exact_substr_dedup(_t(spark, sf_dir, "documents"))
+
+
 # Per-source curation audit (FineWeb-style dump triage): Gopher pass
 # rate + duplicated-token share per source, |sources| rows out.
 @register(
@@ -705,6 +715,16 @@ def q_bpe_tokenize_corpus(spark, sf_dir):
 @register("bpe_fertility_by_lang", None)
 def q_bpe_fertility_by_lang(spark, sf_dir):
     return text_analysis.bpe_fertility_by_lang(_t(spark, sf_dir, "documents"))
+
+
+# BPE round-trip identity, HASH-EXACT: encode + piece-concat decode must
+# reproduce the whitespace token join the oracle computes without BPE.
+@register(
+    "bpe_roundtrip_identity",
+    text_analysis.ORACLE_SQL["bpe_roundtrip_identity"],
+)
+def q_bpe_roundtrip_identity(spark, sf_dir):
+    return text_analysis.bpe_roundtrip_identity(_t(spark, sf_dir, "documents"))
 
 
 # Near-dup benchmark contamination: the paraphrase leak the exact n-gram

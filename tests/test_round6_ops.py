@@ -203,3 +203,158 @@ def test_tokenless_docs_never_kept_by_classifier(spark):
     # them -- without n_chars the Pareto side DOES clear 1-p sometimes
     lucky = scores.filter(F.col("pareto_x") > 1 - F.col("p")).count()
     assert lucky > 0
+
+
+def test_exact_substr_dedup_planted_duplicates(spark):
+    """Lee et al. 2022 keep-first semantics on planted duplicates: a
+    verbatim copy of an earlier doc collapses to '' while the original
+    survives byte-identical; an embedded copy loses exactly the copied
+    span (the bridging n-grams through the splice points are unique, so
+    the surrounding text survives); unique text and empty docs are
+    untouched."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        exact_substr_dedup,
+    )
+
+    orig = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (0, orig, "en", "s", len(orig)),
+            (1, orig, "en", "s", len(orig)),
+            (2, "unique words only here never repeated anywhere", "en", "s", 47),
+            (3, "prefix tokens " + orig + " suffix tokens", "en", "s", 90),
+            (4, "", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    rows = {r.doc_id: r for r in exact_substr_dedup(docs).collect()}
+    assert rows[0].cleaned_text == orig and rows[0].n_removed == 0
+    assert rows[1].cleaned_text == "" and rows[1].n_kept == 0
+    assert rows[2].cleaned_text.startswith("unique words")
+    assert rows[3].cleaned_text == "prefix tokens suffix tokens"
+    assert rows[3].n_removed == 10  # exactly the copied span
+    assert rows[4].cleaned_text == "" and rows[4].n_tokens == 0
+
+
+def test_exact_substr_dedup_consistent_with_coverage(spark, sf_smoke):
+    """The span remover and the metric share the duplication criterion:
+    every removed position is (by definition) a covered position, so
+    per doc n_removed <= n_dup_positions, with equality exactly when
+    none of the doc's duplicated windows is a global first
+    occurrence."""
+    from map_reduce_framework_spark.operators.text_analysis import (
+        duplicated_ngram_coverage,
+        exact_substr_dedup,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    cov = {
+        r.doc_id: r.n_dup_positions
+        for r in duplicated_ngram_coverage(docs).collect()
+    }
+    cleaned = {r.doc_id: r for r in exact_substr_dedup(docs).collect()}
+    assert set(cov) == set(cleaned)
+    for doc_id, row in cleaned.items():
+        assert row.n_removed <= cov[doc_id], doc_id
+        assert row.n_kept == row.n_tokens - row.n_removed
+
+
+def test_decontamination_accepts_external_eval_relation(spark, sf_smoke, tmp_path):
+    """Round-5 ask: decontamination must screen against a REAL eval
+    table (its own parquet), not only the doc_id % 50 stand-in. Feeding
+    the external API the very split the stand-in carves out must
+    reproduce the registered results row-for-row -- proving the two
+    forms share one implementation."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators.text_analysis import (
+        EVAL_MOD,
+        eval_neardup_contamination,
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_smoke, "documents")
+    eval_path = str(tmp_path / "evalset")
+    docs.filter(F.col("doc_id") % EVAL_MOD == 0).write.parquet(eval_path)
+    eval_df = spark.read.parquet(eval_path)
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+
+    want = {tuple(r) for r in ngram_contamination(docs).collect()}
+    got = {
+        tuple(r)
+        for r in ngram_contamination(train, eval_docs=eval_df).collect()
+    }
+    assert got == want and len(want) > 0
+
+    want_nd = {
+        tuple(r) for r in eval_neardup_contamination(docs).collect()
+    }
+    got_nd = {
+        tuple(r)
+        for r in eval_neardup_contamination(
+            train, eval_docs=eval_df
+        ).collect()
+    }
+    assert got_nd == want_nd and len(want_nd) > 0
+
+
+def test_kv_fold_segmented_peak_batch_is_segment_bounded(spark):
+    """The round-4/5 memory-bound claim, finally MEASURED: on a single
+    hot key whose history is 8x the segment size, no _fold_segment
+    cogroup batch may ever hold more than segment_size op rows (+1
+    carried state row on the state side) -- the monolithic fold would
+    hold all 512. A max-accumulator inside a probe wrapper records the
+    true per-task peak across executors; the fold must still match
+    kv_fold exactly."""
+    import pandas as pd
+    from pyspark.accumulators import AccumulatorParam
+
+    from map_reduce_framework_spark.operators import kv
+
+    class _MaxParam(AccumulatorParam):
+        def zero(self, v):
+            return 0
+
+        def addInPlace(self, a, b):
+            return max(a, b)
+
+    acc = spark.sparkContext.accumulator(0, _MaxParam())
+    real = kv._fold_segment
+
+    def probe(state_pdf, ops_pdf):
+        acc.add(len(ops_pdf))
+        return real(state_pdf, ops_pdf)
+
+    n_ops, seg = 512, 64
+    pdf = pd.DataFrame(
+        {
+            "op_id": range(n_ops),
+            "key": ["hot"] * n_ops,
+            "op": ["put"] * n_ops,
+            "value": [f"v{i}" for i in range(n_ops)],
+            "version_arg": list(range(n_ops)),  # every CAS succeeds
+        }
+    )
+    df = spark.createDataFrame(
+        pdf.astype(
+            {
+                "op_id": "int64",
+                "key": "string",
+                "op": "string",
+                "value": "object",
+                "version_arg": "object",
+            }
+        )
+    )
+    orig = kv._fold_segment
+    kv._fold_segment = probe
+    try:
+        got = sorted(
+            tuple(r)
+            for r in kv.kv_fold_segmented(df, segment_size=seg).collect()
+        )
+    finally:
+        kv._fold_segment = orig
+    want = sorted(tuple(r) for r in kv.kv_fold(df).collect())
+    assert got == want and len(got) == n_ops
+    assert 0 < acc.value <= seg, acc.value
