@@ -58,6 +58,7 @@ EXECUTES_ON_BUILD = {
     "doc_semdedup": "localCheckpoints the embedding relation on build",
     "bpe_tokenize_corpus": "trains the merge list (vocab collect) on build",
     "bpe_fertility_by_lang": "trains the merge list (vocab collect) on build",
+    "bpe_roundtrip_identity": "trains the merge list (vocab collect) on build",
     "leakage_safe_split": "builds on dedup_clusters rounds",
 }
 # (queries with "stream" in the name are skipped generically below)

@@ -2133,14 +2133,22 @@ def exact_substr_dedup(
     posexplode -> one gram aggregate with map-side combine (count +
     packed argmin) -> ONLY >=2x grams re-join the position stream
     (equi-key on the gram, shrinking with corpus cleanliness) ->
-    bounded n-fold explode to covered positions -> distinct -> one
-    doc-keyed anti-join against the token-position stream -> per-doc
-    sort-free reassembly (array_sort(collect_list(struct(pos, tok)))
-    is doc-local). No all-pairs, no driver state; output is |docs|
-    rows with the cleaned text column."""
+    bounded n-fold explode to covered positions -> distinct -> covered
+    positions collected into ONE small array per doc (only duplicated
+    positions ride the ObjectHashAggregate, not the token stream) ->
+    one doc-keyed join back to the token-array relation, where the
+    cleaned text is rebuilt DOC-LOCALLY (filter tokens whose index is
+    outside the covered set, join with spaces). Rebuilding from the
+    full exploded token stream instead (per-doc
+    collect_list(struct(p, tok)) over every token) measured 7.2 s at
+    sf0.1 vs 1.6 s for this shape -- the same
+    non-primitive-aggregate-buffer trap the repetition filter hit. No
+    all-pairs, no driver state; output is |docs| rows with the
+    cleaned text column."""
     toks = tokenize_ws("text")
-    base = documents.select("doc_id", toks.alias("w"))
-    totals = base.select("doc_id", F.size("w").alias("n_tokens"))
+    base = documents.repartition(_default_parallelism(documents)).select(
+        "doc_id", toks.alias("w")
+    )
     pos = base.select(
         "doc_id",
         F.posexplode(word_shingles(F.col("w"), n)).alias("pos", "gram"),
@@ -2163,40 +2171,23 @@ def exact_substr_dedup(
         )
         .distinct()
     )
-    removed = covered.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_removed")
+    cov_arr = covered.groupBy("doc_id").agg(
+        F.collect_list("p").alias("cov")
     )
-    tokpos = base.select(
-        "doc_id", F.posexplode("w").alias("p", "tok")
+    cov = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.transform(
+            "w",
+            lambda t, i: F.when(~F.array_contains(cov, i), t),
+        ),
+        lambda t: t.isNotNull(),
     )
-    kept = (
-        tokpos.join(covered, ["doc_id", "p"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("p", "tok"))
-                    ),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("cleaned_text")
-        )
-    )
-    nrm = F.coalesce(F.col("n_removed"), F.lit(0)).cast("bigint")
-    return (
-        totals.join(removed, "doc_id", "left")
-        .join(kept, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            nrm.alias("n_removed"),
-            (F.col("n_tokens") - nrm).cast("bigint").alias("n_kept"),
-            F.coalesce(F.col("cleaned_text"), F.lit("")).alias(
-                "cleaned_text"
-            ),
-        )
+    return base.join(cov_arr, "doc_id", "left").select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(cov).cast("bigint").alias("n_removed"),
+        (F.size("w") - F.size(cov)).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("cleaned_text"),
     )
 
 
@@ -2371,21 +2362,28 @@ def gopher_repetition_filter(
     that kills them).
 
     `extra_exprs` (name -> Column over the raw `text`/`doc_id` row)
-    rides the same scan projection and comes back as output columns --
-    how rule_filter_funnel gets all three rule families from ONE scan.
+    rides the same projection and comes back as output columns -- how
+    rule_filter_funnel gets all three rule families from ONE scan.
 
-    Plan: ONE corpus scan, no joins. The scan projection computes the
-    line/paragraph measures, the token-length array, and any
-    extra_exprs flags into a per-doc metadata struct, and emits a
-    single exploded stream: one n=0 marker element carrying the
-    metadata plus the (n, pos, gram) shingles for all nine sizes. Three
-    doc-keyed aggregates follow -- (doc,n,gram) occurrence counts with
-    map-side combine (positions collected per gram, bounded by doc
-    length), (doc,n) top-gram packing + covered-position union, then
-    the per-doc pivot -- and the metadata struct flows through them as
-    one first(ignorenulls) row per doc, so the final projection needs
-    no join back to the table. Everything shuffles on doc-local keys;
-    no cross-doc joins, so the op scales like any per-doc aggregate."""
+    Plan: every A1.2 measure is PER-DOCUMENT, so the whole filter is a
+    single shuffle-free narrow projection -- no distributed n-gram
+    aggregate at all. Per doc and per n, the shingle array is sorted
+    doc-locally (array_sort on (gram, pos) structs, O(L log n-gram
+    list)); run-length over the sorted array yields the top-gram packed
+    (cnt, chars) max, and neighbor-equality marks duplicated windows
+    whose position ranges union into the covered set. Intermediates
+    bind ONCE per row through the transform-over-singleton let idiom
+    (`element_at(transform(array(e), x -> body), 1)`) -- naive nested
+    lambdas would re-sort per element access, measured catastrophic.
+    The only exchange is a round-robin repartition of the raw text so
+    a few-file scan parallelizes (measured 29 s -> 2.1 s at sf0.1 on
+    local[32]; at 100 TB the scan has thousands of splits and AQE
+    coalesces the no-op). This beat three distributed designs measured
+    at sf0.1: (doc,n,gram) count aggregate + join-back (9 s, the r5
+    shape), the same with collect_list(pos) (36 s -- any non-primitive
+    aggregate buffer forces ObjectHashAggregate, off the codegen
+    HashAggregate path), and meta-through-aggregates (33 s, same
+    reason)."""
     ns = list(range(2, 11))
     toks = tokenize_ws("text")
     lines = F.split(F.col("text"), "\n")
@@ -2399,137 +2397,154 @@ def gopher_repetition_filter(
             F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
         )
 
-    extra = dict(extra_exprs or {})
-    meta = F.struct(
-        F.length("text").alias("len_t"),
-        F.size(lines).alias("n_lines"),
-        _dup_count(lines).alias("dup_lines"),
-        (_char_sum(lines) - _char_sum(F.array_distinct(lines))).alias(
-            "dup_line_chars"
-        ),
-        F.size(paras).alias("n_paras"),
-        _dup_count(paras).alias("dup_paras"),
-        (_char_sum(paras) - _char_sum(F.array_distinct(paras))).alias(
-            "dup_para_chars"
-        ),
-        F.transform(toks, lambda t: F.length(t)).alias("tlens"),
-        *[c.alias(f"x_{name}") for name, c in extra.items()],
-    )
-    # typed NULL of meta's struct type for the gram elements (never
-    # evaluated -- constant-folds to a null literal)
-    null_meta = F.when(F.lit(False), meta)
+    def _let(bound, body):
+        # let-binding via a single-element higher-order function: the
+        # lambda variable is evaluated once and referenced many times.
+        return F.element_at(F.transform(F.array(bound), body), 1)
 
-    def _tag(n):
-        # 2-arg lambda ON PURPOSE: F.transform binds the element index
-        # to the second parameter, giving the shingle's token position.
-        return lambda g, i: F.struct(
-            F.lit(n).alias("n"),
-            i.alias("pos"),
-            g.alias("gram"),
-            null_meta.alias("meta"),
+    def _empty_ints():
+        return F.array().cast("array<int>")
+
+    def _top_chars(w, n):
+        """Doc-local most-frequent-n-gram char mass: sort the (gram,
+        pos) structs, find run starts, max over runs of packed
+        (cnt * 2^32 + cnt * len)."""
+        zipped = F.transform(
+            word_shingles(w, n),
+            lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
         )
 
-    stream = F.concat(
-        F.array(
-            F.struct(
-                F.lit(0).alias("n"),
-                F.lit(0).alias("pos"),
-                F.lit(None).cast("string").alias("gram"),
-                meta.alias("meta"),
+        def body(srt):
+            L = F.size(srt)
+            nxt = F.slice(srt, 2, F.greatest(L - 1, F.lit(0)))
+            eq_next = F.zip_with(
+                srt, nxt, lambda a, b: F.coalesce(a["gram"] == b["gram"], F.lit(False))
             )
-        ),
-        F.flatten(
-            F.array(*[F.transform(word_shingles(toks, n), _tag(n)) for n in ns])
-        ),
-    )
-    g = documents.select("doc_id", F.explode(stream).alias("s")).select(
-        "doc_id",
-        F.col("s.n").alias("n"),
-        F.col("s.pos").alias("pos"),
-        F.col("s.gram").alias("gram"),
-        F.col("s.meta").alias("meta"),
-    )
-    cnt = g.groupBy("doc_id", "n", "gram").agg(
-        F.count("*").alias("cnt"),
-        F.collect_list("pos").alias("poss"),
-        F.first("meta", ignorenulls=True).alias("meta"),
-    )
-    chars = F.col("cnt") * F.length("gram")
-    expanded = cnt.select(
-        "doc_id",
-        "n",
-        "meta",
-        (F.col("cnt") * F.lit(_REP_PACK) + chars).alias("packed"),
-        F.when(
-            (F.col("n") >= 5) & (F.col("cnt") >= 2),
-            F.flatten(
-                F.transform(
-                    "poss", lambda p: F.sequence(p, p + F.col("n") - 1)
+
+            def from_eqn(eqn):
+                idx = F.when(L > 0, F.sequence(F.lit(0), L - 1)).otherwise(
+                    _empty_ints()
                 )
-            ),
-        ).alias("dup_pos"),
-    )
-    stats = expanded.groupBy("doc_id", "n").agg(
-        F.max("packed").alias("packed"),
-        F.array_distinct(F.flatten(F.collect_list("dup_pos"))).alias(
-            "covered"
-        ),
-        F.first("meta", ignorenulls=True).alias("meta"),
-    )
-    piv = stats.groupBy("doc_id").agg(
-        *[
-            F.max(
-                F.when(F.col("n") == k, F.col("packed") % F.lit(_REP_PACK))
-            ).alias(f"top{k}_chars")
-            for k in (2, 3, 4)
-        ],
-        *[
-            F.first(
-                F.when(F.col("n") == k, F.col("covered")), ignorenulls=True
-            ).alias(f"cov{k}")
-            for k in range(5, 11)
-        ],
-        F.first("meta", ignorenulls=True).alias("meta"),
-    )
+                # element_at(eqn, j) is 1-based == eq_next[j-1]:
+                # "is srt[j] equal to its predecessor"
+                starts = F.filter(
+                    idx,
+                    lambda j: F.when(j == 0, F.lit(True)).otherwise(
+                        ~F.coalesce(F.element_at(eqn, j), F.lit(False))
+                    ),
+                )
 
-    m = F.col("meta")
-    tlens = m["tlens"]
+                def from_starts(st):
+                    ends = F.concat(
+                        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
+                        F.when(F.size(st) > 0, F.array(L)).otherwise(
+                            _empty_ints()
+                        ),
+                    )
+                    packeds = F.zip_with(
+                        st,
+                        ends,
+                        lambda a, b: (b - a).cast("bigint") * F.lit(_REP_PACK)
+                        + (b - a).cast("bigint")
+                        * F.length(F.element_at(srt, a + 1)["gram"]),
+                    )
+                    return F.coalesce(
+                        F.array_max(packeds) % F.lit(_REP_PACK), F.lit(0)
+                    )
 
-    def _dup_chars(k):
-        # union char mass: covered token lengths + one space per
-        # ADJACENT covered pair (sorted positions, linear zip_with)
-        cov = F.array_sort(
-            F.coalesce(F.col(f"cov{k}"), F.array().cast("array<int>"))
+                return _let(starts, from_starts)
+
+            return _let(eq_next, from_eqn)
+
+        return _let(F.array_sort(zipped), body)
+
+    def _dup_chars(w, tlens, n):
+        """Doc-local duplicated-n-gram positional char mass: sorted
+        (gram, pos) structs -> neighbor-equality flags -> union of
+        covered token positions -> covered token lengths + one joining
+        space per adjacent covered pair."""
+        zipped = F.transform(
+            word_shingles(w, n),
+            lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
         )
-        tok_chars = F.aggregate(
-            cov, F.lit(0), lambda a, p: a + F.element_at(tlens, p + 1)
-        )
-        nxt = F.slice(cov, 2, F.greatest(F.size(cov) - 1, F.lit(0)))
-        adj = F.size(
-            F.filter(
-                F.zip_with(cov, nxt, lambda a, b: b - a),
-                lambda d: d == F.lit(1),
+
+        def body(srt):
+            L = F.size(srt)
+            nxt = F.slice(srt, 2, F.greatest(L - 1, F.lit(0)))
+            eq_next = F.zip_with(
+                srt, nxt, lambda a, b: F.coalesce(a["gram"] == b["gram"], F.lit(False))
             )
-        )
-        return tok_chars + adj
+
+            def from_eqn(eqn):
+                eq_prev = F.concat(
+                    F.array(F.lit(False)),
+                    F.slice(eqn, 1, F.greatest(L - 1, F.lit(0))),
+                )
+                flags = F.zip_with(eqn, eq_prev, lambda a, b: a | b)
+                dup_entries = F.filter(
+                    F.zip_with(srt, flags, lambda s, fl: F.when(fl, s)),
+                    lambda x: x.isNotNull(),
+                )
+                cov0 = F.array_sort(
+                    F.array_distinct(
+                        F.flatten(
+                            F.transform(
+                                dup_entries,
+                                lambda s: F.sequence(
+                                    s["pos"], s["pos"] + F.lit(n - 1)
+                                ),
+                            )
+                        )
+                    )
+                )
+
+                def from_cov(cov):
+                    tok_chars = F.aggregate(
+                        cov,
+                        F.lit(0),
+                        lambda a, p: a + F.element_at(tlens, p + 1),
+                    )
+                    cn = F.slice(
+                        cov, 2, F.greatest(F.size(cov) - 1, F.lit(0))
+                    )
+                    adj = F.size(
+                        F.filter(
+                            F.zip_with(cov, cn, lambda a, b: b - a),
+                            lambda d: d == F.lit(1),
+                        )
+                    )
+                    return tok_chars + adj
+
+                return _let(cov0, from_cov)
+
+            return _let(eq_next, from_eqn)
+
+        return _let(F.array_sort(zipped), body)
+
+    extra = dict(extra_exprs or {})
+    len_t = F.length("text")
 
     def _frac(num, den):
         return F.when(den == 0, F.lit(0.0)).otherwise(
             F.coalesce(num, F.lit(0)) / den
         )
 
-    len_t = m["len_t"]
+    tlens = F.transform(toks, lambda t: F.length(t))
     fracs = {
-        "dup_line_frac": _frac(m["dup_lines"], m["n_lines"]),
-        "dup_para_frac": _frac(m["dup_paras"], m["n_paras"]),
-        "dup_line_char_frac": _frac(m["dup_line_chars"], len_t),
-        "dup_para_char_frac": _frac(m["dup_para_chars"], len_t),
+        "dup_line_frac": _frac(_dup_count(lines), F.size(lines)),
+        "dup_para_frac": _frac(_dup_count(paras), F.size(paras)),
+        "dup_line_char_frac": _frac(
+            _char_sum(lines) - _char_sum(F.array_distinct(lines)), len_t
+        ),
+        "dup_para_char_frac": _frac(
+            _char_sum(paras) - _char_sum(F.array_distinct(paras)), len_t
+        ),
         **{
-            f"top{k}_char_frac": _frac(F.col(f"top{k}_chars"), len_t)
+            f"top{k}_char_frac": _frac(_top_chars(toks, k), len_t)
             for k in (2, 3, 4)
         },
         **{
-            f"dup{k}_char_frac": _frac(_dup_chars(k), len_t)
+            f"dup{k}_char_frac": _frac(_dup_chars(toks, tlens, k), len_t)
             for k in range(5, 11)
         },
     }
@@ -2537,11 +2552,13 @@ def gopher_repetition_filter(
     for name, expr in fracs.items():
         ok = expr <= F.lit(GOPHER_REP_THRESHOLDS[name])
         verdict = ok if verdict is None else (verdict & ok)
-    return piv.select(
+    # round-robin repartition: parallelism for few-file local scans; at
+    # cluster scale the scan already has splits and AQE coalesces.
+    return documents.repartition(_default_parallelism(documents)).select(
         "doc_id",
         *[expr.alias(name) for name, expr in fracs.items()],
         verdict.alias("repetition_pass"),
-        *[m[f"x_{name}"].alias(name) for name in extra],
+        *[c.alias(name) for name, c in extra.items()],
     )
 
 

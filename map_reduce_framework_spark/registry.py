@@ -251,17 +251,6 @@ def q_q17(spark, sf_dir):
     )
 
 
-@register(
-    "q18_large_volume_customers", rel.ORACLE_SQL["q18_large_volume_customers"]
-)
-def q_q18(spark, sf_dir):
-    return rel.q18_large_volume_customers(
-        _t(spark, sf_dir, "customer"),
-        _t(spark, sf_dir, "orders"),
-        _t(spark, sf_dir, "lineitem"),
-    )
-
-
 @register("q19_disjunctive_revenue", rel.ORACLE_SQL["q19_disjunctive_revenue"])
 def q_q19(spark, sf_dir):
     return rel.q19_disjunctive_revenue(

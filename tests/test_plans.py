@@ -339,15 +339,20 @@ def test_hybrid_ann_semantic_side_is_not_brute_force(spark):
     "name", ["gopher_repetition_filter", "rule_filter_funnel"]
 )
 def test_rule_filters_scan_corpus_once(spark, name):
-    """The A1.2 repetition filter is a single-scan plan (the per-doc
-    metadata struct rides the exploded shingle stream through its
-    doc-keyed aggregates -- no join back to the table), and the funnel
-    inherits it: A1.1 + C4 verdicts are extra columns in the SAME scan
-    projection. Three scans for a 4-row report was the round-5 weak."""
+    """The A1.2 repetition filter is one scan + one shuffle-free
+    narrow projection: every measure is per-document, so the n-gram
+    sort/run-length/coverage work is doc-local array arithmetic -- no
+    distributed gram aggregate, no join back to the table. The funnel
+    inherits it: A1.1 + C4 verdicts are extra columns in the SAME
+    projection. Three scans for a 4-row report was the round-5 weak;
+    the only exchanges allowed are the round-robin scan repartition
+    (parallelism for few-file local scans) and, for the funnel, the
+    final 4-row aggregate's."""
     plan = _formatted_plan(spark, name)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
 
 
 @pytest.mark.parametrize("name", ["corpus_data_card", "bpe_top_merges"])

@@ -358,3 +358,96 @@ def test_kv_fold_segmented_peak_batch_is_segment_bounded(spark):
     want = sorted(tuple(r) for r in kv.kv_fold(df).collect())
     assert got == want and len(got) == n_ops
     assert 0 < acc.value <= seg, acc.value
+
+
+def _crafted_bmp():
+    """A 4x2 24-bit BMP with distinct known pixels, built by hand so the
+    decoder is tested against the spec, not against the encoder."""
+    import numpy as np
+
+    # top-down RGB rows as the DECODER must return them
+    px = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 0]],
+            [[10, 20, 30], [40, 50, 60], [70, 80, 90], [100, 110, 120]],
+        ],
+        dtype=np.uint8,
+    )
+    w, h, stride = 4, 2, 12  # 4*3 = 12, already 4-byte aligned
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        for x in range(w):
+            r, g, b = px[y, x]
+            rows += bytes([b, g, r])  # BGR
+    header = (
+        b"BM"
+        + (54 + stride * h).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + rows, px
+
+
+def test_bmp_pixel_decode_known_values():
+    """decode_bmp_pixels against a hand-built BMP: exact pixel values,
+    BGR->RGB and bottom-up->top-down handled; encode_bmp round-trips;
+    decode_image returns pixels for BMP and still raises (env-gated)
+    for compressed formats only."""
+    import numpy as np
+    import pytest as _pytest
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_image,
+        encode_bmp,
+        nearest_neighbor_resize,
+    )
+
+    payload, px = _crafted_bmp()
+    got = decode_bmp_pixels(payload)
+    assert got is not None and np.array_equal(got, px)
+    assert np.array_equal(decode_image(payload), px)
+    # encoder round-trip: decode(encode(px)) == px
+    assert np.array_equal(decode_bmp_pixels(encode_bmp(px)), px)
+    # nearest-neighbor: 4x2 -> 2x1 picks src cols {0,2}, src row 0
+    small = nearest_neighbor_resize(px, 2, 1)
+    assert small.tolist() == [[[255, 0, 0], [0, 0, 255]]]
+    # stub now narrowed to compressed formats
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    with _pytest.raises(NotImplementedError):
+        decode_image(png)
+
+
+def test_resize_images_real_pixels_end_to_end(spark):
+    """The resize operator on a REAL BMP payload: header dims come from
+    the pixels, the resized payload is a decodable BMP whose pixel
+    values are the exact nearest-neighbor picks -- not a passthrough."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        resize_images,
+    )
+
+    payload, px = _crafted_bmp()
+    media = spark.createDataFrame(
+        [(1, bytearray(payload), "s")],
+        "doc_id long, payload binary, source string",
+    )
+    (row,) = resize_images(media, max_dim=2).collect()
+    assert (row.width, row.height) == (4, 2)
+    assert (row.new_width, row.new_height) == (2, 1)
+    out = decode_bmp_pixels(bytes(row.resized))
+    assert out.tolist() == [[[255, 0, 0], [0, 0, 255]]]
+    # no-op path: already within max_dim -> re-encoded, pixel-identical
+    (row2,) = resize_images(media, max_dim=8).collect()
+    assert (row2.new_width, row2.new_height) == (4, 2)
+    assert np.array_equal(decode_bmp_pixels(bytes(row2.resized)), px)
