@@ -3,15 +3,18 @@ with typed metadata, processed by Arrow-batched pandas UDFs.
 
 Header-level metadata (width/height/format) is REAL for BMP/PNG/GIF/JPEG
 -- ``decode_image_header`` parses the bytes directly, no codec needed.
-PIXEL decode is REAL for uncompressed 24/32-bit BMP (``decode_bmp_pixels``
-+ ``encode_bmp`` + ``nearest_neighbor_resize``, pure byte/index
-arithmetic); it is stubbed only for compressed formats (``decode_image``
-raises NotImplementedError there; the container has no PIL/libjpeg/zlib
-codecs) and ``fake_decode_meta`` stands in for payloads with no known
-magic (the synthetic utf-8 corpus). The Spark-side plumbing is real and
-tested either way: binary column construction, mapInPandas batch shapes,
+PIXEL decode is REAL for uncompressed 24/32-bit BMP
+(``decode_bmp_pixels`` + ``encode_bmp`` + ``nearest_neighbor_resize``,
+pure byte/index arithmetic) and for non-interlaced 8-bit PNG
+(``decode_png_pixels``: stdlib zlib inflate + the five spec scanline
+filters); it is stubbed only for GIF (LZW) and JPEG (DCT), whose
+decoders genuinely need libraries absent in this container
+(``decode_image`` raises NotImplementedError there), and
+``fake_decode_meta`` stands in for payloads with no known magic (the
+synthetic utf-8 corpus). The Spark-side plumbing is real and tested
+either way: binary column construction, mapInPandas batch shapes,
 schema contracts, partition-parallel feature extraction. Swapping the
-compressed-format stub for PIL/ffmpeg is a one-function change.
+GIF/JPEG stub for PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; filters on typed metadata (width/height/n_bytes) push down so a
@@ -38,22 +41,132 @@ from pyspark.sql.types import (
 
 
 def decode_image(payload: bytes) -> "object":
-    """Full pixel decode. REAL for uncompressed 24/32-bit BMP -- pure
-    byte arithmetic, no codec (``decode_bmp_pixels``); the stub is now
-    narrowed to the compressed formats (PNG/GIF/JPEG need zlib/LZW/
-    libjpeg, absent in this container -- replace with
-    PIL.Image.open(io.BytesIO(payload)) where available). Header-level
+    """Full pixel decode. REAL for uncompressed 24/32-bit BMP (pure
+    byte arithmetic, ``decode_bmp_pixels``) and for non-interlaced
+    8-bit PNG (stdlib zlib inflate + spec unfilter,
+    ``decode_png_pixels`` -- 'no codecs in the container' was never
+    true for PNG, whose only codec is DEFLATE). The stub is narrowed
+    to GIF (LZW) and JPEG (DCT), whose decoders genuinely need
+    libraries absent here -- replace with
+    PIL.Image.open(io.BytesIO(payload)) where available. Header-level
     metadata never needs this: see ``decode_image_header``."""
     px = decode_bmp_pixels(payload)
+    if px is None:
+        px = decode_png_pixels(payload)
     if px is not None:
         return px
     raise NotImplementedError(
-        "compressed-image codecs (PNG/GIF/JPEG) are not available in "
-        "this environment; uncompressed BMP decodes for real via "
-        "decode_bmp_pixels, header metadata comes from "
-        "decode_image_header, and fake_decode_meta covers the "
-        "synthetic test corpus"
+        "GIF/JPEG decoders are not available in this environment; "
+        "uncompressed BMP and 8-bit PNG decode for real "
+        "(decode_bmp_pixels / decode_png_pixels), header metadata "
+        "comes from decode_image_header, and fake_decode_meta covers "
+        "the synthetic test corpus"
     )
+
+
+def decode_png_pixels(payload: bytes):
+    """Dependency-free pixel decode for non-interlaced 8-bit-depth PNG
+    (color types 0 gray / 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA):
+    returns numpy uint8 (height, width, 3) RGB (alpha dropped, gray
+    replicated, palette resolved), or None when the payload is not
+    such a PNG. Pure stdlib: chunk walk per the PNG spec, zlib inflate
+    of the concatenated IDAT stream, then scanline unfiltering (the
+    five spec filters None/Sub/Up/Average/Paeth). The unfilter loop is
+    per-byte Python -- fine for the small-image curation payloads this
+    engine decodes in Arrow batches; swap for PIL where thumbnails get
+    big."""
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 45 or payload[:8] != _PNG_MAGIC:
+        return None
+    pos, ihdr, plte, idat = 8, None, None, []
+    n = len(payload)
+    while pos + 8 <= n:
+        clen = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) < clen:
+            return None
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if (
+        width <= 0
+        or height <= 0
+        or bit_depth != 8
+        or channels is None
+        or comp != 0
+        or filt != 0
+        or interlace != 0
+        or (color_type == 3 and plte is None)
+    ):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
+        height, width, channels
+    )
+    if color_type == 2:
+        return px.copy()
+    if color_type == 6:
+        return px[:, :, :3].copy()
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette: resolve indices against PLTE (RGB triples)
+    pal = np.frombuffer(plte, dtype=np.uint8)
+    if len(pal) % 3 or px.max() >= len(pal) // 3:
+        return None
+    return pal.reshape(-1, 3)[px[:, :, 0]]
 
 
 def decode_bmp_pixels(payload: bytes):
@@ -335,14 +448,15 @@ def resize_images(media: DataFrame, max_dim: int = MAX_DIM) -> DataFrame:
     """Resize-to-fit: decode -> compute target dims with pure integer
     arithmetic (longest edge -> max_dim, aspect preserved, no-op when
     already smaller) -> nearest-neighbor resample -> re-encode. REAL
-    end-to-end for uncompressed 24/32-bit BMP payloads
-    (decode_bmp_pixels / nearest_neighbor_resize / encode_bmp, all
-    dependency-free byte+index arithmetic, pixel-value tested on a
-    crafted BMP); compressed formats and the synthetic utf-8 corpus
-    keep the header-or-fake dims with payload passthrough (re-encoding
-    them needs the codecs this container lacks). The batch shape,
-    schema contract, and partition parallelism are identical either
-    way."""
+    end-to-end for uncompressed 24/32-bit BMP and non-interlaced 8-bit
+    PNG payloads (decode_bmp_pixels / decode_png_pixels /
+    nearest_neighbor_resize / encode_bmp -- dependency-free byte+index
+    arithmetic plus stdlib zlib; pixel-value tested on crafted BMP and
+    PNG payloads; resized output is re-encoded as 24-bit BMP, the one
+    format this environment can WRITE without a compressor). GIF/JPEG
+    and the synthetic utf-8 corpus keep the header-or-fake dims with
+    payload passthrough. The batch shape, schema contract, and
+    partition parallelism are identical either way."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -353,6 +467,8 @@ def resize_images(media: DataFrame, max_dim: int = MAX_DIM) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 p = bytes(payload)
                 px = decode_bmp_pixels(p)
+                if px is None:
+                    px = decode_png_pixels(p)
                 if px is not None:
                     h, w = px.shape[0], px.shape[1]
                 else:

@@ -451,3 +451,143 @@ def test_resize_images_real_pixels_end_to_end(spark):
     (row2,) = resize_images(media, max_dim=8).collect()
     assert (row2.new_width, row2.new_height) == (4, 2)
     assert np.array_equal(decode_bmp_pixels(bytes(row2.resized)), px)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib as _z
+
+    return (
+        len(data).to_bytes(4, "big")
+        + ctype
+        + data
+        + _z.crc32(ctype + data).to_bytes(4, "big")
+    )
+
+
+def _crafted_png(px, color_type, filters, plte=None):
+    """Hand-build a PNG: px is the RAW (pre-filter) sample array
+    (h, w, channels); each row is encoded with the given filter type so
+    the DECODER's unfiltering is what the test exercises."""
+    import zlib as _z
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    raw = b""
+    prev = bytes(w * ch)
+    for y, ftype in zip(range(h), filters):
+        line = bytes(px[y].reshape(-1))
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:  # Sub
+            enc = bytes(
+                (line[i] - (line[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(len(line))
+            )
+        elif ftype == 2:  # Up
+            enc = bytes((line[i] - prev[i]) & 0xFF for i in range(len(line)))
+        elif ftype == 3:  # Average
+            enc = bytes(
+                (line[i] - (((line[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(len(line))
+            )
+        else:  # Paeth
+            def paeth(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+            enc = bytes(
+                (
+                    line[i]
+                    - paeth(
+                        line[i - ch] if i >= ch else 0,
+                        prev[i],
+                        prev[i - ch] if i >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(line))
+            )
+        raw += bytes([ftype]) + enc
+        prev = line
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", bytes(plte))
+    out += _png_chunk(b"IDAT", _z.compress(raw)) + _png_chunk(b"IEND", b"")
+    return out
+
+
+def test_png_pixel_decode_all_filters_and_color_types():
+    """decode_png_pixels against hand-filtered scanlines: one row per
+    spec filter type (None/Sub/Up/Average/Paeth) must unfilter back to
+    the exact source pixels; RGBA drops alpha, grayscale replicates,
+    palette resolves through PLTE; a truncated stream returns None."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_image,
+        decode_png_pixels,
+    )
+
+    rng = [
+        [10, 20, 30, 40, 250, 60, 7, 80, 90, 200, 110, 120],
+        [13, 24, 35, 46, 57, 68, 79, 90, 101, 112, 123, 134],
+        [255, 0, 128, 1, 2, 3, 254, 5, 6, 7, 8, 9],
+        [11, 22, 33, 44, 55, 66, 77, 88, 99, 111, 222, 133],
+        [99, 98, 97, 96, 95, 94, 93, 92, 91, 90, 89, 88],
+    ]
+    px = np.array(rng, dtype=np.uint8).reshape(5, 4, 3)
+    payload = _crafted_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    got = decode_png_pixels(payload)
+    assert got is not None and np.array_equal(got, px)
+    assert np.array_equal(decode_image(payload), px)
+
+    rgba = np.dstack([px, np.full((5, 4), 200, np.uint8)])
+    got4 = decode_png_pixels(_crafted_png(rgba, 6, [4, 3, 2, 1, 0]))
+    assert np.array_equal(got4, px)
+
+    gray = px[:, :, :1]
+    gotg = decode_png_pixels(_crafted_png(gray, 0, [0, 1, 2, 3, 4]))
+    assert np.array_equal(gotg, np.repeat(gray, 3, axis=2))
+
+    idxs = np.array([[0, 1], [2, 1]], dtype=np.uint8).reshape(2, 2, 1)
+    plte = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    gotp = decode_png_pixels(_crafted_png(idxs, 3, [0, 0], plte=plte))
+    assert gotp.tolist() == [
+        [[255, 0, 0], [0, 255, 0]],
+        [[0, 0, 255], [0, 255, 0]],
+    ]
+
+    # a truncated IDAT must fail cleanly (None, not an exception)
+    assert decode_png_pixels(payload[:60]) is None
+
+
+def test_resize_images_real_pixels_png_end_to_end(spark):
+    """resize_images on a PNG payload: real decode, nearest-neighbor
+    pick, BMP re-encode with the exact expected pixel values."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        resize_images,
+    )
+
+    px = np.arange(4 * 2 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    payload = _crafted_png(px, color_type=2, filters=[0, 4])
+    media = spark.createDataFrame(
+        [(7, bytearray(payload), "s")],
+        "doc_id long, payload binary, source string",
+    )
+    (row,) = resize_images(media, max_dim=2).collect()
+    assert (row.width, row.height) == (4, 2)
+    assert (row.new_width, row.new_height) == (2, 1)
+    out = decode_bmp_pixels(bytes(row.resized))
+    assert np.array_equal(out, px[[0]][:, [0, 2]])
