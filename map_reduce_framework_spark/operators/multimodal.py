@@ -7,14 +7,15 @@ PIXEL decode is REAL for uncompressed 24/32-bit BMP
 (``decode_bmp_pixels`` + ``encode_bmp`` + ``nearest_neighbor_resize``,
 pure byte/index arithmetic) and for non-interlaced 8-bit PNG
 (``decode_png_pixels``: stdlib zlib inflate + the five spec scanline
-filters); it is stubbed only for GIF (LZW) and JPEG (DCT), whose
-decoders genuinely need libraries absent in this container
-(``decode_image`` raises NotImplementedError there), and
+filters) and for GIF87a/89a (``decode_gif_pixels``: pure-Python
+variable-width LZW, first frame, deinterlace); it is stubbed only for
+JPEG, whose DCT+entropy decoder genuinely needs libraries absent in
+this container (``decode_image`` raises NotImplementedError there), and
 ``fake_decode_meta`` stands in for payloads with no known magic (the
 synthetic utf-8 corpus). The Spark-side plumbing is real and tested
 either way: binary column construction, mapInPandas batch shapes,
 schema contracts, partition-parallel feature extraction. Swapping the
-GIF/JPEG stub for PIL/ffmpeg is a one-function change.
+JPEG stub for PIL/ffmpeg is a one-function change.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; filters on typed metadata (width/height/n_bytes) push down so a
@@ -42,26 +43,162 @@ from pyspark.sql.types import (
 
 def decode_image(payload: bytes) -> "object":
     """Full pixel decode. REAL for uncompressed 24/32-bit BMP (pure
-    byte arithmetic, ``decode_bmp_pixels``) and for non-interlaced
-    8-bit PNG (stdlib zlib inflate + spec unfilter,
-    ``decode_png_pixels`` -- 'no codecs in the container' was never
-    true for PNG, whose only codec is DEFLATE). The stub is narrowed
-    to GIF (LZW) and JPEG (DCT), whose decoders genuinely need
-    libraries absent here -- replace with
-    PIL.Image.open(io.BytesIO(payload)) where available. Header-level
-    metadata never needs this: see ``decode_image_header``."""
+    byte arithmetic, ``decode_bmp_pixels``), for non-interlaced 8-bit
+    PNG (stdlib zlib inflate + spec unfilter, ``decode_png_pixels`` --
+    'no codecs in the container' was never true for PNG, whose only
+    codec is DEFLATE), and for GIF87a/89a (pure-Python variable-width
+    LZW, ``decode_gif_pixels``). The stub is narrowed to JPEG, whose
+    DCT + entropy decoder genuinely needs libraries absent here --
+    replace with PIL.Image.open(io.BytesIO(payload)) where available.
+    Header-level metadata never needs this: see
+    ``decode_image_header``."""
     px = decode_bmp_pixels(payload)
     if px is None:
         px = decode_png_pixels(payload)
+    if px is None:
+        px = decode_gif_pixels(payload)
     if px is not None:
         return px
     raise NotImplementedError(
-        "GIF/JPEG decoders are not available in this environment; "
-        "uncompressed BMP and 8-bit PNG decode for real "
-        "(decode_bmp_pixels / decode_png_pixels), header metadata "
-        "comes from decode_image_header, and fake_decode_meta covers "
-        "the synthetic test corpus"
+        "a JPEG decoder (DCT + entropy coding) is not available in "
+        "this environment; uncompressed BMP, 8-bit PNG, and GIF87a/89a "
+        "decode for real (decode_bmp_pixels / decode_png_pixels / "
+        "decode_gif_pixels), header metadata comes from "
+        "decode_image_header, and fake_decode_meta covers the "
+        "synthetic test corpus"
     )
+
+
+def decode_gif_pixels(payload: bytes):
+    """Dependency-free pixel decode for GIF87a/89a (first image frame):
+    returns numpy uint8 (height, width, 3) RGB, or None when the
+    payload is not a decodable GIF. Pure Python per the GIF89a spec:
+    Logical Screen Descriptor + color tables, extension-block skip,
+    then variable-code-width LZW decompression of the first Image
+    Descriptor's data sub-blocks (clear/EOI codes, code width growth
+    at 2^width, deinterlace when flagged). Transparency is ignored
+    (the transparent index renders as its table color) -- the standard
+    still-image reading. The LZW loop is per-code Python, fine for the
+    small curation payloads decoded in Arrow batches."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        if pos + 3 * size > n:
+            return None
+        gct = payload[pos : pos + 3 * size]
+        pos += 3 * size
+    while pos < n:
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + data sub-blocks
+            pos += 2
+            while pos < n and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            if pos + 10 > n:
+                return None
+            iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            table = gct
+            if iflags & 0x80:  # local color table
+                size = 2 << (iflags & 0x07)
+                if pos + 3 * size > n:
+                    return None
+                table = payload[pos : pos + 3 * size]
+                pos += 3 * size
+            if table is None or iw <= 0 or ih <= 0 or pos >= n:
+                return None
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while pos < n and payload[pos] != 0:
+                cnt = payload[pos]
+                data += payload[pos + 1 : pos + 1 + cnt]
+                pos += 1 + cnt
+            idx = _gif_lzw_decode(bytes(data), min_code_size, iw * ih)
+            if idx is None:
+                return None
+            pix = np.frombuffer(bytes(idx), dtype=np.uint8)
+            pal = np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+            if pix.max(initial=0) >= len(pal):
+                return None
+            img = pal[pix].reshape(ih, iw, 3)
+            if iflags & 0x40:  # deinterlace (4-pass row order)
+                order = (
+                    list(range(0, ih, 8))
+                    + list(range(4, ih, 8))
+                    + list(range(2, ih, 4))
+                    + list(range(1, ih, 2))
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            # ignore sw/sh placement: first frame pixels are the image
+            del sw, sh
+            return img
+        elif b0 == 0x3B:  # trailer before any image
+            return None
+        else:
+            return None
+    return None
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
+    """GIF-variant LZW: little-endian bit packing, clear/EOI codes,
+    code width grows after the table reaches 2^width (cap 12 bits).
+    Returns the index stream (bytearray) or None on a corrupt code."""
+    if not 2 <= min_code_size <= 11:
+        return None
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, eoi + 1
+
+    table, width, next_code = reset()
+    out = bytearray()
+    acc = nbits = 0
+    prev = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, next_code = reset()
+                prev = None
+                continue
+            if code == eoi:
+                return out if len(out) >= max_pixels else None
+            if code in table:
+                entry = table[code]
+            elif code == next_code and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                return None
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+            if len(out) >= max_pixels:
+                return out[:max_pixels]
+    return out if len(out) >= max_pixels else None
 
 
 def decode_png_pixels(payload: bytes):
@@ -449,11 +586,12 @@ def resize_images(media: DataFrame, max_dim: int = MAX_DIM) -> DataFrame:
     arithmetic (longest edge -> max_dim, aspect preserved, no-op when
     already smaller) -> nearest-neighbor resample -> re-encode. REAL
     end-to-end for uncompressed 24/32-bit BMP and non-interlaced 8-bit
-    PNG payloads (decode_bmp_pixels / decode_png_pixels /
-    nearest_neighbor_resize / encode_bmp -- dependency-free byte+index
-    arithmetic plus stdlib zlib; pixel-value tested on crafted BMP and
-    PNG payloads; resized output is re-encoded as 24-bit BMP, the one
-    format this environment can WRITE without a compressor). GIF/JPEG
+    PNG payloads and GIF87a/89a (decode_bmp_pixels / decode_png_pixels /
+    decode_gif_pixels / nearest_neighbor_resize / encode_bmp --
+    dependency-free byte+index arithmetic plus stdlib zlib and a
+    pure-Python LZW; pixel-value tested on crafted BMP/PNG/GIF
+    payloads; resized output is re-encoded as 24-bit BMP, the one
+    format this environment can WRITE without a compressor). JPEG
     and the synthetic utf-8 corpus keep the header-or-fake dims with
     payload passthrough. The batch shape, schema contract, and
     partition parallelism are identical either way."""
@@ -469,6 +607,8 @@ def resize_images(media: DataFrame, max_dim: int = MAX_DIM) -> DataFrame:
                 px = decode_bmp_pixels(p)
                 if px is None:
                     px = decode_png_pixels(p)
+                if px is None:
+                    px = decode_gif_pixels(p)
                 if px is not None:
                     h, w = px.shape[0], px.shape[1]
                 else:

@@ -541,31 +541,42 @@ ORACLE_SQL["dsir_score_stream"] = _TA_SQL2["dsir_log_weights"]
 
 
 def q_rule_filter_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The published rule filters at ingest: Gopher A1.1 + C4 verdicts
-    per arriving document, append mode, truly stateless -- the rule
-    expressions are shared with the batch filters (gopher_rule_exprs /
-    c4_rule_exprs), so BOTH rule families evaluate in ONE projection
-    over the stream: no join, no state store, no watermark. The
-    registered oracle composes the two batch oracles, so the sweep
-    proves stream==batch for the rule family. (A1.2 repetition needs
-    per-doc n-gram aggregates -- doc-local too, but its groupBys make
-    it a separate micro-batch stage; the batch op remains its home.)"""
-    from ..operators.text_analysis import c4_rule_exprs, gopher_rule_exprs
+    """ALL THREE published rule families at ingest: Gopher A1.1, the
+    complete A1.2 repetition filter, and the C4 page rules, per
+    arriving document, append mode, truly stateless. Possible because
+    the round-6 A1.2 rewrite made the repetition filter a doc-local
+    PROJECTION (per-doc shingle sort + run-length + coverage -- no
+    groupBy), so the A1.1/C4 verdicts ride it as extra_exprs exactly
+    like the batch rule_filter_funnel: one projection over the stream,
+    no join, no state store, no watermark. The registered oracle
+    composes the three batch oracles, so the sweep proves
+    stream==batch for the whole rule family."""
+    from ..operators.text_analysis import (
+        c4_rule_exprs,
+        gopher_repetition_filter,
+        gopher_rule_exprs,
+    )
 
     docs = read_documents_stream(spark, sf_dir)
     g = gopher_rule_exprs()
     c = c4_rule_exprs()
-    verdicts = docs.select(
-        "doc_id",
-        g["gopher_pass"].alias("gopher_pass"),
-        c["n_sentences"].alias("n_sentences"),
-        c["keep_doc"].alias("keep_doc"),
+    verdicts = gopher_repetition_filter(
+        docs,
+        extra_exprs={
+            "gopher_pass": g["gopher_pass"],
+            "n_sentences": c["n_sentences"],
+            "keep_doc": c["keep_doc"],
+        },
+    ).select(
+        "doc_id", "gopher_pass", "n_sentences", "keep_doc", "repetition_pass"
     )
     return run_to_memory(verdicts, output_mode="append")
 
 
 ORACLE_SQL["rule_filter_stream"] = f"""
-    SELECT g.doc_id, g.gopher_pass, c.n_sentences, c.keep_doc
+    SELECT g.doc_id, g.gopher_pass, c.n_sentences, c.keep_doc,
+           r.repetition_pass
     FROM ({_TA_SQL["gopher_quality_filter"]}) g
     JOIN ({_TA_SQL["c4_quality_filter"]}) c USING (doc_id)
+    JOIN ({_TA_SQL["gopher_repetition_filter"]}) r USING (doc_id)
 """

@@ -420,10 +420,14 @@ def test_bmp_pixel_decode_known_values():
     # nearest-neighbor: 4x2 -> 2x1 picks src cols {0,2}, src row 0
     small = nearest_neighbor_resize(px, 2, 1)
     assert small.tolist() == [[[255, 0, 0], [0, 0, 255]]]
-    # stub now narrowed to compressed formats
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    # stub now narrowed to JPEG (BMP/PNG/GIF all decode for real);
+    # a structurally broken PNG also falls through to the env gate
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 20
     with _pytest.raises(NotImplementedError):
-        decode_image(png)
+        decode_image(jpeg_ish)
+    broken_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 20
+    with _pytest.raises(NotImplementedError):
+        decode_image(broken_png)
 
 
 def test_resize_images_real_pixels_end_to_end(spark):
@@ -591,3 +595,105 @@ def test_resize_images_real_pixels_png_end_to_end(spark):
     assert (row.new_width, row.new_height) == (2, 1)
     out = decode_bmp_pixels(bytes(row.resized))
     assert np.array_equal(out, px[[0]][:, [0, 2]])
+
+
+def _crafted_gif(idx_rows, palette, interlaced=False):
+    """Hand-build a GIF89a: global color table + one image whose LZW
+    stream emits a CLEAR code before every literal pixel code (a valid
+    degenerate encoding -- the table never grows, so the bit width
+    stays fixed and the encoder is trivial while the DECODER still
+    walks real clear/literal logic)."""
+    import numpy as np
+
+    idx = np.asarray(idx_rows, dtype=np.uint8)
+    h, w = idx.shape
+    ncol = len(palette) // 3
+    depth = max(2, (ncol - 1).bit_length())  # min_code_size >= 2
+    table = bytes(palette) + bytes(3 * ((1 << depth) - ncol))
+    clear, width = 1 << depth, depth + 1
+    bits = []
+    flat = idx.reshape(-1)
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        flat = idx[order].reshape(-1)
+    for p in flat:
+        bits += [clear, int(p)]
+    bits.append(clear + 1)  # EOI
+    acc = nacc = 0
+    data = bytearray()
+    for code in bits:
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    out = (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x80 | (depth - 1), 0, 0])  # GCT present, 2^depth entries
+        + table
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext (skipped)
+        + b"\x2c"
+        + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlaced else 0x00])
+        + bytes([depth])
+    )
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_gif_pixel_decode_known_values():
+    """decode_gif_pixels on a hand-built GIF: palette resolution,
+    extension skipping, sub-block reassembly, and the interlace row
+    reorder; the LZW fast path (table growth, code-width bump, the
+    code==next_code case) is pinned separately on a hand-packed
+    stream."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        decode_gif_pixels,
+        decode_image,
+    )
+
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    idx = [[0, 1, 2, 3], [3, 2, 1, 0]]
+    want = np.array(
+        [
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]],
+            [[10, 20, 30], [0, 0, 255], [0, 255, 0], [255, 0, 0]],
+        ],
+        dtype=np.uint8,
+    )
+    payload = _crafted_gif(idx, pal)
+    got = decode_gif_pixels(payload)
+    assert got is not None and np.array_equal(got, want)
+    assert np.array_equal(decode_image(payload), want)
+
+    # interlaced 4-row image: rows stored 0,2,1,3-pass order must come
+    # back in display order
+    idx4 = [[0, 1], [1, 2], [2, 3], [3, 0]]
+    goti = decode_gif_pixels(_crafted_gif(idx4, pal, interlaced=True))
+    pal_np = np.array(pal, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(goti, pal_np[np.array(idx4)])
+
+    # real LZW path: codes CLEAR,1,6,6,EOI hand-packed little-endian
+    # (widths 3,3,3,3 then 4 after the decoder's table hits 2^3)
+    # decode to [1,1,1,1,1] -- exercises code==next_code and width bump
+    assert _gif_lzw_decode(bytes([0x8C, 0x5D]), 2, 5) == bytearray([1] * 5)
+
+    # corrupt stream: out-of-range code fails cleanly
+    assert decode_gif_pixels(payload[:30]) is None
