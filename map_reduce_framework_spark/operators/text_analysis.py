@@ -880,6 +880,18 @@ ORACLE_SQL: dict[str, str] = {
                )}
         FROM per_doc GROUP BY source
     """,
+    "pii_redact": f"""
+        SELECT doc_id,
+               {"".join("regexp_replace(" for _ in PII_PATTERNS)}text{
+                   "".join(
+                       f", '{pat}', '<{kind.upper()}>', 'g')"
+                       for kind, pat in sorted(PII_PATTERNS.items())
+                   )
+               } AS text_redacted,
+               CAST({' + '.join(_PII_SQL[k] for k in sorted(PII_PATTERNS))}
+                    AS BIGINT) AS n_redactions
+        FROM documents
+    """,
     "token_stats": f"""
         SELECT doc_id,
                CAST(len({_TOKS}) AS INT) AS n_tokens_ws,

@@ -785,6 +785,11 @@ def q_pii_scan(spark, sf_dir):
     return text_analysis.pii_scan(_t(spark, sf_dir, "documents"))
 
 
+@register("pii_redact", text_analysis.ORACLE_SQL["pii_redact"])
+def q_pii_redact(spark, sf_dir):
+    return text_analysis.pii_redact(_t(spark, sf_dir, "documents"))
+
+
 @register("events_variant_metrics", rel.ORACLE_SQL["events_variant_metrics"])
 def q_events_variant_metrics(spark, sf_dir):
     return rel.events_variant_metrics(_t(spark, sf_dir, "events"))
