@@ -755,3 +755,216 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (dHash): the multimodal twin of the
+# text MinHash/SimHash stack. Each doc's payload is a REAL 16x16 24-bit
+# BMP (deterministically generated from its tokens, so near-identical
+# texts yield near-identical images); the hash pipeline runs the actual
+# codec path -- encode_bmp -> decode_image -> nearest_neighbor_resize
+# (9x8) -> 63-bit difference hash (the 64th bit is dropped so the hash
+# lives in signed-BIGINT range identically in both engines).
+#
+# The DuckDB oracle recomputes the SAME hash directly from the pixel
+# MATH (md5-derived values, integer resize indexing, adjacent-pixel
+# compares) without ever touching BMP bytes -- so a hash match proves
+# the whole encode/decode/resize implementation end to end, not just
+# the comparison logic.
+#
+# Pair generation is banded exactly like SimHash: 9 disjoint 7-bit
+# bands; by pigeonhole any pair with Hamming distance <= 8 collides on
+# at least one untouched band, so the equi-join candidate set is
+# COMPLETE for the <= 8 threshold -- never an all-pairs comparison.
+# ---------------------------------------------------------------------------
+
+IMG_SIDE = 16
+DHASH_W, DHASH_H = 9, 8
+DHASH_BITS = DHASH_W * DHASH_H - DHASH_W - 1  # 63: 8x8 compares minus MSB
+DHASH_BANDS = 9
+DHASH_BAND_BITS = 7
+DHASH_MAX_HAM = 8
+
+
+def _doc_pixels(tokens: list) -> "object":
+    """16x16 grayscale pixels: pixel i's value is the first md5 byte of
+    token[i mod n] -- a pure function of the token sequence, so docs
+    differing in one token differ in ~256/n pixels."""
+    import numpy as np
+
+    cache: dict = {}
+    vals = []
+    n = len(tokens)
+    for i in range(IMG_SIDE * IMG_SIDE):
+        tok = tokens[i % n] if n else ""
+        v = cache.get(tok)
+        if v is None:
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+            cache[tok] = v
+        vals.append(v)
+    g = np.array(vals, dtype=np.uint8).reshape(IMG_SIDE, IMG_SIDE)
+    return np.stack([g, g, g], axis=-1)
+
+
+def _dhash_from_pixels(px) -> int:
+    """63-bit dHash: resize the (real, decoded) image to 9x8 with the
+    shared integer nearest-neighbor rule and set bit y*8+x when
+    g[y][x] < g[y][x+1] (bit 63 dropped)."""
+    small = nearest_neighbor_resize(px[:, :, 0], DHASH_W, DHASH_H)
+    h = 0
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            k = y * (DHASH_W - 1) + x
+            if k >= DHASH_BITS:
+                break
+            if int(small[y][x]) < int(small[y][x + 1]):
+                h |= 1 << k
+    return h
+
+
+def image_dhash(documents: DataFrame) -> DataFrame:
+    """(doc_id, dhash): perceptual hash of each doc's (generated) image
+    through the REAL codec round trip. One Arrow-batched pass, no
+    shuffle; at 100 TB this is scan-bound map work exactly like rule
+    filtering, with the decoder swapped per format."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("dhash", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for text in pdf["text"]:
+                toks = [t for t in str(text).split() if t]
+                payload = encode_bmp(_doc_pixels(toks))
+                px = decode_image(payload)
+                hashes.append(_dhash_from_pixels(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "dhash": hashes}
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema=schema
+    )
+
+
+def image_dhash_pairs(
+    documents: DataFrame, max_ham: int = DHASH_MAX_HAM
+) -> DataFrame:
+    """Near-duplicate image pairs (doc_a < doc_b, hamming <= max_ham)
+    via 9x7-bit band blocking -- complete for max_ham <= 8 by
+    pigeonhole, and only banded candidates are ever compared."""
+    d = image_dhash(documents)
+    bands = d.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        (
+                            F.shiftright(F.col("dhash"), DHASH_BAND_BITS * i)
+                            % (1 << DHASH_BAND_BITS)
+                        ).alias("key"),
+                    )
+                    for i in range(DHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "dhash", "bk.band", "bk.key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))
+        ).cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= max_ham)
+
+
+def _dhash_sql() -> str:
+    """The oracle's direct-math dHash: per-doc 256 md5 pixel values,
+    integer nearest-neighbor indices, unrolled 63 bit terms."""
+    # resized g(y, x) reads source pixel (2y, (x*16)//9)
+    def src(y: int, x: int) -> str:
+        col = (x * IMG_SIDE) // DHASH_W
+        return f"pix[{2 * y * IMG_SIDE + col + 1}]"
+
+    terms = []
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            k = y * (DHASH_W - 1) + x
+            if k >= DHASH_BITS:
+                break
+            terms.append(
+                f"CASE WHEN {src(y, x)} < {src(y, x + 1)} "
+                f"THEN CAST({1 << k} AS BIGINT) ELSE 0 END"
+            )
+    bits = "\n               + ".join(terms)
+    return f"""
+    dtoks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '') AS w
+        FROM documents
+    ),
+    dpix AS (
+        SELECT doc_id,
+               list_transform(range(0, {IMG_SIDE * IMG_SIDE}), i ->
+                   CAST(concat('0x', substr(md5(
+                       CASE WHEN len(w) = 0 THEN ''
+                            ELSE w[(i % len(w)) + 1] END), 1, 2))
+                       AS INT)) AS pix
+        FROM dtoks
+    ),
+    dhashes AS (
+        SELECT doc_id,
+               CAST({bits} AS BIGINT) AS dhash
+        FROM dpix
+    )"""
+
+
+ORACLE_SQL["image_dhash"] = (
+    "WITH " + _dhash_sql().strip() + "\n    SELECT doc_id, dhash FROM dhashes"
+)
+
+ORACLE_SQL["image_dhash_pairs"] = (
+    "WITH "
+    + _dhash_sql().strip()
+    + f""",
+    dbands AS (
+        SELECT doc_id, dhash, i AS band,
+               (dhash >> ({DHASH_BAND_BITS} * i)) % {1 << DHASH_BAND_BITS}
+                   AS key
+        FROM dhashes CROSS JOIN range(0, {DHASH_BANDS}) AS t(i)
+    ),
+    dcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM dbands a JOIN dbands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM dcand WHERE bit_count(xor(ha, hb)) <= {DHASH_MAX_HAM}"""
+)

@@ -870,3 +870,327 @@ ORACLE_SQL["selection_method_agreement"] = f"""
     UNION ALL
     SELECT 'classifier', 'dsir', na_c, na_s, nb_cs FROM selagg
 """
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture materialization: the "recipe table" step of a pretraining
+# run (LLaMA-style per-source sampling proportions; Muennighoff 2023
+# data-constrained epoching for sources smaller than their allocation).
+# Given per-source weights and a total token budget T, each source is
+# allocated floor(T * w_s / sum_w) tokens; a source smaller than its
+# allocation repeats whole epochs (alloc // avail) and fills the
+# remainder with a deterministic salted-hash-ordered prefix, so re-runs,
+# engine swaps, and corpus growth never reshuffle an existing epoch.
+#
+# Scale shape: the plan is a 1-aggregate |sources|-row relation; the
+# sample needs one cumulative sum per source. The registered form uses a
+# per-source window (fine up to the point where one source outgrows a
+# task); data_mixture_sample_scalable is the 100 TB form -- a two-level
+# prefix sum (256 hash buckets per source: bucket totals are a tiny
+# windowed relation, doc-level windows run per (source, bucket)) that is
+# provably identical because the bucket id leads the sort key.
+# ---------------------------------------------------------------------------
+
+MIX_SALT = "data-mixture:v1"
+#: Sources src0..src{MIX_CURATED_BELOW-1} play the "curated" class and
+#: get MIX_W_CURATED x the sampling weight of the rest -- with the /2
+#: total budget this puts curated sources just over one full epoch
+#: (exercising the epoch-repeat path) and the rest on prefix sampling.
+MIX_CURATED_BELOW = 5
+MIX_W_CURATED = 4
+MIX_W_BASE = 1
+MIX_BUCKETS = 256
+
+_MIX_NTOK = (
+    "(length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1)"
+)
+
+
+def _mix_tok(documents: DataFrame) -> DataFrame:
+    """Per-doc mixture relation: (doc_id, source, n_tokens, h, b) with
+    the separator token count (packing's accounting), a salted 60-bit
+    md5 order key, and its leading 256-way bucket."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(MIX_SALT + ":"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return documents.select(
+        "doc_id",
+        "source",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), " ", ""))
+            + 1
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+        h.alias("h"),
+        (h % MIX_BUCKETS).alias("b"),
+    )
+
+
+def _mix_weight() -> F.Column:
+    return (
+        F.when(
+            F.substring(F.col("source"), 4, 10).cast("int")
+            < MIX_CURATED_BELOW,
+            F.lit(MIX_W_CURATED),
+        )
+        .otherwise(F.lit(MIX_W_BASE))
+        .cast("bigint")
+    )
+
+
+def data_mixture_plan(documents: DataFrame) -> DataFrame:
+    """The mixture recipe: one row per source with its weight, available
+    tokens, integer allocation alloc = (T * w) div sum_w under the
+    T = total_tokens div 2 budget, and the epoch split alloc = 
+    full_epochs * avail + remainder. Pure BIGINT arithmetic end to end
+    (hash-exact oracle); one narrow aggregate + a 1-row cross join."""
+    tok = _mix_tok(documents)
+    totals = tok.groupBy("source").agg(
+        F.sum("n_tokens").alias("avail_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    totals = totals.withColumn("weight", _mix_weight())
+    grand = totals.agg(
+        F.sum("avail_tokens").alias("grand_tokens"),
+        F.sum("weight").alias("sum_w"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                "(grand_tokens div 2) * weight div sum_w"
+            ).cast("bigint"),
+        )
+        .select(
+            "source",
+            "weight",
+            "n_docs",
+            "avail_tokens",
+            "alloc_tokens",
+            F.expr("alloc_tokens div avail_tokens")
+            .cast("bigint")
+            .alias("full_epochs"),
+            (F.col("alloc_tokens") % F.col("avail_tokens")).alias(
+                "remainder_tokens"
+            ),
+        )
+    )
+
+
+def data_mixture_sample(documents: DataFrame) -> DataFrame:
+    """Materialized mixture: (doc_id, source, n_tokens, n_repeats) for
+    every doc that appears at least once in the training mix --
+    n_repeats = full_epochs (+1 if the doc lands in the remainder
+    prefix: cumulative tokens in (b, h, doc_id) order within its source
+    stay <= remainder_tokens). Deterministic pure function of
+    (salt, doc_id), so the mix is reproducible and append-stable."""
+    tok = _mix_tok(documents)
+    plan = data_mixture_plan(documents).select(
+        "source", "full_epochs", "remainder_tokens"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = tok.join(F.broadcast(plan), "source").withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    n_rep = F.col("full_epochs") + F.when(
+        F.col("cum") <= F.col("remainder_tokens"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            n_rep.cast("bigint").alias("n_repeats"),
+        )
+        .where(F.col("n_repeats") > 0)
+    )
+
+
+def data_mixture_sample_scalable(documents: DataFrame) -> DataFrame:
+    """The 100 TB form of data_mixture_sample, bit-identical output:
+    the per-source prefix sum is split into a bucket level (256 bucket
+    token totals per source -- a tiny windowed relation that yields each
+    bucket's starting offset) and a doc level (windows partitioned by
+    (source, bucket), so no single task ever sees more than ~1/256 of a
+    source). Identical because the bucket id LEADS the (b, h, doc_id)
+    sort key: doc-level cum = bucket offset + intra-bucket cum."""
+    tok = _mix_tok(documents)
+    plan = data_mixture_plan(documents).select(
+        "source", "full_epochs", "remainder_tokens"
+    )
+    bw = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        tok.groupBy("source", "b")
+        .agg(F.sum("n_tokens").alias("b_tokens"))
+        .withColumn(
+            "b_offset",
+            F.coalesce(F.sum("b_tokens").over(bw), F.lit(0)),
+        )
+        .select("source", "b", "b_offset")
+    )
+    dw = (
+        Window.partitionBy("source", "b")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        tok.join(F.broadcast(offsets), ["source", "b"])
+        .join(F.broadcast(plan), "source")
+        .withColumn(
+            "cum", F.col("b_offset") + F.sum("n_tokens").over(dw)
+        )
+    )
+    n_rep = F.col("full_epochs") + F.when(
+        F.col("cum") <= F.col("remainder_tokens"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            n_rep.cast("bigint").alias("n_repeats"),
+        )
+        .where(F.col("n_repeats") > 0)
+    )
+
+
+def data_mixture_realized(documents: DataFrame) -> DataFrame:
+    """Budget-adherence report: per source, allocated vs realized
+    tokens (sum n_repeats * n_tokens over the sample) and the shortfall.
+    The invariant a recipe consumer checks: 0 <= shortfall < the first
+    unselected doc's token count -- i.e. the greedy prefix fills the
+    remainder as far as doc granularity allows."""
+    plan = data_mixture_plan(documents)
+    got = (
+        data_mixture_sample(documents)
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("n_repeats") * F.col("n_tokens")).alias(
+                "realized_tokens"
+            ),
+            F.count("*").alias("n_sampled_docs"),
+        )
+    )
+    return (
+        plan.join(F.broadcast(got), "source", "left")
+        .select(
+            "source",
+            "alloc_tokens",
+            F.coalesce("realized_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("realized_tokens"),
+            F.coalesce("n_sampled_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled_docs"),
+            (
+                F.col("alloc_tokens")
+                - F.coalesce("realized_tokens", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("shortfall_tokens"),
+        )
+    )
+
+
+_MIX_TOK_SQL = f"""
+    mixtok AS (
+        SELECT doc_id, source,
+               CAST({_MIX_NTOK} AS BIGINT) AS n_tokens,
+               CAST(concat('0x', substr(
+                   md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+        FROM documents
+    ),
+    mixtok2 AS (
+        SELECT *, h % {MIX_BUCKETS} AS b FROM mixtok
+    ),
+    mixtotals AS (
+        SELECT source,
+               CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(CASE WHEN CAST(substr(source, 4) AS INT)
+                              < {MIX_CURATED_BELOW}
+                         THEN {MIX_W_CURATED} ELSE {MIX_W_BASE} END
+                    AS BIGINT) AS weight
+        FROM mixtok2 GROUP BY source
+    ),
+    mixgrand AS (
+        SELECT CAST(sum(avail_tokens) AS BIGINT) AS grand_tokens,
+               CAST(sum(weight) AS BIGINT) AS sum_w
+        FROM mixtotals
+    ),
+    mixplan AS (
+        SELECT t.source, t.weight, t.n_docs, t.avail_tokens,
+               CAST((g.grand_tokens // 2) * t.weight // g.sum_w
+                    AS BIGINT) AS alloc_tokens,
+               CAST(((g.grand_tokens // 2) * t.weight // g.sum_w)
+                    // t.avail_tokens AS BIGINT) AS full_epochs,
+               CAST(((g.grand_tokens // 2) * t.weight // g.sum_w)
+                    % t.avail_tokens AS BIGINT) AS remainder_tokens
+        FROM mixtotals t CROSS JOIN mixgrand g
+    ),
+    mixsample AS (
+        SELECT k.doc_id, k.source, k.n_tokens,
+               CAST(p.full_epochs + CASE WHEN
+                   sum(k.n_tokens) OVER (
+                       PARTITION BY k.source
+                       ORDER BY k.b, k.h, k.doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) <= p.remainder_tokens THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_repeats
+        FROM mixtok2 k JOIN mixplan p ON k.source = p.source
+    )
+"""
+
+ORACLE_SQL["data_mixture_plan"] = f"""
+    WITH {_MIX_TOK_SQL.strip()}
+    SELECT source, weight, n_docs, avail_tokens, alloc_tokens,
+           full_epochs, remainder_tokens
+    FROM mixplan
+"""
+
+ORACLE_SQL["data_mixture_sample"] = f"""
+    WITH {_MIX_TOK_SQL.strip()}
+    SELECT doc_id, source, n_tokens, n_repeats
+    FROM mixsample WHERE n_repeats > 0
+"""
+
+ORACLE_SQL["data_mixture_realized"] = f"""
+    WITH {_MIX_TOK_SQL.strip()},
+    mixgot AS (
+        SELECT source,
+               CAST(sum(n_repeats * n_tokens) AS BIGINT)
+                   AS realized_tokens,
+               CAST(count(*) AS BIGINT) AS n_sampled_docs
+        FROM mixsample WHERE n_repeats > 0 GROUP BY source
+    )
+    SELECT p.source, p.alloc_tokens,
+           CAST(coalesce(g.realized_tokens, 0) AS BIGINT)
+               AS realized_tokens,
+           CAST(coalesce(g.n_sampled_docs, 0) AS BIGINT)
+               AS n_sampled_docs,
+           CAST(p.alloc_tokens - coalesce(g.realized_tokens, 0)
+                AS BIGINT) AS shortfall_tokens
+    FROM mixplan p LEFT JOIN mixgot g ON p.source = g.source
+"""

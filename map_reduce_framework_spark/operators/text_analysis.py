@@ -3152,3 +3152,320 @@ def _neardup_contam_sql() -> str:
 
 
 ORACLE_SQL["eval_neardup_contamination"] = _neardup_contam_sql()
+
+
+# ---------------------------------------------------------------------------
+# In-engine TRAINED quality classifier (the training half of the GPT-3 /
+# CCNet data recipe): full-batch logistic regression over the same
+# interpretable feature vector quality_classifier_scores applies, fit
+# DISTRIBUTED with weak "reference vs crawl" labels (here: target-language
+# documents play the reference class, the DSIR convention). Every
+# iteration is ONE map-side-combined 8-scalar aggregate over a narrow
+# quantized-feature relation; the weight vector (6 scalars) broadcasts
+# back as literals -- no doc-level shuffle anywhere, so at 100 TB the
+# cost is K embarrassingly-parallel passes over ~56 bytes/doc.
+#
+# Bit-exactness policy: features, labels, probabilities, gradients, and
+# weights all live in 1e-6 fixed point; every cross-engine sum is over
+# BIGINTs and every float step is a single IEEE-determined expression
+# (the one transcendental per step, sigmoid's exp, is quantized
+# immediately, the DSIR/classifier policy). The DuckDB oracle re-derives
+# the whole training trajectory independently as an unrolled CTE chain.
+# ---------------------------------------------------------------------------
+
+QCT_ITERS = 8
+QCT_LR = 2.0
+QCT_POS_LANG = DSIR_TARGET_LANG
+# Unbounded features are squashed into [0, 1] before quantization so one
+# global learning rate conditions all six coordinates (mean token length
+# capped at QCT_MTL_CAP chars, log2 doc length at QCT_LOG_CAP bits).
+QCT_MTL_CAP = 20.0
+QCT_LOG_CAP = 32.0
+_QCT_NAMES = ["bias", "stop", "mtl", "digit", "punct", "loglen"]
+
+
+def _qct_features(documents: DataFrame) -> DataFrame:
+    """Quantized training relation: (doc_id, yq, xq0..xq5), all BIGINT
+    in 1e-6 fixed point. Same feature definitions as
+    quality_classifier_scores (stopword ratio, mean token length, digit
+    ratio, punct ratio, floor log2 length, plus the bias column); the
+    quantization makes every downstream sum integer-exact."""
+    toks = tokenize_ws("text")
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*LANG_PROFILES["en"])))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(F.col("text"), "[a-zA-Z0-9 \\t\\n]", ""))
+    empty = n_tok == 0
+    nz = F.col("n_chars") == 0
+
+    def q(x):
+        return F.floor(x * F.lit(float(DSIR_SCALE)) + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    return documents.select(
+        "doc_id",
+        F.when(F.col("lang") == QCT_POS_LANG, F.lit(DSIR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("yq"),
+        F.lit(DSIR_SCALE).cast("bigint").alias("xq0"),
+        q(F.when(empty, F.lit(0.0)).otherwise(stop_hits / n_tok)).alias(
+            "xq1"
+        ),
+        q(
+            F.when(empty, F.lit(0.0)).otherwise(
+                F.least(
+                    sum_len / n_tok / F.lit(QCT_MTL_CAP), F.lit(1.0)
+                )
+            )
+        ).alias("xq2"),
+        q(
+            F.when(nz, F.lit(0.0)).otherwise(digits / F.col("n_chars"))
+        ).alias("xq3"),
+        q(
+            F.when(nz, F.lit(0.0)).otherwise(punct / F.col("n_chars"))
+        ).alias("xq4"),
+        q(
+            F.when(nz, F.lit(0.0)).otherwise(
+                F.least(
+                    F.floor(F.log2(F.col("n_chars").cast("double"))).cast(
+                        "double"
+                    )
+                    / F.lit(QCT_LOG_CAP),
+                    F.lit(1.0),
+                )
+            )
+        ).alias("xq5"),
+    )
+
+
+def _qct_pq(w_q: list) -> "F.Column":
+    """Quantized sigmoid probability under integer weights w_q: z =
+    (sum_j wq_j * xq_j) / 1e12 (one BIGINT dot product, one IEEE
+    division), pq = floor(1e6 / (1 + exp(-z)) + 0.5)."""
+    dot = None
+    for j, wq in enumerate(w_q):
+        term = F.lit(int(wq)) * F.col(f"xq{j}")
+        dot = term if dot is None else dot + term
+    z = dot.cast("double") / F.lit(1e12)
+    return (
+        F.floor(
+            F.lit(float(DSIR_SCALE)) / (F.lit(1.0) + F.exp(-z)) + F.lit(0.5)
+        ).cast("bigint"),
+        z,
+    )
+
+
+def quality_classifier_train_trace(
+    documents: DataFrame, iters: int = QCT_ITERS, lr: float = QCT_LR
+) -> tuple[list, list]:
+    """Run the training loop; returns (trace_rows, final_w_q). Each
+    trace row is (iter, avg_loss_before_update, w_bias..w_loglen after
+    the update). K collect jobs x 8 scalars each -- the same capped
+    driver-collect budget as the BPE merge table / DSIR bucket LM."""
+    import math
+
+    feats = _qct_features(documents)
+    feats.persist()
+    try:
+        w_q = [0] * 6
+        rows = []
+        for t in range(1, iters + 1):
+            pq, _z = _qct_pq(w_q)
+            pc = F.least(
+                F.greatest(pq, F.lit(1)), F.lit(DSIR_SCALE - 1)
+            ).cast("double") / F.lit(float(DSIR_SCALE))
+            nll = F.floor(
+                -F.log(
+                    F.when(F.col("yq") == DSIR_SCALE, pc).otherwise(
+                        F.lit(1.0) - pc
+                    )
+                )
+                * F.lit(float(DSIR_SCALE))
+                + F.lit(0.5)
+            ).cast("bigint")
+            scored = feats.select(
+                "yq", *[f"xq{j}" for j in range(6)], pq.alias("pq"),
+                nll.alias("nllq"),
+            )
+            agg = scored.agg(
+                *[
+                    F.sum(
+                        (F.col("pq") - F.col("yq")) * F.col(f"xq{j}")
+                    ).alias(f"g{j}")
+                    for j in range(6)
+                ],
+                F.sum("nllq").alias("nll"),
+                F.count("*").alias("n"),
+            ).collect()[0]
+            n = agg["n"]
+            if n == 0:
+                break
+            avg_loss = float(agg["nll"]) / (float(n) * 1e6)
+            w_q = [
+                wq
+                - math.floor(
+                    float(agg[f"g{j}"]) * lr / (float(n) * 1e6) + 0.5
+                )
+                for j, wq in enumerate(w_q)
+            ]
+            rows.append(
+                (t, avg_loss, *[float(wq) / 1e6 for wq in w_q])
+            )
+        return rows, w_q
+    finally:
+        feats.unpersist()
+
+
+def quality_classifier_train(
+    documents: DataFrame, iters: int = QCT_ITERS, lr: float = QCT_LR
+) -> DataFrame:
+    """The training trajectory as a relation: one row per iteration with
+    the average log-loss BEFORE that iteration's update and the weight
+    vector AFTER it. The model artifact a curation run ships (and the
+    driver hashes) -- monotone-decreasing avg_loss is the visible proof
+    that distributed training actually descends."""
+    rows, _ = quality_classifier_train_trace(documents, iters, lr)
+    schema = (
+        "iter int, avg_loss double, "
+        + ", ".join(f"w_{nm} double" for nm in _QCT_NAMES)
+    )
+    return documents.sparkSession.createDataFrame(rows, schema)
+
+
+def quality_classifier_trained_scores(
+    documents: DataFrame, iters: int = QCT_ITERS, lr: float = QCT_LR
+) -> DataFrame:
+    """Apply the in-engine trained model to the corpus it was fit on:
+    (doc_id, label_ref, z, p, keep) with keep = p > 1/2. One more
+    narrow pass under literal weights -- train-K-passes,
+    apply-one-pass, exactly the DSIR/BPE train/apply split."""
+    _rows, w_q = quality_classifier_train_trace(documents, iters, lr)
+    feats = _qct_features(documents)
+    pq, z = _qct_pq(w_q)
+    return feats.select(
+        "doc_id",
+        (F.col("yq") == DSIR_SCALE).alias("label_ref"),
+        z.alias("z"),
+        (pq.cast("double") / F.lit(float(DSIR_SCALE))).alias("p"),
+        (pq > DSIR_SCALE // 2).alias("keep"),
+    )
+
+
+def _qct_sql(iters: int = QCT_ITERS, lr: float = QCT_LR) -> tuple[str, str]:
+    """(trace_sql, scores_sql): the DuckDB re-derivation of the whole
+    training trajectory as an unrolled CTE chain -- weights at step t
+    are computed in SQL from step t-1, sharing nothing with the Spark
+    loop but the published update rule."""
+    S = DSIR_SCALE
+    stop_sql = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    ctes = [
+        f"""qctf AS (
+        SELECT doc_id,
+               CAST(CASE WHEN lang = '{QCT_POS_LANG}' THEN {S} ELSE 0 END
+                    AS BIGINT) AS yq,
+               CAST({S} AS BIGINT) AS xq0,
+               CAST(floor((CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                    len(list_filter(w, t -> t IN ({stop_sql}))) / len(w)
+                    END) * {S}.0 + 0.5) AS BIGINT) AS xq1,
+               CAST(floor((CASE WHEN len(w) = 0 THEN 0.0 ELSE
+                    least(list_sum(list_transform(w, t -> length(t)))
+                          / len(w) / {QCT_MTL_CAP!r}, 1.0)
+                    END) * {S}.0 + 0.5) AS BIGINT) AS xq2,
+               CAST(floor((CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                    digits / n_chars END) * {S}.0 + 0.5) AS BIGINT) AS xq3,
+               CAST(floor((CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                    punct / n_chars END) * {S}.0 + 0.5) AS BIGINT) AS xq4,
+               CAST(floor((CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                    least(floor(log2(CAST(n_chars AS DOUBLE)))
+                          / {QCT_LOG_CAP!r}, 1.0)
+                    END) * {S}.0 + 0.5) AS BIGINT) AS xq5
+        FROM (SELECT doc_id, lang, n_chars, {_TOKS} AS w,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS digits,
+                     length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '',
+                                           'g')) AS punct
+              FROM documents)
+    )""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qctf)",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS wq{j}" for j in range(6))
+        + ")",
+    ]
+    dot = " + ".join(f"w.wq{j} * f.xq{j}" for j in range(6))
+    pq_expr = (
+        f"CAST(floor({S}.0 / (1.0 + exp(-(CAST(({dot}) AS DOUBLE) "
+        f"/ 1000000000000.0))) + 0.5) AS BIGINT)"
+    )
+    pc = f"CAST(least(greatest(pq, 1), {S - 1}) AS DOUBLE) / {S}.0"
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""p{t} AS (
+        SELECT f.yq, {', '.join(f'f.xq{j}' for j in range(6))},
+               {pq_expr} AS pq
+        FROM qctf f CROSS JOIN w{t - 1} w
+    )"""
+        )
+        ctes.append(
+            f"""g{t} AS (
+        SELECT {', '.join(
+            f'CAST(sum((pq - yq) * xq{j}) AS BIGINT) AS g{j}'
+            for j in range(6)
+        )},
+               CAST(sum(CAST(floor(-ln(CASE WHEN yq = {S} THEN {pc}
+                    ELSE 1.0 - {pc} END) * {S}.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS nll
+        FROM p{t}
+    )"""
+        )
+        ctes.append(
+            f"""w{t} AS (
+        SELECT {', '.join(
+            f'w.wq{j} - CAST(floor(CAST(g.g{j} AS DOUBLE) * {lr!r} '
+            f'/ (CAST(nn.n AS DOUBLE) * {S}.0) + 0.5) AS BIGINT) AS wq{j}'
+            for j in range(6)
+        )}
+        FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn
+    )"""
+        )
+        ctes.append(
+            f"""r{t} AS (
+        SELECT CAST({t} AS INT) AS iter,
+               CAST(g.nll AS DOUBLE) / (CAST(nn.n AS DOUBLE) * {S}.0)
+                   AS avg_loss,
+               {', '.join(
+                   f'w.wq{j} / {S}.0 AS w_{nm}'
+                   for j, nm in enumerate(_QCT_NAMES)
+               )}
+        FROM w{t} w CROSS JOIN g{t} g CROSS JOIN nn
+    )"""
+        )
+    with_block = "WITH " + ",\n    ".join(ctes)
+    trace = (
+        with_block
+        + "\n    "
+        + " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(1, iters + 1))
+        + "\n    ORDER BY iter"
+    )
+    scores = (
+        with_block
+        + f"""
+    SELECT doc_id, label_ref, z,
+           pq / {S}.0 AS p, pq > {S // 2} AS keep
+    FROM (
+        SELECT f.doc_id, f.yq = {S} AS label_ref,
+               CAST(({dot}) AS DOUBLE) / 1000000000000.0 AS z,
+               {pq_expr} AS pq
+        FROM qctf f CROSS JOIN w{iters} w
+    )"""
+    )
+    return trace, scores
+
+
+_QCT_TRACE_SQL, _QCT_SCORES_SQL = _qct_sql()
+ORACLE_SQL["quality_classifier_train"] = _QCT_TRACE_SQL
+ORACLE_SQL["quality_classifier_trained_scores"] = _QCT_SCORES_SQL

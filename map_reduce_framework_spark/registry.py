@@ -790,6 +790,26 @@ def q_pii_redact(spark, sf_dir):
     return text_analysis.pii_redact(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "quality_classifier_train",
+    text_analysis.ORACLE_SQL["quality_classifier_train"],
+)
+def q_quality_classifier_train(spark, sf_dir):
+    return text_analysis.quality_classifier_train(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "quality_classifier_trained_scores",
+    text_analysis.ORACLE_SQL["quality_classifier_trained_scores"],
+)
+def q_quality_classifier_trained_scores(spark, sf_dir):
+    return text_analysis.quality_classifier_trained_scores(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 @register("events_variant_metrics", rel.ORACLE_SQL["events_variant_metrics"])
 def q_events_variant_metrics(spark, sf_dir):
     return rel.events_variant_metrics(_t(spark, sf_dir, "events"))
@@ -990,6 +1010,19 @@ def q_fingerprints(spark, sf_dir):
     return text_analysis.doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# Perceptual-hash image near-dup: real BMP encode->decode->resize->
+# dHash in Spark; the oracle recomputes the hash from the pixel math
+# alone, so equality certifies the codec path end to end.
+@register("image_dhash", multimodal.ORACLE_SQL["image_dhash"])
+def q_image_dhash(spark, sf_dir):
+    return multimodal.image_dhash(_t(spark, sf_dir, "documents"))
+
+
+@register("image_dhash_pairs", multimodal.ORACLE_SQL["image_dhash_pairs"])
+def q_image_dhash_pairs(spark, sf_dir):
+    return multimodal.image_dhash_pairs(_t(spark, sf_dir, "documents"))
+
+
 @register("multimodal_meta", multimodal.ORACLE_SQL["multimodal_meta"])
 def q_multimodal(spark, sf_dir):
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))
@@ -1027,6 +1060,29 @@ def q_selection_method_agreement(spark, sf_dir):
     return pipeline.selection_method_agreement(
         _t(spark, sf_dir, "documents")
     )
+
+
+# Data-mixture materialization: the recipe table (per-source weighted
+# token allocation with epoch repetition), the deterministic sampled
+# mix, and the budget-adherence report (pipeline.py for the 100 TB
+# two-level-prefix-sum twin).
+@register("data_mixture_plan", pipeline.ORACLE_SQL["data_mixture_plan"])
+def q_data_mixture_plan(spark, sf_dir):
+    return pipeline.data_mixture_plan(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "data_mixture_sample", pipeline.ORACLE_SQL["data_mixture_sample"]
+)
+def q_data_mixture_sample(spark, sf_dir):
+    return pipeline.data_mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "data_mixture_realized", pipeline.ORACLE_SQL["data_mixture_realized"]
+)
+def q_data_mixture_realized(spark, sf_dir):
+    return pipeline.data_mixture_realized(_t(spark, sf_dir, "documents"))
 
 
 @register("dedup_survivors", pipeline.ORACLE_SQL["dedup_survivors"])

@@ -161,7 +161,9 @@ def test_neardup_contamination_is_band_blocked(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-@pytest.mark.parametrize("name", ["top_similar_pairs", "semdedup"])
+@pytest.mark.parametrize(
+    "name", ["top_similar_pairs", "semdedup", "image_dhash_pairs"]
+)
 def test_pair_ops_have_no_unblocked_self_join(spark, name):
     """Pairwise operators must run their blocked plan: top_similar_pairs
     is LSH-blocked, semdedup is cluster-blocked (the k-means assignment
@@ -173,7 +175,7 @@ def test_pair_ops_have_no_unblocked_self_join(spark, name):
     only where kmeans' centroid relation is the build side.)"""
     plan = _formatted_plan(spark, name)
     assert "CartesianProduct" not in plan
-    if name == "top_similar_pairs":
+    if name in ("top_similar_pairs", "image_dhash_pairs"):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
@@ -478,3 +480,56 @@ def test_rule_filters_are_shuffle_free_map_work(spark, name):
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
     assert "Aggregate" not in plan, plan
+
+
+def test_classifier_training_pass_is_one_scan_no_join(spark):
+    """Each logistic-regression training iteration is ONE map-side-
+    combined 8-scalar aggregate over the narrow quantized-feature
+    projection: no join, no doc-keyed shuffle, nothing but the scan's
+    parallelism repartition and the final scalar-aggregate exchange.
+    K iterations = K embarrassingly-parallel passes at 100 TB -- the
+    plan gate pins that shape for the per-iteration job."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_framework_spark.operators import text_analysis as ta
+    from map_reduce_framework_spark.sources.io import load_table
+
+    docs = load_table(spark, SF, "documents")
+    feats = ta._qct_features(docs)
+    pq, _z = ta._qct_pq([100, 200, 300, 400, 500, 600])
+    scored = feats.select(
+        "yq", *[f"xq{j}" for j in range(6)], pq.alias("pq")
+    )
+    agg = scored.agg(
+        *[
+            F.sum((F.col("pq") - F.col("yq")) * F.col(f"xq{j}")).alias(
+                f"g{j}"
+            )
+            for j in range(6)
+        ],
+        F.count("*").alias("n"),
+    )
+    plan = agg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) <= 2, plan
+    assert "HashAggregate" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["data_mixture_sample", "data_mixture_realized"]
+)
+def test_data_mixture_doc_stream_joins_are_broadcast(spark, name):
+    """The mixture sample joins the per-doc token stream against the
+    |sources|-row plan (and, in the scalable twin, the tiny bucket-
+    offset relation): every such join must BROADCAST the small side --
+    a shuffle join would repartition the whole corpus on `source`
+    (20 keys at 100 TB = catastrophic skew) just to attach 3 scalars."""
+    plan = _formatted_plan(spark, name)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

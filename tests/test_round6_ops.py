@@ -697,3 +697,304 @@ def test_gif_pixel_decode_known_values():
 
     # corrupt stream: out-of-range code fails cleanly
     assert decode_gif_pixels(payload[:30]) is None
+
+
+# ---------------------------------------------------------------------------
+# In-engine trained quality classifier (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_training_matches_independent_python(
+    spark, sf_smoke
+):
+    """Independent from-scratch Python reimplementation of the
+    distributed logistic-regression trainer (pure math module, exact
+    ints for every cross-doc sum) must agree with the Spark operator
+    BIT-FOR-BIT on the whole training trajectory -- the same
+    independent-axis discipline as the DSIR / BPE / MinHash pins.
+    Also asserts the visible training signal: avg log-loss never
+    increases (beyond quantization jitter) and ends at or below the
+    class-prior entropy -- on this synthetic corpus lang is independent
+    of the text, so the best achievable model IS the prior, and landing
+    exactly there is the correct MLE, not a defect (the planted-signal
+    test below proves the trainer learns when signal exists)."""
+    import math
+
+    from map_reduce_framework_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_smoke, "documents")
+    rows = docs.select("doc_id", "lang", "n_chars", "text").collect()
+    S = ta.DSIR_SCALE
+    stop = set(ta.LANG_PROFILES["en"])
+
+    feats = []
+    for r in rows:
+        w = [t for t in r.text.split() if t]
+        digits = sum(c.isdigit() and c.isascii() for c in r.text)
+        punct = sum(
+            not (c.isascii() and (c.isalnum() or c in " \t\n"))
+            for c in r.text
+        )
+        yq = S if r.lang == ta.QCT_POS_LANG else 0
+        x = [
+            S,
+            0
+            if not w
+            else math.floor(sum(t in stop for t in w) / len(w) * S + 0.5),
+            0
+            if not w
+            else math.floor(
+                min(sum(len(t) for t in w) / len(w) / ta.QCT_MTL_CAP, 1.0)
+                * S
+                + 0.5
+            ),
+            0
+            if r.n_chars == 0
+            else math.floor(digits / r.n_chars * S + 0.5),
+            0
+            if r.n_chars == 0
+            else math.floor(punct / r.n_chars * S + 0.5),
+            0
+            if r.n_chars == 0
+            else math.floor(
+                min(
+                    math.floor(math.log2(float(r.n_chars)))
+                    / ta.QCT_LOG_CAP,
+                    1.0,
+                )
+                * S
+                + 0.5
+            ),
+        ]
+        feats.append((r.doc_id, yq, x))
+
+    n = len(feats)
+    wq = [0] * 6
+    want_trace = []
+    for t in range(1, ta.QCT_ITERS + 1):
+        g = [0] * 6
+        nll = 0
+        for _d, yq, x in feats:
+            z = float(sum(a * b for a, b in zip(wq, x))) / 1e12
+            pq = math.floor(S / (1.0 + math.exp(-z)) + 0.5)
+            pc = min(max(pq, 1), S - 1) / S
+            nll += math.floor(
+                -math.log(pc if yq == S else 1.0 - pc) * S + 0.5
+            )
+            for j in range(6):
+                g[j] += (pq - yq) * x[j]
+        avg_loss = float(nll) / (float(n) * 1e6)
+        wq = [
+            w - math.floor(float(gj) * ta.QCT_LR / (float(n) * 1e6) + 0.5)
+            for w, gj in zip(wq, g)
+        ]
+        want_trace.append((t, avg_loss, *[w / 1e6 for w in wq]))
+
+    got_trace = [
+        tuple(r)
+        for r in ta.quality_classifier_train(docs)
+        .orderBy("iter")
+        .collect()
+    ]
+    assert got_trace == want_trace
+
+    losses = [r[1] for r in got_trace]
+    assert all(b <= a + 1e-6 for a, b in zip(losses, losses[1:]))
+    assert losses[-1] < losses[0]
+    pos = sum(yq == S for _d, yq, _x in feats) / n
+    prior_entropy = -(
+        pos * math.log(pos) + (1 - pos) * math.log(1 - pos)
+    )
+    assert losses[-1] <= prior_entropy + 1e-3
+
+    want_scores = {}
+    for d, yq, x in feats:
+        z = float(sum(a * b for a, b in zip(wq, x))) / 1e12
+        pq = math.floor(S / (1.0 + math.exp(-z)) + 0.5)
+        want_scores[d] = (yq == S, pq > S // 2)
+    got_scores = {
+        r.doc_id: (r.label_ref, r.keep)
+        for r in ta.quality_classifier_trained_scores(docs).collect()
+    }
+    assert got_scores == want_scores
+
+
+def test_quality_classifier_trainer_learns_planted_signal(spark):
+    """Planted-signal axis: on a corpus where the reference class IS
+    separable in the feature space (reference docs are stopword-dense,
+    crawl docs stopword-free), the same distributed trainer must
+    actually learn -- loss drops well below the class-prior entropy and
+    the trained scores recover the labels almost perfectly. Together
+    with the prior-convergence test above this brackets the trainer:
+    no signal -> prior, real signal -> learned separator."""
+    import math
+
+    from map_reduce_framework_spark.operators import text_analysis as ta
+
+    filler = ["alpha", "bravo", "container", "delta", "syntax"]
+    rows = []
+    for i in range(240):
+        ref = i % 3 == 0
+        base = [filler[(i + j) % 5] for j in range(30 + i % 7)]
+        if ref:
+            base = [
+                w
+                for j, w in enumerate(base)
+                for w in ([w, "the", "of"] if j % 2 == 0 else [w])
+            ]
+        text = " ".join(base)
+        rows.append(
+            (i, text, "en" if ref else "zz", "src0", len(text))
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    trace, wq = ta.quality_classifier_train_trace(docs, iters=30, lr=8.0)
+    losses = [r[1] for r in trace]
+    pos = 1.0 / 3.0
+    prior_entropy = -(
+        pos * math.log(pos) + (1 - pos) * math.log(1 - pos)
+    )
+    assert losses[-1] < prior_entropy - 0.05
+
+    scored = ta.quality_classifier_trained_scores(docs, iters=30, lr=8.0)
+    got = {r.doc_id: (r.label_ref, r.keep) for r in scored.collect()}
+    hits = sum(lab == keep for lab, keep in got.values())
+    assert hits / len(got) > 0.9
+    assert got[0][0] and got[1][0] is False
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture materialization (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_data_mixture_scalable_twin_is_bit_identical(spark, sf_smoke):
+    """The two-level-prefix-sum form (bucket offsets + per-(source,
+    bucket) windows) must produce EXACTLY the plain per-source-window
+    sample -- the sort key starts with the bucket id, so splitting the
+    cumulative sum at bucket boundaries is algebra, not approximation."""
+    from map_reduce_framework_spark.operators import pipeline as pl
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plain = {
+        tuple(r) for r in pl.data_mixture_sample(docs).collect()
+    }
+    scal = {
+        tuple(r)
+        for r in pl.data_mixture_sample_scalable(docs).collect()
+    }
+    assert plain == scal
+    assert len(plain) > 0
+
+
+def test_data_mixture_budget_invariants(spark, sf_smoke):
+    """Recipe-level guarantees a consumer relies on: (a) allocations
+    are proportional-with-floor to weights under the T = total//2
+    budget; (b) curated sources actually exercise the epoch-repeat
+    path (full_epochs >= 1) while base sources prefix-sample;
+    (c) realized = full_epochs * avail + greedy prefix, so
+    0 <= shortfall and the remainder is filled as far as the next
+    unselected doc allows: shortfall - (remainder - prefix) == 0."""
+    from map_reduce_framework_spark.operators import pipeline as pl
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = {r.source: r for r in pl.data_mixture_plan(docs).collect()}
+    total = sum(r.avail_tokens for r in plan.values())
+    sum_w = sum(r.weight for r in plan.values())
+    for src, r in plan.items():
+        assert r.alloc_tokens == (total // 2) * r.weight // sum_w
+        assert (
+            r.full_epochs * r.avail_tokens + r.remainder_tokens
+            == r.alloc_tokens
+        )
+        n = int(src[3:])
+        if n < pl.MIX_CURATED_BELOW:
+            assert r.weight == pl.MIX_W_CURATED
+            assert r.full_epochs >= 1
+        else:
+            assert r.weight == pl.MIX_W_BASE
+            assert r.full_epochs == 0
+
+    realized = {
+        r.source: r for r in pl.data_mixture_realized(docs).collect()
+    }
+    sample = pl.data_mixture_sample(docs).collect()
+    by_src: dict[str, int] = {}
+    for r in sample:
+        assert r.n_repeats >= 1
+        by_src[r.source] = by_src.get(r.source, 0) + (
+            r.n_repeats * r.n_tokens
+        )
+    for src, r in realized.items():
+        assert r.shortfall_tokens >= 0
+        assert r.realized_tokens == by_src.get(src, 0)
+        assert (
+            r.realized_tokens + r.shortfall_tokens
+            == plan[src].alloc_tokens
+        )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (round 6)
+# ---------------------------------------------------------------------------
+
+
+def test_image_dhash_pairs_planted_neardups(spark):
+    """Planted multimodal near-dups: a doc and its one-token-edited
+    twin render to images differing in a handful of pixels, so their
+    dHashes sit within the <= 8 Hamming threshold and the banded join
+    must surface the pair; unrelated docs (random token streams) sit
+    ~30 bits apart and must not pair. Also proves band completeness by
+    brute force: every pair within threshold appears in the banded
+    result."""
+    from map_reduce_framework_spark.operators import multimodal as mm
+
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for d in range(12):
+        toks = [vocab[(7 * d + 3 * j) % 40] for j in range(64)]
+        rows.append((2 * d, " ".join(toks)))
+        twin = list(toks)
+        twin[5] = "EDITED"
+        rows.append((2 * d + 1, " ".join(twin)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hashes = {r.doc_id: r.dhash for r in mm.image_dhash(docs).collect()}
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in mm.image_dhash_pairs(docs).collect()
+    }
+
+    # brute-force ground truth over all pairs
+    ids = sorted(hashes)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(hashes[a] ^ hashes[b]).count("1")
+            if ham <= mm.DHASH_MAX_HAM:
+                want[(a, b)] = ham
+    assert got == want
+
+    # every planted twin pair is found; at least one twin pair has
+    # 0 < hamming (the edit really moved bits, not a trivial equality)
+    twin_hams = [got.get((2 * d, 2 * d + 1)) for d in range(12)]
+    assert all(h is not None for h in twin_hams)
+    assert any(h > 0 for h in twin_hams)
+
+
+def test_image_dhash_survives_codec_roundtrip_vs_direct_math(spark):
+    """The registered hash (through encode_bmp -> decode_image ->
+    nearest_neighbor_resize) must equal the hash computed straight from
+    the generated pixel array -- i.e. the BMP round trip is lossless
+    where the oracle assumes it is."""
+    from map_reduce_framework_spark.operators import multimodal as mm
+
+    texts = ["alpha beta gamma delta", "one", "", "x " * 300]
+    for t in texts:
+        toks = [w for w in t.split() if w]
+        px = mm._doc_pixels(toks)
+        direct = mm._dhash_from_pixels(px)
+        decoded = mm.decode_image(mm.encode_bmp(px))
+        assert mm._dhash_from_pixels(decoded) == direct
