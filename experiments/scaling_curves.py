@@ -62,6 +62,14 @@ QUERIES = [
     # round-6: the span-removal transform shares coverage's shingle
     # budget plus one doc-keyed anti-join and a doc-local reassembly.
     "exact_substr_dedup",         # keep-first span removal, cleaned text
+    # round-6 additions: the trainer is K scan-bound aggregate passes,
+    # the mixture sample is one broadcast join + per-source prefix sum,
+    # dhash pairs are band-blocked like SimHash, and the perplexity
+    # terciles reuse the broadcast-LM scoring shape.
+    "quality_classifier_trained_scores",  # K-pass logistic trainer + apply
+    "data_mixture_sample",        # weighted allocation + prefix fill
+    "image_dhash_pairs",          # real-codec dHash + banded hamming
+    "perplexity_buckets",         # quantized LM + per-lang ntile
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

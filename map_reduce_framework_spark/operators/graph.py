@@ -343,3 +343,127 @@ ORACLE_SQL: dict[str, str] = {
         FROM deg d LEFT JOIN pern p USING (node)
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (Matula-Beck peeling; distributed form follows
+# Montresor et al. 2011): repeatedly delete vertices whose degree in the
+# SURVIVING subgraph is below k, until a fixpoint. Reference parity:
+# another classic iterative-refinement graph kernel alongside PageRank /
+# triangles / connected components.
+#
+# k is ADAPTIVE -- one plus the 5th-percentile degree of the full graph
+# -- so the operator does real multi-round peeling at every SF instead
+# of hardcoding a threshold the data outgrows. Each round is one
+# degree aggregate + two semi-joins on a shrinking edge set; real
+# graphs converge in a handful of rounds (measured: 5 at sf0.01), and
+# the DuckDB oracle unrolls KCORE_ORACLE_ROUNDS idempotent rounds (a
+# converged round is a no-op, so any round count >= the fixpoint is
+# exact). The loop-control scalars (k, per-round edge count) are the
+# audited K-scalar driver collects, same category as the CC round count.
+# ---------------------------------------------------------------------------
+
+KCORE_PCT = 0.05
+KCORE_ORACLE_ROUNDS = 10
+
+
+def part_kcore(lineitem: DataFrame) -> DataFrame:
+    """(part, core_degree, k): the vertices of the copurchase graph's
+    adaptive k-core with their degree inside the core. Peeling runs to
+    an exact fixpoint; every arithmetic step is integer."""
+    # checkpoint BEFORE the percentile pass: k's degree aggregate and
+    # round 0 otherwise each rebuild the market-basket self-join.
+    edges = part_copurchase_edges(lineitem).localCheckpoint(eager=True)
+    deg0 = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    k = int(
+        deg0.agg(
+            (
+                F.floor(F.expr(f"percentile(deg, {KCORE_PCT})"))
+                .cast("bigint")
+                + F.lit(1)
+            ).alias("k")
+        ).collect()[0]["k"]
+    )
+
+    # localCheckpoint (not persist) each round: an iterative self-
+    # referencing join grows the LOGICAL plan exponentially even when
+    # the data is cached, and Catalyst re-optimizes the whole lineage
+    # every round -- measured 1.5s/round degrading to 40s/round by
+    # round 5 without truncation. On a cluster swap in
+    # checkpoint(reliable storage); the loop shape is unchanged.
+    cur = edges
+    n_edges = cur.count()
+    while True:
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("v"))
+        )
+        nxt = (
+            cur.join(keep.withColumnRenamed("v", "src"), "src")
+            .join(
+                keep.withColumnRenamed("v", "dst"),
+                "dst",
+            )
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        cur = nxt
+        if n_next == n_edges:
+            break
+        n_edges = n_next
+
+    return (
+        cur.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(
+            F.col("src").alias("part"),
+            F.col("core_degree").cast("bigint").alias("core_degree"),
+            F.lit(k).cast("bigint").alias("k"),
+        )
+    )
+
+
+def _kcore_sql(rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    ctes = [
+        """ke0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+          ON a.l_orderkey = b.l_orderkey
+         AND a.l_partkey <> b.l_partkey
+    )""",
+        f"""kk AS MATERIALIZED (
+        SELECT CAST(floor(quantile_cont(deg, {KCORE_PCT})) AS BIGINT) + 1
+               AS k
+        FROM (SELECT count(*) AS deg FROM ke0 GROUP BY src)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""kv{r} AS MATERIALIZED (
+        SELECT src AS v FROM ke{r - 1} GROUP BY src
+        HAVING count(*) >= (SELECT k FROM kk)
+    )"""
+        )
+        ctes.append(
+            f"""ke{r} AS MATERIALIZED (
+        SELECT e.src, e.dst
+        FROM ke{r - 1} e
+        JOIN kv{r} a ON e.src = a.v
+        JOIN kv{r} b ON e.dst = b.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT src AS part, CAST(count(*) AS BIGINT) AS core_degree,
+           (SELECT k FROM kk) AS k
+    FROM ke{rounds} GROUP BY src"""
+    )
+
+
+ORACLE_SQL["part_kcore"] = _kcore_sql()

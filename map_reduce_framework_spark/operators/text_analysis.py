@@ -3469,3 +3469,121 @@ def _qct_sql(iters: int = QCT_ITERS, lr: float = QCT_LR) -> tuple[str, str]:
 _QCT_TRACE_SQL, _QCT_SCORES_SQL = _qct_sql()
 ORACLE_SQL["quality_classifier_train"] = _QCT_TRACE_SQL
 ORACLE_SQL["quality_classifier_trained_scores"] = _QCT_SCORES_SQL
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (Wenzek et al. 2019): split each language's
+# documents into head/middle/tail thirds by LM perplexity -- the
+# published recipe keeps 'head', inspects 'middle', drops 'tail'. The
+# LM here is the corpus's own unigram model (unigram_logprob_scores'
+# dataflow); real deployments swap in KenLM scores, the bucketing
+# dataflow is identical.
+#
+# Unlike unigram_logprob_scores (rows-only: it returns raw doubles),
+# the bucket relation is HASH-EXACT: each distinct token's neg-log2
+# probability is quantized to 1e-6 fixed point immediately after the
+# one transcendental (the DSIR_SCALE policy), per-doc totals are BIGINT
+# sums, the per-doc average is integer division, and the tercile is
+# ntile over the total (avg_q, doc_id) order -- deterministic in both
+# engines.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens, avg_nll_q, ppl_bucket) for every doc
+    with at least one token. Plan shape at 100 TB: one map-side-
+    combined vocab aggregate, scores broadcast over the DISTINCT-token
+    relation (singletons fold to the constant log2(total) exactly like
+    the df-capped LM, so the broadcast stays small under Zipf), one
+    doc-keyed aggregate, then a per-lang ntile window over the tiny
+    per-doc relation."""
+    toks = documents.select(
+        "doc_id", "lang", F.explode(tokenize_ws("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    lm = (
+        counts.filter(F.col("c") >= 2)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tok",
+            F.floor(
+                F.log2(F.col("total").cast("double") / F.col("c"))
+                * F.lit(float(DSIR_SCALE))
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("sq"),
+        )
+    )
+    singleton_sq = (
+        F.floor(
+            F.log2(F.col("total").cast("double"))
+            * F.lit(float(DSIR_SCALE))
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+    )
+    per_doc = (
+        toks.join(F.broadcast(lm), "tok", "left")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("sq"), singleton_sq).alias("sq"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("sq").alias("ssum"),
+        )
+        .withColumn("avg_nll_q", F.expr("ssum div n_tokens"))
+    )
+    w = Window.partitionBy("lang").orderBy("avg_nll_q", "doc_id")
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.col("avg_nll_q").cast("bigint").alias("avg_nll_q"),
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("ppl_bucket"),
+    )
+
+
+ORACLE_SQL["perplexity_buckets"] = f"""
+    WITH ptoks AS (
+        SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+    ),
+    pcounts AS (SELECT tok, count(*) AS c FROM ptoks GROUP BY tok),
+    ptot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM pcounts),
+    pscore AS (
+        SELECT tok,
+               CAST(floor(log2(CAST(total AS DOUBLE) / c)
+                    * {DSIR_SCALE}.0 + 0.5) AS BIGINT) AS sq
+        FROM pcounts CROSS JOIN ptot WHERE c >= 2
+    ),
+    pdoc AS (
+        SELECT t.doc_id, t.lang,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(s.sq,
+                   (SELECT CAST(floor(log2(CAST(total AS DOUBLE))
+                        * {DSIR_SCALE}.0 + 0.5) AS BIGINT) FROM ptot)
+               )) AS BIGINT) AS ssum
+        FROM ptoks t LEFT JOIN pscore s ON t.tok = s.tok
+        GROUP BY t.doc_id, t.lang
+    ),
+    pbuck AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(ssum // n_tokens AS BIGINT) AS avg_nll_q,
+               ntile(3) OVER (
+                   PARTITION BY lang ORDER BY ssum // n_tokens, doc_id
+               ) AS nt
+        FROM pdoc
+    )
+    SELECT doc_id, lang, n_tokens, avg_nll_q,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM pbuck
+"""

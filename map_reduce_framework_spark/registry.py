@@ -790,6 +790,17 @@ def q_pii_redact(spark, sf_dir):
     return text_analysis.pii_redact(_t(spark, sf_dir, "documents"))
 
 
+# CCNet head/middle/tail perplexity terciles, hash-exact via the
+# quantized-score policy (raw-double scorer stays rows-only).
+@register(
+    "perplexity_buckets", text_analysis.ORACLE_SQL["perplexity_buckets"]
+)
+def q_perplexity_buckets(spark, sf_dir):
+    return text_analysis.perplexity_buckets(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 @register(
     "quality_classifier_train",
     text_analysis.ORACLE_SQL["quality_classifier_train"],
@@ -1348,6 +1359,13 @@ def q_incremental_join_maintenance(spark, sf_dir):
 @register("bm25_top_docs", text_analysis.ORACLE_SQL["bm25_top_docs"])
 def q_bm25_top_docs(spark, sf_dir):
     return text_analysis.bm25_top_docs(_t(spark, sf_dir, "documents"))
+
+
+# Adaptive k-core: Matula-Beck peeling to an exact fixpoint; oracle
+# unrolls 10 idempotent rounds (>= the measured fixpoint).
+@register("part_kcore", graph.ORACLE_SQL["part_kcore"])
+def q_part_kcore(spark, sf_dir):
+    return graph.part_kcore(_t(spark, sf_dir, "lineitem"))
 
 
 @register("part_triangle_counts", graph.ORACLE_SQL["part_triangle_counts"])

@@ -533,3 +533,16 @@ def test_data_mixture_doc_stream_joins_are_broadcast(spark, name):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_perplexity_buckets_never_shuffle_token_stream(spark):
+    """Same contract as unigram_logprob_scores: the quantized LM is
+    BROADCAST over the token stream (no shuffle join on the Zipf token
+    key); the only exchanges are the vocab aggregate, the doc-keyed
+    aggregate, and the per-lang ntile window over the tiny per-doc
+    relation."""
+    plan = _formatted_plan(spark, "perplexity_buckets")
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -998,3 +998,80 @@ def test_image_dhash_survives_codec_roundtrip_vs_direct_math(spark):
         direct = mm._dhash_from_pixels(px)
         decoded = mm.decode_image(mm.encode_bmp(px))
         assert mm._dhash_from_pixels(decoded) == direct
+
+
+def test_perplexity_buckets_agree_with_raw_scorer(spark, sf_smoke):
+    """The hash-exact tercile relation must tell the same story as the
+    rows-only raw-double scorer: within every language, mean perplexity
+    rises strictly head -> middle -> tail, buckets partition exactly
+    the tokenized docs, and per-lang tercile sizes differ by at most
+    one (the ntile contract)."""
+    from map_reduce_framework_spark.operators import text_analysis as ta
+
+    docs = load_table(spark, sf_smoke, "documents")
+    buckets = {
+        r.doc_id: (r.lang, r.ppl_bucket)
+        for r in ta.perplexity_buckets(docs).collect()
+    }
+    raw = {
+        r.doc_id: r.ppl
+        for r in ta.unigram_logprob_scores(docs).collect()
+    }
+    assert set(buckets) == set(raw)
+
+    per_lang: dict[str, dict[str, list[float]]] = {}
+    for d, (lang, b) in buckets.items():
+        per_lang.setdefault(lang, {}).setdefault(b, []).append(raw[d])
+    for lang, by_bucket in per_lang.items():
+        assert set(by_bucket) == {"head", "middle", "tail"}
+        sizes = sorted(len(v) for v in by_bucket.values())
+        assert sizes[-1] - sizes[0] <= 1
+        means = {
+            b: sum(v) / len(v) for b, v in by_bucket.items()
+        }
+        assert means["head"] < means["middle"] < means["tail"]
+
+
+def test_part_kcore_matches_independent_peeling(spark, sf_smoke):
+    """Independent driver-side Matula-Beck peel (sets and dicts, no
+    Spark) must produce exactly the operator's core: same survivor set,
+    same in-core degrees, same adaptive k. Also pins the oracle-round
+    contract: the fixpoint must arrive within KCORE_ORACLE_ROUNDS,
+    else the unrolled DuckDB oracle would diverge from the to-fixpoint
+    Spark loop."""
+    import math
+
+    from map_reduce_framework_spark.operators import graph as g
+
+    li = load_table(spark, sf_smoke, "lineitem")
+    edges = g.part_copurchase_edges(li).collect()
+    adj: dict[int, set] = {}
+    for r in edges:
+        adj.setdefault(r.src, set()).add(r.dst)
+
+    degs = sorted(len(v) for v in adj.values())
+    idx = g.KCORE_PCT * (len(degs) - 1)
+    lo, hi = int(math.floor(idx)), int(math.ceil(idx))
+    interp = degs[lo] + (degs[hi] - degs[lo]) * (idx - lo)
+    k = int(math.floor(interp)) + 1
+
+    live = set(adj)
+    rounds = 0
+    while True:
+        drop = {
+            v for v in live if sum(u in live for u in adj[v]) < k
+        }
+        if not drop:
+            break
+        live -= drop
+        rounds += 1
+    assert rounds <= g.KCORE_ORACLE_ROUNDS
+    want = {
+        v: sum(u in live for u in adj[v]) for v in live
+    }
+
+    got = {r.part: (r.core_degree, r.k) for r in g.part_kcore(li).collect()}
+    assert {p: d for p, (d, _) in got.items()} == want
+    assert all(kk == k for _, kk in got.values())
+    assert all(d >= k for d, _ in got.values())
+    assert 0 < len(got) < len(adj)
