@@ -1222,3 +1222,50 @@ def _build_method_agreement_sql() -> str:
 
 
 ORACLE_SQL["dedup_method_agreement"] = _build_method_agreement_sql()
+
+
+def source_overlap_report(documents: DataFrame) -> DataFrame:
+    """Cross-source near-duplicate provenance: for every (ordered)
+    source pair, how many MinHash-LSH near-dup pairs straddle them --
+    the governance report that tells a curation run which feeds are
+    re-crawling each other (and how much of the intra-source count is
+    self-duplication). Pure composition: the banded pair relation join
+    documents' source column twice (broadcast-sized key map at the
+    report stage), one aggregate -- no new pairwise work."""
+    pairs = minhash_lsh_pairs(documents, 0.7).select("doc_a", "doc_b")
+    src = documents.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "source", "source_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("source_a", "source_b").alias("source_lo"),
+            F.greatest("source_a", "source_b").alias("source_hi"),
+        )
+    )
+    return tagged.groupBy("source_lo", "source_hi").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+ORACLE_SQL["source_overlap_report"] = f"""
+    WITH mp AS ({ORACLE_SQL["minhash_lsh_pairs"]}),
+    tagged AS (
+        SELECT least(sa.source, sb.source) AS source_lo,
+               greatest(sa.source, sb.source) AS source_hi
+        FROM mp
+        JOIN documents sa ON mp.doc_a = sa.doc_id
+        JOIN documents sb ON mp.doc_b = sb.doc_id
+    )
+    SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM tagged GROUP BY source_lo, source_hi
+"""

@@ -407,7 +407,9 @@ def part_kcore(lineitem: DataFrame) -> DataFrame:
                 "dst",
             )
             .select("src", "dst")
-            .localCheckpoint(eager=True)
+            # lazy: the count() below materializes the checkpoint, so
+            # eager=True would just spend an extra job per round
+            .localCheckpoint(eager=False)
         )
         n_next = nxt.count()
         cur = nxt

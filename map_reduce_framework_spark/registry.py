@@ -480,6 +480,13 @@ def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "source_overlap_report", dedup.ORACLE_SQL["source_overlap_report"]
+)
+def q_source_overlap_report(spark, sf_dir):
+    return dedup.source_overlap_report(_t(spark, sf_dir, "documents"))
+
+
 @register("ngram_jaccard_pairs", dedup.ORACLE_SQL["ngram_jaccard_pairs"])
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))

@@ -1075,3 +1075,25 @@ def test_part_kcore_matches_independent_peeling(spark, sf_smoke):
     assert all(kk == k for _, kk in got.values())
     assert all(d >= k for d, _ in got.values())
     assert 0 < len(got) < len(adj)
+
+
+def test_source_overlap_report_accounts_for_every_pair(spark, sf_smoke):
+    """The governance report must partition the MinHash pair set
+    exactly: summing n_pairs over all source pairs returns the total
+    near-dup pair count, and each bucket matches a driver-side
+    regroup of the raw pairs by source."""
+    from map_reduce_framework_spark.operators import dedup
+
+    docs = load_table(spark, sf_smoke, "documents")
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    pairs = dedup.minhash_lsh_pairs(docs, 0.7).select("doc_a", "doc_b").collect()
+    want: dict[tuple, int] = {}
+    for r in pairs:
+        key = tuple(sorted((src[r.doc_a], src[r.doc_b])))
+        want[key] = want.get(key, 0) + 1
+    got = {
+        (r.source_lo, r.source_hi): r.n_pairs
+        for r in dedup.source_overlap_report(docs).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == len(pairs)
