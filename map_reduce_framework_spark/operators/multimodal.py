@@ -968,3 +968,66 @@ ORACLE_SQL["image_dhash_pairs"] = (
            CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM dcand WHERE bit_count(xor(ha, hb)) <= {DHASH_MAX_HAM}"""
 )
+
+
+def image_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Image-level near-dup CLUSTERS: connected components (min-label)
+    over the dHash pair graph -- the multimodal twin of dedup_clusters,
+    turning pairwise perceptual matches into keep/drop decisions.
+    Returns (doc_id, cluster_id, cluster_size, is_keeper) for every doc
+    in some near-dup image pair."""
+    from .dedup import connected_component_labels
+
+    pairs = image_dhash_pairs(documents).select("doc_a", "doc_b")
+    labels = connected_component_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+ORACLE_SQL["image_dedup_clusters"] = (
+    "WITH RECURSIVE "
+    + _dhash_sql().strip()
+    + f""",
+    dbands AS (
+        SELECT doc_id, dhash, i AS band,
+               (dhash >> ({DHASH_BAND_BITS} * i)) % {1 << DHASH_BAND_BITS}
+                   AS key
+        FROM dhashes CROSS JOIN range(0, {DHASH_BANDS}) AS t(i)
+    ),
+    dcand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.dhash AS ha, b.dhash AS hb
+        FROM dbands a JOIN dbands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    ipairs AS (
+        SELECT doc_a, doc_b FROM dcand
+        WHERE bit_count(xor(ha, hb)) <= {DHASH_MAX_HAM}
+    ),
+    iedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ipairs
+        UNION SELECT doc_b, doc_a FROM ipairs
+    ),
+    inodes AS (SELECT DISTINCT src AS doc_id FROM iedges),
+    ireach(doc_id, root) AS (
+        SELECT doc_id, doc_id FROM inodes
+        UNION
+        SELECT e.dst, r.root FROM ireach r JOIN iedges e ON e.src = r.doc_id
+    ),
+    icomp AS (
+        SELECT doc_id, min(root) AS cluster_id FROM ireach GROUP BY doc_id
+    ),
+    isized AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM icomp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           c.doc_id = c.cluster_id AS is_keeper
+    FROM icomp c JOIN isized s USING (cluster_id)"""
+)

@@ -1036,6 +1036,13 @@ def q_image_dhash(spark, sf_dir):
     return multimodal.image_dhash(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "image_dedup_clusters", multimodal.ORACLE_SQL["image_dedup_clusters"]
+)
+def q_image_dedup_clusters(spark, sf_dir):
+    return multimodal.image_dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
 @register("image_dhash_pairs", multimodal.ORACLE_SQL["image_dhash_pairs"])
 def q_image_dhash_pairs(spark, sf_dir):
     return multimodal.image_dhash_pairs(_t(spark, sf_dir, "documents"))
@@ -1094,6 +1101,19 @@ def q_data_mixture_plan(spark, sf_dir):
 )
 def q_data_mixture_sample(spark, sf_dir):
     return pipeline.data_mixture_sample(_t(spark, sf_dir, "documents"))
+
+
+# Shared-oracle twin (the wc_salted pattern): the 100 TB two-level
+# prefix-sum sample must hash-match the plain per-source-window form
+# under the SAME oracle.
+@register(
+    "data_mixture_sample_scalable",
+    pipeline.ORACLE_SQL["data_mixture_sample"],
+)
+def q_data_mixture_sample_scalable(spark, sf_dir):
+    return pipeline.data_mixture_sample_scalable(
+        _t(spark, sf_dir, "documents")
+    )
 
 
 @register(
