@@ -495,6 +495,7 @@ def ann_recall_report(
         ("ann_ivf_trained", ann_ivf_trained(embeddings), 5),
         ("ann_ivf_pq", ann_ivf_pq(embeddings), PQ_TOPK),
         ("ann_ivfadc", ann_ivfadc(embeddings), PQ_TOPK),
+        ("ann_binary", ann_binary(embeddings), BQ_K),
     ]
     n_queries = 8
     max_k = max(k for _, _, k in variants)
@@ -893,6 +894,7 @@ def _build_recall_report_sql() -> str:
             ),
             _recall_row_sql("ann_ivf_pq", _CL_SQL["ann_ivf_pq"], PQ_TOPK),
             _recall_row_sql("ann_ivfadc", _CL_SQL["ann_ivfadc"], PQ_TOPK),
+            _recall_row_sql("ann_binary", ORACLE_SQL["ann_binary"], BQ_K),
             hybrid_row,
         ]
     )
@@ -944,7 +946,8 @@ def _build_hybrid_rrf_ann_sql() -> str:
 
 
 ORACLE_SQL["hybrid_retrieval_rrf_ann"] = _build_hybrid_rrf_ann_sql()
-ORACLE_SQL["ann_recall_report"] = _build_recall_report_sql()
+# ann_recall_report's oracle is assigned at the END of the module: its
+# builder also needs ann_binary's SQL, defined at the bottom.
 
 
 MMR_LAMBDA = 0.5
@@ -1187,3 +1190,161 @@ ORACLE_SQL["hard_negative_mining"] = f"""
     WHERE rnk <= {HARD_NEG_POOL} AND cos < {NEAR_DUP_COS}
     QUALIFY neg_rnk <= {HARD_NEG_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization ANN: each vector compresses to DIM sign
+# bits (64 dims -> two 32-bit words, 32x smaller than float32), the
+# shortlist is ranked by Hamming distance -- pure integer xor/popcount,
+# the cheapest possible first pass over a 100 TB embedding store -- and
+# only the shortlist is reranked with exact cosine. The asymmetric
+# trade (scan bits, rerank floats) is the same play as IVFADC, with an
+# even smaller code and no codebook to train.
+# ---------------------------------------------------------------------------
+
+BQ_SHORTLIST = 32
+BQ_K = 5
+
+
+def binary_sign_codes(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, b0, b1): DIM sign bits packed into two 32-bit words
+    (sign taken on the raw float component -- invariant under the
+    double widening, so Spark and the SQL oracle agree bit-for-bit)."""
+
+    def word(lo: int) -> F.Column:
+        w = F.lit(0).cast("bigint")
+        for i in range(32):
+            w = w + F.when(
+                F.element_at(F.col("embedding"), lo + i + 1) > 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        return w
+
+    return embeddings.select(
+        "vec_id", word(0).alias("b0"), word(32).alias("b1")
+    )
+
+
+def ann_binary(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = BQ_K,
+    shortlist: int = BQ_SHORTLIST,
+) -> DataFrame:
+    """Approximate cosine top-k via sign codes: Hamming-rank the whole
+    table against each query's code (broadcast, integer-only), keep the
+    top ``shortlist``, exact-cosine rerank only those. Returns
+    (q_id, vec_id, cos, rnk) -- same shape as every other ANN variant,
+    so it slots into ann_recall_report."""
+    codes = binary_sign_codes(embeddings)
+    qc = codes.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(qc))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("b0").bitwiseXOR(F.col("qb0")))
+                + F.bit_count(F.col("b1").bitwiseXOR(F.col("qb1")))
+            ).alias("ham"),
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy("ham", "vec_id")
+    short = (
+        ham.withColumn("srnk", F.row_number().over(ws))
+        .filter(F.col("srnk") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    e = _normed(embeddings)
+    q = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        short.join(e, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            (
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qn") * F.col("nrm"))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _bq_word_sql(lo: int) -> str:
+    terms = [
+        f"(CASE WHEN embedding[{lo + i + 1}] > 0 "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(32)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+ORACLE_SQL["ann_binary"] = f"""
+    WITH bq_codes AS (
+        SELECT vec_id, {_bq_word_sql(0)} AS b0, {_bq_word_sql(32)} AS b1
+        FROM embeddings
+    ),
+    bq_q AS (
+        SELECT vec_id AS q_id, b0 AS qb0, b1 AS qb1
+        FROM bq_codes WHERE vec_id < 8
+    ),
+    bq_short AS (
+        SELECT q_id, vec_id FROM (
+            SELECT c.q_id, c.vec_id,
+                   row_number() OVER (
+                       PARTITION BY c.q_id ORDER BY c.ham, c.vec_id
+                   ) AS srnk
+            FROM (
+                SELECT q.q_id, b.vec_id,
+                       bit_count(xor(b.b0, q.qb0))
+                           + bit_count(xor(b.b1, q.qb1)) AS ham
+                FROM bq_codes b CROSS JOIN bq_q q
+                WHERE b.vec_id <> q.q_id
+            ) c
+        ) WHERE srnk <= {BQ_SHORTLIST}
+    ),
+    bq_e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    bq_qv AS (
+        SELECT vec_id AS q_id, v AS qv, nrm AS qn
+        FROM bq_e WHERE vec_id < 8
+    )
+    SELECT q_id, vec_id, cos, rnk FROM (
+        SELECT s.q_id, s.vec_id,
+               {_COS.format(a='qv', b='v', na='qn', nb='nrm')} AS cos,
+               CAST(row_number() OVER (
+                   PARTITION BY s.q_id
+                   ORDER BY {_COS.format(a='qv', b='v', na='qn', nb='nrm')}
+                            DESC, s.vec_id
+               ) AS INT) AS rnk
+        FROM bq_short s
+        JOIN bq_e e ON e.vec_id = s.vec_id
+        JOIN bq_qv q ON q.q_id = s.q_id
+    ) WHERE rnk <= {BQ_K}
+"""
+
+
+# ann_binary's SQL is defined above (after the first report build), so
+# the recall-ladder oracle is rebuilt here to include its row.
+ORACLE_SQL["ann_recall_report"] = _build_recall_report_sql()

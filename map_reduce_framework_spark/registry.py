@@ -520,6 +520,14 @@ def q_simpairs(spark, sf_dir):
 # The ANN accuracy/cost trade as a driver-checkable relation: recall@k
 # of each ANN variant vs the exact brute-force ranking, exact arithmetic
 # on both engines (deterministic tiebreaks make both rankings unique).
+# Binary sign-quantization ANN: integer Hamming shortlist over 64-bit
+# codes (32x smaller than float32), exact-cosine rerank of the
+# shortlist only -- the cheapest first-pass scan of an embedding store.
+@register("ann_binary", similarity.ORACLE_SQL["ann_binary"])
+def q_ann_binary(spark, sf_dir):
+    return similarity.ann_binary(_t(spark, sf_dir, "embeddings"))
+
+
 @register("ann_recall_report", similarity.ORACLE_SQL["ann_recall_report"])
 def q_ann_recall_report(spark, sf_dir):
     return similarity.ann_recall_report(

@@ -234,7 +234,14 @@ def test_runtime_bloom_filter_prunes_selective_join(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["pq_codes", "pq_adc_topk", "kmeans_clusters", "ann_ivf_trained"]
+    "name",
+    [
+        "pq_codes",
+        "pq_adc_topk",
+        "kmeans_clusters",
+        "ann_ivf_trained",
+        "ann_binary",
+    ],
 )
 def test_vector_ops_broadcast_small_sides(spark, name):
     """Codebooks/centroids/LUTs are tiny relations: every join in the
