@@ -1194,3 +1194,147 @@ ORACLE_SQL["data_mixture_realized"] = f"""
                 AS BIGINT) AS shortfall_tokens
     FROM mixplan p LEFT JOIN mixgot g ON p.source = g.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-flattened mixture: the multilingual-sampling weighting
+# (p_s proportional to n_s^alpha, alpha < 1 -- XLM/mT5 style) applied at
+# the SOURCE level: big dumps are down-weighted, small curated feeds
+# up-weighted, smoothly instead of by a handrule. Shares every stage of
+# the curated-weights mixture (same token relation, same epoch split,
+# same deterministic remainder prefix); only the weight column changes:
+# wq_s = floor(avail_s^alpha * 1e6 + 0.5) -- one transcendental per
+# SOURCE (20 rows), quantized immediately, the DSIR fixed-point policy.
+# ---------------------------------------------------------------------------
+
+MIX_TEMP_ALPHA = 0.3
+
+
+def data_mixture_temperature_plan(
+    documents: DataFrame, alpha: float = MIX_TEMP_ALPHA
+) -> DataFrame:
+    """Mixture recipe under n^alpha weights: (source, weight_q, n_docs,
+    avail_tokens, alloc_tokens, full_epochs, remainder_tokens)."""
+    tok = _mix_tok(documents)
+    totals = tok.groupBy("source").agg(
+        F.sum("n_tokens").alias("avail_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    totals = totals.withColumn(
+        "weight_q",
+        F.floor(
+            F.pow(F.col("avail_tokens").cast("double"), F.lit(alpha))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    grand = totals.agg(
+        F.sum("avail_tokens").alias("grand_tokens"),
+        F.sum("weight_q").alias("sum_wq"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "alloc_tokens",
+            F.expr("(grand_tokens div 2) * weight_q div sum_wq").cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "source",
+            "weight_q",
+            "n_docs",
+            "avail_tokens",
+            "alloc_tokens",
+            F.expr("alloc_tokens div avail_tokens")
+            .cast("bigint")
+            .alias("full_epochs"),
+            (F.col("alloc_tokens") % F.col("avail_tokens")).alias(
+                "remainder_tokens"
+            ),
+        )
+    )
+
+
+def data_mixture_temperature_sample(
+    documents: DataFrame, alpha: float = MIX_TEMP_ALPHA
+) -> DataFrame:
+    """The sampled mix under temperature weights -- same deterministic
+    (b, h, doc_id) remainder prefix as data_mixture_sample."""
+    tok = _mix_tok(documents)
+    plan = data_mixture_temperature_plan(documents, alpha).select(
+        "source", "full_epochs", "remainder_tokens"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("b", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = tok.join(F.broadcast(plan), "source").withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    n_rep = F.col("full_epochs") + F.when(
+        F.col("cum") <= F.col("remainder_tokens"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        scored.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            n_rep.cast("bigint").alias("n_repeats"),
+        )
+        .where(F.col("n_repeats") > 0)
+    )
+
+
+_MIX_TEMP_SQL = f"""
+    mixtotals_t AS (
+        SELECT source,
+               CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(pow(CAST(sum(n_tokens) AS DOUBLE),
+                              {MIX_TEMP_ALPHA!r}) * 1000000.0 + 0.5)
+                    AS BIGINT) AS weight_q
+        FROM mixtok2 GROUP BY source
+    ),
+    mixgrand_t AS (
+        SELECT CAST(sum(avail_tokens) AS BIGINT) AS grand_tokens,
+               CAST(sum(weight_q) AS BIGINT) AS sum_wq
+        FROM mixtotals_t
+    ),
+    mixplan_t AS (
+        SELECT t.source, t.weight_q, t.n_docs, t.avail_tokens,
+               CAST((g.grand_tokens // 2) * t.weight_q // g.sum_wq
+                    AS BIGINT) AS alloc_tokens,
+               CAST(((g.grand_tokens // 2) * t.weight_q // g.sum_wq)
+                    // t.avail_tokens AS BIGINT) AS full_epochs,
+               CAST(((g.grand_tokens // 2) * t.weight_q // g.sum_wq)
+                    % t.avail_tokens AS BIGINT) AS remainder_tokens
+        FROM mixtotals_t t CROSS JOIN mixgrand_t g
+    )
+"""
+
+_MIX_BASE_CTES = _MIX_TOK_SQL[: _MIX_TOK_SQL.index(",\n    mixtotals")]
+
+ORACLE_SQL["data_mixture_temperature_plan"] = f"""
+    WITH {_MIX_BASE_CTES.strip()},
+    {_MIX_TEMP_SQL.strip()}
+    SELECT source, weight_q, n_docs, avail_tokens, alloc_tokens,
+           full_epochs, remainder_tokens
+    FROM mixplan_t
+"""
+
+ORACLE_SQL["data_mixture_temperature_sample"] = f"""
+    WITH {_MIX_BASE_CTES.strip()},
+    {_MIX_TEMP_SQL.strip()}
+    SELECT k.doc_id, k.source, k.n_tokens,
+           CAST(p.full_epochs + CASE WHEN
+               sum(k.n_tokens) OVER (
+                   PARTITION BY k.source
+                   ORDER BY k.b, k.h, k.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) <= p.remainder_tokens THEN 1 ELSE 0 END
+               AS BIGINT) AS n_repeats
+    FROM mixtok2 k JOIN mixplan_t p ON k.source = p.source
+    QUALIFY n_repeats > 0
+"""

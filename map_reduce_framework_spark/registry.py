@@ -1111,6 +1111,29 @@ def q_data_mixture_sample(spark, sf_dir):
     return pipeline.data_mixture_sample(_t(spark, sf_dir, "documents"))
 
 
+# Temperature-flattened mixture (n^alpha source weights, XLM/mT5
+# style): same epoch split and deterministic remainder prefix, smooth
+# weighting instead of the curated handrule.
+@register(
+    "data_mixture_temperature_plan",
+    pipeline.ORACLE_SQL["data_mixture_temperature_plan"],
+)
+def q_data_mixture_temperature_plan(spark, sf_dir):
+    return pipeline.data_mixture_temperature_plan(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "data_mixture_temperature_sample",
+    pipeline.ORACLE_SQL["data_mixture_temperature_sample"],
+)
+def q_data_mixture_temperature_sample(spark, sf_dir):
+    return pipeline.data_mixture_temperature_sample(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # Shared-oracle twin (the wc_salted pattern): the 100 TB two-level
 # prefix-sum sample must hash-match the plain per-source-window form
 # under the SAME oracle.
@@ -1312,6 +1335,13 @@ def q_dsir_score_stream(spark, sf_dir):
 
 # Rule filters at ingest: Gopher A1.1 + C4 verdicts in ONE stateless
 # stream projection (expressions shared with the batch filters).
+@register(
+    "image_dhash_stream", streaming_ops.ORACLE_SQL["image_dhash_stream"]
+)
+def q_image_dhash_stream(spark, sf_dir):
+    return streaming_ops.q_image_dhash_stream(spark, sf_dir)
+
+
 @register(
     "rule_filter_stream", streaming_ops.ORACLE_SQL["rule_filter_stream"]
 )

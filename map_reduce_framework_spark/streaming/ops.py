@@ -580,3 +580,22 @@ ORACLE_SQL["rule_filter_stream"] = f"""
     JOIN ({_TA_SQL["c4_quality_filter"]}) c USING (doc_id)
     JOIN ({_TA_SQL["gopher_repetition_filter"]}) r USING (doc_id)
 """
+
+
+def q_image_dhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing at ingest: the real-codec dHash
+    pipeline (generate BMP -> decode -> resize -> 63-bit hash) runs
+    per arriving document as a stateless Arrow map, append mode -- the
+    front half of multimodal dedup running on the stream with the
+    batch operator as its exact twin (the registered oracle is the
+    batch pixel-math derivation, so the sweep proves stream==batch
+    across the whole codec path)."""
+    from ..operators.multimodal import image_dhash
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_to_memory(image_dhash(docs), output_mode="append")
+
+
+from ..operators.multimodal import ORACLE_SQL as _MM_SQL  # noqa: E402
+
+ORACLE_SQL["image_dhash_stream"] = _MM_SQL["image_dhash"]

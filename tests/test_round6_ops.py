@@ -1097,3 +1097,47 @@ def test_source_overlap_report_accounts_for_every_pair(spark, sf_smoke):
     }
     assert got == want
     assert sum(got.values()) == len(pairs)
+
+
+def test_temperature_mixture_flattens_allocations(spark, sf_smoke):
+    """n^alpha weighting must FLATTEN the mix: every source's share of
+    the allocation sits between uniform and proportional-to-size --
+    larger sources get less than their token share, smaller sources
+    more -- and the weight column is exactly the quantized power
+    floor(avail^0.3 * 1e6 + 0.5). Epoch-split identity holds as in the
+    curated-weights plan."""
+    import math
+
+    from map_reduce_framework_spark.operators import pipeline as pl
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = {
+        r.source: r
+        for r in pl.data_mixture_temperature_plan(docs).collect()
+    }
+    total = sum(r.avail_tokens for r in plan.values())
+    sum_wq = sum(r.weight_q for r in plan.values())
+    n = len(plan)
+    for src, r in plan.items():
+        assert r.weight_q == math.floor(
+            r.avail_tokens ** pl.MIX_TEMP_ALPHA * 1e6 + 0.5
+        )
+        assert r.alloc_tokens == (total // 2) * r.weight_q // sum_wq
+        assert (
+            r.full_epochs * r.avail_tokens + r.remainder_tokens
+            == r.alloc_tokens
+        )
+        # flattening: alloc share sits between uniform and size share
+        # (integer-floor slop of a couple of tokens aside)
+        share = r.alloc_tokens / (total // 2)
+        size_share = r.avail_tokens / total
+        lo, hi = sorted((1.0 / n, size_share))
+        assert lo - 0.01 <= share <= hi + 0.01, (src, share, lo, hi)
+
+    sample = pl.data_mixture_temperature_sample(docs)
+    got = sample.groupBy("source").agg(
+        F.sum(F.col("n_repeats") * F.col("n_tokens")).alias("got")
+    ).collect()
+    for r in got:
+        p = plan[r.source]
+        assert p.alloc_tokens - r.got >= 0
