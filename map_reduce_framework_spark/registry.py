@@ -1077,6 +1077,16 @@ def q_multimodal_frames(spark, sf_dir):
 from .operators import pipeline  # noqa: E402
 
 
+# The full-recipe data card: cumulative doc+token accounting through
+# quality gate, exact/near dedup, decontamination, and the
+# leakage-safe train split -- one pass over per-doc stage flags.
+@register(
+    "training_run_manifest", pipeline.ORACLE_SQL["training_run_manifest"]
+)
+def q_training_run_manifest(spark, sf_dir):
+    return pipeline.training_run_manifest(_t(spark, sf_dir, "documents"))
+
+
 @register("clean_corpus", pipeline.ORACLE_SQL["clean_corpus"])
 def q_clean_corpus(spark, sf_dir):
     return pipeline.clean_corpus(_t(spark, sf_dir, "documents"))

@@ -1141,3 +1141,29 @@ def test_temperature_mixture_flattens_allocations(spark, sf_smoke):
     for r in got:
         p = plan[r.source]
         assert p.alloc_tokens - r.got >= 0
+
+
+def test_training_run_manifest_extends_curation_funnel(spark, sf_smoke):
+    """The manifest's first four stages must agree doc-for-doc with
+    curation_funnel (same gates, same cumulative semantics), stages
+    must be monotone non-increasing in both docs and tokens, and the
+    decontaminated stage must drop exactly the stand-in eval docs plus
+    any doc with a nonzero eval n-gram hit."""
+    from map_reduce_framework_spark.operators import pipeline as pl
+
+    docs = load_table(spark, sf_smoke, "documents")
+    manifest = {
+        r.stage: r for r in pl.training_run_manifest(docs).collect()
+    }
+    funnel = {
+        r.stage: r.n_docs for r in pl.curation_funnel(docs).collect()
+    }
+    for stage in ("raw", "quality_pass", "exact_keeper", "near_dup_keeper"):
+        assert manifest[stage].n_docs == funnel[stage]
+
+    ordered = sorted(manifest.values(), key=lambda r: r.stage_idx)
+    for a, b in zip(ordered, ordered[1:]):
+        assert b.n_docs <= a.n_docs
+        assert b.n_tokens <= a.n_tokens
+    assert ordered[-1].stage == "train_split"
+    assert 0 < ordered[-1].n_docs < ordered[0].n_docs
