@@ -187,3 +187,43 @@ def test_minhash_lsh_survives_adversarial_band_skew(spark):
     # (b) bounded: the hot bucket costs its inherent C(240,2) verify
     # work, not a stuck-reducer stall (generous flake-proof bound)
     assert t_skew < max(5 * t_uniform, 30.0), (t_skew, t_uniform)
+
+
+def test_data_mixture_scalable_splits_hot_source_windows(spark):
+    """A 60%-hot source is exactly the case the two-level prefix sum
+    exists for: the plain form's per-source window puts the whole hot
+    source in ONE task. Plant the skew, assert (a) the scalable twin
+    is bit-identical to the plain form, and (b) its doc-level window
+    partitions -- (source, bucket) groups -- cap out near hot_n/256,
+    i.e. no task ever sees more than a sliver of the hot source."""
+    from map_reduce_framework_spark.operators import pipeline as pl
+
+    rows = []
+    for i in range(5000):
+        src = "src0" if i < 3000 else f"src{1 + i % 19}"
+        text = " ".join(f"w{(i + j) % 97}" for j in range(20 + i % 11))
+        rows.append((i, text, "en", src, len(text)))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+    plain = {tuple(r) for r in pl.data_mixture_sample(docs).collect()}
+    scal = {
+        tuple(r) for r in pl.data_mixture_sample_scalable(docs).collect()
+    }
+    assert plain == scal and len(plain) > 0
+
+    sizes = (
+        pl._mix_tok(docs)
+        .groupBy("source", "b")
+        .count()
+        .collect()
+    )
+    hot = [r["count"] for r in sizes if r.source == "src0"]
+    assert sum(hot) == 3000
+    # md5 uniformity over 256 buckets: expected ~11.7/bucket; even a
+    # generous tail bound stays two orders below the 3000-row task the
+    # plain window would schedule
+    assert max(hot) <= 40
+    assert len(hot) > 200
