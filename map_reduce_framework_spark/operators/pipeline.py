@@ -1367,19 +1367,19 @@ def training_run_manifest(documents: DataFrame) -> DataFrame:
     (docs absent from the contamination relation ARE the eval docs, so
     they drop out of the training manifest there by construction).
 
-    Cost = ~the sum of its stages (measured 15.8 s at sf0.1 vs
-    quality 0.4 + exact 0.5 + clusters 3.1 + contamination 3.9 +
-    split-marginal 0.5 + flag join): the checkpoints keep the fused
-    plan from recomputing the clustering or the gram explode, so the
-    data card costs one pipeline pass, not a pass per stage."""
+    Cost = ~the sum of its stages (clean bench: 7.1 s at sf0.1, vs
+    ~8 s summing its component queries' own clean-bench entries): the
+    checkpoints keep the fused plan from recomputing the clustering or
+    the contamination gram explode -- without them the inlined subplans
+    re-evaluate shared fragments -- so the data card costs one pipeline
+    pass, not a pass per stage."""
     from .text_analysis import ngram_contamination
 
     # Every flag relation is checkpointed before the final join: each
     # is doc_id-sized (tiny), but INLINING five operator subplans into
     # one fused plan makes Catalyst recompute shared fragments (the
     # clustering feeds two stages, contamination's gram explode appears
-    # twice) -- measured 17 s fused vs ~6 s as materialized stages at
-    # sf0.1. At 100 TB these checkpoints are the natural stage
+    # twice). At 100 TB these checkpoints are the natural stage
     # boundaries a pipeline materializes anyway.
     def _stage(df):
         return df.localCheckpoint(eager=False)
