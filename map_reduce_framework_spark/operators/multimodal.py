@@ -1031,3 +1031,59 @@ ORACLE_SQL["image_dedup_clusters"] = (
            c.doc_id = c.cluster_id AS is_keeper
     FROM icomp c JOIN isized s USING (cluster_id)"""
 )
+
+
+def image_text_dedup_agreement(documents: DataFrame) -> DataFrame:
+    """Cross-modal detector agreement: near-dup pairs found by the
+    image dHash vs by text MinHash-LSH, and their overlap -- the
+    number that says whether perceptual image dedup ADDS recall over
+    text dedup on this corpus or merely re-finds the same pairs. Same
+    one-row shape as dedup_method_agreement; both pair relations are
+    the registered banded plans unchanged."""
+    from .dedup import minhash_lsh_pairs
+
+    img = image_dhash_pairs(documents).select("doc_a", "doc_b")
+    txt = minhash_lsh_pairs(documents, 0.7).select("doc_a", "doc_b")
+    n_img = img.agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_image")
+    )
+    n_txt = txt.agg(F.count("*").alias("n")).select(
+        F.col("n").alias("n_text")
+    )
+    n_both = (
+        img.join(txt, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("n").alias("n_both"))
+    )
+    return (
+        n_img.crossJoin(n_txt)
+        .crossJoin(n_both)
+        .select(
+            F.lit("image_dhash").alias("method_a"),
+            F.lit("minhash_text").alias("method_b"),
+            F.col("n_image").cast("bigint").alias("n_a"),
+            F.col("n_text").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+        )
+    )
+
+
+def _img_txt_agreement_sql() -> str:
+    from .dedup import ORACLE_SQL as _DD_SQL
+
+    return f"""
+    WITH p_img AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["image_dhash_pairs"]})
+    ),
+    p_txt AS (
+        SELECT doc_a, doc_b FROM ({_DD_SQL["minhash_lsh_pairs"]})
+    )
+    SELECT 'image_dhash' AS method_a, 'minhash_text' AS method_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM p_img) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM p_txt) AS n_b,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM p_img JOIN p_txt USING (doc_a, doc_b)) AS n_both
+"""
+
+
+ORACLE_SQL["image_text_dedup_agreement"] = _img_txt_agreement_sql()

@@ -1045,6 +1045,16 @@ def q_image_dhash(spark, sf_dir):
 
 
 @register(
+    "image_text_dedup_agreement",
+    multimodal.ORACLE_SQL["image_text_dedup_agreement"],
+)
+def q_image_text_dedup_agreement(spark, sf_dir):
+    return multimodal.image_text_dedup_agreement(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "image_dedup_clusters", multimodal.ORACLE_SQL["image_dedup_clusters"]
 )
 def q_image_dedup_clusters(spark, sf_dir):
