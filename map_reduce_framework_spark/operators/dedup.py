@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_long
 from ..functions.text import distinct_word_shingles_arrow, tokenize_ws
+from ..session import stage_checkpoint
 
 MINHASH_K = 12  # 4 bands x 3 rows
 LSH_BANDS = 4
@@ -477,30 +478,32 @@ def connected_component_labels(
       edge list, and the edge list *shrinks* toward the final star graph
       (vs label_prop, which joins the full edge list every round).
 
-    localCheckpoint (eager) at every step: materializes AND truncates
+    stage_checkpoint (eager) at every step: materializes AND truncates
     lineage, so iteration i+1's plan doesn't re-run iterations 0..i --
     without it the caller's first action replays the entire loop.
-    Durability caveat: localCheckpoint blocks live on executors with
-    lineage gone, so losing an executor mid-loop fails the job (fine
-    single-host / with task retry off the original scan). On a real
-    cluster run with spark.sparkContext.setCheckpointDir(...) and swap
-    these for reliable checkpoint() -- same plan shape, storage-backed.
-    The driver sees only scalar convergence counts, never data.
+    Durability: with spark.sparkContext.setCheckpointDir(...) set (a
+    real cluster), each round lands in reliable replicated storage and
+    an executor loss mid-loop recomputes nothing; without it the rounds
+    are localCheckpoint blocks on executors (fine single-host). The
+    driver sees only scalar convergence counts, never data.
     """
     if method == "two_phase":
         return _cc_two_phase(pairs)
     if method != "label_prop":
         raise ValueError(f"unknown method {method!r}")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
-        )
-    ).localCheckpoint()
-    labels = (
+    edges = stage_checkpoint(
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        ),
+        eager=True,
+    )
+    labels = stage_checkpoint(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("label", F.col("doc_id")),
+        eager=True,
     )
     while True:
         neighbor_min = (
@@ -518,8 +521,8 @@ def connected_component_labels(
                 ).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
-            .localCheckpoint()
         )
+        new_labels = stage_checkpoint(new_labels, eager=True)
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
@@ -543,8 +546,8 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
             F.least("doc_a", "doc_b").alias("v"),
         )
         .distinct()
-        .localCheckpoint()
     )
+    E = stage_checkpoint(E, eager=True)
     while True:
         # Large-star: group the symmetrized graph by u; attach every
         # strictly-larger neighbor to m = min(N(u) + {u}).
@@ -571,8 +574,8 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
             .unionByName(mins2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        small = stage_checkpoint(small, eager=True)
         # Convergence = edge set unchanged. Two-tier probe: the distinct
         # edge-set cardinality is a cheap scalar over the two
         # checkpointed sets, and a star-ward round that changed anything

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import stage_checkpoint
 from .skew import salted_aggregate
 
 PR_ITERS = 3
@@ -76,7 +77,9 @@ def part_pagerank(
     # edges feed every iteration's contribution join plus the degree
     # aggregate; without a checkpoint the market-basket self-join
     # re-executes iters+1 times (measured 6.8 s -> ~3 s at sf0.1).
-    edges = part_copurchase_edges(lineitem).localCheckpoint(eager=False)
+    # stage_checkpoint: reliable checkpoint() when a checkpoint dir is
+    # configured (cluster), localCheckpoint() otherwise (local dev).
+    edges = stage_checkpoint(part_copurchase_edges(lineitem))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     n_nodes = deg.agg(F.count("*").alias("n"))
     # init: pr = quant(1/N), attached to every node via 1-row broadcast
@@ -373,7 +376,7 @@ def part_kcore(lineitem: DataFrame) -> DataFrame:
     an exact fixpoint; every arithmetic step is integer."""
     # checkpoint BEFORE the percentile pass: k's degree aggregate and
     # round 0 otherwise each rebuild the market-basket self-join.
-    edges = part_copurchase_edges(lineitem).localCheckpoint(eager=True)
+    edges = stage_checkpoint(part_copurchase_edges(lineitem), eager=True)
     deg0 = edges.groupBy("src").agg(F.count("*").alias("deg"))
     k = int(
         deg0.agg(
@@ -385,12 +388,13 @@ def part_kcore(lineitem: DataFrame) -> DataFrame:
         ).collect()[0]["k"]
     )
 
-    # localCheckpoint (not persist) each round: an iterative self-
+    # checkpoint (not persist) each round: an iterative self-
     # referencing join grows the LOGICAL plan exponentially even when
     # the data is cached, and Catalyst re-optimizes the whole lineage
     # every round -- measured 1.5s/round degrading to 40s/round by
-    # round 5 without truncation. On a cluster swap in
-    # checkpoint(reliable storage); the loop shape is unchanged.
+    # round 5 without truncation. stage_checkpoint picks reliable
+    # checkpoint() when SparkContext has a checkpoint dir (cluster:
+    # survives executor loss mid-peel) and localCheckpoint() otherwise.
     cur = edges
     n_edges = cur.count()
     while True:
@@ -407,10 +411,10 @@ def part_kcore(lineitem: DataFrame) -> DataFrame:
                 "dst",
             )
             .select("src", "dst")
-            # lazy: the count() below materializes the checkpoint, so
-            # eager=True would just spend an extra job per round
-            .localCheckpoint(eager=False)
         )
+        # lazy: the count() below materializes the checkpoint, so
+        # eager=True would just spend an extra job per round
+        nxt = stage_checkpoint(nxt)
         n_next = nxt.count()
         cur = nxt
         if n_next == n_edges:
@@ -429,6 +433,13 @@ def part_kcore(lineitem: DataFrame) -> DataFrame:
 
 
 def _kcore_sql(rounds: int = KCORE_ORACLE_ROUNDS) -> str:
+    """Unrolls ``rounds + 1`` peeling rounds and ASSERTS convergence:
+    the final round must be a no-op (|ke_N| == |ke_{N+1}|, and a peel
+    round never adds edges, so equal counts == identical relations), or
+    the query fails loudly via DuckDB ``error()`` instead of silently
+    hash-mismatching against Spark's exact fixpoint -- a graph needing
+    more rounds than the unroll now reports itself as such (round-6
+    ADVICE)."""
     ctes = [
         """ke0 AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -443,7 +454,7 @@ def _kcore_sql(rounds: int = KCORE_ORACLE_ROUNDS) -> str:
         FROM (SELECT count(*) AS deg FROM ke0 GROUP BY src)
     )""",
     ]
-    for r in range(1, rounds + 1):
+    for r in range(1, rounds + 2):
         ctes.append(
             f"""kv{r} AS MATERIALIZED (
         SELECT src AS v FROM ke{r - 1} GROUP BY src
@@ -458,13 +469,24 @@ def _kcore_sql(rounds: int = KCORE_ORACLE_ROUNDS) -> str:
         JOIN kv{r} b ON e.dst = b.v
     )"""
         )
+    ctes.append(
+        f"""kconv AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT count(*) FROM ke{rounds})
+                       = (SELECT count(*) FROM ke{rounds + 1})
+                    THEN 1
+                    ELSE error('part_kcore oracle: {rounds}-round unroll '
+                               'did not reach the peeling fixpoint; '
+                               'raise KCORE_ORACLE_ROUNDS')
+               END AS converged
+    )"""
+    )
     return (
         "WITH "
         + ",\n    ".join(ctes)
         + f"""
     SELECT src AS part, CAST(count(*) AS BIGINT) AS core_degree,
            (SELECT k FROM kk) AS k
-    FROM ke{rounds} GROUP BY src"""
+    FROM ke{rounds + 1}, kconv GROUP BY src, kconv.converged"""
     )
 
 

@@ -316,6 +316,7 @@ def recover_torn_upserts(spark, state_dir: str) -> list[int]:
 
     intents = os.path.join(state_dir, "_upsert_intents")
     if not os.path.isdir(intents):
+        _sweep_orphan_staging(state_dir, referenced=set())
         return []
     recovered: list[int] = []
     # Replay in BATCH order, not lexicographic filename order ('10'
@@ -356,7 +357,34 @@ def recover_torn_upserts(spark, state_dir: str) -> list[int]:
                 "the batch is not in the applied ledger; state may be "
                 "torn and cannot be healed automatically"
             )
+    _sweep_orphan_staging(state_dir, referenced=set())
     return recovered
+
+
+def _sweep_orphan_staging(state_dir: str, referenced: set[str]) -> None:
+    """Garbage-collect intent-less ``<state>.staging-*`` dirs: a crash
+    between intent-file removal and the staging rmtree (both in
+    ``exactly_once_upsert``'s commit path and in recovery's redo path)
+    leaves a staged copy with no intent pointing at it -- committed
+    content, pure disk garbage, that no later run would otherwise ever
+    delete (round-6 ADVICE). Safe under the module's single-writer
+    contract (recovery runs BEFORE any new batch starts staging);
+    ``referenced`` carries staging paths of still-pending intents and
+    is empty when the loop above drained them all."""
+    import os
+
+    parent = os.path.dirname(os.path.abspath(state_dir.rstrip("/"))) or "."
+    prefix = os.path.basename(state_dir.rstrip("/")) + ".staging-"
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        full = os.path.join(parent, name)
+        if (
+            name.startswith(prefix)
+            and os.path.isdir(full)
+            and full not in referenced
+        ):
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def _record_applied(state_dir: str, batch_id: int) -> None:

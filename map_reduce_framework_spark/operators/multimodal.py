@@ -834,11 +834,16 @@ def image_dhash(documents: DataFrame) -> DataFrame:
         ]
     )
 
+    from ..functions.text import _WS_RE
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             hashes = []
             for text in pdf["text"]:
-                toks = [t for t in str(text).split() if t]
+                # shared \s+ splitter (not str.split(), whose Unicode-
+                # whitespace set diverges from the oracle's regex on
+                # NBSP etc.) -- same idiom as bpe_decoder_arrow
+                toks = [t for t in _WS_RE.split(str(text) or "") if t]
                 payload = encode_bmp(_doc_pixels(toks))
                 px = decode_image(payload)
                 hashes.append(_dhash_from_pixels(px))

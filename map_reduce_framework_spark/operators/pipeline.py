@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.text import tokenize_ws
+from ..session import stage_checkpoint
 from . import dedup, text_analysis
 
 
@@ -1139,7 +1140,7 @@ _MIX_TOK_SQL = f"""
         SELECT source,
                CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
                CAST(count(*) AS BIGINT) AS n_docs,
-               CAST(CASE WHEN CAST(substr(source, 4) AS INT)
+               CAST(CASE WHEN TRY_CAST(substr(source, 4) AS INT)
                               < {MIX_CURATED_BELOW}
                          THEN {MIX_W_CURATED} ELSE {MIX_W_BASE} END
                     AS BIGINT) AS weight
@@ -1380,9 +1381,12 @@ def training_run_manifest(documents: DataFrame) -> DataFrame:
     # one fused plan makes Catalyst recompute shared fragments (the
     # clustering feeds two stages, contamination's gram explode appears
     # twice). At 100 TB these checkpoints are the natural stage
-    # boundaries a pipeline materializes anyway.
+    # boundaries a pipeline materializes anyway -- and stage_checkpoint
+    # makes them RELIABLE (replicated storage) when the session has a
+    # checkpoint dir, so losing an executor mid-manifest does not
+    # recompute five stages.
     def _stage(df):
-        return df.localCheckpoint(eager=False)
+        return stage_checkpoint(df)
 
     quality = _stage(
         _quality_pass_ids(documents).withColumn("q", F.lit(True))
@@ -1390,9 +1394,7 @@ def training_run_manifest(documents: DataFrame) -> DataFrame:
     exact = _stage(
         _exact_keeper_ids(documents).withColumn("e", F.lit(True))
     )
-    shared_clusters = dedup.dedup_clusters(documents).localCheckpoint(
-        eager=False
-    )
+    shared_clusters = stage_checkpoint(dedup.dedup_clusters(documents))
     drops = _stage(
         shared_clusters.filter(~F.col("is_keeper"))
         .select("doc_id")

@@ -1684,9 +1684,12 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
     Pareto draw derives from md5(doc_id) -- retry-stable, engine-
     portable, no RNG state (stratified_sample's argument). Tokenless
     documents score with zero features and are never kept: the keep
-    verdict carries an explicit n_chars > 0 conjunct (the bias-only
-    z = -2 still sigmoids to p ~ 0.119, which the luckiest ~0.3% of
-    Pareto draws would otherwise clear).
+    verdict carries explicit n_chars > 0 AND n_tok > 0 conjuncts (the
+    bias-only z = -2 still sigmoids to p ~ 0.119, which the luckiest
+    ~0.3% of Pareto draws would otherwise clear; the n_tok conjunct
+    also covers whitespace-only docs, which have characters but no
+    tokens and would otherwise score on the char-ratio features
+    alone).
 
     Pure Catalyst: one narrow projection, no joins, no shuffle."""
     toks = tokenize_ws("text")
@@ -1728,11 +1731,18 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     return (
-        documents.select("doc_id", "lang", F.col("n_chars"), z.alias("z"))
+        documents.select(
+            "doc_id",
+            "lang",
+            F.col("n_chars"),
+            n_tok.alias("n_tok"),
+            z.alias("z"),
+        )
         .select(
             "doc_id",
             "lang",
             "n_chars",
+            "n_tok",
             "z",
             p_q.alias("p_q"),
             x_q.alias("x_q"),
@@ -1747,6 +1757,7 @@ def quality_classifier_scores(documents: DataFrame) -> DataFrame:
                 (F.col("x_q") > F.lit(DSIR_SCALE) - F.col("p_q"))
                 & (F.col("p_q") > 0)
                 & (F.col("n_chars") > 0)
+                & (F.col("n_tok") > 0)
             ).alias("keep"),
         )
     )
@@ -1762,7 +1773,7 @@ ORACLE_SQL["quality_classifier_scores"] = f"""
         FROM documents
     ),
     feats AS (
-        SELECT doc_id, lang, n_chars,
+        SELECT doc_id, lang, n_chars, len(w) AS n_tok,
                CASE WHEN n_chars = 0 THEN CAST({QC_BIAS} AS DOUBLE) ELSE
                CAST({QC_BIAS} AS DOUBLE)
                + CAST({QC_W_STOP} AS DOUBLE)
@@ -1780,7 +1791,7 @@ ORACLE_SQL["quality_classifier_scores"] = f"""
         FROM qf
     ),
     keyed AS (
-        SELECT doc_id, lang, n_chars, z,
+        SELECT doc_id, lang, n_chars, n_tok, z,
                CAST(floor((1.0 / (1.0 + exp(-z))) * {DSIR_SCALE}.0 + 0.5)
                     AS BIGINT) AS p_q,
                CAST(floor(
@@ -1794,7 +1805,8 @@ ORACLE_SQL["quality_classifier_scores"] = f"""
     SELECT doc_id, lang, z,
            p_q / {DSIR_SCALE}.0 AS p,
            x_q / {DSIR_SCALE}.0 AS pareto_x,
-           (x_q > {DSIR_SCALE} - p_q AND p_q > 0 AND n_chars > 0) AS keep
+           (x_q > {DSIR_SCALE} - p_q AND p_q > 0 AND n_chars > 0
+            AND n_tok > 0) AS keep
     FROM keyed
 """
 

@@ -181,12 +181,55 @@ def test_recovery_replays_intents_in_numeric_batch_order(spark, tmp_path):
     assert float(final[0].sum_value) == 10.0
 
 
+def test_recovery_sweeps_orphaned_staging_dirs(spark, tmp_path):
+    """A crash BETWEEN intent-file removal and the staging rmtree (the
+    commit path's last two steps) leaves an intent-less .staging-* dir
+    that no code path used to garbage-collect (round-6 ADVICE).
+    Recovery now sweeps orphans -- but only dirs matching THIS state
+    table's staging prefix, and never one referenced by a pending
+    intent (exercised via the loud-failure path, which returns before
+    the sweep)."""
+    state_dir = str(tmp_path / "state")
+    spark.createDataFrame(
+        [("2024-01-01", 1)], "day_key string, n bigint"
+    ).write.partitionBy("day_key").mode("overwrite").parquet(state_dir)
+
+    orphan = state_dir + ".staging-deadbeef"
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    bystander = str(tmp_path / "other-table.staging-cafe")
+    os.makedirs(bystander)
+
+    assert recover_torn_upserts(spark, state_dir) == []
+    assert not os.path.isdir(orphan)  # orphan swept
+    assert os.path.isdir(bystander)  # other tables' staging untouched
+
+    # a staging dir referenced by a pending intent survives: the loud
+    # RuntimeError on a LOST redo log fires before any sweep, and a
+    # REPLAYABLE intent consumes its staging via the redo itself
+    live = state_dir + ".staging-feedface"
+    os.makedirs(live)
+    intents = os.path.join(state_dir, "_upsert_intents")
+    os.makedirs(intents, exist_ok=True)
+    with open(os.path.join(intents, "7"), "w") as fh:
+        json.dump({"staging": str(tmp_path / "gone"), "batch_id": 7}, fh)
+    with pytest.raises(RuntimeError, match="torn upsert for batch 7"):
+        recover_torn_upserts(spark, state_dir)
+    assert os.path.isdir(live)  # no sweep happened on the error path
+    os.remove(os.path.join(intents, "7"))
+    assert recover_torn_upserts(spark, state_dir) == []
+    assert not os.path.isdir(live)
+
+
 def test_tokenless_docs_never_kept_by_classifier(spark):
     """The GPT-3-style classifier's docstring promise, now enforced: an
     empty doc scores z = bias = -2 (p ~ 0.119), and before the explicit
-    n_chars > 0 conjunct the luckiest ~0.3% of md5-derived Pareto draws
-    cleared 1 - p -- 2000 doc_ids make at least a few such draws
-    overwhelmingly likely, so keep-count 0 proves the guard."""
+    n_chars > 0 / n_tok > 0 conjuncts the luckiest ~0.3% of md5-derived
+    Pareto draws cleared 1 - p -- 2000 doc_ids make at least a few such
+    draws overwhelmingly likely, so keep-count 0 proves the guard.
+    Whitespace-only docs (n_chars > 0 but zero tokens, the round-6
+    ADVICE gap) are covered by the n_tok conjunct."""
     from pyspark.sql import functions as F
 
     from map_reduce_framework_spark.operators.text_analysis import (
@@ -194,13 +237,14 @@ def test_tokenless_docs_never_kept_by_classifier(spark):
     )
 
     docs = spark.createDataFrame(
-        [(i, "", "en", "s", 0) for i in range(2000)],
+        [(i, "", "en", "s", 0) for i in range(2000)]
+        + [(i, "   \t  ", "en", "s", 6) for i in range(2000, 4000)],
         "doc_id long, text string, lang string, source string, n_chars int",
     )
     scores = quality_classifier_scores(docs)
     assert scores.filter(F.col("keep")).count() == 0
-    # sanity: the guard (not an accident of the draws) is what blocks
-    # them -- without n_chars the Pareto side DOES clear 1-p sometimes
+    # sanity: the guards (not an accident of the draws) are what block
+    # them -- without them the Pareto side DOES clear 1-p sometimes
     lucky = scores.filter(F.col("pareto_x") > 1 - F.col("p")).count()
     assert lucky > 0
 
