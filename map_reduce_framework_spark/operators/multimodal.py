@@ -1038,6 +1038,69 @@ ORACLE_SQL["image_dedup_clusters"] = (
 )
 
 
+def cross_modal_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Cross-modal near-dup CLUSTERS: connected components (min-label)
+    over the UNION of the text-MinHash and image-dHash pair relations.
+
+    ``image_text_dedup_agreement`` measured the two detectors finding
+    DISJOINT pair sets on this corpus (r6: 7 image vs 25 text pairs, 0
+    shared) -- so a dedup decision keyed on either alone misses the
+    other's recall, and the right cluster relation is components over
+    the unioned edge set: a doc near-duplicated in pixel space joins
+    the same cluster as its text-near-dup partners, collapsing chains
+    that cross modalities. Both pair relations are the registered
+    banded plans unchanged (never all-pairs); the union adds no
+    shuffle beyond the components loop itself. Returns (doc_id,
+    cluster_id, cluster_size, is_keeper) -- same shape/keeper rule as
+    dedup_clusters and image_dedup_clusters."""
+    from .dedup import connected_component_labels, minhash_lsh_pairs
+
+    img = image_dhash_pairs(documents).select("doc_a", "doc_b")
+    txt = minhash_lsh_pairs(documents, 0.7).select("doc_a", "doc_b")
+    pairs = img.unionByName(txt).distinct()
+    labels = connected_component_labels(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("doc_id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def _cross_modal_clusters_sql() -> str:
+    from .dedup import ORACLE_SQL as _DD_SQL
+
+    return f"""
+    WITH RECURSIVE xpairs AS (
+        SELECT doc_a, doc_b FROM ({ORACLE_SQL["image_dhash_pairs"]})
+        UNION
+        SELECT doc_a, doc_b FROM ({_DD_SQL["minhash_lsh_pairs"]})
+    ),
+    xedges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM xpairs
+        UNION SELECT doc_b, doc_a FROM xpairs
+    ),
+    xnodes AS (SELECT DISTINCT src AS doc_id FROM xedges),
+    xreach(doc_id, root) AS (
+        SELECT doc_id, doc_id FROM xnodes
+        UNION
+        SELECT e.dst, r.root FROM xreach r JOIN xedges e ON e.src = r.doc_id
+    ),
+    xcomp AS (
+        SELECT doc_id, min(root) AS cluster_id FROM xreach GROUP BY doc_id
+    ),
+    xsized AS (
+        SELECT cluster_id, count(*) AS cluster_size
+        FROM xcomp GROUP BY cluster_id
+    )
+    SELECT c.doc_id, c.cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           c.doc_id = c.cluster_id AS is_keeper
+    FROM xcomp c JOIN xsized s USING (cluster_id)
+"""
+
+
 def image_text_dedup_agreement(documents: DataFrame) -> DataFrame:
     """Cross-modal detector agreement: near-dup pairs found by the
     image dHash vs by text MinHash-LSH, and their overlap -- the
@@ -1092,3 +1155,4 @@ def _img_txt_agreement_sql() -> str:
 
 
 ORACLE_SQL["image_text_dedup_agreement"] = _img_txt_agreement_sql()
+ORACLE_SQL["cross_modal_dedup_clusters"] = _cross_modal_clusters_sql()

@@ -1066,6 +1066,19 @@ def q_image_dhash_pairs(spark, sf_dir):
     return multimodal.image_dhash_pairs(_t(spark, sf_dir, "documents"))
 
 
+# The r6 agreement report measured image-dHash and text-MinHash finding
+# DISJOINT pair sets -- so the actual dedup decision clusters the UNION
+# of both edge relations (r6 verdict ask #5).
+@register(
+    "cross_modal_dedup_clusters",
+    multimodal.ORACLE_SQL["cross_modal_dedup_clusters"],
+)
+def q_cross_modal_dedup_clusters(spark, sf_dir):
+    return multimodal.cross_modal_dedup_clusters(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 @register("multimodal_meta", multimodal.ORACLE_SQL["multimodal_meta"])
 def q_multimodal(spark, sf_dir):
     return multimodal.multimodal_meta(_t(spark, sf_dir, "documents"))

@@ -60,6 +60,61 @@ def test_stage_checkpoint_is_reliable_when_dir_configured(
     assert reliable_manifest == local_manifest
 
 
+def test_cross_modal_dedup_clusters_unions_both_detectors(spark):
+    """VERDICT r6 ask #5: the union clustering joins an IMAGE-ONLY
+    near-dup pair and a TEXT-ONLY near-dup pair each into one cluster
+    with their partner -- recall neither detector has alone.
+
+    * docs 0/1: token-wise md5-first-byte collisions (juliet~quebec,
+      mike~dew, clay~fire) make their generated 16x16 images IDENTICAL
+      (dHash hamming 0) while their shingle sets are disjoint (text
+      Jaccard 0) -- only the image detector pairs them;
+    * docs 2/3: 24 tokens vs the same 24 plus one (shingle Jaccard
+      22/23 ~ 0.96) -- only the text detector pairs them (different
+      token counts scramble the i-mod-n pixel layout, so their images
+      are unrelated)."""
+    from map_reduce_framework_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from map_reduce_framework_spark.operators.multimodal import (
+        cross_modal_dedup_clusters,
+        image_dhash_pairs,
+    )
+
+    w = [
+        "stone", "river", "maple", "cloud", "ember", "frost", "grain",
+        "haven", "ridge", "slate", "tulip", "vapor", "wheat", "zesty",
+        "amber", "birch", "cedar", "dune", "fjord", "glade", "heron",
+        "inlet", "jade", "knoll", "lark",
+    ]
+    a_txt, b_txt = " ".join(w[:24]), " ".join(w[:25])
+    docs = spark.createDataFrame(
+        [
+            (0, "juliet mike clay", "en", "s", 16),
+            (1, "quebec dew fire", "en", "s", 15),
+            (2, a_txt, "en", "s", len(a_txt)),
+            (3, b_txt, "en", "s", len(b_txt)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    # each detector finds exactly its own pair and not the other's
+    img = {(r.doc_a, r.doc_b) for r in image_dhash_pairs(docs).collect()}
+    txt = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.7).collect()
+    }
+    assert img == {(0, 1)} and txt == {(2, 3)}
+    clusters = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_keeper)
+        for r in cross_modal_dedup_clusters(docs).collect()
+    }
+    assert clusters == {
+        0: (0, 2, True),
+        1: (0, 2, False),
+        2: (2, 2, True),
+        3: (2, 2, False),
+    }
+
+
 def test_stage_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
     """Both branches of stage_checkpoint cut the logical plan: the
     result's parsed plan no longer contains the upstream join."""
