@@ -1,0 +1,416 @@
+"""Audio modality: WAV/RIFF PCM as an opaque BINARY column, processed
+by Arrow-batched pandas UDFs -- completing "multimodal columns" across
+image (multimodal.py, real BMP/PNG/GIF), video (video_frame_dhash, real
+animated GIF), and audio (this module, real WAV).
+
+Everything is dependency-free per the RIFF/WAVE spec: ``encode_wav``
+writes mono 16-bit PCM (stdlib struct-free byte arithmetic) and
+``decode_wav`` walks the chunk list back to the int16 samples. Each
+doc's clip is GENERATED deterministically from its tokens -- token i
+contributes a 16-sample chunk whose samples are its md5 bytes recentred
+to int16 ((b - 128) * 256) -- so every registered query runs the REAL
+codec round trip (generate -> encode_wav -> decode_wav -> feature
+math) while the DuckDB oracle recomputes the same numbers from md5
+token bytes alone: a sweep match certifies the codec end to end,
+exactly like image_dhash certifies the BMP path and video_frame_dhash
+the animated-GIF path.
+
+Two registered surfaces:
+
+* ``audio_features`` -- per-clip duration/peak/RMS/clipping/silence,
+  the filter columns an audio curation pipeline keys on (cf. the
+  audio-quality heuristics in large-scale speech datasets: clipping
+  and silence ratios are the standard junk detectors).
+* ``audio_fingerprint_pairs`` -- sample-block fingerprint near-dup:
+  every 4-chunk (64-sample) sliding window hashes to an exact-integer
+  polynomial fingerprint (mod 2^61-1, precomputed power table shared
+  with the oracle); docs sharing >= AUDIO_FP_MIN distinct window
+  fingerprints are near-duplicate clips. Blocking is the fingerprint
+  equi-join itself -- matching windows are rare across unrelated docs
+  (vocab^4 windows), so this is never an all-pairs comparison, the
+  same scale argument as MinHash banding.
+
+Scale notes: generation+decode+features is scan-bound Arrow map work
+(no shuffle); the pair relation shuffles only exploded (doc, window,
+fp) rows on fp -- at 100 TB the fingerprint join behaves like any
+shingle-gram join, with AQE skew handling on pathological fp keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+AUDIO_RATE = 8000  # Hz; 8 kHz telephony rate keeps payloads small
+CHUNK_SAMPLES = 16  # samples contributed per token (md5 has 16 bytes)
+AUDIO_MAX_TOKENS = 64  # cap: clips are <= 1024 samples / ~2 KiB PCM
+CLIP_THRESH = 30000  # |s| >= this counts as clipped
+SILENCE_THRESH = 2000  # |s| <= this counts as silent
+FP_WINDOW_CHUNKS = 4  # fingerprint window: 4 chunks = 64 samples
+AUDIO_FP_MIN = 3  # near-dup pairs share >= this many distinct fps
+
+#: Exact-integer polynomial fingerprint: fp = sum(s'_k * P^k) mod M
+#: over the window's 64 samples shifted non-negative (s + 32768).
+#: M = 2^61 - 1 (Mersenne), P an odd mixing constant; the power table
+#: is precomputed HERE and inlined into the DuckDB oracle as literals,
+#: so both engines do pure integer arithmetic -- no float, no hashing
+#: library semantics to match.
+FP_MOD = (1 << 61) - 1
+FP_P = 1315423911
+FP_POWERS = [pow(FP_P, k, FP_MOD) for k in range(FP_WINDOW_CHUNKS * CHUNK_SAMPLES)]
+
+
+def encode_wav(samples, sample_rate: int = AUDIO_RATE) -> bytes:
+    """Dependency-free mono 16-bit PCM RIFF/WAVE writer: canonical
+    44-byte header + little-endian int16 samples."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    byte_rate = sample_rate * 2
+    hdr = (
+        b"RIFF"
+        + (36 + len(pcm)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+        + b"data"
+        + len(pcm).to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes):
+    """Dependency-free WAV decode: returns (samples int16 numpy array
+    of channel 0, sample_rate, n_channels), or None when the payload is
+    not PCM 16-bit RIFF/WAVE. Walks the chunk list per the RIFF spec
+    (chunks are word-aligned; fmt must precede data), so writers that
+    insert LIST/fact chunks still decode."""
+    import numpy as np
+
+    n = len(payload)
+    if n < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            return None
+        if cid == b"fmt ":
+            if clen < 16:
+                return None
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
+                return None
+            fmt = (channels, rate)
+        elif cid == b"data":
+            if fmt is None:
+                return None
+            channels, rate = fmt
+            frames = np.frombuffer(
+                body, dtype="<i2", count=(clen // 2 // channels) * channels
+            ).reshape(-1, channels)
+            return frames[:, 0].copy(), rate, channels
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    return None
+
+
+def _token_chunk(token: str) -> list[int]:
+    """The 16 int16 samples a token contributes: its md5 bytes,
+    recentred ((b - 128) * 256, exactly int16 range)."""
+    return [(b - 128) * 256 for b in hashlib.md5(token.encode()).digest()]
+
+
+def _doc_samples(tokens: list) -> list[int]:
+    """A doc's clip: per-token 16-sample chunks concatenated in order,
+    capped at AUDIO_MAX_TOKENS tokens; a tokenless doc contributes the
+    empty-string token's chunk (clips are never zero-length, like a
+    real recorder's minimum buffer)."""
+    toks = tokens[:AUDIO_MAX_TOKENS] if tokens else [""]
+    out: list[int] = []
+    cache: dict = {}
+    for t in toks:
+        c = cache.get(t)
+        if c is None:
+            c = _token_chunk(t)
+            cache[t] = c
+        out.extend(c)
+    return out
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", IntegerType()),
+        StructField("rms_q6", LongType()),
+        StructField("n_clipped", LongType()),
+        StructField("clipping_ratio", DoubleType()),
+        StructField("n_silent", LongType()),
+        StructField("silence_ratio", DoubleType()),
+    ]
+)
+
+
+def audio_features(documents: DataFrame) -> DataFrame:
+    """Per-clip audio features through the REAL codec round trip:
+    generate samples from tokens, encode_wav, decode_wav, then compute
+    duration / peak / RMS / clipping ratio / silence ratio from the
+    DECODED int16 stream. All integer or exactly-quantized math:
+    rms_q6 = floor(sqrt(sum(s^2)/n) * 1e6 + 0.5) (sum(s^2) < 2^53, so
+    the double divide and IEEE sqrt are bit-deterministic across
+    engines); the ratios are int/int doubles. One Arrow-batched pass,
+    no shuffle -- scan-bound map work at 100 TB."""
+    import math
+
+    from ..functions.text import _WS_RE
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in [f.name for f in _FEATURES_SCHEMA.fields]}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in _WS_RE.split(str(text) or "") if t]
+                payload = encode_wav(_doc_samples(toks))
+                samples, rate, _ch = decode_wav(payload)
+                s = samples.astype("int64")
+                n = len(s)
+                sum_sq = int((s * s).sum())
+                a = abs(s)
+                n_clip = int((a >= CLIP_THRESH).sum())
+                n_sil = int((a <= SILENCE_THRESH).sum())
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(a.max()))
+                out["rms_q6"].append(
+                    math.floor(math.sqrt(sum_sq / n) * 1e6 + 0.5)
+                )
+                out["n_clipped"].append(n_clip)
+                out["clipping_ratio"].append(n_clip / n)
+                out["n_silent"].append(n_sil)
+                out["silence_ratio"].append(n_sil / n)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema=_FEATURES_SCHEMA
+    )
+
+
+_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def audio_fingerprints(documents: DataFrame) -> DataFrame:
+    """(doc_id, window_idx, fp): every 4-chunk (64-sample) sliding
+    window's exact-integer polynomial fingerprint over the DECODED
+    samples -- window i covers chunks i..i+3 (stride one chunk), so a
+    one-token edit invalidates exactly the <= 4 windows covering it
+    while every other window survives, the locality a fingerprint
+    dedup needs. Computed from the real encode->decode round trip."""
+    from ..functions.text import _WS_RE
+
+    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], "fp": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in _WS_RE.split(str(text) or "") if t]
+                payload = encode_wav(_doc_samples(toks))
+                samples, _rate, _ch = decode_wav(payload)
+                vals = [int(v) + 32768 for v in samples]
+                n_chunks = len(vals) // CHUNK_SAMPLES
+                for i in range(n_chunks - FP_WINDOW_CHUNKS + 1):
+                    base = i * CHUNK_SAMPLES
+                    fp = 0
+                    for k in range(win):
+                        fp = (fp + vals[base + k] * FP_POWERS[k]) % FP_MOD
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(i)
+                    out["fp"].append(fp)
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema=_FP_SCHEMA
+    )
+
+
+def audio_fingerprint_pairs(
+    documents: DataFrame, min_shared: int = AUDIO_FP_MIN
+) -> DataFrame:
+    """Near-duplicate CLIP pairs (doc_a < doc_b, n_shared_fp): an
+    equi-join of window fingerprints (position-independent, so a clip
+    embedded at a different offset still matches), counting the
+    DISTINCT shared fingerprints per doc pair; >= min_shared is a
+    near-dup. The fp equi-join IS the blocking -- unrelated docs share
+    no 4-token windows, so candidates stay near-linear (the shingle-
+    join scale argument)."""
+    fps = audio_fingerprints(documents)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fp"),
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: recompute everything from md5 token bytes, never
+# touching WAV bytes -- a sweep match certifies encode_wav/decode_wav.
+# ---------------------------------------------------------------------------
+
+#: (b - 128) * 256 for md5 byte k of token list element (1-indexed i):
+#: the sample math shared by every oracle below.
+def _sample_expr(tok_expr: str, k: str) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5({tok_expr}), "
+        f"2 * ({k}) + 1, 2)) AS BIGINT) - 128) * 256"
+    )
+
+
+def _audio_cte() -> str:
+    """CTE chain ending in ``asamp(doc_id, s)`` where s is the clip's
+    int16 sample LIST (1-indexed), built from md5 token bytes."""
+    # token list, capped, '' fallback for tokenless docs
+    samp = _sample_expr("t[(j // 16) + 1]", "j % 16")
+    return f"""
+    atoks AS (
+        SELECT doc_id,
+               CASE WHEN len(w0) = 0 THEN ['']
+                    ELSE w0[1:{AUDIO_MAX_TOKENS}] END AS t
+        FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS w0
+            FROM documents
+        )
+    ),
+    asamp AS (
+        SELECT doc_id,
+               list_transform(range(0, len(t) * {CHUNK_SAMPLES}),
+                              j -> {samp}) AS s
+        FROM atoks
+    )"""
+
+
+ORACLE_SQL: dict[str, str] = {
+    "audio_features": f"""
+        WITH {_audio_cte().strip()},
+        agg AS (
+            SELECT doc_id,
+                   len(s) AS n,
+                   list_sum(list_transform(s, v -> v * v)) AS sum_sq,
+                   list_max(list_transform(s, v -> abs(v))) AS peak,
+                   len(list_filter(s, v -> abs(v) >= {CLIP_THRESH}))
+                       AS n_clipped,
+                   len(list_filter(s, v -> abs(v) <= {SILENCE_THRESH}))
+                       AS n_silent
+            FROM asamp
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST({AUDIO_RATE} AS INT) AS sample_rate,
+               CAST(n * 1000 // {AUDIO_RATE} AS BIGINT) AS duration_ms,
+               CAST(peak AS INT) AS peak,
+               CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / n) * 1000000
+                          + 0.5) AS BIGINT) AS rms_q6,
+               CAST(n_clipped AS BIGINT) AS n_clipped,
+               CAST(n_clipped AS DOUBLE) / n AS clipping_ratio,
+               CAST(n_silent AS BIGINT) AS n_silent,
+               CAST(n_silent AS DOUBLE) / n AS silence_ratio
+        FROM agg
+    """,
+}
+
+
+def _fp_cte() -> str:
+    """CTE chain ending in ``afp(doc_id, window_idx, fp)`` -- the
+    polynomial window fingerprints in exact HUGEINT arithmetic with
+    the SAME precomputed power table the engine uses."""
+    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+    pw = ", ".join(str(p) for p in FP_POWERS)
+    return f"""
+    {_audio_cte().strip()},
+    awin AS (
+        SELECT doc_id, i AS window_idx,
+               s[(i * {CHUNK_SAMPLES}) + 1 :
+                 (i * {CHUNK_SAMPLES}) + {win}] AS wnd
+        FROM asamp
+        CROSS JOIN range(0, {AUDIO_MAX_TOKENS}) t(i)
+        WHERE i <= len(s) // {CHUNK_SAMPLES} - {FP_WINDOW_CHUNKS}
+    ),
+    apw AS (SELECT [{pw}] AS pw),
+    afp AS (
+        SELECT doc_id, window_idx,
+               CAST(list_sum(
+                   list_transform(range(1, {win} + 1),
+                       k -> (CAST(wnd[k] + 32768 AS HUGEINT)
+                             * pw[k]) % {FP_MOD})
+               ) % {FP_MOD} AS BIGINT) AS fp
+        FROM awin, apw
+    )"""
+
+
+ORACLE_SQL["audio_fingerprints"] = (
+    "WITH "
+    + _fp_cte().strip()
+    + """
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx, fp FROM afp"""
+)
+
+ORACLE_SQL["audio_fingerprint_pairs"] = (
+    "WITH "
+    + _fp_cte().strip()
+    + f""",
+    ashared AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+        FROM afp a JOIN afp b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM ashared
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {AUDIO_FP_MIN}"""
+)

@@ -1112,6 +1112,30 @@ def q_video_dedup_pairs(spark, sf_dir):
     return multimodal.video_dedup_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Audio modality (r6 verdict ask #2): real WAV/RIFF PCM codec round
+# trip; oracles recompute features/fingerprints from md5 token bytes,
+# certifying encode_wav/decode_wav end to end.
+from .operators import audio  # noqa: E402
+
+
+@register("audio_features", audio.ORACLE_SQL["audio_features"])
+def q_audio_features(spark, sf_dir):
+    return audio.audio_features(_t(spark, sf_dir, "documents"))
+
+
+@register("audio_fingerprints", audio.ORACLE_SQL["audio_fingerprints"])
+def q_audio_fingerprints(spark, sf_dir):
+    return audio.audio_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audio_fingerprint_pairs",
+    audio.ORACLE_SQL["audio_fingerprint_pairs"],
+)
+def q_audio_fingerprint_pairs(spark, sf_dir):
+    return audio.audio_fingerprint_pairs(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (composition showcase)
 # --------------------------------------------------------------------------

@@ -247,6 +247,143 @@ def test_video_dedup_pairs_planted_rotation(spark):
     assert pairs == {(0, 1): 3}
 
 
+def test_decode_wav_crafted_known_values():
+    """VERDICT r6 ask #2, codec half: a hand-built RIFF/WAVE payload
+    (including an interposed LIST chunk and an odd-length chunk pad)
+    decodes to exactly the hand-written samples; stereo keeps channel
+    0; non-PCM and truncated payloads return None."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 12345]
+    payload = encode_wav(samples, 8000)
+    out, rate, ch = decode_wav(payload)
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(out, np.array(samples, dtype=np.int16))
+
+    # hand-built: LIST chunk with odd length (forces word-align skip)
+    # interposed between fmt and data, stereo 16-bit PCM at 44100
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    fmt = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little")
+        + (44100 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    # stereo frames: L = [10, -20, 30], R = [99, 98, 97]
+    pcm = b"".join(
+        v.to_bytes(2, "little", signed=True)
+        for v in [10, 99, -20, 98, 30, 97]
+    )
+    body = (
+        b"WAVE"
+        + chunk(b"fmt ", fmt)
+        + chunk(b"LIST", b"INFOx")  # 5 bytes: odd, needs a pad byte
+        + chunk(b"data", pcm)
+    )
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    out, rate, ch = decode_wav(payload)
+    assert rate == 44100 and ch == 2
+    assert np.array_equal(out, np.array([10, -20, 30], dtype=np.int16))
+
+    assert decode_wav(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert decode_wav(payload[:30]) is None
+    # 8-bit PCM (bits=8) rejected
+    bad_fmt = fmt[:14] + (8).to_bytes(2, "little")
+    bad = b"RIFF" + b"\x30\x00\x00\x00" + b"WAVE" + chunk(
+        b"fmt ", bad_fmt
+    ) + chunk(b"data", pcm)
+    assert decode_wav(bad) is None
+
+
+def test_audio_features_known_math(spark):
+    """A doc whose single token has a hand-computed md5 byte pattern
+    yields hand-computable features through the real codec path."""
+    import hashlib
+    import math
+
+    from map_reduce_framework_spark.operators.audio import (
+        CLIP_THRESH,
+        SILENCE_THRESH,
+        audio_features,
+    )
+
+    tok = "stone"
+    docs = spark.createDataFrame(
+        [(0, tok, "en", "s", len(tok))],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    row = audio_features(docs).collect()[0]
+    s = [(b - 128) * 256 for b in hashlib.md5(tok.encode()).digest()]
+    assert row.n_samples == 16 and row.sample_rate == 8000
+    assert row.duration_ms == 16 * 1000 // 8000 == 2
+    assert row.peak == max(abs(v) for v in s)
+    assert row.rms_q6 == math.floor(
+        math.sqrt(sum(v * v for v in s) / 16) * 1e6 + 0.5
+    )
+    assert row.n_clipped == sum(abs(v) >= CLIP_THRESH for v in s)
+    assert row.n_silent == sum(abs(v) <= SILENCE_THRESH for v in s)
+
+
+def test_audio_fingerprint_pairs_planted_edit(spark):
+    """VERDICT r6 ask #2, dedup half: doc B is doc A with ONE mid-
+    sequence token edited -- the edit invalidates exactly the 4 windows
+    covering chunk 5, the other 9 of A's 13 windows survive verbatim
+    (>= AUDIO_FP_MIN), while an unrelated doc C shares nothing. Also
+    position-independence: doc D embeds A's first 8 tokens at a
+    different offset and still matches the windows inside the shared
+    run."""
+    from map_reduce_framework_spark.operators.audio import (
+        audio_fingerprint_pairs,
+        audio_fingerprints,
+    )
+
+    t = ["stone", "river", "maple", "cloud", "ember", "frost", "grain",
+         "haven", "ridge", "slate", "tulip", "vapor", "wheat", "zesty",
+         "amber", "birch"]
+    a_txt = " ".join(t)  # 16 tokens -> 13 windows
+    b = list(t)
+    b[5] = "quartz"
+    b_txt = " ".join(b)
+    c_txt = "onyx basalt shale flint gypsum mica pumice chert"
+    d_txt = " ".join(["onyx", "basalt"] + t[:8])  # A[0:8] at offset 2
+    docs = spark.createDataFrame(
+        [
+            (0, a_txt, "en", "s", len(a_txt)),
+            (1, b_txt, "en", "s", len(b_txt)),
+            (2, c_txt, "en", "s", len(c_txt)),
+            (3, d_txt, "en", "s", len(d_txt)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    fps = audio_fingerprints(docs)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, {})[r.window_idx] = r.fp
+    # A has 13 windows; B differs in exactly windows 2..5 (those
+    # covering chunk 5), matching everywhere else at the SAME index
+    assert len(by_doc[0]) == 13
+    diff = {i for i in by_doc[0] if by_doc[0][i] != by_doc[1][i]}
+    assert diff == {2, 3, 4, 5}
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared_fp
+        for r in audio_fingerprint_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)] == 9
+    # D's windows 2..6 equal A's windows 0..4 (offset by the 2-token
+    # prefix): 5 shared fingerprints despite the position shift
+    assert pairs[(0, 3)] == 5
+    assert not any(2 in p for p in pairs)
+
+
 def test_stage_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
     """Both branches of stage_checkpoint cut the logical plan: the
     result's parsed plan no longer contains the upstream join."""
