@@ -1136,6 +1136,21 @@ def q_audio_fingerprint_pairs(spark, sf_dir):
     return audio.audio_fingerprint_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Training-shard writer accounting (r6 verdict ask #3): the oracle-
+# checked view of what sources/shard_writer.py materializes to disk.
+from .sources import shard_writer  # noqa: E402
+
+
+@register(
+    "training_shard_accounting",
+    shard_writer.ORACLE_SQL["training_shard_accounting"],
+)
+def q_training_shard_accounting(spark, sf_dir):
+    return shard_writer.training_shard_accounting(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (composition showcase)
 # --------------------------------------------------------------------------

@@ -384,6 +384,92 @@ def test_audio_fingerprint_pairs_planted_edit(spark):
     assert not any(2 in p for p in pairs)
 
 
+def test_write_training_shards_commit_and_replay(spark, sf_smoke, tmp_path):
+    """VERDICT r6 ask #3: the shard writer materializes the packed
+    corpus once (atomic manifest = commit marker), validates against
+    its own manifest, bounds every shard file's sequences/tokens, and
+    a replay over committed output is a NO-OP that rewrites nothing."""
+    from map_reduce_framework_spark.sources import shard_writer as sw
+
+    docs = load_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "shards")
+    assert sw.write_training_shards(spark, docs, out) is True
+    manifest = sw.validate_shards(spark, out)
+    assert manifest["n_shard_files"] == len(manifest["shards"]) > 0
+    assert manifest["total_docs"] == docs.count()
+    for s in manifest["shards"]:
+        assert s["n_seqs"] <= sw.SEQS_PER_SHARD
+        assert s["within_budget"]
+    # the written rows ARE the packed relation (nothing dropped/dup'd)
+    data = spark.read.parquet(out + "/data")
+    packed = sw.packed_with_shard_files(docs)
+    assert data.count() == packed.count()
+    assert (
+        data.select("doc_id", "seq_id", "tok_offset")
+        .exceptAll(packed.select("doc_id", "seq_id", "tok_offset"))
+        .count()
+        == 0
+    )
+
+    # replay no-op: nothing rewritten (manifest inode untouched)
+    marker = os.path.join(out, "_MANIFEST.json")
+    before = os.stat(marker).st_mtime_ns
+    assert sw.write_training_shards(spark, docs, out) is False
+    assert os.stat(marker).st_mtime_ns == before
+
+
+def test_write_training_shards_torn_write_recovery(
+    spark, sf_smoke, tmp_path
+):
+    """Every crash window converges to exactly one committed copy:
+
+    * crash BEFORE intent publish -> orphan staging swept, clean write;
+    * crash BETWEEN intent and rename -> the re-run REDOES the rename
+      from the staged copy (no second staging write, no duplicates);
+    * crash BETWEEN rename and intent removal -> residue intent
+      cleared over the committed output;
+    * intent with DESTROYED staging and no committed output -> loud
+      RuntimeError, never a silent rewrite."""
+    import json
+
+    from map_reduce_framework_spark.sources import shard_writer as sw
+
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    out = str(tmp_path / "shards")
+
+    # window 1: staging written, no intent (crash before publish)
+    orphan = sw._stage_shards(spark, docs, out)
+    assert os.path.isdir(orphan)
+    assert sw.write_training_shards(spark, docs, out) is True
+    assert not os.path.isdir(orphan)  # swept
+    manifest = sw.validate_shards(spark, out)
+
+    # window 2: intent + staging survive, rename never ran
+    out2 = str(tmp_path / "shards2")
+    staging = sw._stage_shards(spark, docs, out2)
+    with open(out2 + ".intent", "w") as fh:
+        json.dump({"staging": staging}, fh)
+    assert sw.write_training_shards(spark, docs, out2) is False
+    # recovery renamed the ORIGINAL staged bytes -- not a re-write
+    m2 = sw.validate_shards(spark, out2)
+    assert m2["shards"] == manifest["shards"]
+    assert not os.path.exists(out2 + ".intent")
+    assert not os.path.isdir(staging)
+
+    # window 3: committed output + residue intent
+    with open(out2 + ".intent", "w") as fh:
+        json.dump({"staging": str(tmp_path / "long-gone")}, fh)
+    assert sw.recover_shard_writes(out2) == "cleared"
+    assert sw.validate_shards(spark, out2)["shards"] == manifest["shards"]
+
+    # lost redo log: intent points nowhere, no committed output
+    out3 = str(tmp_path / "shards3")
+    with open(out3 + ".intent", "w") as fh:
+        json.dump({"staging": str(tmp_path / "gone")}, fh)
+    with pytest.raises(RuntimeError, match="torn shard write"):
+        sw.write_training_shards(spark, docs, out3)
+
+
 def test_stage_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
     """Both branches of stage_checkpoint cut the logical plan: the
     result's parsed plan no longer contains the upstream join."""
