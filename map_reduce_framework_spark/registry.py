@@ -1112,6 +1112,16 @@ def q_video_dedup_pairs(spark, sf_dir):
     return multimodal.video_dedup_pairs(_t(spark, sf_dir, "documents"))
 
 
+# Baseline-JPEG codec proof (r6 verdict ask #6): the oracle states the
+# roundtrip identity from md5 math without running JPEG; Spark earns
+# the hash match by actually encoding+decoding every document's image.
+@register(
+    "jpeg_block_roundtrip", multimodal.ORACLE_SQL["jpeg_block_roundtrip"]
+)
+def q_jpeg_block_roundtrip(spark, sf_dir):
+    return multimodal.jpeg_block_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 # Audio modality (r6 verdict ask #2): real WAV/RIFF PCM codec round
 # trip; oracles recompute features/fingerprints from md5 token bytes,
 # certifying encode_wav/decode_wav end to end.
