@@ -216,7 +216,12 @@ def audio_features(documents: DataFrame) -> DataFrame:
                 out["silence_ratio"].append(n_sil / n)
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from .text_analysis import _default_parallelism
+
+    base = documents.select("doc_id", "text")
+    # single-file scans are one partition: repartition so the codec
+    # work parallelizes (the measured single-scan trap, SCALE.md)
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
         run, schema=_FEATURES_SCHEMA
     )
 
@@ -260,7 +265,10 @@ def audio_fingerprints(documents: DataFrame) -> DataFrame:
                     out["fp"].append(fp)
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from .text_analysis import _default_parallelism
+
+    base = documents.select("doc_id", "text")
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
         run, schema=_FP_SCHEMA
     )
 

@@ -1110,7 +1110,14 @@ def image_dhash(documents: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "dhash": hashes}
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    # a single parquet file at test SF is ONE scan partition; without a
+    # repartition all codec work runs single-threaded (measured trap,
+    # see SCALE.md "interpreted-HOF" notes) -- shuffle the tiny
+    # (doc_id, text) projection out to the session's parallelism first
+    from .text_analysis import _default_parallelism
+
+    base = documents.select("doc_id", "text")
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
         run, schema=schema
     )
 
@@ -1319,7 +1326,14 @@ def cross_modal_dedup_clusters(documents: DataFrame) -> DataFrame:
     banded plans unchanged (never all-pairs); the union adds no
     shuffle beyond the components loop itself. Returns (doc_id,
     cluster_id, cluster_size, is_keeper) -- same shape/keeper rule as
-    dedup_clusters and image_dedup_clusters."""
+    dedup_clusters and image_dedup_clusters.
+
+    Cost = ~the sum of its parts (clean sf0.1: 13.6 s steady-state =
+    image pairs ~2 s + text pairs ~1.3 s + union distinct + the
+    label-prop rounds, which run longer here than in dedup_clusters
+    because cross-modal chains raise the union graph's diameter; each
+    round is fixed-overhead-bound on this tiny edge set and
+    AQE-coalesced at scale)."""
     from .dedup import connected_component_labels, minhash_lsh_pairs
 
     img = image_dhash_pairs(documents).select("doc_a", "doc_b")
@@ -1488,7 +1502,12 @@ def video_frame_dhash(documents: DataFrame) -> DataFrame:
                     out["dhash"].append(_dhash_from_pixels(px))
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(run, schema=schema)
+    from .text_analysis import _default_parallelism
+
+    base = documents.select("doc_id", "text")
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
+        run, schema=schema
+    )
 
 
 def video_dedup_pairs(
@@ -1650,7 +1669,10 @@ def jpeg_block_roundtrip(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return documents.select("doc_id", "text").mapInPandas(
+    from .text_analysis import _default_parallelism
+
+    base = documents.select("doc_id", "text")
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
         run, schema=schema
     )
 

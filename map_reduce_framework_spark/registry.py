@@ -1442,6 +1442,25 @@ def q_image_dhash_stream(spark, sf_dir):
     return streaming_ops.q_image_dhash_stream(spark, sf_dir)
 
 
+# r7: streaming ingest across ALL THREE modalities -- audio features
+# and video keyframe hashes per arriving document, stateless, with the
+# batch oracles proving stream==batch through the real codecs.
+@register(
+    "audio_features_stream",
+    streaming_ops.ORACLE_SQL["audio_features_stream"],
+)
+def q_audio_features_stream(spark, sf_dir):
+    return streaming_ops.q_audio_features_stream(spark, sf_dir)
+
+
+@register(
+    "video_frame_dhash_stream",
+    streaming_ops.ORACLE_SQL["video_frame_dhash_stream"],
+)
+def q_video_frame_dhash_stream(spark, sf_dir):
+    return streaming_ops.q_video_frame_dhash_stream(spark, sf_dir)
+
+
 @register(
     "rule_filter_stream", streaming_ops.ORACLE_SQL["rule_filter_stream"]
 )

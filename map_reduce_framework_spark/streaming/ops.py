@@ -596,6 +596,35 @@ def q_image_dhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(image_dhash(docs), output_mode="append")
 
 
+def q_audio_features_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction at ingest: the real-codec WAV pipeline
+    (generate PCM -> encode_wav -> decode_wav -> feature math) runs per
+    arriving document as a stateless Arrow map, append mode -- the
+    audio twin of image_dhash_stream, completing streaming ingest
+    across all three modalities. The registered oracle is the batch
+    md5-math derivation, so the sweep proves stream==batch across the
+    whole codec path."""
+    from ..operators.audio import audio_features
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_to_memory(audio_features(docs), output_mode="append")
+
+
+def q_video_frame_dhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe hashing at ingest: the animated-GIF encode ->
+    full animation decode -> per-frame dHash path per arriving
+    document, stateless 1->many Arrow map, append mode. With image and
+    audio ingest this makes the streaming front of multimodal dedup
+    complete; the batch pixel-math oracle proves stream==batch."""
+    from ..operators.multimodal import video_frame_dhash
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_to_memory(video_frame_dhash(docs), output_mode="append")
+
+
+from ..operators.audio import ORACLE_SQL as _AUD_SQL  # noqa: E402
 from ..operators.multimodal import ORACLE_SQL as _MM_SQL  # noqa: E402
 
 ORACLE_SQL["image_dhash_stream"] = _MM_SQL["image_dhash"]
+ORACLE_SQL["audio_features_stream"] = _AUD_SQL["audio_features"]
+ORACLE_SQL["video_frame_dhash_stream"] = _MM_SQL["video_frame_dhash"]
