@@ -553,3 +553,59 @@ def test_perplexity_buckets_never_shuffle_token_stream(spark):
     assert "ShuffledHashJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "image_dhash",
+        "video_frame_dhash",
+        "jpeg_block_roundtrip",
+        "audio_features",
+        "audio_fingerprints",
+    ],
+)
+def test_codec_map_ops_parallelize_single_file_scans(spark, name):
+    """r7 regression gate for the measured single-scan trap: one
+    parquet file at test SF is ONE scan partition, which ran every
+    pure-Python codec (GIF LZW, WAV, JPEG) single-threaded -- measured
+    15.5s -> 1.5s (video_frame_dhash) and 38.8s -> 6.9s
+    (video_dedup_pairs) at sf0.1 after the fix. The plan must contain
+    the round-robin repartition that fans the (doc_id, text)
+    projection out to session parallelism BEFORE the Arrow eval, and
+    stay join-free map work."""
+    plan = _formatted_plan(spark, name)
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan, plan
+    assert "Join" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["video_dedup_pairs", "audio_fingerprint_pairs", "image_dhash_pairs"],
+)
+def test_media_pair_ops_are_banded_equi_joins(spark, name):
+    """Every media near-dup pair relation joins on its blocking key
+    (dHash band / window fingerprint) as an EQUI join -- never a
+    cartesian or broadcast-nested-loop pairwise comparison."""
+    plan = _formatted_plan(spark, name)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_cross_modal_union_has_no_cartesian(spark):
+    """The cross-modal cluster relation unions two banded pair plans;
+    the union must not introduce any pairwise-all join."""
+    from map_reduce_framework_spark.operators.multimodal import (
+        cross_modal_dedup_clusters,
+    )
+    from map_reduce_framework_spark.sources.io import load_table
+
+    df = cross_modal_dedup_clusters(
+        load_table(spark, SF, "documents")
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
