@@ -1382,6 +1382,82 @@ def _cross_modal_clusters_sql() -> str:
 """
 
 
+def multimodal_dedup_agreement(documents: DataFrame) -> DataFrame:
+    """The full detector-agreement MATRIX: near-dup pair counts and
+    overlaps for every pair of the four modality detectors -- text
+    MinHash, image dHash, video keyframes, audio fingerprints (6 rows:
+    method_a < method_b, n_a, n_b, n_both). Extends r6's image-vs-text
+    agreement to all modalities: the numbers that justify (or refute)
+    clustering the cross-modal UNION -- detectors with empty overlap
+    each contribute unique recall. Each pair relation is its
+    registered banded plan unchanged, computed ONCE (stage-
+    checkpointed) and reused across its three matrix cells."""
+    from ..session import stage_checkpoint
+    from .audio import audio_fingerprint_pairs
+    from .dedup import minhash_lsh_pairs
+
+    methods = [
+        ("text_minhash", minhash_lsh_pairs(documents, 0.7)),
+        ("image_dhash", image_dhash_pairs(documents)),
+        ("video_keyframes", video_dedup_pairs(documents)),
+        ("audio_fingerprint", audio_fingerprint_pairs(documents)),
+    ]
+    rels = [
+        (name, stage_checkpoint(df.select("doc_a", "doc_b"), eager=True))
+        for name, df in methods
+    ]
+    out = None
+    for i in range(len(rels)):
+        for j in range(i + 1, len(rels)):
+            na, a = rels[i]
+            nb, b = rels[j]
+            row = (
+                a.agg(F.count("*").alias("n_a"))
+                .crossJoin(b.agg(F.count("*").alias("n_b")))
+                .crossJoin(
+                    a.join(b, ["doc_a", "doc_b"], "left_semi").agg(
+                        F.count("*").alias("n_both")
+                    )
+                )
+                .select(
+                    F.lit(na).alias("method_a"),
+                    F.lit(nb).alias("method_b"),
+                    F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.col("n_both").cast("bigint").alias("n_both"),
+                )
+            )
+            out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _multimodal_agreement_sql() -> str:
+    from .audio import ORACLE_SQL as _AUD_SQL
+    from .dedup import ORACLE_SQL as _DD_SQL
+
+    rels = {
+        "text_minhash": f"SELECT doc_a, doc_b FROM ({_DD_SQL['minhash_lsh_pairs']})",
+        "image_dhash": f"SELECT doc_a, doc_b FROM ({ORACLE_SQL['image_dhash_pairs']})",
+        "video_keyframes": f"SELECT doc_a, doc_b FROM ({ORACLE_SQL['video_dedup_pairs']})",
+        "audio_fingerprint": f"SELECT doc_a, doc_b FROM ({_AUD_SQL['audio_fingerprint_pairs']})",
+    }
+    names = list(rels)
+    ctes = ",\n    ".join(
+        f"mm_{k} AS MATERIALIZED ({sql})" for k, sql in rels.items()
+    )
+    rows = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            rows.append(f"""
+    SELECT '{a}' AS method_a, '{b}' AS method_b,
+           (SELECT CAST(count(*) AS BIGINT) FROM mm_{a}) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM mm_{b}) AS n_b,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM mm_{a} JOIN mm_{b} USING (doc_a, doc_b)) AS n_both""")
+    return "WITH " + ctes + "\n" + "\n    UNION ALL\n".join(rows)
+
+
 def image_text_dedup_agreement(documents: DataFrame) -> DataFrame:
     """Cross-modal detector agreement: near-dup pairs found by the
     image dHash vs by text MinHash-LSH, and their overlap -- the
@@ -1717,3 +1793,7 @@ ORACLE_SQL["video_dedup_pairs"] = (
     GROUP BY doc_a, doc_b
     HAVING count(DISTINCT fa) >= {VIDEO_MATCH_MIN}"""
 )
+
+# defined after the video oracle it composes on
+ORACLE_SQL["multimodal_dedup_agreement"] = _multimodal_agreement_sql()
+

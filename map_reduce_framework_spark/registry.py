@@ -1112,6 +1112,16 @@ def q_video_dedup_pairs(spark, sf_dir):
     return multimodal.video_dedup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "multimodal_dedup_agreement",
+    multimodal.ORACLE_SQL["multimodal_dedup_agreement"],
+)
+def q_multimodal_dedup_agreement(spark, sf_dir):
+    return multimodal.multimodal_dedup_agreement(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # Baseline-JPEG codec proof (r6 verdict ask #6): the oracle states the
 # roundtrip identity from md5 math without running JPEG; Spark earns
 # the hash match by actually encoding+decoding every document's image.
