@@ -549,6 +549,34 @@ def test_decode_image_covers_jpeg(spark):
         decode_image(b"not any known image format")
 
 
+def test_audio_fp_hot_key_exact_pairs(spark):
+    """Adversarial hot-key evidence for the fingerprint equi-join: 40
+    byte-identical clips make every window fingerprint a >90%-hot key
+    (each fp bucket holds all 40 docs), the worst case for the join.
+    Pair semantics must stay EXACT: all C(40,2) = 780 pairs, each
+    sharing exactly its 5 distinct window fingerprints, and the 10
+    unrelated docs contribute nothing."""
+    from map_reduce_framework_spark.operators.audio import (
+        audio_fingerprint_pairs,
+    )
+
+    t = "stone river maple cloud ember frost grain haven"  # 8 tokens
+    rows = [(i, t, "en", "s", len(t)) for i in range(40)]
+    rows += [
+        (100 + i, f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d uniq{i}e", "en",
+         "s", 30)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    pairs = audio_fingerprint_pairs(docs).collect()
+    assert len(pairs) == 40 * 39 // 2
+    assert all(r.n_shared_fp == 5 for r in pairs)  # 8 tokens -> 5 windows
+    assert all(r.doc_a < 40 and r.doc_b < 40 for r in pairs)
+
+
 def test_stage_checkpoint_truncates_lineage_both_modes(spark, tmp_path):
     """Both branches of stage_checkpoint cut the logical plan: the
     result's parsed plan no longer contains the upstream join."""
