@@ -70,6 +70,16 @@ QUERIES = [
     "data_mixture_sample",        # weighted allocation + prefix fill
     "image_dhash_pairs",          # real-codec dHash + banded hamming
     "perplexity_buckets",         # quantized LM + per-lang ntile
+    # round-7 additions: video keyframes and audio fingerprints are
+    # scan-bound codec map work + banded/equi pair joins (same claims
+    # as image_dhash_pairs), the JPEG roundtrip is pure map work, the
+    # shard accounting is one groupBy over the packing, and the
+    # cross-modal clustering composes two banded pair plans + CC.
+    "video_dedup_pairs",          # animated-GIF codec + banded frames
+    "audio_fingerprint_pairs",    # WAV codec + window-fp equi join
+    "jpeg_block_roundtrip",       # baseline-JPEG codec map
+    "training_shard_accounting",  # packing + shard-file groupBy
+    "cross_modal_dedup_clusters", # unioned pair edges + min-label CC
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
