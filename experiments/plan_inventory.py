@@ -60,6 +60,9 @@ EXECUTES_ON_BUILD = {
     "bpe_fertility_by_lang": "trains the merge list (vocab collect) on build",
     "bpe_roundtrip_identity": "trains the merge list (vocab collect) on build",
     "leakage_safe_split": "builds on dedup_clusters rounds",
+    # round-7
+    "cross_modal_dedup_clusters": "CC rounds with per-round checkpoints",
+    "multimodal_dedup_agreement": "eager stage-checkpoints 4 pair relations",
 }
 # (queries with "stream" in the name are skipped generically below)
 
