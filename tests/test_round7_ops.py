@@ -549,6 +549,25 @@ def test_decode_image_covers_jpeg(spark):
         decode_image(b"not any known image format")
 
 
+def test_kcore_oracle_fails_loudly_on_insufficient_unroll(sf_smoke):
+    """Round-6 ADVICE: the k-core oracle's fixed unroll used to
+    silently hash-mismatch on a graph needing more peeling rounds. It
+    now asserts convergence (|ke_N| == |ke_{N+1}|) via DuckDB error():
+    a 0-round unroll on the real copurchase graph (which needs ~5
+    rounds) must raise the diagnostic, and the shipped default must
+    pass cleanly on the same data."""
+    import duckdb
+
+    from map_reduce_framework_spark.operators.graph import _kcore_sql
+
+    from .oracle_util import duckdb_conn
+
+    con = duckdb_conn(sf_smoke)
+    with pytest.raises(duckdb.Error, match="unroll"):
+        con.sql(_kcore_sql(rounds=0)).fetchall()
+    assert len(con.sql(_kcore_sql()).fetchall()) > 0
+
+
 def test_audio_fp_hot_key_exact_pairs(spark):
     """Adversarial hot-key evidence for the fingerprint equi-join: 40
     byte-identical clips make every window fingerprint a >90%-hot key
