@@ -560,11 +560,31 @@ def encode_jpeg(
                 sh, sv = samplings[ci]
                 for by in range(sv):
                     for bx in range(sh):
-                        tile = np.full((8, 8), 128.0)
                         ys = (my * sv + by) * 8
                         xs = (mx * sh + bx) * 8
                         sub = chan[ys : ys + 8, xs : xs + 8]
-                        tile[: sub.shape[0], : sub.shape[1]] = sub
+                        if sub.shape == (8, 8):
+                            tile = sub
+                        elif sub.size == 0:
+                            # an all-padding block (sampling grid
+                            # overhang): constant = no AC energy
+                            tile = np.full((8, 8), 128.0)
+                        else:
+                            # EDGE-REPLICATE partial blocks (T.81 A.2.4
+                            # recommendation): a gray fill would put AC
+                            # energy into the block and ring across the
+                            # kept pixels (a 1x3 constant image decoded
+                            # with a +/-1 error before this)
+                            tile = np.empty((8, 8))
+                            tile[: sub.shape[0], : sub.shape[1]] = sub
+                            if sub.shape[1] < 8:
+                                tile[: sub.shape[0], sub.shape[1] :] = sub[
+                                    :, -1:
+                                ]
+                            if sub.shape[0] < 8:
+                                tile[sub.shape[0] :, :] = tile[
+                                    sub.shape[0] - 1, :
+                                ]
                         block = basis @ (tile - 128.0) @ basis.T
                         preds[ci] = _encode_block(
                             writer, block, dc_tab, ac_tab, preds[ci]
