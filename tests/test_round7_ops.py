@@ -186,6 +186,74 @@ def test_decode_gif_frames_crafted_animation_known_pixels():
     assert np.array_equal(frames[2], f3)
 
 
+def test_decode_gif_frames_interlaced_frame():
+    """An INTERLACED frame inside an animation: rows stored in the
+    4-pass GIF order (0,8,16.. / 4,12.. / 2,6.. / 1,3,5..) must come
+    back in display order. Built by permuting a known image's rows
+    into pass order and setting the interlace flag."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.multimodal import (
+        _gif_lzw_encode,
+        decode_gif_frames,
+    )
+
+    h, w = 16, 4
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4, (h, w), dtype=np.uint8)  # 4-color indices
+    order = (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+    stored = img[order]  # rows as the encoder would store them
+
+    data = _gif_lzw_encode(stored.tobytes(), 2)
+    blocks = bytearray()
+    for off in range(0, len(data), 255):
+        chunk = data[off : off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    payload = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | 0x01, 0, 0])  # GCT 4 entries, bg 0
+        + bytes([0, 0, 0, 85, 85, 85, 170, 170, 170, 255, 255, 255])
+        + bytes([0x2C]) + b"\x00\x00\x00\x00"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x40])  # interlaced, no LCT
+        + bytes([2]) + bytes(blocks) + bytes([0])
+        + bytes([0x3B])
+    )
+    frames = decode_gif_frames(payload)
+    assert frames is not None and len(frames) == 1
+    expect = (img * 85).astype(np.uint8)
+    assert np.array_equal(frames[0][:, :, 0], expect)
+
+
+def test_video_dedup_identical_clips_hot_bands(spark):
+    """Hot-band stress for the video pair join: 30 identical docs make
+    every (band, key) bucket fully hot across all 4 frames; the pair
+    relation must stay exact -- C(30,2) pairs, each with all 4 frames
+    matched -- and unrelated docs contribute nothing."""
+    from map_reduce_framework_spark.operators.multimodal import (
+        video_dedup_pairs,
+    )
+
+    t = "stone river maple cloud ember frost grain haven"
+    rows = [(i, t, "en", "s", len(t)) for i in range(30)]
+    rows += [(100, "onyx basalt shale flint gypsum mica pumice chert",
+              "en", "s", 48)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    pairs = video_dedup_pairs(docs).collect()
+    assert len(pairs) == 30 * 29 // 2
+    assert all(r.n_matched_frames == 4 for r in pairs)
+    assert all(r.doc_a < 30 and r.doc_b < 30 for r in pairs)
+
+
 def test_gif_encoder_decoder_roundtrip_random_frames():
     """The pure-Python animated-GIF encoder and the full animation
     decoder are exact inverses on random grayscale frames, including
