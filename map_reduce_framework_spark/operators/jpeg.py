@@ -275,6 +275,11 @@ def _decode_scan(
         return None
     mcus_x = -(-width // (8 * hmax))
     mcus_y = -(-height // (8 * vmax))
+    # dims cap (PIL MAX_IMAGE_PIXELS pattern): a corrupt SOF claiming
+    # 65535x65535 would otherwise allocate tens of GiB of plane arrays
+    # before the entropy decode ever touches the (tiny) scan data
+    if mcus_x * mcus_y * 64 * hmax * vmax * len(comps) > 64_000_000:
+        return None
     basis = _dct_basis()
     planes = []
     for cid, h, v, tq in comps:

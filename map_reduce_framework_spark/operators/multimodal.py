@@ -123,6 +123,8 @@ def decode_gif_pixels(payload: bytes):
             ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             iflags = payload[pos + 9]
             pos += 10
+            if iw * ih > MAX_DECODE_PIXELS:
+                return None  # LZW output is bounded by iw*ih: cap it
             table = gct
             if iflags & 0x80:  # local color table
                 size = 2 << (iflags & 0x07)
@@ -198,7 +200,11 @@ def decode_gif_frames(payload: bytes):
             return None
         gct = payload[pos : pos + 3 * size]
         pos += 3 * size
-    if sw <= 0 or sh <= 0:
+    if sw <= 0 or sh <= 0 or sw * sh > MAX_DECODE_PIXELS:
+        # dims cap (PIL's MAX_IMAGE_PIXELS pattern): a corrupt header
+        # claiming a 65535x65535 canvas would otherwise allocate ~12 GB
+        # BEFORE any image-data validation -- a decompression-bomb /
+        # DoS vector a curation decoder must refuse, not attempt
         return None
     gpal = (
         np.frombuffer(gct, dtype=np.uint8).reshape(-1, 3)
@@ -500,12 +506,19 @@ def decode_png_pixels(payload: bytes):
         or (color_type == 3 and plte is None)
     ):
         return None
+    if width * height > MAX_DECODE_PIXELS:
+        return None  # dims cap: see MAX_DECODE_PIXELS
+    stride = width * channels
+    expected = height * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # decompressobj + max_length bounds a zlib bomb to expected+1
+        # bytes instead of letting a kilobyte of input inflate to GiB
+        raw = zlib.decompressobj().decompress(
+            b"".join(idat), expected + 1
+        )
     except zlib.error:
         return None
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
+    if len(raw) != expected:
         return None
     out = bytearray(height * stride)
     prev = bytearray(stride)
@@ -644,6 +657,12 @@ def nearest_neighbor_resize(pixels, new_width: int, new_height: int):
 #: BITMAPINFOHEADER family sizes (BMP `biSize` field): core/info/v2-v5.
 _BMP_HEADER_SIZES = {12, 40, 52, 56, 64, 108, 124}
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+#: Decode-side pixel cap (PIL MAX_IMAGE_PIXELS pattern): refuse
+#: headers whose claimed canvas would allocate gigabytes before any
+#: data validation. 64 MP = 192 MB RGB, far above any curation
+#: thumbnail and far below a decompression bomb.
+MAX_DECODE_PIXELS = 64_000_000
 
 #: JPEG frame-header (SOFn) markers: 0xC0-0xCF minus the three
 #: non-frame markers that share the range (DHT=C4, JPG=C8, DAC=CC).

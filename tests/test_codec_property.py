@@ -118,3 +118,108 @@ def test_jpeg_constant_exact_property(v, h, w):
     JPEG codec for every value and any dimensions."""
     out = decode_jpeg_pixels(encode_jpeg(np.full((h, w), v, np.uint8)))
     assert (out[:, :, 0] == v).all()
+
+
+def test_decoders_never_raise_on_malformed_input():
+    """Robustness contract for 100 TB of scraped payloads: every
+    decoder returns None (or a valid decode) on ANY input -- random
+    garbage, valid magics followed by garbage, truncations of valid
+    payloads, and random bit flips -- and never raises or attempts a
+    decompression-bomb allocation. (This fuzz originally HUNG the
+    suite: corrupt GIF/PNG/JPEG headers claiming 65535x65535 canvases
+    allocated tens of GiB before any data validation, and a PNG zlib
+    bomb could inflate kilobytes to GiB -- both now refused via
+    MAX_DECODE_PIXELS caps and a bounded decompressobj.)"""
+    import random
+
+    from map_reduce_framework_spark.operators.audio import (
+        decode_wav,
+        encode_wav,
+    )
+    from map_reduce_framework_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg,
+    )
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        decode_gif_frames,
+        decode_gif_pixels,
+        decode_png_pixels,
+        encode_bmp,
+        encode_gif,
+    )
+
+    rng = random.Random(0)
+    decoders = [
+        decode_gif_frames, decode_gif_pixels, decode_png_pixels,
+        decode_bmp_pixels, decode_wav, decode_jpeg_pixels,
+    ]
+    payloads = []
+    for _ in range(150):
+        n = rng.choice([0, 1, 13, 54, 200, 2000])
+        payloads.append(bytes(rng.randrange(256) for _ in range(n)))
+    magics = [b"GIF89a", b"GIF87a", b"\x89PNG\r\n\x1a\n", b"BM",
+              b"RIFF", b"\xff\xd8", b"RIFFxxxxWAVE"]
+    for _ in range(150):
+        m = rng.choice(magics)
+        payloads.append(
+            m + bytes(rng.randrange(256)
+                      for _ in range(rng.choice([0, 5, 50, 500])))
+        )
+    g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    valids = [
+        encode_gif([g, g]),
+        encode_bmp(np.stack([g, g, g], -1)),
+        encode_wav(list(range(-50, 50))),
+        encode_jpeg(g),
+    ]
+    for v in valids:
+        for cut in range(0, len(v), max(1, len(v) // 40)):
+            payloads.append(v[:cut])
+        for _ in range(100):
+            b = bytearray(v)
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            payloads.append(bytes(b))
+    for p in payloads:
+        for d in decoders:
+            d(p)  # must not raise; None or a valid decode both fine
+
+
+def test_decoders_refuse_decompression_bombs():
+    """The specific bombs the fuzz found, pinned: huge claimed dims
+    with tiny data must return None quickly, not allocate."""
+    from map_reduce_framework_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+    )
+    from map_reduce_framework_spark.operators.multimodal import (
+        decode_gif_frames,
+        decode_png_pixels,
+    )
+
+    # GIF: 65535x65535 logical screen, no data
+    gif = (b"GIF89a" + b"\xff\xff\xff\xff" + bytes([0x80 | 0x01, 0, 0])
+           + bytes(12) + bytes([0x3B]))
+    assert decode_gif_frames(gif) is None
+    # JPEG: SOF0 claiming 65535x65535, empty scan
+    sof = bytes([8]) + b"\xff\xff\xff\xff" + bytes([1, 1, 0x11, 0])
+    jpg = (b"\xff\xd8"
+           + b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0]) + bytes([1] * 64)
+           + b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+           + b"\xff\xc4" + (21).to_bytes(2, "big") + bytes([0])
+           + bytes([0, 0, 0, 1] + [0] * 12) + bytes([0])
+           + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0, 0, 63, 0])
+           + b"\xff\xd9")
+    assert decode_jpeg_pixels(jpg) is None
+    # PNG: zlib bomb -- 200 KB of zeros compressed to ~200 bytes, with
+    # a huge claimed height; must be refused without full inflation
+    import zlib
+
+    ihdr = (b"\x00\x01\x00\x00" + b"\x7f\xff\xff\xff"
+            + bytes([8, 0, 0, 0, 0]))
+    def chunk(typ, data):
+        return len(data).to_bytes(4, "big") + typ + data + b"\x00\x00\x00\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 200_000))
+           + chunk(b"IEND", b""))
+    assert decode_png_pixels(png) is None
