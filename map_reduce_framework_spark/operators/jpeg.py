@@ -485,6 +485,13 @@ def encode_jpeg(
             cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
             channels = [y, cb, cr]
     else:
+        if px.ndim == 3 and px.shape[2] == 1:
+            px = px[:, :, 0]  # squeeze single-channel 3-D to grayscale
+        if px.ndim != 2:
+            raise ValueError(
+                "encode_jpeg expects (h, w), (h, w, 1) grayscale or "
+                f"(h, w, >=3) color input, got shape {px.shape}"
+            )
         channels = [px.astype(float)]
     h, w = channels[0].shape
     nc = len(channels)

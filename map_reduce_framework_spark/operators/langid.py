@@ -1,0 +1,521 @@
+"""In-engine TRAINED language identification (VERDICT r7 ask #1).
+
+Every per-language operator in this engine (stratified sampling, data
+mixture, fertility, packing streams) keys on the corpus's ``lang``
+column -- trusted input. A real curation run's first text-analysis step
+COMPUTES language: this module trains a multiclass (one-vs-rest)
+logistic classifier over hashed character-3-gram features, fully
+in-engine, and scores every document with a predicted language and a
+confidence -- the fastText-style langid recipe (Joulin et al. 2017,
+"Bag of Tricks for Efficient Text Classification": hashed n-gram
+features + linear classifier) restated in the integer-exact training
+scheme this repo already proved on ``quality_classifier_train``
+(text_analysis.py): all features, labels, probabilities, gradients and
+weights live in 1e-6 fixed point, every cross-engine sum is over
+BIGINTs, and the one transcendental per step (sigmoid's exp) is
+quantized immediately, so the DuckDB oracle re-derives the whole
+training trajectory bit-exactly as an unrolled CTE chain.
+
+Features (the ``doc_hash_embeddings`` hashing trick, clustering.py,
+applied to char n-grams): bucket(g) = md5('lid:' || g) % LID_DIM over
+every character 3-gram g of the text; feature j = that bucket's share
+of the doc's grams, quantized; plus a bias. The whole feature relation
+is ONE shuffle-free narrow projection -- the bucket array is computed
+once per doc (md5 per gram, let-bound so higher-order-function
+references do not re-evaluate it) and the per-bucket counts are
+doc-local array scans. Training is K passes x ONE map-side-combined
+aggregate of |langs| x (LID_DIM + 2) + 1 scalars; the weight matrix
+(85 ints) broadcasts back as literals. At 100 TB: K embarrassingly
+parallel scans, no doc-level shuffle anywhere.
+
+Honest note on the synthetic corpus: the testdata's documents draw one
+shared vocabulary regardless of ``lang``, so text carries ~zero
+language signal and the trained model converges to the class priors
+(predicting the majority language everywhere) -- the registered
+accuracy report SHOWS that honestly. tests/test_round8_ops.py plants a
+corpus with real per-language marker words and proves the same trainer
+separates languages and detects planted mislabels.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_analysis import DSIR_SCALE, LANG_PROFILES
+
+LID_DIM = 16  # hashed char-3-gram buckets
+LID_ITERS = 6
+LID_LR = 4.0
+LID_SEED = "lid"
+LID_LANGS = sorted(LANG_PROFILES)  # the fixed class list (static oracle)
+
+_S = DSIR_SCALE  # 1e-6 fixed point, shared with the quality classifier
+
+
+def _lid_features(documents: DataFrame, *, parallel: bool = True) -> DataFrame:
+    """Quantized feature relation: (doc_id, lang, xq0..xq{LID_DIM}),
+    all BIGINT in 1e-6 fixed point. xq0 = bias (1e6); xq{j+1} = share
+    of the doc's char-3-grams hashing to bucket j.
+
+    Shape: the expensive work (per-gram md5 + per-bucket counts) is ONE
+    struct expression, let-bound via the array-transform idiom so the
+    bucket array evaluates once per row, and emitted as a SINGLE
+    aliased column in its own projection level. The xq columns extract
+    its fields in a second projection -- CollapseProject refuses to
+    inline a non-cheap alias referenced 16 times, so downstream
+    consumers (the 5 per-class probability expressions reference every
+    xq) can never trigger a whole-feature re-evaluation per reference
+    (the measured HOF-inlining trap: 56 s -> 3 s at sf0.1). Narrow
+    end to end; the only exchange is the round-robin repartition that
+    spreads a single-file test scan across the cluster."""
+    # Built as SQL strings, not Column DSL: the ~50 nested expression
+    # nodes cost ~2.6 s of py4j round-trips per call through the DSL
+    # and parse JVM-side in milliseconds (the same trade the trainer
+    # loop makes).
+    bucket = (
+        f"CAST(CAST(CONV(SUBSTRING(MD5(CONCAT('{LID_SEED}:', g)), 1, "
+        f"15), 16, 10) AS BIGINT) % {LID_DIM} AS INT)"
+    )
+    grams = (
+        "CASE WHEN LENGTH(text) >= 3 THEN TRANSFORM(SEQUENCE(1, "
+        "LENGTH(text) - 2), i -> SUBSTRING(text, i, 3)) "
+        "ELSE CAST(ARRAY() AS ARRAY<STRING>) END"
+    )
+    ng = "GREATEST(LENGTH(text) - 2, 0)"
+    fields = []
+    for j in range(LID_DIM):
+        share = (
+            f"CASE WHEN {ng} = 0 THEN 0.0D "
+            f"ELSE SIZE(FILTER(b, v -> v = {j})) / {ng} END"
+        )
+        fields.append(
+            f"'x{j}', CAST(FLOOR(({share}) * 1.0E6 + 0.5D) AS BIGINT)"
+        )
+    xs = (
+        f"ELEMENT_AT(TRANSFORM(ARRAY(TRANSFORM({grams}, g -> {bucket})), "
+        f"b -> NAMED_STRUCT({', '.join(fields)})), 1)"
+    )
+    base = documents
+    if parallel:
+        from .text_analysis import _default_parallelism
+
+        # single parquet files scan as ONE partition: spread the
+        # per-gram md5 work (SCALE.md's measured single-scan trap)
+        base = documents.repartition(_default_parallelism(documents))
+    staged = base.selectExpr("doc_id", "lang", f"{xs} AS xs")
+    return staged.selectExpr(
+        "doc_id",
+        "lang",
+        f"CAST({_S} AS BIGINT) AS xq0",
+        *[f"xs.x{j} AS xq{j + 1}" for j in range(LID_DIM)],
+    )
+
+
+def _pq_col(w_l: list):
+    """Quantized sigmoid probability for ONE class under integer
+    weights: z = (sum_j w_j * xq_j) / 1e12, pq = floor(1e6 / (1 +
+    exp(-z)) + 0.5) -- identical rule to _qct_pq."""
+    dot = None
+    for j, wq in enumerate(w_l):
+        term = F.lit(int(wq)) * F.col(f"xq{j}")
+        dot = term if dot is None else dot + term
+    z = dot.cast("double") / F.lit(1e12)
+    return F.floor(
+        F.lit(float(_S)) / (F.lit(1.0) + F.exp(-z)) + F.lit(0.5)
+    ).cast("bigint")
+
+
+def langid_train_trace(
+    documents: DataFrame, iters: int = LID_ITERS, lr: float = LID_LR
+) -> tuple[list, dict]:
+    """Run the one-vs-rest training loop; returns (trace_rows, final
+    weights {lang: [w_0..w_DIM]}). ALL classes train in the SAME
+    aggregate: each iteration is one map-side-combined pass producing
+    |langs| x (DIM + 2) + 1 scalars -- 5 binary classifiers for the
+    price of one scan."""
+    spark = documents.sparkSession
+    feats = _lid_features(documents)
+    # materialize the cache NOW, while whole-stage codegen is still on:
+    # the md5-per-gram feature scan is the one piece that benefits from
+    # compiled code (the interpreted-mode flip below is for the tiny
+    # per-iteration aggregates only)
+    feats.persist().count()
+    # Two measured iteration-loop costs, both fixed here (23 s -> ~6 s
+    # for 6 iterations at sf0.1): (1) whole-stage codegen pays a fresh
+    # multi-second COMPILE per job because the literal weights bake
+    # into the generated source -- interpreted mode executes the same
+    # ~90-scalar aggregate over the cached tiny relation in ~0.3 s;
+    # (2) building ~90 expression trees through the Column DSL costs
+    # ~1.8 s/iter of py4j round-trips -- SQL strings parse JVM-side in
+    # one call each.
+    codegen_key = "spark.sql.codegen.wholeStage"
+    codegen_prev = spark.conf.get(codegen_key)
+    try:
+        spark.conf.set(codegen_key, "false")
+        w = {l: [0] * (LID_DIM + 1) for l in LID_LANGS}
+        rows: list = []
+        xq_names = [f"xq{j}" for j in range(LID_DIM + 1)]
+        for t in range(1, iters + 1):
+            sel = list(xq_names)
+            nll_sel = xq_names + [
+                f"pq_{l}" for l in LID_LANGS
+            ] + [f"y_{l}" for l in LID_LANGS]
+            for l in LID_LANGS:
+                dot = " + ".join(
+                    f"{int(w[l][j])}L * xq{j}"
+                    for j in range(LID_DIM + 1)
+                )
+                sel.append(
+                    f"CAST(FLOOR(1.0E6 / (1.0D + EXP(-(CAST(({dot}) AS "
+                    f"DOUBLE) / 1.0E12))) + 0.5D) AS BIGINT) AS pq_{l}"
+                )
+                sel.append(
+                    f"CAST(CASE WHEN lang = '{l}' THEN {_S} ELSE 0 END "
+                    f"AS BIGINT) AS y_{l}"
+                )
+                pc = (
+                    f"(CAST(LEAST(GREATEST(pq_{l}, 1), {_S - 1}) AS "
+                    f"DOUBLE) / 1.0E6)"
+                )
+                nll_sel.append(
+                    f"CAST(FLOOR(-LN(CASE WHEN y_{l} = {_S} THEN {pc} "
+                    f"ELSE 1.0D - {pc} END) * 1.0E6 + 0.5D) AS BIGINT) "
+                    f"AS nll_{l}"
+                )
+            scored = feats.selectExpr(*sel).selectExpr(*nll_sel)
+            aggs = []
+            for l in LID_LANGS:
+                for j in range(LID_DIM + 1):
+                    aggs.append(
+                        F.expr(
+                            f"SUM((pq_{l} - y_{l}) * xq{j})"
+                        ).alias(f"g_{l}_{j}")
+                    )
+                aggs.append(F.expr(f"SUM(nll_{l})").alias(f"nll_{l}"))
+            aggs.append(F.count("*").alias("n"))
+            agg = scored.agg(*aggs).collect()[0]
+            n = agg["n"]
+            if n == 0:
+                break
+            for l in LID_LANGS:
+                w[l] = [
+                    wq
+                    - math.floor(
+                        float(agg[f"g_{l}_{j}"]) * lr / (float(n) * 1e6)
+                        + 0.5
+                    )
+                    for j, wq in enumerate(w[l])
+                ]
+                avg_loss = float(agg[f"nll_{l}"]) / (float(n) * 1e6)
+                rows.append(
+                    (t, l, avg_loss, *[float(wq) / 1e6 for wq in w[l]])
+                )
+        return rows, w
+    finally:
+        spark.conf.set(codegen_key, codegen_prev)
+        feats.unpersist()
+
+
+#: (spark JVM id, sf_dir, iters, lr) -> (trace_rows, weights). The
+#: trace is a deterministic pure function of the table bytes, and the
+#: three registered langid queries all need it -- memoizing across them
+#: turns 18 training jobs per sweep into 6. Keyed per session so a
+#: restarted driver never sees stale weights; bounded (a handful of
+#: sf_dirs per process).
+_TRACE_CACHE: dict = {}
+
+
+def _trace_for_table(
+    spark, sf_dir: str, iters: int = LID_ITERS, lr: float = LID_LR
+):
+    from ..sources.io import load_table
+
+    key = (id(spark._jsparkSession), sf_dir, iters, lr)
+    if key not in _TRACE_CACHE:
+        _TRACE_CACHE[key] = langid_train_trace(
+            load_table(spark, sf_dir, "documents"), iters, lr
+        )
+    return _TRACE_CACHE[key]
+
+
+def _w_names() -> list[str]:
+    return ["w_bias"] + [f"w_g{j:02d}" for j in range(LID_DIM)]
+
+
+def langid_train(
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    _trace=None,
+) -> DataFrame:
+    """The training trajectory as a relation: one row per (iteration,
+    language) with the class's average one-vs-rest log-loss BEFORE the
+    update and its weight vector AFTER it. Monotone-decreasing
+    avg_loss per class is the visible proof distributed multiclass
+    training descends."""
+    rows, _ = _trace or langid_train_trace(documents, iters, lr)
+    schema = (
+        "iter int, lang string, avg_loss double, "
+        + ", ".join(f"{nm} double" for nm in _w_names())
+    )
+    return documents.sparkSession.createDataFrame(rows, schema)
+
+
+def langid_scores(
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    _trace=None,
+) -> DataFrame:
+    """Apply the trained one-vs-rest model to every document:
+    (doc_id, labeled_lang, pred_lang, confidence, margin_q6) with
+    pred_lang = argmax class probability (ties -> lexicographically
+    first class, like lang_id), confidence = the winning class's
+    quantized probability, margin_q6 = winner minus runner-up in 1e-6
+    units. Train-K-passes, apply-one-pass; the apply is a single
+    shuffle-free projection under literal weights."""
+    _rows, w = _trace or langid_train_trace(documents, iters, lr)
+    feats = _lid_features(documents)
+    pqs = {l: _pq_col(w[l]).alias(f"pq_{l}") for l in LID_LANGS}
+    scored = feats.select("doc_id", "lang", *pqs.values())
+    best = F.greatest(*[F.col(f"pq_{l}") for l in LID_LANGS])
+    pred = None
+    for l in LID_LANGS:
+        cond = F.col(f"pq_{l}") == best
+        pred = F.when(cond, l) if pred is None else pred.when(cond, l)
+    second = F.element_at(
+        F.sort_array(
+            F.array(*[F.col(f"pq_{l}") for l in LID_LANGS]), asc=False
+        ),
+        2,
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        (best.cast("double") / F.lit(float(_S))).alias("confidence"),
+        (best - second).cast("bigint").alias("margin_q6"),
+    )
+
+
+def langid_accuracy(
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    _trace=None,
+) -> DataFrame:
+    """The accuracy report vs the corpus labels: per labeled language,
+    document count, trained-model hits, and accuracy. On the synthetic
+    corpus this EXPOSES that text carries no language signal (the model
+    predicts the majority class; accuracy == the en prior on en, 0
+    elsewhere) -- exactly what a data card must say before per-language
+    quotas are trusted to a classifier."""
+    s = langid_scores(documents, iters, lr, _trace=_trace)
+    return s.groupBy("labeled_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(
+            F.when(F.col("pred_lang") == F.col("labeled_lang"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(
+                    F.col("pred_lang") == F.col("labeled_lang"), 1
+                ).otherwise(0)
+            )
+            / F.count("*")
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles: the ENTIRE training trajectory re-derived as an
+# unrolled CTE chain (the _qct_sql pattern, one-vs-rest over all five
+# classes), sharing nothing with the Spark loop but the published
+# update rule. Every w{t} CTE is MATERIALIZED (referenced twice:
+# by p{t+1} and the final union) -- DuckDB inlines multiply-referenced
+# CTEs otherwise, exploding the unrolled chain exponentially.
+# ---------------------------------------------------------------------------
+
+
+def _lid_feature_sql() -> str:
+    """CTE text for ``lidf`` -- the DuckDB twin of _lid_features."""
+    xq = []
+    for j in range(LID_DIM):
+        xq.append(
+            f"CAST(floor((CASE WHEN ng = 0 THEN 0.0 ELSE "
+            f"len(list_filter(b, v -> v = {j})) / ng END) * {_S}.0 "
+            f"+ 0.5) AS BIGINT) AS xq{j + 1}"
+        )
+    bucket = (
+        f"CAST(CAST(concat('0x', substr(md5(concat('{LID_SEED}:', "
+        f"substr(text, CAST(i AS INT), 3))), 1, 15)) AS BIGINT) "
+        f"% {LID_DIM} AS INT)"
+    )
+    return f"""lidf AS MATERIALIZED (
+        SELECT doc_id, lang, CAST({_S} AS BIGINT) AS xq0,
+               {', '.join(xq)}
+        FROM (
+            SELECT doc_id, lang,
+                   greatest(length(text) - 2, 0) AS ng,
+                   list_transform(
+                       range(1, greatest(length(text) - 2, 0) + 1),
+                       i -> {bucket}) AS b
+            FROM documents)
+    )"""
+
+
+def _pq_sql(l: str) -> str:
+    dot = " + ".join(
+        f"w.w_{l}_{j} * f.xq{j}" for j in range(LID_DIM + 1)
+    )
+    return (
+        f"CAST(floor({_S}.0 / (1.0 + exp(-(CAST(({dot}) AS DOUBLE) "
+        f"/ 1000000000000.0))) + 0.5) AS BIGINT)"
+    )
+
+
+def _lid_chain_sql(iters: int, lr: float) -> list[str]:
+    """The shared CTE chain: lidf, nn, w0, then (p{t}, g{t}, w{t}) per
+    iteration. w{iters} holds the final weights and per-class losses."""
+    ctes = [
+        _lid_feature_sql(),
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lidf)",
+        "w0 AS (SELECT "
+        + ", ".join(
+            f"CAST(0 AS BIGINT) AS w_{l}_{j}"
+            for l in LID_LANGS
+            for j in range(LID_DIM + 1)
+        )
+        + ")",
+    ]
+    for t in range(1, iters + 1):
+        p_cols = [f"f.xq{j}" for j in range(LID_DIM + 1)]
+        for l in LID_LANGS:
+            p_cols.append(f"{_pq_sql(l)} AS pq_{l}")
+            p_cols.append(
+                f"CAST(CASE WHEN f.lang = '{l}' THEN {_S} ELSE 0 END "
+                f"AS BIGINT) AS y_{l}"
+            )
+        ctes.append(
+            f"p{t} AS (SELECT {', '.join(p_cols)} "
+            f"FROM lidf f CROSS JOIN w{t - 1} w)"
+        )
+        g_cols = []
+        for l in LID_LANGS:
+            for j in range(LID_DIM + 1):
+                g_cols.append(
+                    f"CAST(sum((pq_{l} - y_{l}) * xq{j}) AS BIGINT) "
+                    f"AS g_{l}_{j}"
+                )
+            pc = (
+                f"CAST(least(greatest(pq_{l}, 1), {_S - 1}) AS DOUBLE) "
+                f"/ {_S}.0"
+            )
+            g_cols.append(
+                f"CAST(sum(floor(-ln(CASE WHEN y_{l} = {_S} THEN {pc} "
+                f"ELSE 1.0 - ({pc}) END) * {_S}.0 + 0.5)) AS BIGINT) "
+                f"AS nll_{l}"
+            )
+        ctes.append(f"g{t} AS (SELECT {', '.join(g_cols)} FROM p{t})")
+        w_cols = []
+        for l in LID_LANGS:
+            for j in range(LID_DIM + 1):
+                w_cols.append(
+                    f"w.w_{l}_{j} - CAST(floor(CAST(g.g_{l}_{j} AS "
+                    f"DOUBLE) * {lr!r} / (CAST(nn.n AS DOUBLE) * "
+                    f"1000000.0) + 0.5) AS BIGINT) AS w_{l}_{j}"
+                )
+            w_cols.append(
+                f"CAST(g.nll_{l} AS DOUBLE) / (CAST(nn.n AS DOUBLE) "
+                f"* 1000000.0) AS loss_{l}"
+            )
+        ctes.append(
+            f"w{t} AS MATERIALIZED (SELECT {', '.join(w_cols)} "
+            f"FROM g{t} g CROSS JOIN w{t - 1} w CROSS JOIN nn)"
+        )
+    return ctes
+
+
+def _lid_train_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
+    ctes = _lid_chain_sql(iters, lr)
+    names = _w_names()
+    selects = []
+    for t in range(1, iters + 1):
+        for l in LID_LANGS:
+            w_exprs = ", ".join(
+                f"CAST(w_{l}_{j} AS DOUBLE) / 1000000.0 AS {names[j]}"
+                for j in range(LID_DIM + 1)
+            )
+            selects.append(
+                f"SELECT CAST({t} AS INT) AS iter, '{l}' AS lang, "
+                f"loss_{l} AS avg_loss, {w_exprs} FROM w{t}"
+            )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _lid_scores_select(iters: int) -> str:
+    """The scoring SELECT over lidf CROSS JOIN w{iters}."""
+    pqs = ", ".join(f"{_pq_sql(l)} AS pq_{l}" for l in LID_LANGS)
+    best = "greatest(" + ", ".join(f"pq_{l}" for l in LID_LANGS) + ")"
+    pred = (
+        "CASE "
+        + " ".join(
+            f"WHEN pq_{l} = {best} THEN '{l}'" for l in LID_LANGS
+        )
+        + " END"
+    )
+    lst = "[" + ", ".join(f"pq_{l}" for l in LID_LANGS) + "]"
+    return f"""
+    scored AS (
+        SELECT f.doc_id, f.lang AS labeled_lang, {pqs}
+        FROM lidf f CROSS JOIN w{iters} w
+    ),
+    lid_scores AS (
+        SELECT doc_id, labeled_lang, {pred} AS pred_lang,
+               CAST({best} AS DOUBLE) / {_S}.0 AS confidence,
+               CAST({best} - (list_sort({lst}, 'DESC'))[2] AS BIGINT)
+                   AS margin_q6
+        FROM scored
+    )"""
+
+
+def _lid_scores_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
+    ctes = _lid_chain_sql(iters, lr)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ","
+        + _lid_scores_select(iters)
+        + "\nSELECT * FROM lid_scores"
+    )
+
+
+def _lid_accuracy_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
+    ctes = _lid_chain_sql(iters, lr)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ","
+        + _lid_scores_select(iters)
+        + f"""
+    SELECT labeled_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred_lang = labeled_lang THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_correct,
+           sum(CASE WHEN pred_lang = labeled_lang THEN 1 ELSE 0 END)
+               / count(*) AS accuracy
+    FROM lid_scores
+    GROUP BY labeled_lang"""
+    )
+
+
+ORACLE_SQL: dict[str, str] = {
+    "langid_train": _lid_train_sql(),
+    "langid_scores": _lid_scores_sql(),
+    "langid_accuracy": _lid_accuracy_sql(),
+}

@@ -295,6 +295,18 @@ def decode_gif_frames(payload: bytes):
             else:
                 opaque = pix != transparent_idx
                 region[opaque] = pal[pix[opaque]]
+            # decompression-amplification guard: the per-canvas dims cap
+            # bounds ONE frame, but each appended frame is a full-canvas
+            # copy -- a tiny payload repeating image descriptors over a
+            # large-but-allowed canvas would otherwise accumulate
+            # n_frames x canvas RGB buffers. Refuse (same policy as the
+            # dims cap) when the frame count or the cumulative decoded
+            # pixel budget would be exceeded.
+            if (
+                len(frames) >= MAX_DECODE_FRAMES
+                or (len(frames) + 1) * sw * sh > MAX_DECODE_PIXELS
+            ):
+                return None
             frames.append(canvas.copy())
             if disposal == 2:
                 canvas[top : top + ih, left : left + iw] = bg_rgb
@@ -336,12 +348,14 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
     next_code = eoi + 1
     emit(clear, width)
     prefix = b""
+    n_data = 0  # data codes emitted since the last clear
     for byte in indices:
         cur = prefix + bytes([byte])
         if cur in table:
             prefix = cur
             continue
         emit(table[prefix], width)
+        n_data += 1
         # register cur; the DECODER's table lags this one by exactly one
         # entry (it can only reconstruct an entry after consuming the
         # next code), so the width grows one entry LATER than this
@@ -356,9 +370,19 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             table = {bytes([i]): i for i in range(clear)}
             width = min_code_size + 1
             next_code = eoi + 1
+            n_data = 0
         prefix = bytes([byte])
     if prefix:
         emit(table[prefix], width)
+        # the decoder registers ONE MORE entry after consuming this
+        # final code (unless it is the first data code since a clear,
+        # when its prev is unset); if that implied registration lands
+        # exactly on the 2^width boundary a spec-conformant decoder
+        # reads the next code -- EOI -- at width + 1, so grow first.
+        # (The in-repo decoder early-returns at max_pixels and never
+        # observes this; external-decoder interop does.)
+        if n_data >= 1 and next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -663,6 +687,13 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 #: data validation. 64 MP = 192 MB RGB, far above any curation
 #: thumbnail and far below a decompression bomb.
 MAX_DECODE_PIXELS = 64_000_000
+
+#: Animation-side frame cap: each decoded frame is a full-canvas RGB
+#: copy, so the per-canvas cap alone still allows n_frames x canvas
+#: amplification from a small payload. 64 frames x 64 MP is the
+#: absolute worst case (refused earlier by the cumulative-pixel budget,
+#: which shares MAX_DECODE_PIXELS across ALL frames of one payload).
+MAX_DECODE_FRAMES = 64
 
 #: JPEG frame-header (SOFn) markers: 0xC0-0xCF minus the three
 #: non-frame markers that share the range (DHT=C4, JPG=C8, DAC=CC).

@@ -1171,6 +1171,37 @@ def q_training_shard_accounting(spark, sf_dir):
     )
 
 
+# Trained language identification (r7 verdict ask #1): hashed
+# char-3-gram features through the integer-exact one-vs-rest logistic
+# trainer; replaces the trusted corpus `lang` column with a computed
+# prediction + an honest accuracy report.
+from .operators import langid  # noqa: E402
+
+
+@register("langid_train", langid.ORACLE_SQL["langid_train"])
+def q_langid_train(spark, sf_dir):
+    return langid.langid_train(
+        _t(spark, sf_dir, "documents"),
+        _trace=langid._trace_for_table(spark, sf_dir),
+    )
+
+
+@register("langid_scores", langid.ORACLE_SQL["langid_scores"])
+def q_langid_scores(spark, sf_dir):
+    return langid.langid_scores(
+        _t(spark, sf_dir, "documents"),
+        _trace=langid._trace_for_table(spark, sf_dir),
+    )
+
+
+@register("langid_accuracy", langid.ORACLE_SQL["langid_accuracy"])
+def q_langid_accuracy(spark, sf_dir):
+    return langid.langid_accuracy(
+        _t(spark, sf_dir, "documents"),
+        _trace=langid._trace_for_table(spark, sf_dir),
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (composition showcase)
 # --------------------------------------------------------------------------

@@ -52,6 +52,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Reliable df.checkpoint() files are NOT deleted by default, so
+        # iterative operators routing rounds through stage_checkpoint
+        # (CC, k-core, PageRank) would leak one full relation copy per
+        # round into the checkpoint dir on clusters. Let the
+        # ContextCleaner reap checkpoints whose RDDs are out of scope.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if speculation:
         # Reference Tier 2: SpeculativeThreshold=0.8 (config/config.go:13-19).
@@ -86,7 +92,16 @@ def stage_checkpoint(df, *, eager: bool = False):
     1.5 s -> 40 s/round by round 5 of k-core without truncation).
     ``eager=False`` defers materialization to the first action that
     touches the result, avoiding one wasted job when the caller's next
-    step is a count() anyway."""
+    step is a count() anyway.
+
+    Cleanup: Spark leaves reliable checkpoint files on disk by default
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is false), so
+    every to-fixpoint loop would leak one relation copy per round into
+    the checkpoint dir. ``get_spark`` enables that cleaner; sessions
+    built elsewhere must either set it too or sweep
+    ``<checkpointDir>/<uuid>/rdd-*`` after the run (the conf is
+    SparkContext-scoped and cannot be set at runtime, which is why
+    ``normalize_runtime_conf`` cannot pin it)."""
     if df.sparkSession.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
