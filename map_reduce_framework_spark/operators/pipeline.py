@@ -313,10 +313,12 @@ _COMP_CTES = f"""
         )"""
 
 
-def _packing_sql(n_tokens_sql: str) -> str:
+def _packing_sql(n_tokens_sql: str, from_rel: str = "documents") -> str:
     """The greedy-fill recursive CTE, parameterized by the token-count
     expression -- shared by the separator-count and tokenizer-count
-    packing oracles (only the accounting differs, never the fill rule)."""
+    packing oracles (only the accounting differs, never the fill rule).
+    ``from_rel`` lets composed oracles pack a FILTERED corpus (the
+    curation-run ledger packs only curated docs)."""
     return f"""
         WITH RECURSIVE base AS (
             SELECT lang, doc_id % {N_PACK_SHARDS} AS shard, doc_id,
@@ -325,7 +327,7 @@ def _packing_sql(n_tokens_sql: str) -> str:
                        PARTITION BY lang, doc_id % {N_PACK_SHARDS}
                        ORDER BY doc_id
                    ) AS rn
-            FROM documents
+            FROM {from_rel}
         ),
         st AS (
             SELECT lang, shard, CAST(0 AS BIGINT) AS rn,

@@ -1202,6 +1202,21 @@ def q_langid_accuracy(spark, sf_dir):
     )
 
 
+# Resumable end-to-end curation run (r7 verdict ask #2): rules ->
+# dedup -> decontamination -> split -> packing -> shard writer composed
+# into ONE job under the job-manifest checkpoint; the registered query
+# executes a REAL run into process-local scratch and returns its
+# committed ledger.
+from . import curation  # noqa: E402
+
+
+@register("curation_run_ledger", curation.ORACLE_SQL["curation_run_ledger"])
+def q_curation_run_ledger(spark, sf_dir):
+    return curation.curation_run_ledger(
+        spark, _t(spark, sf_dir, "documents"), curation.scratch_for(sf_dir)
+    )
+
+
 # --------------------------------------------------------------------------
 # End-to-end curation pipeline (composition showcase)
 # --------------------------------------------------------------------------

@@ -294,3 +294,114 @@ class TestLangid:
         assert "hashpartitioning" not in formatted, formatted
         assert "rangepartitioning" not in formatted, formatted
         assert formatted.count("Exchange (") <= 1, formatted
+
+
+# ---------------------------------------------------------------------------
+# Resumable end-to-end curation run (VERDICT r7 ask #2)
+# ---------------------------------------------------------------------------
+
+
+def _shard_file_bytes(out_dir):
+    """{relative partition path: bytes of its single parquet file} for a
+    committed shard dir (file NAMES embed task UUIDs, so identity is
+    per-partition-directory content)."""
+    import glob
+    import os
+
+    root = os.path.join(out_dir, "shards", "data")
+    got = {}
+    for path in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(os.path.dirname(path), root)
+        assert rel not in got, f"two files in partition {rel}"
+        with open(path, "rb") as fh:
+            got[rel] = fh.read()
+    return got
+
+
+class TestCurationRun:
+    def test_kill_and_resume_every_stage_boundary(
+        self, spark, sf_smoke, tmp_path
+    ):
+        from map_reduce_framework_spark import curation as C
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+
+        # the uninterrupted reference run
+        ref_dir = str(tmp_path / "ref")
+        ref = C.run_curation(spark, docs, ref_dir)
+        assert all(v == "computed" for v in ref["executed"].values())
+        ref_bytes = _shard_file_bytes(ref_dir)
+        assert ref_bytes, "reference run wrote no shards"
+
+        for i, boundary in enumerate(C.CURATION_STAGES[:-1]):
+            out = str(tmp_path / f"kill_{boundary}")
+            with pytest.raises(C.CurationInterrupted):
+                C.run_curation(spark, docs, out, fail_after=boundary)
+            res = C.run_curation(spark, docs, out)
+            done = C.CURATION_STAGES[: i + 1]
+            # completed stages do NOT re-execute ...
+            assert all(res["executed"][s] == "skipped" for s in done), (
+                boundary,
+                res["executed"],
+            )
+            # ... the rest run exactly once on resume ...
+            rest = C.CURATION_STAGES[i + 1 :]
+            assert all(res["executed"][s] == "computed" for s in rest), (
+                boundary,
+                res["executed"],
+            )
+            # ... and the final ledger and shard BYTES match the
+            # uninterrupted run exactly
+            assert res["ledger"] == ref["ledger"], boundary
+            assert _shard_file_bytes(out) == ref_bytes, boundary
+
+    def test_ledger_oracle_parity(self, spark, sf_smoke, tmp_path):
+        from map_reduce_framework_spark import curation as C
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        ldf = C.curation_run_ledger(spark, docs, str(tmp_path / "run"))
+        compare_to_oracle(
+            ldf, duckdb_conn(sf_smoke), C.ORACLE_SQL["curation_run_ledger"]
+        )
+
+    def test_validate_run_catches_missing_stage(
+        self, spark, sf_smoke, tmp_path
+    ):
+        import shutil
+
+        from map_reduce_framework_spark import curation as C
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        out = str(tmp_path / "run")
+        C.run_curation(spark, docs, out)
+        assert C.validate_run(spark, out)["phase"] == "done"
+        shutil.rmtree(C._stage_dir(out, "decontaminate"))
+        with pytest.raises(RuntimeError, match="decontaminate"):
+            C.validate_run(spark, out)
+
+    def test_crash_between_rename_and_mark_done_redoes(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """Committed stage data the manifest never recorded is redone
+        deterministically (the one crash window the protocol resolves
+        by recompute)."""
+        import os
+
+        from map_reduce_framework_spark import curation as C
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        out = str(tmp_path / "run")
+        with pytest.raises(C.CurationInterrupted):
+            C.run_curation(spark, docs, out, fail_after="quality")
+        # simulate the torn window: stage parquet exists, manifest entry
+        # erased
+        manifest_path = os.path.join(out, "manifest.json")
+        import json
+
+        state = json.load(open(manifest_path))
+        del state["completed"]["quality"]
+        json.dump(state, open(manifest_path, "w"))
+        res = C.run_curation(spark, docs, out)
+        assert res["executed"]["quality"] == "computed"
+        assert C.validate_run(spark, out)["phase"] == "done"
