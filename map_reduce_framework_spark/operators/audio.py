@@ -70,6 +70,21 @@ FP_MOD = (1 << 61) - 1
 FP_P = 1315423911
 FP_POWERS = [pow(FP_P, k, FP_MOD) for k in range(FP_WINDOW_CHUNKS * CHUNK_SAMPLES)]
 
+#: Robust (gain-invariant) fingerprint geometry: each 64-sample window
+#: splits into RFP_BLOCKS subblocks of RFP_BLOCK_SAMPLES samples;
+#: subblock ENERGY RATIOS E_b * RFP_Q // T (T = window energy) are
+#: quantized to 6 bits and polynomial-combined mod 2^61-1. A gain
+#: change scales every E_b and T by g^2, so the ratios -- hence the
+#: fingerprint -- are invariant (exactly so for exact rational scaling,
+#: e.g. halving even samples); the exact sample-value fingerprint above
+#: breaks under ANY gain change. This is the Haitsma-Kalker band-energy
+#: idea (ISMIR 2002, "A Highly Robust Audio Fingerprinting System")
+#: with time-domain subblock energies playing the band energies, chosen
+#: over an FFT so the arithmetic stays integer-exact cross-engine.
+RFP_BLOCKS = 16
+RFP_BLOCK_SAMPLES = 4  # 16 x 4 = the 64-sample window
+RFP_Q = 64  # ratio quantization: 6 bits per subblock
+
 
 def encode_wav(samples, sample_rate: int = AUDIO_RATE) -> bytes:
     """Dependency-free mono 16-bit PCM RIFF/WAVE writer: canonical
@@ -226,50 +241,174 @@ def audio_features(documents: DataFrame) -> DataFrame:
     )
 
 
-_FP_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("window_idx", IntegerType()),
-        StructField("fp", LongType()),
-    ]
-)
+def window_fingerprints(samples, *, drop_silent: bool = True) -> list:
+    """(window_idx, fp) for every 64-sample sliding window (stride one
+    chunk) of an int16 sample stream -- the shared engine kernel for
+    the generated-clip and real-payload paths. ``drop_silent`` skips
+    windows whose every sample is within SILENCE_THRESH: true silence
+    produces CONSTANT blocks, i.e. one colossal fingerprint key shared
+    by every quiet clip -- the pathological skew the fp equi-join can
+    see (SCALE.md's documented knob, now code; tests plant it)."""
+    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+    vals = [int(v) for v in samples]
+    n_chunks = len(vals) // CHUNK_SAMPLES
+    out = []
+    for i in range(n_chunks - FP_WINDOW_CHUNKS + 1):
+        base = i * CHUNK_SAMPLES
+        wnd = vals[base : base + win]
+        if drop_silent and max(abs(v) for v in wnd) <= SILENCE_THRESH:
+            continue
+        fp = 0
+        for k in range(win):
+            fp = (fp + (wnd[k] + 32768) * FP_POWERS[k]) % FP_MOD
+        out.append((i, fp))
+    return out
 
 
-def audio_fingerprints(documents: DataFrame) -> DataFrame:
+def robust_window_fingerprints(samples) -> list:
+    """(window_idx, rfp) gain-invariant fingerprints: quantized
+    subblock-energy RATIOS (see RFP_BLOCKS) polynomial-combined.
+    All-silent windows are always dropped (they are both the skew keys
+    and ratio-undefined when the energy is zero)."""
+    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+    vals = [int(v) for v in samples]
+    n_chunks = len(vals) // CHUNK_SAMPLES
+    out = []
+    for i in range(n_chunks - FP_WINDOW_CHUNKS + 1):
+        base = i * CHUNK_SAMPLES
+        wnd = vals[base : base + win]
+        if max(abs(v) for v in wnd) <= SILENCE_THRESH:
+            continue
+        e = [
+            sum(
+                v * v
+                for v in wnd[
+                    b * RFP_BLOCK_SAMPLES : (b + 1) * RFP_BLOCK_SAMPLES
+                ]
+            )
+            for b in range(RFP_BLOCKS)
+        ]
+        total = sum(e)
+        if total == 0:
+            continue
+        rfp = 0
+        for b in range(RFP_BLOCKS):
+            code = min(e[b] * RFP_Q // total, RFP_Q - 1)
+            rfp = (rfp + code * FP_POWERS[b]) % FP_MOD
+        out.append((i, rfp))
+    return out
+
+
+def _fp_map(documents: DataFrame, kernel, col_name: str) -> DataFrame:
+    """Generated-clip fingerprint scan: tokens -> encode_wav ->
+    decode_wav -> ``kernel`` per doc, Arrow-batched, repartitioned to
+    cluster width first (the single-file scan trap)."""
+    from ..functions.text import _WS_RE
+    from .text_analysis import _default_parallelism
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField(col_name, LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "window_idx": [], col_name: []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in _WS_RE.split(str(text) or "") if t]
+                payload = encode_wav(_doc_samples(toks))
+                samples, _rate, _ch = decode_wav(payload)
+                for i, fp in kernel(samples):
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(i)
+                    out[col_name].append(fp)
+            yield pd.DataFrame(out)
+
+    base = documents.select("doc_id", "text")
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
+        run, schema=schema
+    )
+
+
+def audio_fingerprints(
+    documents: DataFrame, *, drop_silent: bool = True
+) -> DataFrame:
     """(doc_id, window_idx, fp): every 4-chunk (64-sample) sliding
     window's exact-integer polynomial fingerprint over the DECODED
     samples -- window i covers chunks i..i+3 (stride one chunk), so a
     one-token edit invalidates exactly the <= 4 windows covering it
     while every other window survives, the locality a fingerprint
-    dedup needs. Computed from the real encode->decode round trip."""
-    from ..functions.text import _WS_RE
+    dedup needs. Computed from the real encode->decode round trip.
+    All-silent windows are dropped by default (the constant-block skew
+    keys; see window_fingerprints)."""
 
-    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+    def kernel(samples):
+        return window_fingerprints(samples, drop_silent=drop_silent)
+
+    return _fp_map(documents, kernel, "fp")
+
+
+def audio_fingerprints_robust(documents: DataFrame) -> DataFrame:
+    """(doc_id, window_idx, rfp): the gain-invariant subblock-energy-
+    ratio fingerprints of every window (robust_window_fingerprints),
+    through the same real codec round trip. Catches duplicates the
+    exact fp misses -- a re-gained copy of a clip (volume change,
+    normalization pass) shares every rfp and NO exact fp (the planted
+    test asserts both)."""
+    return _fp_map(documents, robust_window_fingerprints, "rfp")
+
+
+def audio_fingerprints_from_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    *,
+    robust: bool = False,
+    drop_silent: bool = True,
+) -> DataFrame:
+    """Fingerprints over a REAL WAV binary column (doc_id, payload):
+    the production entry point -- the registered queries generate their
+    clips from tokens so the DuckDB oracle can certify the codec, but a
+    real corpus carries opaque payloads. Undecodable payloads are
+    skipped (curation drops junk, it does not crash). Same kernels as
+    the generated path."""
+    from .text_analysis import _default_parallelism
+
+    name = "rfp" if robust else "fp"
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("window_idx", IntegerType()),
+            StructField(name, LongType()),
+        ]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "window_idx": [], "fp": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in _WS_RE.split(str(text) or "") if t]
-                payload = encode_wav(_doc_samples(toks))
-                samples, _rate, _ch = decode_wav(payload)
-                vals = [int(v) + 32768 for v in samples]
-                n_chunks = len(vals) // CHUNK_SAMPLES
-                for i in range(n_chunks - FP_WINDOW_CHUNKS + 1):
-                    base = i * CHUNK_SAMPLES
-                    fp = 0
-                    for k in range(win):
-                        fp = (fp + vals[base + k] * FP_POWERS[k]) % FP_MOD
+            out = {"doc_id": [], "window_idx": [], name: []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                decoded = decode_wav(bytes(payload))
+                if decoded is None:
+                    continue
+                samples, _rate, _ch = decoded
+                fps = (
+                    robust_window_fingerprints(samples)
+                    if robust
+                    else window_fingerprints(
+                        samples, drop_silent=drop_silent
+                    )
+                )
+                for i, fp in fps:
                     out["doc_id"].append(doc_id)
                     out["window_idx"].append(i)
-                    out["fp"].append(fp)
+                    out[name].append(fp)
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
-
-    base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
-        run, schema=_FP_SCHEMA
+    base = df.select("doc_id", payload_col)
+    return base.repartition(_default_parallelism(df)).mapInPandas(
+        run, schema=schema
     )
 
 
@@ -301,6 +440,38 @@ def audio_fingerprint_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared_fp"))
         .where(F.col("n_shared_fp") >= min_shared)
+    )
+
+
+def audio_robust_fp_pairs(
+    documents: DataFrame, min_shared: int = AUDIO_FP_MIN
+) -> DataFrame:
+    """Near-duplicate clip pairs under the GAIN-INVARIANT fingerprint
+    (doc_a < doc_b, n_shared_rfp): the audio_fingerprint_pairs shape
+    over rfp -- catches volume-changed / re-normalized duplicates the
+    exact fp misses, at the cost of coarser keys (quantized energy
+    ratios), which the >= min_shared distinct-window rule compensates.
+    The rfp equi-join is still the blocking; all-silent windows are
+    always dropped, so quiet corpora cannot recreate the constant-key
+    skew."""
+    fps = audio_fingerprints_robust(documents)
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.rfp") == F.col("b.rfp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rfp").alias("rfp"),
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_rfp"))
+        .where(F.col("n_shared_rfp") >= min_shared)
     )
 
 
@@ -376,7 +547,11 @@ ORACLE_SQL: dict[str, str] = {
 def _fp_cte() -> str:
     """CTE chain ending in ``afp(doc_id, window_idx, fp)`` -- the
     polynomial window fingerprints in exact HUGEINT arithmetic with
-    the SAME precomputed power table the engine uses."""
+    the SAME precomputed power table the engine uses. ``awin`` drops
+    all-silent windows, mirroring the engine's skew guard (the filter
+    is a no-op on the md5-generated testdata clips -- a chunk byte
+    within 8 of 128 sixty-four times in a row -- but both engines
+    state the rule)."""
     win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
     pw = ", ".join(str(p) for p in FP_POWERS)
     return f"""
@@ -388,6 +563,9 @@ def _fp_cte() -> str:
         FROM asamp
         CROSS JOIN range(0, {AUDIO_MAX_TOKENS}) t(i)
         WHERE i <= len(s) // {CHUNK_SAMPLES} - {FP_WINDOW_CHUNKS}
+          AND len(list_filter(s[(i * {CHUNK_SAMPLES}) + 1 :
+                                (i * {CHUNK_SAMPLES}) + {win}],
+                              v -> abs(v) > {SILENCE_THRESH})) > 0
     ),
     apw AS (SELECT [{pw}] AS pw),
     afp AS (
@@ -419,6 +597,61 @@ ORACLE_SQL["audio_fingerprint_pairs"] = (
     )
     SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_fp
     FROM ashared
+    GROUP BY doc_a, doc_b
+    HAVING count(*) >= {AUDIO_FP_MIN}"""
+)
+
+
+def _rfp_cte() -> str:
+    """CTE chain ending in ``arfp(doc_id, window_idx, rfp)`` -- the
+    gain-invariant subblock-energy-ratio fingerprints, all HUGEINT
+    (energies <= 64 * 32768^2 and the * RFP_Q product stay far inside
+    128 bits; the // floor division is exact in both engines)."""
+    pw = ", ".join(str(p) for p in FP_POWERS[:RFP_BLOCKS])
+    return f"""
+    {_fp_cte().strip()},
+    aene AS (
+        SELECT doc_id, window_idx,
+               list_transform(range(0, {RFP_BLOCKS}),
+                   b -> CAST(list_sum(list_transform(
+                            range(1, {RFP_BLOCK_SAMPLES} + 1),
+                            k -> CAST(wnd[b * {RFP_BLOCK_SAMPLES} + k]
+                                      AS HUGEINT)
+                                 * wnd[b * {RFP_BLOCK_SAMPLES} + k]))
+                        AS HUGEINT)) AS e
+        FROM awin
+    ),
+    arpw AS (SELECT [{pw}] AS rpw),
+    arfp AS (
+        SELECT doc_id, window_idx,
+               CAST(list_sum(list_transform(range(1, {RFP_BLOCKS} + 1),
+                   b -> (least((e[b] * {RFP_Q}) // te, {RFP_Q - 1})
+                         * rpw[b]) % {FP_MOD})) % {FP_MOD} AS BIGINT)
+                   AS rfp
+        FROM (SELECT doc_id, window_idx, e, list_sum(e) AS te
+              FROM aene), arpw
+        WHERE te > 0
+    )"""
+
+
+ORACLE_SQL["audio_fingerprints_robust"] = (
+    "WITH "
+    + _rfp_cte().strip()
+    + """
+    SELECT doc_id, CAST(window_idx AS INT) AS window_idx, rfp FROM arfp"""
+)
+
+ORACLE_SQL["audio_robust_fp_pairs"] = (
+    "WITH "
+    + _rfp_cte().strip()
+    + f""",
+    arshared AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.rfp
+        FROM arfp a JOIN arfp b
+          ON a.rfp = b.rfp AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_rfp
+    FROM arshared
     GROUP BY doc_a, doc_b
     HAVING count(*) >= {AUDIO_FP_MIN}"""
 )

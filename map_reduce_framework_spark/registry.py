@@ -1156,6 +1156,24 @@ def q_audio_fingerprint_pairs(spark, sf_dir):
     return audio.audio_fingerprint_pairs(_t(spark, sf_dir, "documents"))
 
 
+# r7 verdict ask #4: gain-invariant (Haitsma-Kalker-style energy-ratio)
+# fingerprints -- catch volume-changed duplicates the exact fp misses.
+@register(
+    "audio_fingerprints_robust",
+    audio.ORACLE_SQL["audio_fingerprints_robust"],
+)
+def q_audio_fingerprints_robust(spark, sf_dir):
+    return audio.audio_fingerprints_robust(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "audio_robust_fp_pairs",
+    audio.ORACLE_SQL["audio_robust_fp_pairs"],
+)
+def q_audio_robust_fp_pairs(spark, sf_dir):
+    return audio.audio_robust_fp_pairs(_t(spark, sf_dir, "documents"))
+
+
 # Training-shard writer accounting (r6 verdict ask #3): the oracle-
 # checked view of what sources/shard_writer.py materializes to disk.
 from .sources import shard_writer  # noqa: E402

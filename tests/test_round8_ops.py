@@ -405,3 +405,133 @@ class TestCurationRun:
         res = C.run_curation(spark, docs, out)
         assert res["executed"]["quality"] == "computed"
         assert C.validate_run(spark, out)["phase"] == "done"
+
+
+# ---------------------------------------------------------------------------
+# Audio: silence-skew guard (VERDICT r7 ask #3) and gain-invariant
+# robust fingerprints (ask #4)
+# ---------------------------------------------------------------------------
+
+
+def _wav_docs(spark, clips):
+    """(doc_id, payload) DataFrame from {doc_id: int16 sample list}."""
+    from map_reduce_framework_spark.operators.audio import encode_wav
+
+    rows = [(int(i), bytearray(encode_wav(s))) for i, s in clips.items()]
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+class TestAudioSilenceSkew:
+    def test_silent_windows_dropped_and_candidates_bounded(self, spark):
+        """SCALE.md's knob as code: plant N mostly-silent clips (90%
+        zero samples + a unique loud tail). Without the drop filter the
+        shared all-zero windows form ONE fingerprint key holding every
+        clip -- the pathological blocking failure; with it, per-key
+        candidate counts stay bounded by true duplication."""
+        from map_reduce_framework_spark.operators.audio import (
+            CHUNK_SAMPLES,
+            audio_fingerprints_from_payloads,
+        )
+
+        n = 50
+        silent_part = [0] * (CHUNK_SAMPLES * 36)  # 36 silent chunks
+        clips = {
+            i: silent_part
+            + [((i * 97 + k * 31) % 40) * 1000 - 20000 for k in range(64)]
+            for i in range(n)
+        }
+        df = _wav_docs(spark, clips)
+
+        undropped = audio_fingerprints_from_payloads(
+            df, drop_silent=False
+        )
+        hot = (
+            undropped.groupBy("fp").count().orderBy("count", ascending=False)
+        ).first()
+        # fixture really is adversarial: the all-zero window key holds
+        # every silent window of every clip
+        assert hot["count"] >= n * 30, hot
+
+        dropped = audio_fingerprints_from_payloads(df)  # default: drop
+        per_key = dropped.groupBy("fp").count().collect()
+        # per-task candidate bound: no fingerprint key may hold more
+        # rows than the true duplication (these tails are all distinct,
+        # so every surviving key is near-unique)
+        assert max(r["count"] for r in per_key) <= 4, sorted(
+            (r["count"] for r in per_key), reverse=True
+        )[:5]
+        # and no surviving window is all-silent
+        rows = dropped.collect()
+        assert rows, "loud tails must fingerprint"
+        silent_windows = 36 - 3  # windows fully inside the silent span
+        assert all(r.window_idx >= silent_windows for r in rows)
+
+    def test_hot_key_exactness_preserved(self, spark):
+        """The r7 hot-key exactness property survives the silence
+        filter (md5-generated clips never contain silent windows)."""
+        from map_reduce_framework_spark.operators.audio import (
+            audio_fingerprint_pairs,
+        )
+
+        t = "stone river maple cloud ember frost grain haven"
+        rows = [(i, t, "en", "s", len(t)) for i in range(12)]
+        docs = spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, "
+            "n_chars int",
+        )
+        pairs = audio_fingerprint_pairs(docs).collect()
+        assert len(pairs) == 12 * 11 // 2
+        assert all(r.n_shared_fp == 5 for r in pairs)
+
+
+class TestAudioRobustFingerprint:
+    def test_planted_gain_change_exact_misses_robust_catches(self, spark):
+        """A volume-halved copy of a clip: the exact sample-value
+        fingerprint shares NOTHING with the original (every sample
+        differs), while the energy-ratio fingerprint is bit-identical
+        per window (even samples halve exactly, so every ratio is
+        preserved). The test asserts BOTH directions."""
+        from map_reduce_framework_spark.operators.audio import (
+            AUDIO_FP_MIN,
+            audio_fingerprints_from_payloads,
+        )
+
+        rng = np.random.default_rng(7)
+        # even samples, loud enough that no window is silent
+        base = [int(v) * 2 for v in rng.integers(2000, 16000, size=512)]
+        halved = [v // 2 for v in base]
+        other = [int(v) * 2 for v in rng.integers(2000, 16000, size=512)]
+        df = _wav_docs(spark, {0: base, 1: halved, 2: other})
+
+        exact = audio_fingerprints_from_payloads(df)
+        e = {(r.doc_id, r.fp) for r in exact.collect()}
+        shared_exact = {f for d, f in e if d == 0} & {
+            f for d, f in e if d == 1
+        }
+        assert len(shared_exact) < AUDIO_FP_MIN  # exact fp MISSES it
+        assert not shared_exact  # in fact nothing survives a gain change
+
+        robust = audio_fingerprints_from_payloads(df, robust=True)
+        r = {}
+        for row in robust.collect():
+            r.setdefault(row.doc_id, set()).add((row.window_idx, row.rfp))
+        # robust fp CATCHES it: every window fingerprint identical
+        assert r[0] == r[1]
+        # and stays discriminative: the unrelated clip shares (almost)
+        # nothing
+        shared_other = {f for _i, f in r[0]} & {f for _i, f in r[2]}
+        assert len(shared_other) < AUDIO_FP_MIN
+
+    def test_registered_robust_queries_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.operators import audio as A
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        con = duckdb_conn(sf_smoke)
+        for name, df in [
+            ("audio_fingerprints", A.audio_fingerprints(docs)),
+            ("audio_fingerprints_robust", A.audio_fingerprints_robust(docs)),
+            ("audio_robust_fp_pairs", A.audio_robust_fp_pairs(docs)),
+        ]:
+            compare_to_oracle(df, con, A.ORACLE_SQL[name])
