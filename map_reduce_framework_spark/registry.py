@@ -1189,6 +1189,17 @@ def q_training_shard_accounting(spark, sf_dir):
     )
 
 
+# r7 verdict ask #6: the mixture-aware READ side -- deterministic
+# temperature-weighted interleave of shard files with a resumable
+# cursor (weighted fair queuing in closed-form integer arithmetic).
+@register(
+    "shard_read_schedule",
+    shard_writer.ORACLE_SQL["shard_read_schedule"],
+)
+def q_shard_read_schedule(spark, sf_dir):
+    return shard_writer.shard_read_schedule(_t(spark, sf_dir, "documents"))
+
+
 # Trained language identification (r7 verdict ask #1): hashed
 # char-3-gram features through the integer-exact one-vs-rest logistic
 # trainer; replaces the trusted corpus `lang` column with a computed

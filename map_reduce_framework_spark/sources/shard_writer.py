@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.pipeline import (
+    MIX_TEMP_ALPHA,
     N_PACK_SHARDS,
     PACK_BUDGET,
     _packing_sql,
@@ -242,6 +243,192 @@ def _stage_shards(spark, documents: DataFrame, out_dir: str) -> str:
 def read_manifest(out_dir: str) -> dict:
     with open(os.path.join(out_dir, _MANIFEST)) as fh:
         return json.load(fh)
+
+
+# ---------------------------------------------------------------------------
+# Mixture-aware shard READ side (VERDICT r7 ask #6): a deterministic
+# interleave of committed shard files across languages, weighted by the
+# same n^alpha temperature rule the data-mixture plan uses, with a
+# resumable cursor. The scheduler is weighted fair queuing with integer
+# virtual time: within each lang, shard file i (1-based, (shard,
+# shard_file) order) is stamped vt = i * VT_SCALE // weight_q; the
+# global read order sorts by (vt, lang, shard, shard_file). Larger
+# weights yield denser stamps, so each language's files appear in
+# proportion to its weight -- and the whole schedule is ONE closed-form
+# SQL expression (no driver loop), hence oracle-checked exactly.
+#
+# Shard streams are (lang, shard)-keyed (the writer's partitioning), so
+# the loader consumes the LANG-level temperature weights -- the same
+# weight_q = floor(avail^alpha * 1e6 + 0.5) quantization as
+# data_mixture_temperature_plan, computed over the packed token totals
+# of the shards being scheduled. Scale: one row per shard file (~50k at
+# 100 TB), so the global sort/window is driver-trivial by construction.
+# ---------------------------------------------------------------------------
+
+VT_SCALE = 1_000_000_000_000  # virtual-time fixed point
+
+
+def shard_read_schedule(documents: DataFrame, alpha: float | None = None):
+    """(pos, lang, shard, shard_file, n_seqs, n_tokens, vt, cum_tokens):
+    the deterministic mixture-weighted read order of every shard file
+    the writer would commit for this corpus. ``cum_tokens`` is the
+    running token total in read order -- the consumed-token accounting
+    a resumable loader checkpoints (cursor = pos)."""
+    from pyspark.sql import Window
+    from ..operators.pipeline import MIX_TEMP_ALPHA
+
+    a = MIX_TEMP_ALPHA if alpha is None else alpha
+    acc = training_shard_accounting(documents)
+    lw = acc.groupBy("lang").agg(
+        F.sum("n_tokens").alias("avail_tokens")
+    ).select(
+        "lang",
+        F.floor(
+            F.pow(F.col("avail_tokens").cast("double"), F.lit(a))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("weight_q"),
+    )
+    ranked = acc.join(F.broadcast(lw), "lang").withColumn(
+        "i",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy("shard", "shard_file")
+        ),
+    )
+    vt = F.expr(f"(i * CAST({VT_SCALE} AS BIGINT)) div weight_q")
+    order = Window.orderBy("vt", "lang", "shard", "shard_file")
+    return (
+        ranked.withColumn("vt", vt)
+        .withColumn("pos", F.row_number().over(order))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select(
+            F.col("pos").cast("int").alias("pos"),
+            "lang",
+            "shard",
+            "shard_file",
+            "n_seqs",
+            "n_tokens",
+            "vt",
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )
+
+
+def schedule_from_manifest(manifest: dict, alpha: float | None = None) -> list:
+    """The same schedule computed from a COMMITTED shard manifest --
+    what a training job holds at load time (no Spark, no corpus). Same
+    arithmetic as shard_read_schedule; tests assert list-equality
+    between the two paths. Returns [{pos, lang, shard, shard_file,
+    n_seqs, n_tokens, vt, cum_tokens}, ...] in read order."""
+    import math
+
+    from ..operators.pipeline import MIX_TEMP_ALPHA
+
+    a = MIX_TEMP_ALPHA if alpha is None else alpha
+    shards = manifest["shards"]
+    avail: dict = {}
+    for s in shards:
+        avail[s["lang"]] = avail.get(s["lang"], 0) + s["n_tokens"]
+    weight = {
+        lang: math.floor(math.pow(float(t), a) * 1e6 + 0.5)
+        for lang, t in avail.items()
+    }
+    per_lang: dict = {}
+    rows = []
+    for s in sorted(
+        shards, key=lambda s: (s["lang"], s["shard"], s["shard_file"])
+    ):
+        i = per_lang.get(s["lang"], 0) + 1
+        per_lang[s["lang"]] = i
+        rows.append(
+            {
+                "lang": s["lang"],
+                "shard": s["shard"],
+                "shard_file": s["shard_file"],
+                "n_seqs": s["n_seqs"],
+                "n_tokens": s["n_tokens"],
+                "vt": i * VT_SCALE // weight[s["lang"]],
+            }
+        )
+    rows.sort(key=lambda r: (r["vt"], r["lang"], r["shard"], r["shard_file"]))
+    cum = 0
+    for pos, r in enumerate(rows, start=1):
+        cum += r["n_tokens"]
+        r["pos"] = pos
+        r["cum_tokens"] = cum
+    return rows
+
+
+def iter_training_shards(
+    spark, out_dir: str, cursor: int = 0, alpha: float | None = None
+):
+    """The resumable loader: yield (entry, DataFrame) for every shard
+    file AFTER ``cursor`` (a pos from a previous partial consumption)
+    in mixture-schedule order. A training job checkpoints the last pos
+    it finished; resuming with that cursor skips exactly the consumed
+    shards -- no token skipped or repeated (tested). Each DataFrame is
+    one shard file's packed rows in (seq_id, tok_offset) order."""
+    manifest = read_manifest(out_dir)
+    for entry in schedule_from_manifest(manifest, alpha):
+        if entry["pos"] <= cursor:
+            continue
+        path = os.path.join(
+            out_dir,
+            "data",
+            f"lang={entry['lang']}",
+            f"shard={entry['shard']}",
+            f"shard_file={entry['shard_file']}",
+        )
+        df = spark.read.parquet(path).orderBy("seq_id", "tok_offset")
+        yield entry, df
+
+
+ORACLE_SQL["shard_read_schedule"] = f"""
+    WITH packed AS ({_packing_sql(
+        "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
+    )}),
+    acc AS (
+        SELECT lang, shard, seq_id // {SEQS_PER_SHARD} AS shard_file,
+               CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM packed
+        GROUP BY lang, shard, seq_id // {SEQS_PER_SHARD}
+    ),
+    lw AS (
+        SELECT lang,
+               CAST(floor(pow(CAST(sum(n_tokens) AS DOUBLE),
+                              {MIX_TEMP_ALPHA!r}) * 1000000.0 + 0.5) AS BIGINT)
+                   AS weight_q
+        FROM acc GROUP BY lang
+    ),
+    ranked AS (
+        SELECT a.*, lw.weight_q,
+               row_number() OVER (
+                   PARTITION BY a.lang ORDER BY a.shard, a.shard_file
+               ) AS i
+        FROM acc a JOIN lw USING (lang)
+    ),
+    stamped AS (
+        SELECT lang, shard, shard_file, n_seqs, n_tokens,
+               (i * CAST({VT_SCALE} AS BIGINT)) // weight_q AS vt
+        FROM ranked
+    )
+    SELECT CAST(row_number() OVER w AS INT) AS pos,
+           lang, shard, shard_file, n_seqs, n_tokens, vt,
+           CAST(sum(n_tokens) OVER (
+               ORDER BY vt, lang, shard, shard_file
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens
+    FROM stamped
+    WINDOW w AS (ORDER BY vt, lang, shard, shard_file)
+"""
 
 
 def validate_shards(spark, out_dir: str) -> dict:

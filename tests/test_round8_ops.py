@@ -612,3 +612,97 @@ class TestFrameSamplerRegistry:
         pairs = mm.video_dedup_pairs(docs).collect()
         assert [(r.doc_a, r.doc_b) for r in pairs] == [(2, 3)]
         assert pairs[0].n_matched_frames == mm.VIDEO_N_FRAMES
+
+
+# ---------------------------------------------------------------------------
+# Mixture-aware shard loader (VERDICT r7 ask #6)
+# ---------------------------------------------------------------------------
+
+
+class TestShardLoader:
+    def test_schedule_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.sources import shard_writer as SW
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        compare_to_oracle(
+            SW.shard_read_schedule(docs),
+            duckdb_conn(sf_smoke),
+            SW.ORACLE_SQL["shard_read_schedule"],
+        )
+
+    def test_manifest_schedule_matches_engine_schedule(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """The load-time (manifest-only) scheduler and the engine
+        relation agree row for row -- a training job holding just the
+        committed manifest reads in exactly the oracle-checked order."""
+        from map_reduce_framework_spark.sources import shard_writer as SW
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        out = str(tmp_path / "shards")
+        assert SW.write_training_shards(spark, docs, out)
+        manifest = SW.read_manifest(out)
+        got = [
+            (
+                e["pos"], e["lang"], e["shard"], e["shard_file"],
+                e["n_seqs"], e["n_tokens"], e["vt"], e["cum_tokens"],
+            )
+            for e in SW.schedule_from_manifest(manifest)
+        ]
+        want = [
+            tuple(r)
+            for r in SW.shard_read_schedule(docs).orderBy("pos").collect()
+        ]
+        assert got == want
+
+    def test_schedule_interleaves_by_weight(self, spark, sf_smoke):
+        """The dominant language may not run away with the head of the
+        schedule: within any prefix, each language's share of scheduled
+        files tracks its weight share (WFQ's bounded-lag property)."""
+        from collections import Counter
+
+        from map_reduce_framework_spark.sources import shard_writer as SW
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        rows = SW.shard_read_schedule(docs).orderBy("pos").collect()
+        langs = {r.lang for r in rows}
+        assert len(langs) == 5
+        # every language appears in the first |langs|+2 positions: the
+        # interleave starts fair, not lang-block-sequential
+        head = {r.lang for r in rows[: len(langs) + 2]}
+        assert head == langs, head
+
+    def test_mid_epoch_resume_no_skip_no_repeat(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """Consume k shards, checkpoint pos, resume: the concatenation
+        of consumed + resumed streams equals one uninterrupted epoch
+        exactly (every seq/token once), and the consumed-token
+        accounting matches the schedule's cum_tokens."""
+        from map_reduce_framework_spark.sources import shard_writer as SW
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        out = str(tmp_path / "shards")
+        SW.write_training_shards(spark, docs, out)
+
+        full = [
+            (e["pos"], [tuple(r) for r in df.collect()], e["n_tokens"])
+            for e, df in SW.iter_training_shards(spark, out)
+        ]
+        k = len(full) // 2
+        cursor = full[k - 1][0]
+        consumed_tokens = sum(t for _p, _r, t in full[:k])
+        sched = SW.schedule_from_manifest(SW.read_manifest(out))
+        assert consumed_tokens == sched[k - 1]["cum_tokens"]
+
+        resumed = [
+            (e["pos"], [tuple(r) for r in df.collect()], e["n_tokens"])
+            for e, df in SW.iter_training_shards(spark, out, cursor=cursor)
+        ]
+        assert full[:k] + resumed == full  # no skip, no repeat
+        # token-level identity: every packed row exactly once
+        all_rows = [r for _p, rows, _t in full for r in rows]
+        assert len(all_rows) == len(set(all_rows))
+        total = sum(t for _p, _r, t in full)
+        assert total == sched[-1]["cum_tokens"]
