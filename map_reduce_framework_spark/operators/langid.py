@@ -519,3 +519,68 @@ ORACLE_SQL: dict[str, str] = {
     "langid_scores": _lid_scores_sql(),
     "langid_accuracy": _lid_accuracy_sql(),
 }
+
+
+def langid_stratified_sample(
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    _trace=None,
+) -> DataFrame:
+    """``stratified_sample`` with the strata COMPUTED, not trusted:
+    the same deterministic md5(doc_id) hash-threshold rule, but quotas
+    key on the trained model's ``pred_lang`` -- the integration that
+    makes every per-language quota downstream of in-engine langid
+    (ask #1's point: a real corpus has no lang column). On the
+    synthetic corpus the model predicts the majority class everywhere,
+    so every doc competes under the 'en' threshold -- exactly what the
+    data card must reveal before per-language quotas are trusted to
+    this classifier (see langid_accuracy)."""
+    from ..session import stage_checkpoint
+    from .text_analysis import SAMPLE_DEFAULT_THRESHOLD, SAMPLE_THRESHOLDS
+
+    # Stage boundary BEFORE the quota filter: Catalyst pushes a filter
+    # through projections by SUBSTITUTION, and this predicate references
+    # pred_lang -> 5 pq expressions -> 85 occurrences of the whole
+    # md5-per-gram feature subtree -- measured 5.3 MB plan / 29.6 MiB
+    # task binary / executor heartbeat death without the boundary. A
+    # real pipeline materializes scores once anyway (accuracy report,
+    # sampling, and mixture all consume the same relation).
+    s = stage_checkpoint(langid_scores(documents, iters, lr, _trace=_trace))
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    thr = None
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        cond = F.col("pred_lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(SAMPLE_DEFAULT_THRESHOLD)
+    return s.filter(h < thr).select(
+        "doc_id",
+        "labeled_lang",
+        "pred_lang",
+        h.alias("sample_key"),
+    )
+
+
+def _lid_stratified_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
+    from .text_analysis import SAMPLE_DEFAULT_THRESHOLD, SAMPLE_THRESHOLDS
+
+    case = " ".join(
+        f"WHEN pred_lang = '{lang}' THEN '{t}'"
+        for lang, t in sorted(SAMPLE_THRESHOLDS.items())
+    )
+    ctes = _lid_chain_sql(iters, lr)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + ","
+        + _lid_scores_select(iters)
+        + f"""
+    SELECT doc_id, labeled_lang, pred_lang,
+           md5(CAST(doc_id AS VARCHAR)) AS sample_key
+    FROM lid_scores
+    WHERE md5(CAST(doc_id AS VARCHAR)) < CASE {case}
+          ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END"""
+    )
+
+
+ORACLE_SQL["langid_stratified_sample"] = _lid_stratified_sql()

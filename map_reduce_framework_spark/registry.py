@@ -1231,6 +1231,17 @@ def q_langid_accuracy(spark, sf_dir):
     )
 
 
+@register(
+    "langid_stratified_sample",
+    langid.ORACLE_SQL["langid_stratified_sample"],
+)
+def q_langid_stratified_sample(spark, sf_dir):
+    return langid.langid_stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        _trace=langid._trace_for_table(spark, sf_dir),
+    )
+
+
 # Resumable end-to-end curation run (r7 verdict ask #2): rules ->
 # dedup -> decontamination -> split -> packing -> shard writer composed
 # into ONE job under the job-manifest checkpoint; the registered query

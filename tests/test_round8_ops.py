@@ -706,3 +706,40 @@ class TestShardLoader:
         assert len(all_rows) == len(set(all_rows))
         total = sum(t for _p, _r, t in full)
         assert total == sched[-1]["cum_tokens"]
+
+
+class TestLangidStratifiedSample:
+    def test_oracle_parity_and_quota_semantics(self, spark, sf_smoke):
+        from map_reduce_framework_spark.operators import langid as L
+        from map_reduce_framework_spark.operators.text_analysis import (
+            SAMPLE_THRESHOLDS,
+        )
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        df = L.langid_stratified_sample(docs)
+        compare_to_oracle(
+            df, duckdb_conn(sf_smoke),
+            L.ORACLE_SQL["langid_stratified_sample"],
+        )
+        rows = df.collect()
+        # on the no-signal corpus the model predicts the majority class
+        # everywhere, so every doc competes under the 'en' threshold --
+        # the honest data-card story the docstring states
+        assert {r.pred_lang for r in rows} == {"en"}
+        assert all(r.sample_key < SAMPLE_THRESHOLDS["en"] for r in rows)
+
+    def test_planted_signal_applies_per_lang_quotas(self, spark):
+        """With real language signal, the computed strata reproduce the
+        per-language quotas: each predicted lang's sample rate tracks
+        its threshold."""
+        from map_reduce_framework_spark.operators import langid as L
+
+        docs = TestLangid._signal_corpus(None, spark, n_per_lang=60)
+        sample = L.langid_stratified_sample(docs, iters=30).collect()
+        by_pred = {}
+        for r in sample:
+            by_pred.setdefault(r.pred_lang, []).append(r)
+        # en quota (0xc0/0x100 = 75%) must admit far more than the
+        # default quota (0x20/0x100 = 12.5%) applied to de/zh
+        assert len(by_pred.get("en", [])) > 2 * len(by_pred.get("de", []))
