@@ -63,6 +63,14 @@ EXECUTES_ON_BUILD = {
     # round-7
     "cross_modal_dedup_clusters": "CC rounds with per-round checkpoints",
     "multimodal_dedup_agreement": "eager stage-checkpoints 4 pair relations",
+    # round-8
+    "langid_train": "runs the training trace (K collect jobs) on build",
+    "langid_scores": "runs the training trace on build; apply plan "
+    "gated shuffle-free in tests/test_round8_ops.py",
+    "langid_accuracy": "runs the training trace on build",
+    "langid_stratified_sample": "training trace + scores stage "
+    "checkpoint on build",
+    "curation_run_ledger": "executes a full curation run on build",
 }
 # (queries with "stream" in the name are skipped generically below)
 

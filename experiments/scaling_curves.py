@@ -80,6 +80,13 @@ QUERIES = [
     "jpeg_block_roundtrip",       # baseline-JPEG codec map
     "training_shard_accounting",  # packing + shard-file groupBy
     "cross_modal_dedup_clusters", # unioned pair edges + min-label CC
+    # round-8 additions: langid is K scan-bound aggregate passes + one
+    # narrow apply (the quality-classifier claim, multiclass), robust
+    # audio fingerprints share the window-fp equi-join shape, and the
+    # shard schedule is a shard-file-count-sized sort.
+    "langid_scores",              # K-pass one-vs-rest trainer + apply
+    "audio_robust_fp_pairs",      # energy-ratio fp equi join
+    "shard_read_schedule",        # WFQ interleave over shard files
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
