@@ -1557,6 +1557,16 @@ def q_video_frame_dhash_stream(spark, sf_dir):
     return streaming_ops.q_video_frame_dhash_stream(spark, sf_dir)
 
 
+# r8: langid at ingest -- train offline (batch table), score the stream
+# under the frozen weights; the batch oracle proves stream==batch.
+@register(
+    "langid_scores_stream",
+    streaming_ops.ORACLE_SQL["langid_scores_stream"],
+)
+def q_langid_scores_stream(spark, sf_dir):
+    return streaming_ops.q_langid_scores_stream(spark, sf_dir)
+
+
 @register(
     "rule_filter_stream", streaming_ops.ORACLE_SQL["rule_filter_stream"]
 )

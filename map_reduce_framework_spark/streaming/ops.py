@@ -622,9 +622,26 @@ def q_video_frame_dhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(video_frame_dhash(docs), output_mode="append")
 
 
+def q_langid_scores_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID at ingest -- the deployment shape a real curation
+    run uses: the classifier trains OFFLINE on the batch table (the
+    shared per-session trace memo), and the frozen weights score every
+    arriving document as a stateless narrow projection, append mode.
+    The registered oracle is the batch unrolled-CTE derivation, so the
+    sweep proves stream scoring == batch scoring under the SAME trained
+    weights, end to end through the hashed-feature path."""
+    from ..operators.langid import _trace_for_table, langid_scores
+
+    trace = _trace_for_table(spark, sf_dir)  # offline training, memoized
+    docs = read_documents_stream(spark, sf_dir)
+    return run_to_memory(langid_scores(docs, _trace=trace), output_mode="append")
+
+
 from ..operators.audio import ORACLE_SQL as _AUD_SQL  # noqa: E402
+from ..operators.langid import ORACLE_SQL as _LID_SQL  # noqa: E402
 from ..operators.multimodal import ORACLE_SQL as _MM_SQL  # noqa: E402
 
 ORACLE_SQL["image_dhash_stream"] = _MM_SQL["image_dhash"]
 ORACLE_SQL["audio_features_stream"] = _AUD_SQL["audio_features"]
 ORACLE_SQL["video_frame_dhash_stream"] = _MM_SQL["video_frame_dhash"]
+ORACLE_SQL["langid_scores_stream"] = _LID_SQL["langid_scores"]

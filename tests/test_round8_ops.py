@@ -743,3 +743,39 @@ class TestLangidStratifiedSample:
         # en quota (0xc0/0x100 = 75%) must admit far more than the
         # default quota (0x20/0x100 = 12.5%) applied to de/zh
         assert len(by_pred.get("en", [])) > 2 * len(by_pred.get("de", []))
+
+
+def test_langid_scores_stream_equals_batch(spark, sf_smoke):
+    """Train offline, score the stream: the streaming twin's rows equal
+    the batch scores under the same trained weights."""
+    from map_reduce_framework_spark import registry
+    from map_reduce_framework_spark.operators import langid as L
+
+    stream_rows = sorted(
+        tuple(r)
+        for r in registry.REGISTRY["langid_scores_stream"]
+        .fn(spark, sf_smoke)
+        .collect()
+    )
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    batch_rows = sorted(tuple(r) for r in L.langid_scores(docs).collect())
+    assert stream_rows == batch_rows
+
+
+def test_curation_orphan_staging_swept(spark, sf_smoke, tmp_path):
+    """A crash BEFORE a stage's rename leaves an orphaned .staging-*
+    dir; the next run sweeps it and completes normally."""
+    import os
+
+    from map_reduce_framework_spark import curation as C
+
+    out = str(tmp_path / "run")
+    orphan = os.path.join(out, "stages", "quality.staging-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("partial write")
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    res = C.run_curation(spark, docs, out)
+    assert not os.path.exists(orphan)
+    assert all(v == "computed" for v in res["executed"].values())
+    assert C.validate_run(spark, out)["phase"] == "done"
