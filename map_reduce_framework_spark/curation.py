@@ -365,7 +365,7 @@ def _ledger_sql() -> str:
     UNION ALL
     SELECT CAST(6 AS INT) AS stage_idx, 'packed_shards' AS stage,
            CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens
     FROM lg_packed
     """
 

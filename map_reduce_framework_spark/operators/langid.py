@@ -186,15 +186,26 @@ def langid_train_trace(
                     f"AS nll_{l}"
                 )
             scored = feats.selectExpr(*sel).selectExpr(*nll_sel)
+            # Accumulate in DECIMAL(38,0), not BIGINT: each per-row term
+            # (pq-y)*xq reaches ~1e12, so a LongType SUM silently wraps
+            # past ~9e6 documents with ANSI mode off while the DuckDB
+            # oracle sums HUGEINT (ADVICE r8 #1). DECIMAL(38,0) carries
+            # ~1e26 documents -- far past 100 TB -- and map-side partial
+            # aggregation still applies (Sum supports decimal buffers).
             aggs = []
             for l in LID_LANGS:
                 for j in range(LID_DIM + 1):
                     aggs.append(
                         F.expr(
-                            f"SUM((pq_{l} - y_{l}) * xq{j})"
+                            f"SUM(CAST((pq_{l} - y_{l}) * xq{j} "
+                            f"AS DECIMAL(38,0)))"
                         ).alias(f"g_{l}_{j}")
                     )
-                aggs.append(F.expr(f"SUM(nll_{l})").alias(f"nll_{l}"))
+                aggs.append(
+                    F.expr(
+                        f"SUM(CAST(nll_{l} AS DECIMAL(38,0)))"
+                    ).alias(f"nll_{l}")
+                )
             aggs.append(F.count("*").alias("n"))
             agg = scored.agg(*aggs).collect()[0]
             n = agg["n"]
@@ -219,13 +230,35 @@ def langid_train_trace(
         feats.unpersist()
 
 
-#: (spark JVM id, sf_dir, iters, lr) -> (trace_rows, weights). The
-#: trace is a deterministic pure function of the table bytes, and the
-#: three registered langid queries all need it -- memoizing across them
-#: turns 18 training jobs per sweep into 6. Keyed per session so a
-#: restarted driver never sees stale weights; bounded (a handful of
-#: sf_dirs per process).
-_TRACE_CACHE: dict = {}
+#: SparkSession (weakly referenced) -> {(sf_dir, fingerprint, iters,
+#: lr): (trace_rows, weights)}. The trace is a deterministic pure
+#: function of the table bytes, and the registered langid queries all
+#: need it -- memoizing across them turns 18 training jobs per sweep
+#: into 6. Keyed on the live session OBJECT, not id(): CPython recycles
+#: ids after GC, so a stopped-and-recreated session could alias a dead
+#: session's entry (ADVICE r8 #3); the weak keys also let dead
+#: sessions' caches be collected. The fingerprint (file sizes +
+#: mtimes) invalidates the entry when the parquet under sf_dir is
+#: regenerated within one process.
+import weakref
+
+_TRACE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _table_fingerprint(sf_dir: str, name: str = "documents") -> tuple:
+    import os
+
+    root = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return ((name, st.st_size, st.st_mtime_ns),)
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            st = os.stat(os.path.join(dirpath, fn))
+            rel = os.path.relpath(os.path.join(dirpath, fn), root)
+            out.append((rel, st.st_size, st.st_mtime_ns))
+    return tuple(out)
 
 
 def _trace_for_table(
@@ -233,12 +266,13 @@ def _trace_for_table(
 ):
     from ..sources.io import load_table
 
-    key = (id(spark._jsparkSession), sf_dir, iters, lr)
-    if key not in _TRACE_CACHE:
-        _TRACE_CACHE[key] = langid_train_trace(
+    per_session = _TRACE_CACHE.setdefault(spark, {})
+    key = (sf_dir, _table_fingerprint(sf_dir), iters, lr)
+    if key not in per_session:
+        per_session[key] = langid_train_trace(
             load_table(spark, sf_dir, "documents"), iters, lr
         )
-    return _TRACE_CACHE[key]
+    return per_session[key]
 
 
 def _w_names() -> list[str]:

@@ -223,6 +223,9 @@ def _stage_shards(spark, documents: DataFrame, out_dir: str) -> str:
         .orderBy("lang", "shard", "shard_file")
         .collect()
     ]
+    lang_tokens: dict = {}
+    for r in acc:
+        lang_tokens[r["lang"]] = lang_tokens.get(r["lang"], 0) + r["n_tokens"]
     manifest = {
         "format": "training-shards-v1",
         "pack_budget": PACK_BUDGET,
@@ -231,6 +234,16 @@ def _stage_shards(spark, documents: DataFrame, out_dir: str) -> str:
         "n_shard_files": len(acc),
         "total_docs": sum(r["n_docs"] for r in acc),
         "total_tokens": sum(r["n_tokens"] for r in acc),
+        # the mixture weights are COMMITTED with the shards (ADVICE r8
+        # #4): load-time scheduling reuses these exact values instead of
+        # re-deriving them through a possibly-different libm pow
+        "mix_alpha": MIX_TEMP_ALPHA,
+        "lang_weights": {
+            lang: w
+            for lang, w in sorted(
+                _lang_weights(lang_tokens, MIX_TEMP_ALPHA).items()
+            )
+        },
         "shards": acc,
     }
     tmp = os.path.join(staging, _MANIFEST + ".tmp")
@@ -268,6 +281,20 @@ def read_manifest(out_dir: str) -> dict:
 VT_SCALE = 1_000_000_000_000  # virtual-time fixed point
 
 
+def _lang_weights(lang_tokens: dict, alpha: float) -> dict:
+    """{lang: weight_q} with weight_q = floor(tokens^alpha * 1e6 + 0.5)
+    evaluated by CPython math.pow -- the ONE libm shared by every
+    consumer (engine plan literals, manifest commit, load-time
+    scheduling; DuckDB's std::pow binds the same C library on this
+    platform, which the sweep verifies)."""
+    import math
+
+    return {
+        lang: math.floor(math.pow(float(t), alpha) * 1e6 + 0.5)
+        for lang, t in lang_tokens.items()
+    }
+
+
 def shard_read_schedule(documents: DataFrame, alpha: float | None = None):
     """(pos, lang, shard, shard_file, n_seqs, n_tokens, vt, cum_tokens):
     the deterministic mixture-weighted read order of every shard file
@@ -279,17 +306,25 @@ def shard_read_schedule(documents: DataFrame, alpha: float | None = None):
 
     a = MIX_TEMP_ALPHA if alpha is None else alpha
     acc = training_shard_accounting(documents)
-    lw = acc.groupBy("lang").agg(
-        F.sum("n_tokens").alias("avail_tokens")
-    ).select(
-        "lang",
-        F.floor(
-            F.pow(F.col("avail_tokens").cast("double"), F.lit(a))
-            * F.lit(1e6)
-            + F.lit(0.5)
-        )
-        .cast("bigint")
-        .alias("weight_q"),
+    # weight_q = floor(avail^alpha * 1e6 + 0.5) is evaluated by ONE libm
+    # (CPython math.pow -> the platform C pow, the same library DuckDB's
+    # std::pow binds), not three: JVM Math.pow is allowed 1 ulp of error
+    # vs the correctly-rounded C pow, and a 1-ulp difference at a floor
+    # boundary would flip weight_q and reorder the whole schedule
+    # (ADVICE r8 #4). The per-lang collect is bounded-scalar by design
+    # (|langs| rows, ~5 here, tens at 100 TB); the computed weights are
+    # also committed into the shard manifest so load-time scheduling
+    # reuses the exact on-disk values (_lang_weights / _stage_shards).
+    lang_tokens = {
+        r["lang"]: r["avail_tokens"]
+        for r in acc.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("avail_tokens"))
+        .collect()
+    }
+    spark = documents.sparkSession
+    lw = spark.createDataFrame(
+        sorted(_lang_weights(lang_tokens, a).items()),
+        "lang string, weight_q bigint",
     )
     ranked = acc.join(F.broadcast(lw), "lang").withColumn(
         "i",
@@ -327,19 +362,19 @@ def schedule_from_manifest(manifest: dict, alpha: float | None = None) -> list:
     arithmetic as shard_read_schedule; tests assert list-equality
     between the two paths. Returns [{pos, lang, shard, shard_file,
     n_seqs, n_tokens, vt, cum_tokens}, ...] in read order."""
-    import math
-
     from ..operators.pipeline import MIX_TEMP_ALPHA
 
     a = MIX_TEMP_ALPHA if alpha is None else alpha
     shards = manifest["shards"]
-    avail: dict = {}
-    for s in shards:
-        avail[s["lang"]] = avail.get(s["lang"], 0) + s["n_tokens"]
-    weight = {
-        lang: math.floor(math.pow(float(t), a) * 1e6 + 0.5)
-        for lang, t in avail.items()
-    }
+    if a == manifest.get("mix_alpha") and "lang_weights" in manifest:
+        # the committed values: a training job never re-derives weights
+        # another machine's libm computed (ADVICE r8 #4)
+        weight = manifest["lang_weights"]
+    else:
+        avail: dict = {}
+        for s in shards:
+            avail[s["lang"]] = avail.get(s["lang"], 0) + s["n_tokens"]
+        weight = _lang_weights(avail, a)
     per_lang: dict = {}
     rows = []
     for s in sorted(
