@@ -1787,6 +1787,24 @@ def q_part_affinity_rules(spark, sf_dir):
     return rel.part_affinity_rules(_t(spark, sf_dir, "lineitem"))
 
 
+# --------------------------------------------------------------------------
+# HTML/markup -> text extraction (round 9): the crawl-intake edge.
+# --------------------------------------------------------------------------
+from .operators import html_extract  # noqa: E402
+
+
+@register("extract_text", html_extract.ORACLE_SQL["extract_text"])
+def q_extract_text(spark, sf_dir):
+    return html_extract.extract_text(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "extraction_report", html_extract.ORACLE_SQL["extraction_report"]
+)
+def q_extraction_report(spark, sf_dir):
+    return html_extract.extraction_report(_t(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
