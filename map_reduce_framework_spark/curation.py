@@ -71,14 +71,19 @@ from .sources.shard_writer import (
     write_training_shards,
 )
 
-#: Stage names in execution order. ``shards`` runs the crash-safe
-#: shard writer; ``ledger`` seals the run.
+#: Stage names in execution order. ``langid`` materializes the trained
+#: language scores (round 9: the composed run COMPUTES language instead
+#: of trusting the lang column); ``mixture`` applies the pred-lang
+#: sampling quota; ``shards`` runs the crash-safe shard writer;
+#: ``ledger`` seals the run.
 CURATION_STAGES = [
     "quality",
     "exact_dedup",
     "near_dup_clusters",
     "decontaminate",
     "train_split",
+    "langid",
+    "mixture",
     "curated",
     "shards",
     "ledger",
@@ -139,6 +144,7 @@ def run_curation(
     out_dir: str,
     *,
     fail_after: str | None = None,
+    langid_trace=None,
 ) -> dict:
     """Execute (or resume) the full curation run into ``out_dir``.
     Returns {"executed": {stage: "computed"|"skipped"}, "ledger":
@@ -173,6 +179,19 @@ def run_curation(
         .filter(F.col("split") == "train")
         .select("doc_id"),
     )
+    # round 9: language is COMPUTED, not trusted -- train the in-engine
+    # classifier and materialize every doc's scores (the data card
+    # relation), then apply the pred-lang sampling quota. Training is a
+    # deterministic pure function of the input table, so the redo
+    # protocol holds; langid_trace lets callers share the memoized
+    # trace the registered langid queries already computed.
+    from .operators.langid import langid_quota_filter, langid_scores
+
+    lid = stage(
+        "langid",
+        lambda: langid_scores(documents, _trace=langid_trace),
+    )
+    mix = stage("mixture", lambda: langid_quota_filter(lid))
 
     def _curated():
         drops = clusters.filter(~F.col("is_keeper")).select("doc_id")
@@ -181,6 +200,7 @@ def run_curation(
             .join(drops, "doc_id", "left_anti")
             .join(clean, "doc_id")
             .join(train, "doc_id")
+            .join(mix.select("doc_id"), "doc_id")
         )
 
     curated = stage("curated", _curated)
@@ -203,7 +223,7 @@ def run_curation(
         "ledger",
         lambda: _build_ledger(
             spark, documents, quality, exact, clusters, clean, train,
-            shards_dir,
+            mix, shards_dir,
         ),
     )
     manifest.set_phase("done")
@@ -214,11 +234,13 @@ def run_curation(
 
 
 def _build_ledger(
-    spark, documents, quality, exact, clusters, clean, train, shards_dir
+    spark, documents, quality, exact, clusters, clean, train, mix,
+    shards_dir,
 ) -> DataFrame:
     """One row per stage: (stage_idx, stage, n_docs, n_tokens). Stages
-    0-5 are the cumulative manifest stages over whitespace tokens; the
-    final ``packed_shards`` row restates the committed shard manifest
+    0-6 are the cumulative manifest stages over whitespace tokens
+    (stage 6, ``langid_sampled``, is the pred-lang quota); the final
+    ``packed_shards`` row restates the committed shard manifest
     (separator-token accounting) -- proof the written output matches
     the funnel's tail."""
     flags = (
@@ -236,6 +258,11 @@ def _build_ledger(
         )
         .join(clean.withColumn("c", F.lit(True)), "doc_id", "left")
         .join(train.withColumn("t", F.lit(True)), "doc_id", "left")
+        .join(
+            mix.select("doc_id").withColumn("s", F.lit(True)),
+            "doc_id",
+            "left",
+        )
         .select(
             "n_tokens",
             F.coalesce("q", F.lit(False)).alias("q"),
@@ -243,7 +270,11 @@ def _build_ledger(
             F.coalesce("d", F.lit(False)).alias("d"),
             F.coalesce("c", F.lit(False)).alias("c"),
             F.coalesce("t", F.lit(False)).alias("t"),
+            F.coalesce("s", F.lit(False)).alias("s"),
         )
+    )
+    thru_train = (
+        F.col("q") & F.col("e") & ~F.col("d") & F.col("c") & F.col("t")
     )
     stages = [
         ("raw", F.lit(True)),
@@ -254,10 +285,8 @@ def _build_ledger(
             "decontaminated",
             F.col("q") & F.col("e") & ~F.col("d") & F.col("c"),
         ),
-        (
-            "train_split",
-            F.col("q") & F.col("e") & ~F.col("d") & F.col("c") & F.col("t"),
-        ),
+        ("train_split", thru_train),
+        ("langid_sampled", thru_train & F.col("s")),
     ]
     aggs = []
     for i, (_name, cond) in enumerate(stages):
@@ -291,13 +320,18 @@ def _build_ledger(
 
 
 def curation_run_ledger(
-    spark: SparkSession, documents: DataFrame, scratch_dir: str
+    spark: SparkSession,
+    documents: DataFrame,
+    scratch_dir: str,
+    langid_trace=None,
 ) -> DataFrame:
     """The registered surface: run (or resume) the composed curation
     job under ``scratch_dir`` and return its committed ledger. A
     repeated call is a pure read (every stage skips), so the driver's
-    two executions per sweep cost one real run."""
-    run_curation(spark, documents, scratch_dir)
+    two executions per sweep cost one real run. ``langid_trace`` lets
+    the registry share the memoized training trace with the langid
+    queries (the stage is the same pure function either way)."""
+    run_curation(spark, documents, scratch_dir, langid_trace=langid_trace)
     return spark.read.parquet(_stage_dir(scratch_dir, "ledger"))
 
 
@@ -318,11 +352,23 @@ def scratch_for(sf_dir: str) -> str:
 
 def _ledger_sql() -> str:
     """DuckDB twin: the training_run_manifest chain (stages 0-5)
-    extended with the packed_shards row -- the packing oracle run over
-    the SAME curated subset the engine shards, counting separator
-    tokens."""
+    extended with the pred-lang quota stage (the full langid training
+    trajectory re-derived as the unrolled CTE chain, then the
+    stratified-sample threshold rule) and the packed_shards row -- the
+    packing oracle run over the SAME curated subset the engine shards,
+    counting separator tokens."""
+    from .operators.langid import (
+        LID_ITERS,
+        LID_LR,
+        _lid_chain_sql,
+        _lid_scores_select,
+    )
     from .operators.pipeline import _packing_sql
-    from .operators.text_analysis import ORACLE_SQL as _TA_SQL
+    from .operators.text_analysis import (
+        ORACLE_SQL as _TA_SQL,
+        SAMPLE_DEFAULT_THRESHOLD,
+        SAMPLE_THRESHOLDS,
+    )
     from .operators.dedup import ORACLE_SQL as _DD_SQL
 
     manifest_sql = _PL_SQL["training_run_manifest"]
@@ -330,8 +376,22 @@ def _ledger_sql() -> str:
         "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1",
         from_rel="curated_docs",
     )
+    lid_ctes = (
+        ",\n".join(_lid_chain_sql(LID_ITERS, LID_LR))
+        + ","
+        + _lid_scores_select(LID_ITERS)
+    )
+    quota_case = " ".join(
+        f"WHEN pred_lang = '{lang}' THEN '{t}'"
+        for lang, t in sorted(SAMPLE_THRESHOLDS.items())
+    )
+    ws_tokens = (
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "t -> t <> ''))"
+    )
     return f"""
-    WITH lg_quality AS (
+    WITH {lid_ctes},
+    lg_quality AS (
         SELECT doc_id FROM ({_TA_SQL["quality_score"]}) WHERE keep
     ),
     lg_exact AS (
@@ -352,6 +412,11 @@ def _ledger_sql() -> str:
         SELECT doc_id FROM ({_PL_SQL["leakage_safe_split"]})
         WHERE split = 'train'
     ),
+    lg_quota AS (
+        SELECT doc_id FROM lid_scores
+        WHERE md5(CAST(doc_id AS VARCHAR)) < CASE {quota_case}
+              ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END
+    ),
     curated_docs AS (
         SELECT d.* FROM documents d
         WHERE d.doc_id IN (SELECT doc_id FROM lg_quality)
@@ -359,11 +424,17 @@ def _ledger_sql() -> str:
           AND d.doc_id NOT IN (SELECT doc_id FROM lg_drops)
           AND d.doc_id IN (SELECT doc_id FROM lg_clean)
           AND d.doc_id IN (SELECT doc_id FROM lg_train)
+          AND d.doc_id IN (SELECT doc_id FROM lg_quota)
     ),
     lg_packed AS ({packed})
     SELECT * FROM ({manifest_sql})
     UNION ALL
-    SELECT CAST(6 AS INT) AS stage_idx, 'packed_shards' AS stage,
+    SELECT CAST(6 AS INT) AS stage_idx, 'langid_sampled' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum({ws_tokens}), 0) AS BIGINT) AS n_tokens
+    FROM curated_docs
+    UNION ALL
+    SELECT CAST(7 AS INT) AS stage_idx, 'packed_shards' AS stage,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens
     FROM lg_packed

@@ -55,7 +55,13 @@ LID_LANGS = sorted(LANG_PROFILES)  # the fixed class list (static oracle)
 _S = DSIR_SCALE  # 1e-6 fixed point, shared with the quality classifier
 
 
-def _lid_features(documents: DataFrame, *, parallel: bool = True) -> DataFrame:
+def _lid_features(
+    documents: DataFrame,
+    *,
+    parallel: bool = True,
+    dim: int = LID_DIM,
+    ngram: int = 3,
+) -> DataFrame:
     """Quantized feature relation: (doc_id, lang, xq0..xq{LID_DIM}),
     all BIGINT in 1e-6 fixed point. xq0 = bias (1e6); xq{j+1} = share
     of the doc's char-3-grams hashing to bucket j.
@@ -77,16 +83,16 @@ def _lid_features(documents: DataFrame, *, parallel: bool = True) -> DataFrame:
     # loop makes).
     bucket = (
         f"CAST(CAST(CONV(SUBSTRING(MD5(CONCAT('{LID_SEED}:', g)), 1, "
-        f"15), 16, 10) AS BIGINT) % {LID_DIM} AS INT)"
+        f"15), 16, 10) AS BIGINT) % {dim} AS INT)"
     )
     grams = (
-        "CASE WHEN LENGTH(text) >= 3 THEN TRANSFORM(SEQUENCE(1, "
-        "LENGTH(text) - 2), i -> SUBSTRING(text, i, 3)) "
+        f"CASE WHEN LENGTH(text) >= {ngram} THEN TRANSFORM(SEQUENCE(1, "
+        f"LENGTH(text) - {ngram - 1}), i -> SUBSTRING(text, i, {ngram})) "
         "ELSE CAST(ARRAY() AS ARRAY<STRING>) END"
     )
-    ng = "GREATEST(LENGTH(text) - 2, 0)"
+    ng = f"GREATEST(LENGTH(text) - {ngram - 1}, 0)"
     fields = []
-    for j in range(LID_DIM):
+    for j in range(dim):
         share = (
             f"CASE WHEN {ng} = 0 THEN 0.0D "
             f"ELSE SIZE(FILTER(b, v -> v = {j})) / {ng} END"
@@ -110,7 +116,7 @@ def _lid_features(documents: DataFrame, *, parallel: bool = True) -> DataFrame:
         "doc_id",
         "lang",
         f"CAST({_S} AS BIGINT) AS xq0",
-        *[f"xs.x{j} AS xq{j + 1}" for j in range(LID_DIM)],
+        *[f"xs.x{j} AS xq{j + 1}" for j in range(dim)],
     )
 
 
@@ -129,7 +135,12 @@ def _pq_col(w_l: list):
 
 
 def langid_train_trace(
-    documents: DataFrame, iters: int = LID_ITERS, lr: float = LID_LR
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    *,
+    dim: int = LID_DIM,
+    ngram: int = 3,
 ) -> tuple[list, dict]:
     """Run the one-vs-rest training loop; returns (trace_rows, final
     weights {lang: [w_0..w_DIM]}). ALL classes train in the SAME
@@ -137,7 +148,7 @@ def langid_train_trace(
     |langs| x (DIM + 2) + 1 scalars -- 5 binary classifiers for the
     price of one scan."""
     spark = documents.sparkSession
-    feats = _lid_features(documents)
+    feats = _lid_features(documents, dim=dim, ngram=ngram)
     # materialize the cache NOW, while whole-stage codegen is still on:
     # the md5-per-gram feature scan is the one piece that benefits from
     # compiled code (the interpreted-mode flip below is for the tiny
@@ -155,9 +166,9 @@ def langid_train_trace(
     codegen_prev = spark.conf.get(codegen_key)
     try:
         spark.conf.set(codegen_key, "false")
-        w = {l: [0] * (LID_DIM + 1) for l in LID_LANGS}
+        w = {l: [0] * (dim + 1) for l in LID_LANGS}
         rows: list = []
-        xq_names = [f"xq{j}" for j in range(LID_DIM + 1)]
+        xq_names = [f"xq{j}" for j in range(dim + 1)]
         for t in range(1, iters + 1):
             sel = list(xq_names)
             nll_sel = xq_names + [
@@ -166,7 +177,7 @@ def langid_train_trace(
             for l in LID_LANGS:
                 dot = " + ".join(
                     f"{int(w[l][j])}L * xq{j}"
-                    for j in range(LID_DIM + 1)
+                    for j in range(dim + 1)
                 )
                 sel.append(
                     f"CAST(FLOOR(1.0E6 / (1.0D + EXP(-(CAST(({dot}) AS "
@@ -194,7 +205,7 @@ def langid_train_trace(
             # aggregation still applies (Sum supports decimal buffers).
             aggs = []
             for l in LID_LANGS:
-                for j in range(LID_DIM + 1):
+                for j in range(dim + 1):
                     aggs.append(
                         F.expr(
                             f"SUM(CAST((pq_{l} - y_{l}) * xq{j} "
@@ -303,6 +314,9 @@ def langid_scores(
     iters: int = LID_ITERS,
     lr: float = LID_LR,
     _trace=None,
+    *,
+    dim: int = LID_DIM,
+    ngram: int = 3,
 ) -> DataFrame:
     """Apply the trained one-vs-rest model to every document:
     (doc_id, labeled_lang, pred_lang, confidence, margin_q6) with
@@ -311,8 +325,10 @@ def langid_scores(
     quantized probability, margin_q6 = winner minus runner-up in 1e-6
     units. Train-K-passes, apply-one-pass; the apply is a single
     shuffle-free projection under literal weights."""
-    _rows, w = _trace or langid_train_trace(documents, iters, lr)
-    feats = _lid_features(documents)
+    _rows, w = _trace or langid_train_trace(
+        documents, iters, lr, dim=dim, ngram=ngram
+    )
+    feats = _lid_features(documents, dim=dim, ngram=ngram)
     pqs = {l: _pq_col(w[l]).alias(f"pq_{l}") for l in LID_LANGS}
     scored = feats.select("doc_id", "lang", *pqs.values())
     best = F.greatest(*[F.col(f"pq_{l}") for l in LID_LANGS])
@@ -340,6 +356,9 @@ def langid_accuracy(
     iters: int = LID_ITERS,
     lr: float = LID_LR,
     _trace=None,
+    *,
+    dim: int = LID_DIM,
+    ngram: int = 3,
 ) -> DataFrame:
     """The accuracy report vs the corpus labels: per labeled language,
     document count, trained-model hits, and accuracy. On the synthetic
@@ -347,7 +366,7 @@ def langid_accuracy(
     predicts the majority class; accuracy == the en prior on en, 0
     elsewhere) -- exactly what a data card must say before per-language
     quotas are trusted to a classifier."""
-    s = langid_scores(documents, iters, lr, _trace=_trace)
+    s = langid_scores(documents, iters, lr, _trace=_trace, dim=dim, ngram=ngram)
     return s.groupBy("labeled_lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(
@@ -618,3 +637,221 @@ def _lid_stratified_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
 
 
 ORACLE_SQL["langid_stratified_sample"] = _lid_stratified_sql()
+
+
+def langid_quota_filter(scores: DataFrame) -> DataFrame:
+    """The stratified-sample quota applied to a SCORES relation (the
+    committed ``langid`` stage of a curation run): deterministic
+    md5(doc_id) hash-threshold keyed on pred_lang, returning the kept
+    (doc_id, pred_lang). Pure integer/hash arithmetic -- the mixture
+    rule the curation run uses, chosen over the temperature rule for
+    the composed pipeline because a FUNNEL stage must subsample (the
+    temperature sample's n_repeats >= 1 never drops a document)."""
+    from .text_analysis import SAMPLE_DEFAULT_THRESHOLD, SAMPLE_THRESHOLDS
+
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    thr = None
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        cond = F.col("pred_lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    thr = thr.otherwise(SAMPLE_DEFAULT_THRESHOLD)
+    return scores.filter(h < thr).select("doc_id", "pred_lang")
+
+
+# ---------------------------------------------------------------------------
+# Pred-lang data mixture (VERDICT r8 ask #2): the n^alpha temperature
+# mixture keyed on the TRAINED language, not the trusted ``lang``
+# column -- the integration a real corpus needs (it has no lang
+# column). Same integer plan arithmetic as data_mixture_temperature_*
+# (pipeline.py), with strata = pred_lang. The engine joins the
+# materialized scores relation back to the per-doc token/order keys --
+# exactly what a production run does against the committed ``langid``
+# stage parquet (run_curation); the join is a doc-level equi-join that
+# AQE handles, and the downstream per-stratum prefix sum is the same
+# 256-bucket-splittable window as data_mixture_sample_scalable.
+# ---------------------------------------------------------------------------
+
+
+def _lid_mix_rel(
+    documents: DataFrame, iters: int, lr: float, _trace
+) -> DataFrame:
+    """(doc_id, pred_lang, n_tokens, h, b): the mixture relation under
+    trained strata."""
+    from ..session import stage_checkpoint
+    from .pipeline import _mix_tok
+
+    s = stage_checkpoint(
+        langid_scores(documents, iters, lr, _trace=_trace)
+    ).select("doc_id", "pred_lang")
+    tok = _mix_tok(documents).select("doc_id", "n_tokens", "h", "b")
+    return tok.join(s, "doc_id")
+
+
+def langid_mixture_plan(
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    _trace=None,
+) -> DataFrame:
+    """(pred_lang, weight_q, n_docs, avail_tokens, alloc_tokens,
+    full_epochs, remainder_tokens): the temperature mixture recipe over
+    TRAINED language strata."""
+    from .pipeline import MIX_TEMP_ALPHA
+
+    rel = _lid_mix_rel(documents, iters, lr, _trace)
+    totals = rel.groupBy("pred_lang").agg(
+        F.sum("n_tokens").alias("avail_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+    totals = totals.withColumn(
+        "weight_q",
+        F.floor(
+            F.pow(F.col("avail_tokens").cast("double"), F.lit(MIX_TEMP_ALPHA))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("bigint"),
+    )
+    grand = totals.agg(
+        F.sum("avail_tokens").alias("grand_tokens"),
+        F.sum("weight_q").alias("sum_wq"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(grand))
+        .withColumn(
+            "alloc_tokens",
+            F.expr("(grand_tokens div 2) * weight_q div sum_wq").cast(
+                "bigint"
+            ),
+        )
+        .select(
+            "pred_lang",
+            "weight_q",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("avail_tokens").cast("bigint").alias("avail_tokens"),
+            "alloc_tokens",
+            F.expr("alloc_tokens div avail_tokens")
+            .cast("bigint")
+            .alias("full_epochs"),
+            (F.col("alloc_tokens") % F.col("avail_tokens"))
+            .cast("bigint")
+            .alias("remainder_tokens"),
+        )
+    )
+
+
+def langid_mixture_sample(
+    documents: DataFrame,
+    iters: int = LID_ITERS,
+    lr: float = LID_LR,
+    _trace=None,
+) -> DataFrame:
+    """(doc_id, pred_lang, n_tokens, n_repeats): the materialized mix
+    under trained strata -- the deterministic (b, h, doc_id) remainder
+    prefix of data_mixture_sample, partitioned by pred_lang."""
+    from pyspark.sql import Window
+
+    rel = _lid_mix_rel(documents, iters, lr, _trace)
+    plan = langid_mixture_plan(documents, iters, lr, _trace).select(
+        "pred_lang", "full_epochs", "remainder_tokens"
+    )
+    w = (
+        Window.partitionBy("pred_lang")
+        .orderBy("b", "h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = rel.join(F.broadcast(plan), "pred_lang").withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    n_rep = F.col("full_epochs") + F.when(
+        F.col("cum") <= F.col("remainder_tokens"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return scored.select(
+        "doc_id",
+        "pred_lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        n_rep.cast("bigint").alias("n_repeats"),
+    ).where(F.col("n_repeats") > 0)
+
+
+def _lid_mix_ctes(iters: int, lr: float) -> str:
+    """lmix2 / ltot / lgrand / lplan CTE text over the lid_scores chain
+    (DuckDB dialect)."""
+    from .pipeline import MIX_BUCKETS, MIX_SALT, MIX_TEMP_ALPHA, _MIX_NTOK
+
+    return f"""
+    lmix AS (
+        SELECT d.doc_id, s.pred_lang,
+               CAST({_MIX_NTOK} AS BIGINT) AS n_tokens,
+               CAST(concat('0x', substr(
+                   md5('{MIX_SALT}:' || CAST(d.doc_id AS VARCHAR)),
+                   1, 15)) AS BIGINT) AS h
+        FROM documents d JOIN lid_scores s USING (doc_id)
+    ),
+    lmix2 AS (SELECT *, h % {MIX_BUCKETS} AS b FROM lmix),
+    ltot AS (
+        SELECT pred_lang,
+               CAST(sum(n_tokens) AS BIGINT) AS avail_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(floor(pow(CAST(sum(n_tokens) AS DOUBLE),
+                              {MIX_TEMP_ALPHA!r}) * 1000000.0 + 0.5)
+                    AS BIGINT) AS weight_q
+        FROM lmix2 GROUP BY pred_lang
+    ),
+    lgrand AS (
+        SELECT CAST(sum(avail_tokens) AS BIGINT) AS grand_tokens,
+               CAST(sum(weight_q) AS BIGINT) AS sum_wq
+        FROM ltot
+    ),
+    lplan AS (
+        SELECT t.pred_lang, t.weight_q, t.n_docs, t.avail_tokens,
+               CAST((g.grand_tokens // 2) * t.weight_q // g.sum_wq
+                    AS BIGINT) AS alloc_tokens,
+               CAST(((g.grand_tokens // 2) * t.weight_q // g.sum_wq)
+                    // t.avail_tokens AS BIGINT) AS full_epochs,
+               CAST(((g.grand_tokens // 2) * t.weight_q // g.sum_wq)
+                    % t.avail_tokens AS BIGINT) AS remainder_tokens
+        FROM ltot t CROSS JOIN lgrand g
+    )"""
+
+
+def _lid_mixture_plan_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_lid_chain_sql(iters, lr))
+        + ","
+        + _lid_scores_select(iters)
+        + ","
+        + _lid_mix_ctes(iters, lr)
+        + """
+    SELECT pred_lang, weight_q, n_docs, avail_tokens, alloc_tokens,
+           full_epochs, remainder_tokens
+    FROM lplan"""
+    )
+
+
+def _lid_mixture_sample_sql(
+    iters: int = LID_ITERS, lr: float = LID_LR
+) -> str:
+    return (
+        "WITH "
+        + ",\n".join(_lid_chain_sql(iters, lr))
+        + ","
+        + _lid_scores_select(iters)
+        + ","
+        + _lid_mix_ctes(iters, lr)
+        + """
+    SELECT k.doc_id, k.pred_lang, k.n_tokens,
+           CAST(p.full_epochs + CASE WHEN
+               sum(k.n_tokens) OVER (
+                   PARTITION BY k.pred_lang
+                   ORDER BY k.b, k.h, k.doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) <= p.remainder_tokens THEN 1 ELSE 0 END
+               AS BIGINT) AS n_repeats
+    FROM lmix2 k JOIN lplan p USING (pred_lang)
+    QUALIFY n_repeats > 0"""
+    )
+
+
+ORACLE_SQL["langid_mixture_plan"] = _lid_mixture_plan_sql()
+ORACLE_SQL["langid_mixture_sample"] = _lid_mixture_sample_sql()

@@ -1242,6 +1242,24 @@ def q_langid_stratified_sample(spark, sf_dir):
     )
 
 
+@register("langid_mixture_plan", langid.ORACLE_SQL["langid_mixture_plan"])
+def q_langid_mixture_plan(spark, sf_dir):
+    return langid.langid_mixture_plan(
+        _t(spark, sf_dir, "documents"),
+        _trace=langid._trace_for_table(spark, sf_dir),
+    )
+
+
+@register(
+    "langid_mixture_sample", langid.ORACLE_SQL["langid_mixture_sample"]
+)
+def q_langid_mixture_sample(spark, sf_dir):
+    return langid.langid_mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        _trace=langid._trace_for_table(spark, sf_dir),
+    )
+
+
 # Resumable end-to-end curation run (r7 verdict ask #2): rules ->
 # dedup -> decontamination -> split -> packing -> shard writer composed
 # into ONE job under the job-manifest checkpoint; the registered query
@@ -1253,7 +1271,10 @@ from . import curation  # noqa: E402
 @register("curation_run_ledger", curation.ORACLE_SQL["curation_run_ledger"])
 def q_curation_run_ledger(spark, sf_dir):
     return curation.curation_run_ledger(
-        spark, _t(spark, sf_dir, "documents"), curation.scratch_for(sf_dir)
+        spark,
+        _t(spark, sf_dir, "documents"),
+        curation.scratch_for(sf_dir),
+        langid_trace=langid._trace_for_table(spark, sf_dir)
     )
 
 
@@ -1785,6 +1806,14 @@ def q_lang_confusion(spark, sf_dir):
 @register("part_affinity_rules", rel.ORACLE_SQL["part_affinity_rules"])
 def q_part_affinity_rules(spark, sf_dir):
     return rel.part_affinity_rules(_t(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "mjpeg_avi_frame_dhash",
+    multimodal.ORACLE_SQL["mjpeg_avi_frame_dhash"],
+)
+def q_mjpeg_avi_frame_dhash(spark, sf_dir):
+    return multimodal.mjpeg_avi_frame_dhash(_t(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------
