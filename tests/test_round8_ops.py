@@ -577,9 +577,9 @@ class TestFrameSamplerRegistry:
         self, spark, sf_smoke
     ):
         """The SAME registered query path now decodes a mixed-container
-        corpus (even doc_ids GIF, odd BMPSEQ); the pixel-math oracle
-        certifies both round trips, and pair dedup stays green across
-        container boundaries."""
+        corpus (doc_id % 3 routes GIF / BMPSEQ / AVI-DIB since round
+        9); the pixel-math oracle certifies every round trip, and pair
+        dedup stays green across container boundaries."""
         from .oracle_util import compare_to_oracle, duckdb_conn
 
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
@@ -597,13 +597,13 @@ class TestFrameSamplerRegistry:
 
     def test_pair_dedup_across_mixed_containers(self, spark):
         """A planted duplicate clip pair that crosses the container
-        boundary (one even doc_id -> GIF, one odd -> BMPSEQ) is still
-        found -- the dedup semantics are container-blind."""
+        boundary (doc 2 -> AVI-DIB, doc 3 -> GIF under the %3 routing)
+        is still found -- the dedup semantics are container-blind."""
         t = "stone river maple cloud ember frost grain haven"
         docs = spark.createDataFrame(
             [
-                (2, t, "en", "s", len(t)),   # GIF side
-                (3, t, "en", "s", len(t)),   # BMPSEQ side
+                (2, t, "en", "s", len(t)),   # AVI-DIB side
+                (3, t, "en", "s", len(t)),   # GIF side
                 (4, "totally different words here now ok", "en", "s", 30),
             ],
             "doc_id long, text string, lang string, source string, "

@@ -139,3 +139,227 @@ class TestHtmlExtraction:
         by_id = {r["doc_id"]: r["extracted_text"] for r in rows}
         assert by_id[3].startswith("no markup")
         assert by_id[7] == "x" * 50000
+
+
+# ---------------------------------------------------------------------------
+# Langid wired through mixture + the composed curation run (r8 ask #2)
+# ---------------------------------------------------------------------------
+
+
+class TestLangidMixtureWiring:
+    def test_mixture_oracle_parity_smoke(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        con = duckdb_conn(sf_smoke)
+        for name in ("langid_mixture_plan", "langid_mixture_sample"):
+            q = REGISTRY[name]
+            compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
+
+    def test_mixture_keys_on_trained_language(self, spark, sf_smoke):
+        """The plan's strata are the model's predictions: on the
+        synthetic corpus the model predicts the majority class
+        everywhere, so the plan has exactly ONE stratum covering every
+        document -- the data-card fact langid_accuracy exposes, now
+        visible in the mixture itself (a trusted-lang plan would show 5
+        strata)."""
+        from map_reduce_framework_spark.operators import langid as L
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        plan = L.langid_mixture_plan(docs).collect()
+        assert len(plan) == 1
+        assert plan[0]["n_docs"] == docs.count()
+        # budget invariant: alloc = (grand div 2) * w div sum_w == half
+        # the corpus when there is one stratum
+        total = plan[0]["avail_tokens"]
+        assert plan[0]["alloc_tokens"] == total // 2
+
+    def test_curation_ledger_has_langid_stage(self, spark, sf_smoke, tmp_path):
+        """The composed run now computes language and applies the
+        pred-lang quota between train_split and the shard writer: the
+        ledger gains the langid_sampled row, monotone within the
+        funnel, and the quota genuinely drops documents (threshold c0
+        keeps ~3/4 of the majority-class docs)."""
+        from map_reduce_framework_spark import curation as C
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        res = C.run_curation(spark, docs, str(tmp_path / "run"))
+        ledger = {r[1]: r for r in res["ledger"]}
+        assert "langid_sampled" in ledger
+        train = ledger["train_split"]
+        samp = ledger["langid_sampled"]
+        assert samp[0] == train[0] + 1  # stage_idx ordering
+        assert 0 < samp[2] < train[2]  # quota drops docs
+        assert samp[3] < train[3]
+        # the shard writer consumed the post-quota subset
+        packed = ledger["packed_shards"]
+        assert packed[2] == samp[2]
+
+    def test_langid_stage_parquet_is_the_data_card(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """The materialized langid stage is the full scores relation --
+        a new session (driver-death survivor) reads pred_lang/confidence
+        for every document from plain parquet."""
+        from map_reduce_framework_spark import curation as C
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        out = str(tmp_path / "run")
+        C.run_curation(spark, docs, out)
+        lid = spark.read.parquet(C._stage_dir(out, "langid"))
+        assert lid.count() == docs.count()
+        assert set(lid.columns) == {
+            "doc_id", "labeled_lang", "pred_lang", "confidence", "margin_q6",
+        }
+        mix = spark.read.parquet(C._stage_dir(out, "mixture"))
+        assert 0 < mix.count() < docs.count()
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-AVI frame sampler (r8 ask #3)
+# ---------------------------------------------------------------------------
+
+
+class TestAviSampler:
+    def _quad_frames(self, seed: bytes):
+        import hashlib
+
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        dig = hashlib.md5(seed).digest()
+        frames = []
+        for f in range(mm.VIDEO_N_FRAMES):
+            img = np.empty((16, 16), dtype=np.uint8)
+            q = dig[4 * f : 4 * f + 4]
+            img[:8, :8] = q[0]
+            img[:8, 8:] = q[1]
+            img[8:, :8] = q[2]
+            img[8:, 8:] = q[3]
+            frames.append(img)
+        return frames
+
+    def test_mjpeg_roundtrip_pixel_exact(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        frames = self._quad_frames(b"clip")
+        avi = mm.encode_avi(frames, codec="MJPG")
+        assert mm.detect_container(avi) == "avi"
+        dec = mm.sample_frames(avi)
+        assert len(dec) == len(frames)
+        for want, got in zip(frames, dec):
+            assert np.array_equal(got[:, :, 0], want)
+
+    def test_dib_roundtrip_matches_gif_and_bmpseq(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(11)
+        frames = [
+            rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+            for _ in range(4)
+        ]
+        a = mm.sample_frames(mm.encode_avi(frames, codec="DIB"))
+        g = mm.sample_frames(mm.encode_gif(frames))
+        b = mm.sample_frames(mm.encode_bmpseq(frames))
+        for fa, fg, fb in zip(a, g, b):
+            assert np.array_equal(fa, fg) and np.array_equal(fa, fb)
+
+    def test_bomb_guards_on_avi(self):
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        frames = self._quad_frames(b"x")
+        avi = bytearray(mm.encode_avi(frames, codec="MJPG"))
+        i = bytes(avi).find(b"avih")
+        # declared-frame-count bomb refused before any decode
+        avi[i + 24 : i + 28] = (mm.MAX_DECODE_FRAMES + 1).to_bytes(
+            4, "little"
+        )
+        assert mm.decode_avi_frames(bytes(avi)) is None
+        # a lying (but small) header is corruption, not advice
+        avi[i + 24 : i + 28] = (2).to_bytes(4, "little")
+        assert mm.decode_avi_frames(bytes(avi)) is None
+        # truncated / junk payloads
+        good = mm.encode_avi(frames, codec="MJPG")
+        assert mm.decode_avi_frames(good[: len(good) // 2]) is None
+        assert mm.decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ") is None
+        assert mm.detect_container(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    def test_cross_container_duplicate_gif_vs_mjpeg_avi(self, spark):
+        """A planted duplicate whose pixels ride MJPEG-in-AVI on one
+        side and GIF on the other: identical quadrant frames -> every
+        frame's dHash matches bit-for-bit, so container AND codec are
+        invisible to dedup."""
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        frames = self._quad_frames(b"dup")
+        h_avi = [
+            mm._dhash_from_pixels(px)
+            for px in mm.sample_frames(mm.encode_avi(frames, codec="MJPG"))
+        ]
+        h_gif = [
+            mm._dhash_from_pixels(px)
+            for px in mm.sample_frames(
+                mm.encode_gif([np.asarray(f) for f in frames])
+            )
+        ]
+        assert h_avi == h_gif
+
+    def test_registered_query_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        con = duckdb_conn(sf_smoke)
+        for name in ("mjpeg_avi_frame_dhash", "video_frame_dhash"):
+            q = REGISTRY[name]
+            compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Langid capacity ladder (r8 ask #4)
+# ---------------------------------------------------------------------------
+
+
+class TestLangidCapacity:
+    def test_accuracy_monotone_in_dim_on_planted_corpus(self, spark):
+        """The experiments/langid_capacity.json claim, pinned: on the
+        planted multilingual corpus, accuracy is monotone
+        (non-decreasing) in the hashed-feature dimension, and strictly
+        better out of the collision-starved regime (DIM=2 cannot
+        separate 5 languages through 2 buckets no matter how long it
+        trains)."""
+        import sys
+
+        sys.path.insert(0, "experiments")
+        from langid_capacity import signal_corpus
+
+        from map_reduce_framework_spark.operators import langid as L
+
+        docs = signal_corpus(spark).cache()
+        n = docs.count()
+        acc = {}
+        for dim in (2, 4, 16):
+            scores = L.langid_scores(docs, iters=6, dim=dim).collect()
+            acc[dim] = (
+                sum(1 for r in scores if r.pred_lang == r.labeled_lang) / n
+            )
+        docs.unpersist()
+        assert acc[2] <= acc[4] <= acc[16], acc
+        assert acc[2] < acc[16], acc
+        assert acc[16] >= 0.9, acc
+
+    def test_dim16_default_is_the_oracle_twin(self, spark, sf_smoke):
+        """Parameterizing DIM/ngram must not perturb the registered
+        DIM=16 trajectory the unrolled-CTE oracle re-derives: the
+        default-path trace equals the explicit dim=16/ngram=3 trace
+        row for row."""
+        from map_reduce_framework_spark.operators import langid as L
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        a, wa = L.langid_train_trace(docs, iters=2)
+        b, wb = L.langid_train_trace(docs, iters=2, dim=16, ngram=3)
+        assert a == b and wa == wb
