@@ -45,6 +45,23 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_keep_expr() -> F.Column:
+    """quality_score's keep verdict as a standalone predicate over a
+    raw documents row -- the streaming shard ingest filters on it
+    WITHOUT dropping the document columns the shard writer needs."""
+    toks = tokenize_ws("text")
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    return (
+        (n_tok >= 10)
+        & (sum_len / n_tok >= 2.0)
+        & (digits / F.col("n_chars") < 0.3)
+    )
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
     """Heuristic quality signals (Gopher/C4-style rules): length, mean
     token length, stopword ratio, digit/punct character ratios, and a
@@ -67,11 +84,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         (stop_hits / n_tok).alias("stopword_ratio"),
         (digits / F.col("n_chars")).alias("digit_ratio"),
         (punct / F.col("n_chars")).alias("punct_ratio"),
-        (
-            (n_tok >= 10)
-            & (sum_len / n_tok >= 2.0)
-            & (digits / F.col("n_chars") < 0.3)
-        ).alias("keep"),
+        quality_keep_expr().alias("keep"),
     )
 
 

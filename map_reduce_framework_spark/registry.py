@@ -1589,6 +1589,14 @@ def q_langid_scores_stream(spark, sf_dir):
 
 
 @register(
+    "shard_ingest_stream",
+    streaming_ops.ORACLE_SQL["shard_ingest_stream"],
+)
+def q_shard_ingest_stream(spark, sf_dir):
+    return streaming_ops.q_shard_ingest_stream(spark, sf_dir)
+
+
+@register(
     "rule_filter_stream", streaming_ops.ORACLE_SQL["rule_filter_stream"]
 )
 def q_rule_filter_stream(spark, sf_dir):

@@ -645,3 +645,131 @@ ORACLE_SQL["image_dhash_stream"] = _MM_SQL["image_dhash"]
 ORACLE_SQL["audio_features_stream"] = _AUD_SQL["audio_features"]
 ORACLE_SQL["video_frame_dhash_stream"] = _MM_SQL["video_frame_dhash"]
 ORACLE_SQL["langid_scores_stream"] = _LID_SQL["langid_scores"]
+
+
+# ---------------------------------------------------------------------------
+# Streaming tail of the pipeline (VERDICT r8 ask #5): availableNow
+# micro-batches from the streaming rule scorer INTO the shard writer.
+# Two commit layers compose, each already crash-proven on its own:
+#
+# 1. the INGEST leg -- the quality-rule scorer filters arriving
+#    documents (stateless narrow projection, append mode) into a
+#    parquet file sink. The file sink's _spark_metadata transaction log
+#    gives exactly-once per micro-batch: a re-run after ANY crash
+#    resumes from the checkpoint and never double-counts a file.
+# 2. the SHARD leg -- once the bounded stream drains, the committed
+#    ingest feeds write_training_shards, whose intent-file redo log
+#    (staging -> intent -> rename -> clear) makes the shard commit
+#    atomic and idempotent.
+#
+# A re-entered run therefore converges to exactly one committed shard
+# directory whose bytes equal the batch writer's on the same filtered
+# corpus -- the stream==batch proof the registered accounting query
+# hashes (its oracle recomputes the packing over the quality-pass
+# subset with no knowledge of streams, checkpoints, or sinks). At 100
+# TB the same two legs run unbounded: the file stream watches the
+# crawl drop directory, each micro-batch appends scored parquet, and a
+# scheduled shard job packs completed partitions.
+# ---------------------------------------------------------------------------
+
+
+def stream_ingest_training_shards(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> str:
+    """Run (or resume) the streaming ingest -> shard pipeline under
+    ``work_dir``; returns the committed shards directory. Idempotent:
+    re-entering after a crash in either leg finishes exactly one copy."""
+    from ..operators.text_analysis import quality_keep_expr
+    from ..sources.shard_writer import is_committed, write_training_shards
+
+    shards = os.path.join(work_dir, "shards")
+    if is_committed(shards):
+        return shards
+    ingest = os.path.join(work_dir, "ingest")
+    ckpt = os.path.join(work_dir, "ingest-ckpt")
+    kept = read_documents_stream(spark, sf_dir).filter(quality_keep_expr())
+    query = (
+        kept.writeStream.format("parquet")
+        .option("path", ingest)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    write_training_shards(spark, spark.read.parquet(ingest), shards)
+    return shards
+
+
+_INGEST_SCRATCH: dict[str, str] = {}
+
+
+def _ingest_scratch(sf_dir: str) -> str:
+    import tempfile
+
+    if sf_dir not in _INGEST_SCRATCH:
+        _INGEST_SCRATCH[sf_dir] = tempfile.mkdtemp(prefix="mrfs-stream-shards-")
+    return _INGEST_SCRATCH[sf_dir]
+
+
+def q_shard_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered surface: per-shard-file accounting read back from
+    the manifest the STREAMING pipeline committed. The oracle is the
+    batch packing derivation over the quality-pass subset, so a sweep
+    hash match proves stream ingest == batch curation down to every
+    shard file's sequence/doc/token counts."""
+    from ..sources.shard_writer import read_manifest
+
+    shards = stream_ingest_training_shards(
+        spark, sf_dir, _ingest_scratch(sf_dir)
+    )
+    m = read_manifest(shards)
+    rows = [
+        (
+            s["lang"],
+            s["shard"],
+            s["shard_file"],
+            s["n_seqs"],
+            s["n_docs"],
+            s["n_tokens"],
+            s["within_budget"],
+        )
+        for s in m["shards"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, shard bigint, shard_file bigint, n_seqs bigint, "
+        "n_docs bigint, n_tokens bigint, within_budget boolean",
+    )
+
+
+def _shard_ingest_stream_sql() -> str:
+    from ..operators.pipeline import PACK_BUDGET, _packing_sql
+    from ..sources.shard_writer import SEQS_PER_SHARD, SHARD_TOKEN_BUDGET
+
+    packed = _packing_sql(
+        "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1",
+        from_rel="si_kept",
+    )
+    return f"""
+    WITH si_q AS (
+        SELECT doc_id FROM ({_TA_SQL["quality_score"]}) WHERE keep
+    ),
+    si_kept AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM si_q)
+    ),
+    si_packed AS ({packed})
+    SELECT lang, shard, seq_id // {SEQS_PER_SHARD} AS shard_file,
+           CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           (count(DISTINCT seq_id) <= {SEQS_PER_SHARD}
+            AND (sum(n_tokens) <= {SHARD_TOKEN_BUDGET}
+                 OR max(n_tokens) > {PACK_BUDGET})) AS within_budget
+    FROM si_packed
+    GROUP BY lang, shard, seq_id // {SEQS_PER_SHARD}
+    """
+
+
+ORACLE_SQL["shard_ingest_stream"] = _shard_ingest_stream_sql()

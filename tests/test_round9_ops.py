@@ -363,3 +363,65 @@ class TestLangidCapacity:
         a, wa = L.langid_train_trace(docs, iters=2)
         b, wb = L.langid_train_trace(docs, iters=2, dim=16, ngram=3)
         assert a == b and wa == wb
+
+
+# ---------------------------------------------------------------------------
+# Streaming shard ingest (r8 ask #5)
+# ---------------------------------------------------------------------------
+
+
+class TestStreamingShardIngest:
+    def test_stream_manifest_equals_batch_manifest(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """The stream==batch proof on the COMMITTED manifest: the
+        availableNow ingest -> shard pipeline and the batch writer over
+        the same quality-filtered corpus produce identical manifests
+        (every shard file's counts, the mixture weights, the totals)."""
+        from map_reduce_framework_spark.operators.pipeline import (
+            _quality_pass_ids,
+        )
+        from map_reduce_framework_spark.sources.shard_writer import (
+            read_manifest,
+            write_training_shards,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_training_shards,
+        )
+
+        shards = stream_ingest_training_shards(
+            spark, sf_smoke, str(tmp_path / "stream")
+        )
+        stream_m = read_manifest(shards)
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        batch_dir = str(tmp_path / "batch" / "shards")
+        (tmp_path / "batch").mkdir()
+        write_training_shards(
+            spark, docs.join(_quality_pass_ids(docs), "doc_id"), batch_dir
+        )
+        batch_m = read_manifest(batch_dir)
+        assert stream_m == batch_m
+
+    def test_reentry_after_shard_leg_loss_converges(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """Crash between the two legs: the drained ingest (file-sink
+        transaction log) survives, the shard commit is lost. Re-entry
+        re-runs the stream as a checkpointed no-op (no file read twice)
+        and redoes only the shard commit -- byte-identical manifest."""
+        import shutil
+
+        from map_reduce_framework_spark.sources.shard_writer import (
+            read_manifest,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_training_shards,
+        )
+
+        work = str(tmp_path / "w")
+        shards = stream_ingest_training_shards(spark, sf_smoke, work)
+        want = read_manifest(shards)
+        shutil.rmtree(shards)  # the crash window
+        shards2 = stream_ingest_training_shards(spark, sf_smoke, work)
+        assert read_manifest(shards2) == want
