@@ -305,7 +305,52 @@ def _extraction_report_sql() -> str:
     """
 
 
+def extracted_quality_score(documents: DataFrame) -> DataFrame:
+    """The intake composition, registered: crafted pages -> extraction
+    -> the existing quality_score rules over the EXTRACTED text (with
+    n_chars recomputed from it). Hash-exact end to end: the oracle
+    shadows the documents relation with the extraction chain (DuckDB
+    CTE-over-view shadowing via the main. qualifier) and re-runs the
+    untouched quality_score SQL on top -- the exact composition a crawl
+    pipeline executes as its first two stages."""
+    from .text_analysis import quality_score
+
+    ext = extract_text(documents)
+    as_docs = ext.select(
+        "doc_id",
+        F.col("extracted_text").alias("text"),
+        F.length("extracted_text").cast("bigint").alias("n_chars"),
+    )
+    return quality_score(as_docs)
+
+
+def _extracted_quality_sql() -> str:
+    from .text_analysis import ORACLE_SQL as _TA_SQL
+
+    return f"""
+    WITH documents AS (
+        SELECT doc_id, extracted_text AS text,
+               CAST(length(extracted_text) AS BIGINT) AS n_chars
+        FROM (
+            WITH pages AS (
+                SELECT doc_id, {synth_html_expr()} AS html
+                FROM main.documents
+            ),
+            staged AS (
+                SELECT doc_id, {_stats_expr('html', 'duck')} AS stats
+                FROM pages
+            )
+            SELECT doc_id, {_extracted_from_stats('duck')}
+                       AS extracted_text
+            FROM staged
+        )
+    )
+    SELECT * FROM ({_TA_SQL["quality_score"]})
+    """
+
+
 ORACLE_SQL: dict[str, str] = {
     "extract_text": _extract_text_sql(),
     "extraction_report": _extraction_report_sql(),
+    "extracted_quality_score": _extracted_quality_sql(),
 }

@@ -1842,6 +1842,24 @@ def q_extraction_report(spark, sf_dir):
     return html_extract.extraction_report(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "extracted_quality_score",
+    html_extract.ORACLE_SQL["extracted_quality_score"],
+)
+def q_extracted_quality_score(spark, sf_dir):
+    return html_extract.extracted_quality_score(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "extract_text_stream",
+    streaming_ops.ORACLE_SQL["extract_text_stream"],
+)
+def q_extract_text_stream(spark, sf_dir):
+    return streaming_ops.q_extract_text_stream(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -773,3 +773,19 @@ def _shard_ingest_stream_sql() -> str:
 
 
 ORACLE_SQL["shard_ingest_stream"] = _shard_ingest_stream_sql()
+
+
+def q_extract_text_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction at ingest: the crawl pipeline's step 0
+    as a stateless narrow projection per arriving page, append mode --
+    the SAME Catalyst expression chain as the batch operator, so the
+    registered oracle (the batch derivation) proves stream == batch."""
+    from ..operators.html_extract import extract_text
+
+    docs = read_documents_stream(spark, sf_dir)
+    return run_to_memory(extract_text(docs), output_mode="append")
+
+
+from ..operators.html_extract import ORACLE_SQL as _HX_SQL  # noqa: E402
+
+ORACLE_SQL["extract_text_stream"] = _HX_SQL["extract_text"]

@@ -29,7 +29,12 @@ class TestHtmlExtraction:
         from map_reduce_framework_spark.registry import REGISTRY
 
         con = duckdb_conn(sf_smoke)
-        for name in ("extract_text", "extraction_report"):
+        for name in (
+            "extract_text",
+            "extraction_report",
+            "extracted_quality_score",
+            "extract_text_stream",
+        ):
             q = REGISTRY[name]
             compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
 
