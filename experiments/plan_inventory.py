@@ -71,6 +71,14 @@ EXECUTES_ON_BUILD = {
     "langid_stratified_sample": "training trace + scores stage "
     "checkpoint on build",
     "curation_run_ledger": "executes a full curation run on build",
+    # round-9
+    "langid_mixture_plan": "training trace + scores stage checkpoint "
+    "on build",
+    "langid_mixture_sample": "training trace + scores stage checkpoint "
+    "on build",
+    "shard_read_schedule": "collects per-lang token totals (one-libm "
+    "weight literals, ADVICE r8 #4) on build; cost in bench.py, "
+    "correctness oracle-gated",
 }
 # (queries with "stream" in the name are skipped generically below)
 

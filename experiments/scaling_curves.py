@@ -87,6 +87,14 @@ QUERIES = [
     "langid_scores",              # K-pass one-vs-rest trainer + apply
     "audio_robust_fp_pairs",      # energy-ratio fp equi join
     "shard_read_schedule",        # WFQ interleave over shard files
+    # round-9 additions: extraction is a shuffle-free regex/HOF
+    # projection (the rule-filter claim applied to markup), the
+    # pred-lang mixture adds one doc-keyed join + per-stratum prefix
+    # sum over the langid apply, and MJPEG-AVI is scan-bound codec map
+    # work like jpeg_block_roundtrip.
+    "extract_text",               # shuffle-free markup -> text
+    "langid_mixture_sample",      # scores join + prefix-sum sample
+    "mjpeg_avi_frame_dhash",      # RIFF walk + baseline JPEG map
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -98,6 +98,41 @@ def _stage_dir(out_dir: str, name: str) -> str:
     return os.path.join(out_dir, "stages", name)
 
 
+def _check_stage_list(out_dir: str) -> None:
+    """Version guard: a run directory records the stage list it was
+    built under (stages.json, atomic tmp+replace). Resuming under a
+    DIFFERENT pipeline definition (stages added/removed/reordered --
+    e.g. a pre-round-9 run under the langid+mixture pipeline) would
+    silently reuse committed stages whose composed semantics changed,
+    so the guard wipes the run and recomputes from stage 0 -- every
+    stage is a deterministic pure function of the input, so a full redo
+    is always correct, just not incremental."""
+    path = os.path.join(out_dir, "stages.json")
+    if os.path.exists(path):
+        with open(path) as fh:
+            recorded = json.load(fh)
+        if recorded != CURATION_STAGES:
+            shutil.rmtree(os.path.join(out_dir, "stages"), ignore_errors=True)
+            os.makedirs(os.path.join(out_dir, "stages"), exist_ok=True)
+            for entry in os.listdir(out_dir):
+                if entry.startswith("shards"):
+                    shutil.rmtree(
+                        os.path.join(out_dir, entry), ignore_errors=True
+                    )
+            intent = os.path.join(out_dir, "shards.intent")
+            if os.path.exists(intent):
+                os.remove(intent)
+            manifest_path = os.path.join(out_dir, "manifest.json")
+            if os.path.exists(manifest_path):
+                os.remove(manifest_path)
+        else:
+            return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(CURATION_STAGES, fh)
+    os.replace(tmp, path)
+
+
 def _sweep_orphans(out_dir: str) -> None:
     stages = os.path.join(out_dir, "stages")
     if not os.path.isdir(stages):
@@ -153,6 +188,7 @@ def run_curation(
     uninterrupted run (tests/test_round8_ops.py proves both)."""
     os.makedirs(os.path.join(out_dir, "stages"), exist_ok=True)
     _sweep_orphans(out_dir)
+    _check_stage_list(out_dir)
     manifest = JobManifest(os.path.join(out_dir, "manifest.json"))
     manifest.set_phase("running")
     executed: dict = {}

@@ -590,7 +590,6 @@ def langid_stratified_sample(
     data card must reveal before per-language quotas are trusted to
     this classifier (see langid_accuracy)."""
     from ..session import stage_checkpoint
-    from .text_analysis import SAMPLE_DEFAULT_THRESHOLD, SAMPLE_THRESHOLDS
 
     # Stage boundary BEFORE the quota filter: Catalyst pushes a filter
     # through projections by SUBSTITUTION, and this predicate references
@@ -601,17 +600,26 @@ def langid_stratified_sample(
     # sampling, and mixture all consume the same relation).
     s = stage_checkpoint(langid_scores(documents, iters, lr, _trace=_trace))
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    thr = None
-    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
-        cond = F.col("pred_lang") == lang
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(SAMPLE_DEFAULT_THRESHOLD)
-    return s.filter(h < thr).select(
+    return s.filter(h < _quota_thr_expr()).select(
         "doc_id",
         "labeled_lang",
         "pred_lang",
         h.alias("sample_key"),
     )
+
+
+def _quota_thr_expr() -> F.Column:
+    """The per-language sample threshold as a CASE over pred_lang --
+    the ONE definition of the quota rule (langid_stratified_sample,
+    langid_quota_filter, and the curation mixture stage all filter
+    md5(doc_id) < this)."""
+    from .text_analysis import SAMPLE_DEFAULT_THRESHOLD, SAMPLE_THRESHOLDS
+
+    thr = None
+    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
+        cond = F.col("pred_lang") == lang
+        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
+    return thr.otherwise(SAMPLE_DEFAULT_THRESHOLD)
 
 
 def _lid_stratified_sql(iters: int = LID_ITERS, lr: float = LID_LR) -> str:
@@ -647,15 +655,8 @@ def langid_quota_filter(scores: DataFrame) -> DataFrame:
     rule the curation run uses, chosen over the temperature rule for
     the composed pipeline because a FUNNEL stage must subsample (the
     temperature sample's n_repeats >= 1 never drops a document)."""
-    from .text_analysis import SAMPLE_DEFAULT_THRESHOLD, SAMPLE_THRESHOLDS
-
     h = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    thr = None
-    for lang, t in sorted(SAMPLE_THRESHOLDS.items()):
-        cond = F.col("pred_lang") == lang
-        thr = F.when(cond, t) if thr is None else thr.when(cond, t)
-    thr = thr.otherwise(SAMPLE_DEFAULT_THRESHOLD)
-    return scores.filter(h < thr).select("doc_id", "pred_lang")
+    return scores.filter(h < _quota_thr_expr()).select("doc_id", "pred_lang")
 
 
 # ---------------------------------------------------------------------------
@@ -696,9 +697,16 @@ def langid_mixture_plan(
     """(pred_lang, weight_q, n_docs, avail_tokens, alloc_tokens,
     full_epochs, remainder_tokens): the temperature mixture recipe over
     TRAINED language strata."""
+    rel = _lid_mix_rel(documents, iters, lr, _trace)
+    return _lid_plan_from_rel(rel)
+
+
+def _lid_plan_from_rel(rel: DataFrame) -> DataFrame:
+    """The plan aggregation over an already-built mixture relation --
+    split out so langid_mixture_sample reuses ITS rel (one scores
+    stage checkpoint per query, not two)."""
     from .pipeline import MIX_TEMP_ALPHA
 
-    rel = _lid_mix_rel(documents, iters, lr, _trace)
     totals = rel.groupBy("pred_lang").agg(
         F.sum("n_tokens").alias("avail_tokens"),
         F.count("*").alias("n_docs"),
@@ -751,7 +759,7 @@ def langid_mixture_sample(
     from pyspark.sql import Window
 
     rel = _lid_mix_rel(documents, iters, lr, _trace)
-    plan = langid_mixture_plan(documents, iters, lr, _trace).select(
+    plan = _lid_plan_from_rel(rel).select(
         "pred_lang", "full_epochs", "remainder_tokens"
     )
     w = (

@@ -762,6 +762,7 @@ def encode_avi(frames, codec: str = "MJPG") -> bytes:
         np.asarray(frames[0]).shape[1],
     )
     chunks = []
+    body_lens = []
     for frame in frames:
         px = np.asarray(frame, dtype=np.uint8)
         if codec == "MJPG":
@@ -772,6 +773,7 @@ def encode_avi(frames, codec: str = "MJPG") -> bytes:
             rgb = px if px.ndim == 3 else np.stack([px, px, px], axis=-1)
             body = encode_bmp(rgb)[14:]  # drop BITMAPFILEHEADER: DIB
             chunks.append(_fourcc_chunk(b"00db", body))
+        body_lens.append(len(body))
     avih = (
         (40_000).to_bytes(4, "little")  # dwMicroSecPerFrame (25 fps)
         + (0).to_bytes(4, "little")  # dwMaxBytesPerSec
@@ -819,15 +821,17 @@ def encode_avi(frames, codec: str = "MJPG") -> bytes:
     )
     movi_body = b"movi" + b"".join(chunks)
     movi = _fourcc_chunk(b"LIST", movi_body)
-    # idx1: one entry per frame chunk, offsets relative to 'movi'
+    # idx1: one entry per frame chunk, offsets relative to 'movi',
+    # lengths the TRUE chunk body size (the word-alignment pad byte is
+    # container framing, not data)
     idx = b""
     off = 4
-    for c in chunks:
+    for c, blen in zip(chunks, body_lens):
         idx += (
             c[:4]
             + (0x10).to_bytes(4, "little")  # AVIIF_KEYFRAME
             + off.to_bytes(4, "little")
-            + (len(c) - 8 - (len(c) % 2)).to_bytes(4, "little")
+            + blen.to_bytes(4, "little")
         )
         off += len(c)
     payload = b"AVI " + hdrl + movi + _fourcc_chunk(b"idx1", idx)

@@ -697,7 +697,18 @@ def stream_ingest_training_shards(
         .start()
     )
     query.awaitTermination()
-    write_training_shards(spark, spark.read.parquet(ingest), shards)
+    if os.path.isdir(ingest):
+        drained = spark.read.parquet(ingest)
+    else:
+        # zero micro-batches committed (empty source, or a crash before
+        # batch 0): the shard run still commits -- an EMPTY manifest,
+        # the same degenerate-corpus convention as the ledger oracle's
+        # COALESCE row
+        schema = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).schema
+        drained = spark.createDataFrame([], schema)
+    write_training_shards(spark, drained, shards)
     return shards
 
 

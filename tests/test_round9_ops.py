@@ -337,9 +337,13 @@ class TestLangidCapacity:
         better out of the collision-starved regime (DIM=2 cannot
         separate 5 languages through 2 buckets no matter how long it
         trains)."""
+        import os
         import sys
 
-        sys.path.insert(0, "experiments")
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(__file__), "..", "experiments"),
+        )
         from langid_capacity import signal_corpus
 
         from map_reduce_framework_spark.operators import langid as L
@@ -430,3 +434,62 @@ class TestStreamingShardIngest:
         shutil.rmtree(shards)  # the crash window
         shards2 = stream_ingest_training_shards(spark, sf_smoke, work)
         assert read_manifest(shards2) == want
+
+    def test_empty_source_commits_empty_manifest(self, spark, tmp_path):
+        """Zero committed micro-batches (empty crawl directory, or a
+        crash before batch 0) still converges to a COMMITTED run with
+        an empty manifest -- the degenerate-corpus convention, not an
+        AnalysisException."""
+        import os
+
+        from map_reduce_framework_spark.sources.shard_writer import (
+            read_manifest,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_training_shards,
+        )
+
+        # an sf_dir whose documents table exists but whose stream
+        # source directory yields no quality-pass rows: craft a tiny
+        # table of all-failing docs (n_tokens < 10)
+        sf = str(tmp_path / "sf")
+        os.makedirs(sf)
+        spark.createDataFrame(
+            [(1, "tiny", "en", "src0", 4)],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        ).write.parquet(os.path.join(sf, "documents.parquet"))
+        shards = stream_ingest_training_shards(
+            spark, sf, str(tmp_path / "w")
+        )
+        m = read_manifest(shards)
+        assert m["total_docs"] == 0 and m["shards"] == []
+
+
+class TestCurationStageListGuard:
+    def test_pipeline_definition_change_forces_recompute(
+        self, spark, sf_smoke, tmp_path
+    ):
+        """A run directory built under a DIFFERENT stage list (a
+        pre-round-9 run resumed under the langid+mixture pipeline) is
+        wiped and recomputed from stage 0 -- committed stages whose
+        composed semantics changed are never silently reused."""
+        import json
+        import os
+
+        from map_reduce_framework_spark import curation as C
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        out = str(tmp_path / "run")
+        ref = C.run_curation(spark, docs, out)
+        # same definition -> pure resume
+        again = C.run_curation(spark, docs, out)
+        assert all(v == "skipped" for v in again["executed"].values())
+        # rewrite stages.json as an older (shorter) pipeline
+        json.dump(
+            C.CURATION_STAGES[:-2],
+            open(os.path.join(out, "stages.json"), "w"),
+        )
+        redo = C.run_curation(spark, docs, out)
+        assert all(v == "computed" for v in redo["executed"].values())
+        assert redo["ledger"] == ref["ledger"]
