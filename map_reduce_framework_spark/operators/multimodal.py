@@ -12,16 +12,17 @@ ANIMATED (``decode_gif_frames``: per-frame LZW, compositing canvas,
 placement offsets, disposal methods, transparency) -- with a matching
 pure-Python animated-GIF ENCODER (``encode_gif`` + ``_gif_lzw_encode``)
 so the video keyframe path runs a real codec round trip -- and for
-BASELINE JPEG (``operators/jpeg.py``: pure-Python Huffman + IDCT,
-grayscale/color, 4:4:4 through 4:2:0 sampling, restart intervals,
-with a matching minimal encoder). The only remaining
-NotImplementedError is progressive/arithmetic JPEG (``decode_image``),
-and ``fake_decode_meta`` stands in for payloads with no known magic
-(the synthetic utf-8 corpus). The Spark-side plumbing is real and
-tested either way: binary column construction, mapInPandas batch
-shapes, schema contracts, partition-parallel feature extraction.
-Swapping the progressive-JPEG gap for PIL/ffmpeg is a one-function
-change.
+BASELINE and PROGRESSIVE JPEG (``operators/jpeg.py``: pure-Python
+Huffman + IDCT, grayscale/color, 4:4:4 through 4:2:0 sampling,
+restart intervals, spectral selection + successive approximation,
+with matching minimal encoders). The only remaining
+NotImplementedError is arithmetic-coded/12-bit JPEG
+(``decode_image``), and ``fake_decode_meta`` stands in for payloads
+with no known magic (the synthetic utf-8 corpus). The Spark-side
+plumbing is real and tested either way: binary column construction,
+mapInPandas batch shapes, schema contracts, partition-parallel
+feature extraction. Swapping the arithmetic-JPEG gap for PIL/ffmpeg
+is a one-function change.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; filters on typed metadata (width/height/n_bytes) push down so a
@@ -54,13 +55,14 @@ def decode_image(payload: bytes) -> "object":
     ``decode_bmp_pixels``), non-interlaced 8-bit PNG (stdlib zlib
     inflate + spec unfilter, ``decode_png_pixels``), GIF87a/89a
     (pure-Python variable-width LZW, ``decode_gif_pixels``; animated
-    frames via ``decode_gif_frames``), and BASELINE JPEG (pure-Python
-    Huffman + IDCT, ``operators/jpeg.decode_jpeg_pixels`` -- grayscale
-    and color, 4:4:4/4:2:2/4:2:0 sampling, restart intervals). The
-    remaining boundary is PROGRESSIVE/arithmetic/12-bit JPEG, which
-    raises NotImplementedError -- swap in
-    PIL.Image.open(io.BytesIO(payload)) where libjpeg is available.
-    Header-level metadata never needs this: see
+    frames via ``decode_gif_frames``), and JPEG -- BASELINE and, since
+    round 9, PROGRESSIVE (pure-Python Huffman + IDCT,
+    ``operators/jpeg.decode_jpeg_pixels`` -- grayscale and color,
+    4:4:4/4:2:2/4:2:0 sampling, restart intervals, spectral selection
+    + successive approximation). The remaining boundary is
+    arithmetic-coded/12-bit JPEG, which raises NotImplementedError --
+    swap in PIL.Image.open(io.BytesIO(payload)) where libjpeg is
+    available. Header-level metadata never needs this: see
     ``decode_image_header``."""
     from .jpeg import decode_jpeg_pixels
 
@@ -75,10 +77,10 @@ def decode_image(payload: bytes) -> "object":
         return px
     raise NotImplementedError(
         "payload is none of: uncompressed BMP, non-interlaced 8-bit "
-        "PNG, GIF87a/89a, baseline JPEG (progressive/arithmetic JPEG "
-        "needs libjpeg -- swap in PIL where available); header "
-        "metadata comes from decode_image_header, and fake_decode_meta "
-        "covers the synthetic test corpus"
+        "PNG, GIF87a/89a, baseline/progressive JPEG (arithmetic-coded "
+        "or 12-bit JPEG needs libjpeg -- swap in PIL where available); "
+        "header metadata comes from decode_image_header, and "
+        "fake_decode_meta covers the synthetic test corpus"
     )
 
 
@@ -2121,6 +2123,67 @@ ORACLE_SQL["jpeg_block_roundtrip"] = """
            TRUE AS exact
     FROM jq
 """
+
+
+def jpeg_progressive_roundtrip(documents: DataFrame) -> DataFrame:
+    """jpeg_block_roundtrip through the PROGRESSIVE codec (round 9):
+    the same per-doc constant-quadrant image encoded as a multi-scan
+    SOF2 stream -- shifted DC, banded AC, successive-approximation
+    refinements -- and decoded back through the full progressive
+    decoder (scan accumulation, EOB runs, AC correction bits). DC-only
+    blocks reproduce exactly, so the oracle is the same md5 identity:
+    a sweep hash match certifies the progressive entropy coder
+    end to end on every document."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg_pixels, encode_jpeg_progressive
+
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"q{i}", IntegerType()) for i in range(4)]
+        + [StructField(f"d{i}", IntegerType()) for i in range(4)]
+        + [StructField("exact", BooleanType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                q = list(
+                    hashlib.md5(str(text or "").encode()).digest()[:4]
+                )
+                img = np.empty((16, 16), dtype=np.uint8)
+                img[:8, :8] = q[0]
+                img[:8, 8:] = q[1]
+                img[8:, :8] = q[2]
+                img[8:, 8:] = q[3]
+                px = decode_jpeg_pixels(
+                    encode_jpeg_progressive(img, restart_interval=1)
+                )
+                d = [
+                    int(px[0, 0, 0]),
+                    int(px[0, 8, 0]),
+                    int(px[8, 0, 0]),
+                    int(px[8, 8, 0]),
+                ]
+                out["doc_id"].append(doc_id)
+                for i in range(4):
+                    out[f"q{i}"].append(q[i])
+                    out[f"d{i}"].append(d[i])
+                out["exact"].append(
+                    bool((px[:, :, 0] == img).all()) and d == q
+                )
+            yield pd.DataFrame(out)
+
+    from .text_analysis import _default_parallelism
+
+    base = documents.select("doc_id", "text")
+    return base.repartition(_default_parallelism(documents)).mapInPandas(
+        run, schema=schema
+    )
+
+
+ORACLE_SQL["jpeg_progressive_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
 
 
 ORACLE_SQL["video_dedup_pairs"] = (

@@ -1824,6 +1824,16 @@ def q_mjpeg_avi_frame_dhash(spark, sf_dir):
     return multimodal.mjpeg_avi_frame_dhash(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "jpeg_progressive_roundtrip",
+    multimodal.ORACLE_SQL["jpeg_progressive_roundtrip"],
+)
+def q_jpeg_progressive_roundtrip(spark, sf_dir):
+    return multimodal.jpeg_progressive_roundtrip(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # --------------------------------------------------------------------------
 # HTML/markup -> text extraction (round 9): the crawl-intake edge.
 # --------------------------------------------------------------------------

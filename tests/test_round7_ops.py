@@ -587,7 +587,8 @@ def test_jpeg_codec_roundtrips_and_rejections():
     )
     assert np.abs(out.astype(int) - sm.astype(int)).max() <= 3
 
-    # rejections: progressive SOF2, 12-bit SOF0, not-a-JPEG
+    # rejections: SCANLESS progressive SOF2 (a real progressive stream
+    # decodes since round 9), 12-bit SOF0, not-a-JPEG
     prog = b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big") + bytes(
         [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
     )
@@ -602,7 +603,8 @@ def test_jpeg_codec_roundtrips_and_rejections():
 def test_decode_image_covers_jpeg(spark):
     """decode_image now decodes baseline JPEG (the r6 stub is closed);
     the NotImplementedError boundary narrowed to undecodable payloads
-    (progressive JPEG / unknown formats)."""
+    (arithmetic-coded JPEG / unknown formats -- progressive decodes
+    since round 9)."""
     import numpy as np
 
     from map_reduce_framework_spark.operators.jpeg import encode_jpeg

@@ -493,3 +493,172 @@ class TestCurationStageListGuard:
         redo = C.run_curation(spark, docs, out)
         assert all(v == "computed" for v in redo["executed"].values())
         assert redo["ledger"] == ref["ledger"]
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2): the codec's last format boundary closes to
+# arithmetic-coded/12-bit only
+# ---------------------------------------------------------------------------
+
+
+class TestProgressiveJpeg:
+    def test_progressive_equals_baseline_pixels(self):
+        """The equality oracle: a progressive and a baseline encoding
+        of the SAME image (same all-ones quant) decode to IDENTICAL
+        pixels -- across sizes, gray/color, 4:2:0, restart intervals,
+        and the default successive-approximation scan script."""
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(77)
+        for trial in range(8):
+            hh, ww = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            dri = int(rng.integers(0, 3))
+            gray = rng.integers(0, 256, size=(hh, ww), dtype=np.uint8)
+            base = decode_jpeg_pixels(encode_jpeg(gray))
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(gray, restart_interval=dri)
+            )
+            assert prog is not None and np.array_equal(base, prog), (
+                trial, hh, ww, dri,
+            )
+            col = rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+            base = decode_jpeg_pixels(encode_jpeg(col))
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(col, restart_interval=dri)
+            )
+            assert prog is not None and np.array_equal(base, prog)
+        col = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg(col, subsample_420=True))
+        prog = decode_jpeg_pixels(
+            encode_jpeg_progressive(col, subsample_420=True)
+        )
+        assert prog is not None and np.array_equal(base, prog)
+
+    def test_scan_script_variants(self):
+        """Spectral-selection-only, single-level SA, and two-level SA
+        scripts all reconstruct the exact coefficient store."""
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        rng = np.random.default_rng(9)
+        gray = rng.integers(0, 256, size=(24, 17), dtype=np.uint8)
+        base = decode_jpeg_pixels(encode_jpeg(gray))
+        scripts = [
+            [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)],
+            [([0], 0, 0, 0, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 0)],
+            [
+                ([0], 0, 0, 0, 0),
+                ([0], 1, 63, 0, 1),
+                ([0], 1, 63, 1, 0),
+            ],
+            [
+                ([0], 0, 0, 0, 0),
+                ([0], 1, 63, 0, 2),
+                ([0], 1, 63, 2, 1),
+                ([0], 1, 63, 1, 0),
+            ],
+        ]
+        for scans in scripts:
+            prog = decode_jpeg_pixels(
+                encode_jpeg_progressive(gray, scans=scans)
+            )
+            assert prog is not None and np.array_equal(base, prog), scans
+
+    def test_ac_refinement_coefficient_exactness(self):
+        """Coefficient-level multi-block harness for the trickiest
+        path (AC successive approximation with EOB runs and buffered
+        correction bits): encode first pass Al=1 + refinement Al=0 over
+        random block sequences, decode with the scan units, require
+        bit-exact coefficient recovery."""
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import jpeg as J
+
+        ac_tab = J._HuffTable(J._AC_PROG_COUNTS, J._AC_PROG_SYMBOLS)
+        rng = np.random.default_rng(5)
+        for _trial in range(200):
+            nb = int(rng.integers(2, 8))
+            blocks = []
+            for _ in range(nb):
+                b = np.zeros(64, dtype=np.int64)
+                k = int(rng.integers(0, 10))
+                if k:
+                    idx = rng.choice(range(1, 64), size=k, replace=False)
+                    b[idx] = rng.integers(-40, 41, size=k)
+                blocks.append(b)
+            w = J._ProgWriter(ac_tab)
+            for b in blocks:
+                J._enc_ac_first(w, b, 1, 63, 1, ac_tab)
+            w.emit_eobrun()
+            first = w.flush()
+            w2 = J._ProgWriter(ac_tab)
+            for b in blocks:
+                J._enc_ac_refine(w2, b, 1, 63, 0, ac_tab)
+            w2.emit_eobrun()
+            refine = w2.flush()
+            got = np.zeros((1, nb, 64), dtype=np.int64)
+            r1 = J._BitReader(first + b"\xff\xd9", 0)
+            st = {"eobrun": 0}
+            for c in range(nb):
+                assert J._ac_unit(r1, got, 0, c, ac_tab, 1, 63, 0, 1, st)
+            r2 = J._BitReader(refine + b"\xff\xd9", 0)
+            st = {"eobrun": 0}
+            for c in range(nb):
+                assert J._ac_unit(r2, got, 0, c, ac_tab, 1, 63, 1, 0, st)
+            assert np.array_equal(got[0, :, 1:], np.stack(blocks)[:, 1:])
+
+    def test_corrupt_progressive_rejected(self):
+        """Truncation, scanless frames, and bomb headers return None."""
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_progressive,
+        )
+
+        gray = np.full((16, 16), 90, dtype=np.uint8)
+        payload = encode_jpeg_progressive(gray)
+        assert decode_jpeg_pixels(payload[: len(payload) // 2]) is None
+        # scanless SOF2
+        prog = b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big") + bytes(
+            [8, 0, 8, 0, 8, 1, 1, 0x11, 0]
+        )
+        assert decode_jpeg_pixels(prog) is None
+        # dims bomb: 65500x65500 SOF2 refuses before allocating
+        bomb = b"\xff\xd8\xff\xc2" + (11).to_bytes(2, "big") + bytes(
+            [8, 0xFF, 0xDC, 0xFF, 0xDC, 1, 1, 0x11, 0]
+        )
+        assert decode_jpeg_pixels(bomb) is None
+
+    def test_decode_image_covers_progressive(self, spark):
+        """The multimodal boundary narrowed: decode_image now decodes
+        progressive payloads instead of raising."""
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            encode_jpeg_progressive,
+        )
+        from map_reduce_framework_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        img = np.full((12, 9), 200, dtype=np.uint8)
+        out = decode_image(encode_jpeg_progressive(img))
+        assert out.shape == (12, 9, 3) and (out[:, :, 0] == 200).all()
+
+    def test_registered_query_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        q = REGISTRY["jpeg_progressive_roundtrip"]
+        compare_to_oracle(q.fn(spark, sf_smoke), duckdb_conn(sf_smoke), q.oracle)
