@@ -1597,6 +1597,14 @@ def q_shard_ingest_stream(spark, sf_dir):
 
 
 @register(
+    "shard_epoch_ledger",
+    streaming_ops.ORACLE_SQL["shard_epoch_ledger"],
+)
+def q_shard_epoch_ledger(spark, sf_dir):
+    return streaming_ops.q_shard_epoch_ledger(spark, sf_dir)
+
+
+@register(
     "rule_filter_stream", streaming_ops.ORACLE_SQL["rule_filter_stream"]
 )
 def q_rule_filter_stream(spark, sf_dir):

@@ -786,6 +786,191 @@ def _shard_ingest_stream_sql() -> str:
 ORACLE_SQL["shard_ingest_stream"] = _shard_ingest_stream_sql()
 
 
+# ---------------------------------------------------------------------------
+# EPOCHAL streaming ingest: the unbounded-corpus shape. A crawl drop
+# directory grows over time; each availableNow drain picks up ONLY the
+# new files (the stream checkpoint remembers processed files) and
+# commits their quality-pass rows as the next EPOCH -- an independent,
+# crash-safe shard directory. Training consumes epochs in order
+# (iter_epoch_shards); no epoch is ever repacked, so the pipeline
+# rides a continuously arriving corpus with bounded incremental work
+# per wave. Crash safety is three independent committed layers: the
+# file-sink transaction log (ingest), the atomic staging+rename of the
+# epoch input snapshot, and the shard writer's intent-file redo log.
+# ---------------------------------------------------------------------------
+
+
+def stream_ingest_epoch(
+    spark: SparkSession, source_dir: str, work_dir: str
+) -> str | None:
+    """Drain new files from ``source_dir`` and commit their
+    quality-pass rows as the next epoch; returns the committed epoch
+    directory, or None when nothing new arrived. Idempotent: re-entry
+    after a crash at any layer finishes exactly one epoch."""
+    import shutil
+
+    from ..operators.text_analysis import quality_keep_expr
+    from ..sources.shard_writer import is_committed, write_training_shards
+
+    os.makedirs(work_dir, exist_ok=True)
+    # finish a torn epoch first: input committed but shards not
+    for name in sorted(os.listdir(work_dir)):
+        if name.startswith("epoch-") and not name.endswith(".staging"):
+            d = os.path.join(work_dir, name)
+            if os.path.isdir(os.path.join(d, "input")) and not is_committed(
+                os.path.join(d, "shards")
+            ):
+                write_training_shards(
+                    spark,
+                    spark.read.parquet(os.path.join(d, "input")),
+                    os.path.join(d, "shards"),
+                )
+                return d
+        if name.endswith(".staging"):  # torn input write: orphan
+            shutil.rmtree(os.path.join(work_dir, name), ignore_errors=True)
+
+    ingest = os.path.join(work_dir, "ingest")
+    ckpt = os.path.join(work_dir, "ingest-ckpt")
+    schema = spark.read.parquet(source_dir).schema
+    kept = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(quality_keep_expr())
+    )
+    query = (
+        kept.writeStream.format("parquet")
+        .option("path", ingest)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    if not os.path.isdir(ingest):
+        return None
+    ingested = spark.read.parquet(ingest)
+    prev_dirs = [
+        os.path.join(work_dir, name, "input")
+        for name in sorted(os.listdir(work_dir))
+        if name.startswith("epoch-") and not name.endswith(".staging")
+    ]
+    new_rows = ingested
+    for d in prev_dirs:
+        new_rows = new_rows.join(
+            spark.read.parquet(d).select("doc_id"), "doc_id", "left_anti"
+        )
+    if new_rows.isEmpty():
+        return None
+    epoch_dir = os.path.join(work_dir, f"epoch-{len(prev_dirs):05d}")
+    staging = epoch_dir + ".staging"
+    new_rows.write.mode("overwrite").parquet(os.path.join(staging, "input"))
+    os.rename(staging, epoch_dir)  # atomic input commit
+    write_training_shards(
+        spark,
+        spark.read.parquet(os.path.join(epoch_dir, "input")),
+        os.path.join(epoch_dir, "shards"),
+    )
+    return epoch_dir
+
+
+def iter_epoch_shards(spark, work_dir: str, alpha: float | None = None):
+    """Yield (epoch_dir, entry, DataFrame) across all committed epochs
+    in arrival order -- the resumable loader of a continuously-growing
+    corpus (within each epoch, the mixture-weighted WFQ order)."""
+    from ..sources.shard_writer import iter_training_shards
+
+    for name in sorted(os.listdir(work_dir)):
+        if not name.startswith("epoch-") or name.endswith(".staging"):
+            continue
+        d = os.path.join(work_dir, name)
+        for entry, df in iter_training_shards(
+            spark, os.path.join(d, "shards"), alpha=alpha
+        ):
+            yield d, entry, df
+
+
+_EPOCH_SCRATCH: dict[str, str] = {}
+
+
+def q_shard_epoch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered surface: a deterministic two-wave arrival (even
+    doc_ids land first, odd doc_ids later) through the epochal ingest;
+    returns one accounting row per epoch from the COMMITTED manifests.
+    The oracle recomputes both epochs' packing from the parity split --
+    a sweep hash match proves the growing-corpus path end to end."""
+    import tempfile
+
+    from ..sources.io import load_table
+    from ..sources.shard_writer import read_manifest
+
+    if sf_dir not in _EPOCH_SCRATCH:
+        _EPOCH_SCRATCH[sf_dir] = tempfile.mkdtemp(prefix="mrfs-epochs-")
+    scratch = _EPOCH_SCRATCH[sf_dir]
+    source = os.path.join(scratch, "source")
+    work = os.path.join(scratch, "work")
+    docs = load_table(spark, sf_dir, "documents")
+    if not os.path.isdir(source):
+        docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        stream_ingest_epoch(spark, source, work)
+        docs.filter("doc_id % 2 = 1").coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        stream_ingest_epoch(spark, source, work)
+    rows = []
+    for name in sorted(os.listdir(work)):
+        if not name.startswith("epoch-") or name.endswith(".staging"):
+            continue
+        m = read_manifest(os.path.join(work, name, "shards"))
+        rows.append(
+            (
+                int(name.split("-")[1]),
+                m["total_docs"],
+                m["total_tokens"],
+                m["n_shard_files"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "epoch int, n_docs bigint, n_tokens bigint, n_shard_files bigint",
+    )
+
+
+def _shard_epoch_ledger_sql() -> str:
+    from ..operators.pipeline import _packing_sql
+    from ..sources.shard_writer import SEQS_PER_SHARD
+
+    ntok = "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
+    parts = []
+    for epoch, parity in ((0, 0), (1, 1)):
+        packed = _packing_sql(ntok, from_rel=f"ep{epoch}_docs")
+        parts.append(f"""
+    ep{epoch}_docs AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id % 2 = {parity}
+          AND d.doc_id IN (SELECT doc_id FROM ep_q)
+    ),
+    ep{epoch}_packed AS ({packed}),
+    ep{epoch}_row AS (
+        SELECT CAST({epoch} AS INT) AS epoch,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT (lang, shard, seq_id // {SEQS_PER_SHARD}))
+                    AS BIGINT) AS n_shard_files
+        FROM ep{epoch}_packed
+    )""")
+    return f"""
+    WITH ep_q AS (
+        SELECT doc_id FROM ({_TA_SQL["quality_score"]}) WHERE keep
+    ),{",".join(parts)}
+    SELECT * FROM ep0_row UNION ALL SELECT * FROM ep1_row
+    """
+
+
+ORACLE_SQL["shard_epoch_ledger"] = _shard_epoch_ledger_sql()
+
+
 def q_extract_text_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction at ingest: the crawl pipeline's step 0
     as a stateless narrow projection per arriving page, append mode --

@@ -662,3 +662,114 @@ class TestProgressiveJpeg:
 
         q = REGISTRY["jpeg_progressive_roundtrip"]
         compare_to_oracle(q.fn(spark, sf_smoke), duckdb_conn(sf_smoke), q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Epochal streaming ingest: the continuously-growing corpus
+# ---------------------------------------------------------------------------
+
+
+class TestEpochIngest:
+    def _wave(self, spark, sf_smoke, source, parity):
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        docs.filter(f"doc_id % 2 = {parity}").coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+
+    def test_two_waves_commit_two_epochs(self, spark, sf_smoke, tmp_path):
+        """Each drain commits exactly the NEW arrivals as its own
+        epoch; a drain with nothing new commits nothing; the union of
+        epoch manifests equals the single-run manifest totals on the
+        full corpus."""
+        from map_reduce_framework_spark.operators.pipeline import (
+            _quality_pass_ids,
+        )
+        from map_reduce_framework_spark.sources.shard_writer import (
+            read_manifest,
+            write_training_shards,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_epoch,
+        )
+
+        source = str(tmp_path / "source")
+        work = str(tmp_path / "work")
+        self._wave(spark, sf_smoke, source, 0)
+        e0 = stream_ingest_epoch(spark, source, work)
+        assert e0 and e0.endswith("epoch-00000")
+        # nothing new -> no epoch
+        assert stream_ingest_epoch(spark, source, work) is None
+        self._wave(spark, sf_smoke, source, 1)
+        e1 = stream_ingest_epoch(spark, source, work)
+        assert e1 and e1.endswith("epoch-00001")
+
+        import os
+
+        m0 = read_manifest(os.path.join(e0, "shards"))
+        m1 = read_manifest(os.path.join(e1, "shards"))
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        kept = docs.join(_quality_pass_ids(docs), "doc_id")
+        assert m0["total_docs"] == kept.filter("doc_id % 2 = 0").count()
+        assert m1["total_docs"] == kept.filter("doc_id % 2 = 1").count()
+        batch_dir = str(tmp_path / "batch")
+        write_training_shards(spark, kept, batch_dir)
+        mb = read_manifest(batch_dir)
+        assert m0["total_docs"] + m1["total_docs"] == mb["total_docs"]
+        assert m0["total_tokens"] + m1["total_tokens"] == mb["total_tokens"]
+
+    def test_torn_epoch_reentry_completes(self, spark, sf_smoke, tmp_path):
+        """Crash between the epoch-input commit and the shard commit:
+        re-entry finishes THAT epoch (no duplicate epoch, identical
+        manifest to an untorn run)."""
+        import os
+        import shutil
+
+        from map_reduce_framework_spark.sources.shard_writer import (
+            read_manifest,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_epoch,
+        )
+
+        source = str(tmp_path / "source")
+        work = str(tmp_path / "work")
+        self._wave(spark, sf_smoke, source, 0)
+        e0 = stream_ingest_epoch(spark, source, work)
+        want = read_manifest(os.path.join(e0, "shards"))
+        shutil.rmtree(os.path.join(e0, "shards"))  # the crash window
+        e0b = stream_ingest_epoch(spark, source, work)
+        assert e0b == e0
+        assert read_manifest(os.path.join(e0, "shards")) == want
+        assert (
+            len([n for n in os.listdir(work) if n.startswith("epoch-")]) == 1
+        )
+
+    def test_loader_iterates_epochs_in_order(self, spark, sf_smoke, tmp_path):
+        from map_reduce_framework_spark.streaming.ops import (
+            iter_epoch_shards,
+            stream_ingest_epoch,
+        )
+
+        source = str(tmp_path / "source")
+        work = str(tmp_path / "work")
+        self._wave(spark, sf_smoke, source, 0)
+        stream_ingest_epoch(spark, source, work)
+        self._wave(spark, sf_smoke, source, 1)
+        stream_ingest_epoch(spark, source, work)
+        seen_epochs = []
+        parities = set()
+        for epoch_dir, _entry, df in iter_epoch_shards(spark, work):
+            if epoch_dir not in seen_epochs:
+                seen_epochs.append(epoch_dir)
+            parities |= {
+                r["doc_id"] % 2
+                for r in df.select("doc_id").limit(5).collect()
+            }
+        assert [d[-1] for d in seen_epochs] == ["0", "1"]  # arrival order
+        assert parities == {0, 1}
+
+    def test_registered_ledger_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        q = REGISTRY["shard_epoch_ledger"]
+        compare_to_oracle(q.fn(spark, sf_smoke), duckdb_conn(sf_smoke), q.oracle)
