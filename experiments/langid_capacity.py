@@ -63,24 +63,27 @@ def main() -> None:
     docs = signal_corpus(spark).cache()
     n = docs.count()
     ladder = []
-    for iters in ITERS:
-        for dim in DIMS:
-            t0 = time.time()
-            scores = L.langid_scores(docs, iters=iters, dim=dim).collect()
-            correct = sum(
-                1 for r in scores if r.pred_lang == r.labeled_lang
-            )
-            ladder.append(
-                {
-                    "dim": dim,
-                    "ngram": 3,
-                    "iters": iters,
-                    "accuracy": correct / n,
-                    "n_docs": n,
-                    "train_plus_score_sec": round(time.time() - t0, 2),
-                }
-            )
-            print(ladder[-1])
+    grid = [(dim, 3, iters) for iters in ITERS for dim in DIMS]
+    # n-gram-order rung at the registered DIM: 2-grams collide more
+    # (fewer distinct shingles per marker word), 4-grams separate more
+    grid += [(16, 2, 6), (16, 4, 6)]
+    for dim, ngram, iters in grid:
+        t0 = time.time()
+        scores = L.langid_scores(
+            docs, iters=iters, dim=dim, ngram=ngram
+        ).collect()
+        correct = sum(1 for r in scores if r.pred_lang == r.labeled_lang)
+        ladder.append(
+            {
+                "dim": dim,
+                "ngram": ngram,
+                "iters": iters,
+                "accuracy": correct / n,
+                "n_docs": n,
+                "train_plus_score_sec": round(time.time() - t0, 2),
+            }
+        )
+        print(ladder[-1])
     out = {
         "corpus": {
             "kind": "planted multilingual (LANG_PROFILES markers)",
