@@ -16,6 +16,14 @@ see BASELINE.md caveat).
 Each query is forced to full materialization with the noop sink (every row is
 computed and shuffled, nothing is collected to the driver), which is the
 honest analog of the reference writing ``mr-out-*`` files.
+
+Latency caveat for three registered queries with per-process scratch
+state: ``curation_run_ledger`` (a full curation run), ``shard_ingest_stream``
+(a streaming ingest + shard commit), and ``shard_epoch_ledger`` (a two-wave
+epochal run) execute REAL work on their first rep and are pure reads after
+-- their best-of-reps numbers are the steady resume cost, and their first-rep
+cost belongs to the run, not the read. Chase a "regression" there against
+the scratch state, not the plan.
 """
 
 from __future__ import annotations
