@@ -154,9 +154,19 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg_pixels(payload: bytes):
-    """Baseline-JPEG pixel decode: numpy uint8 (height, width, 3) RGB,
-    or None when the payload is not a decodable baseline JPEG (wrong
-    magic, progressive/arithmetic/12-bit, structural corruption)."""
+    """JPEG pixel decode (baseline SOF0 and progressive SOF2): numpy
+    uint8 (height, width, 3) RGB, or None when the payload is not
+    decodable (wrong magic, arithmetic/12-bit, structural corruption).
+    TOTAL over arbitrary bytes: any out-of-bounds segment access a
+    crafted truncation could reach is converted to the None contract
+    here, never an IndexError into the caller's Arrow batch."""
+    try:
+        return _decode_jpeg_pixels(payload)
+    except (IndexError, ValueError):
+        return None
+
+
+def _decode_jpeg_pixels(payload: bytes):
     import numpy as np
 
     n = len(payload)
@@ -471,60 +481,12 @@ def encode_jpeg(
     ``subsample_420`` -- luma 2x2 sampling, chroma box-averaged).
     All-ones quant tables (the only loss is DCT float rounding,
     RGB<->YCbCr rounding, and optional chroma subsampling), flat
-    Huffman tables written into DHT, optional DRI/RSTn restarts."""
-    import numpy as np
-
-    px = np.asarray(pixels)
-    if px.ndim == 3 and px.shape[2] >= 3:
-        r = px[:, :, 0].astype(float)
-        g = px[:, :, 1].astype(float)
-        b = px[:, :, 2].astype(float)
-        if np.array_equal(px[:, :, 0], px[:, :, 1]) and np.array_equal(
-            px[:, :, 0], px[:, :, 2]
-        ):
-            channels = [r]
-        else:
-            y = 0.299 * r + 0.587 * g + 0.114 * b
-            cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-            cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-            channels = [y, cb, cr]
-    else:
-        if px.ndim == 3 and px.shape[2] == 1:
-            px = px[:, :, 0]  # squeeze single-channel 3-D to grayscale
-        if px.ndim != 2:
-            raise ValueError(
-                "encode_jpeg expects (h, w), (h, w, 1) grayscale or "
-                f"(h, w, >=3) color input, got shape {px.shape}"
-            )
-        channels = [px.astype(float)]
-    h, w = channels[0].shape
-    nc = len(channels)
-    use_420 = subsample_420 and nc == 3
-    if use_420:
-        # pad to even dims, box-average chroma 2x2
-        he, we = h + (h & 1), w + (w & 1)
-        padded = []
-        for chan in channels:
-            p = np.full((he, we), 128.0)
-            p[:h, :w] = chan
-            if h & 1:
-                p[h, :w] = chan[h - 1]
-            if w & 1:
-                p[:h, w] = chan[:, w - 1]
-            if (h & 1) and (w & 1):
-                p[h, w] = chan[h - 1, w - 1]
-            padded.append(p)
-        luma = padded[0]
-        chroma = [
-            (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2])
-            / 4.0
-            for c in padded[1:]
-        ]
-        samplings = [(2, 2), (1, 1), (1, 1)]
-        comp_planes = [luma] + chroma
-    else:
-        samplings = [(1, 1)] * nc
-        comp_planes = channels
+    Huffman tables written into DHT, optional DRI/RSTn restarts.
+    Component prep and partial-block tiling are SHARED with the
+    progressive encoder (_prepare_planes/_block_tile) so the two
+    emissions can never drift apart."""
+    comp_planes, samplings, h, w = _prepare_planes(pixels, subsample_420)
+    nc = len(comp_planes)
     basis = _dct_basis()
     dc_tab = _HuffTable(_DC_COUNTS, _DC_SYMBOLS)
     ac_tab = _HuffTable(_AC_COUNTS, _AC_SYMBOLS)
@@ -578,29 +540,7 @@ def encode_jpeg(
                     for bx in range(sh):
                         ys = (my * sv + by) * 8
                         xs = (mx * sh + bx) * 8
-                        sub = chan[ys : ys + 8, xs : xs + 8]
-                        if sub.shape == (8, 8):
-                            tile = sub
-                        elif sub.size == 0:
-                            # an all-padding block (sampling grid
-                            # overhang): constant = no AC energy
-                            tile = np.full((8, 8), 128.0)
-                        else:
-                            # EDGE-REPLICATE partial blocks (T.81 A.2.4
-                            # recommendation): a gray fill would put AC
-                            # energy into the block and ring across the
-                            # kept pixels (a 1x3 constant image decoded
-                            # with a +/-1 error before this)
-                            tile = np.empty((8, 8))
-                            tile[: sub.shape[0], : sub.shape[1]] = sub
-                            if sub.shape[1] < 8:
-                                tile[: sub.shape[0], sub.shape[1] :] = sub[
-                                    :, -1:
-                                ]
-                            if sub.shape[0] < 8:
-                                tile[sub.shape[0] :, :] = tile[
-                                    sub.shape[0] - 1, :
-                                ]
+                        tile = _block_tile(chan, ys, xs)
                         block = basis @ (tile - 128.0) @ basis.T
                         preds[ci] = _encode_block(
                             writer, block, dc_tab, ac_tab, preds[ci]
@@ -705,12 +645,14 @@ def _decode_progressive(payload: bytes):
                 else:
                     return None
         elif marker == 0xC2:
-            if frame is not None or body[0] != 8:
+            if frame is not None or len(body) < 6 or body[0] != 8:
                 return None
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             nc = body[5]
             if height <= 0 or width <= 0 or nc not in (1, 3):
+                return None
+            if len(body) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):

@@ -2056,13 +2056,15 @@ ORACLE_SQL["video_frame_dhash"] = (
 # ---------------------------------------------------------------------------
 
 
-def jpeg_block_roundtrip(documents: DataFrame) -> DataFrame:
-    """(doc_id, q0..q3, d0..d3, exact): expected vs JPEG-decoded
-    quadrant values through the real codec; ``exact`` is the per-doc
-    roundtrip verdict (always true -- enforced by the oracle hash)."""
+def _jpeg_roundtrip_op(documents: DataFrame, encoder) -> DataFrame:
+    """The shared quadrant-roundtrip operator: per doc, a 16x16 image
+    of four constant 8x8 quadrants (md5 bytes of the text) through
+    ``encoder`` -> decode_jpeg_pixels, emitting expected vs decoded
+    values and the exactness verdict. jpeg_block_roundtrip and
+    jpeg_progressive_roundtrip differ ONLY in the encoder."""
     import numpy as np
 
-    from .jpeg import decode_jpeg_pixels, encode_jpeg
+    from .jpeg import decode_jpeg_pixels
 
     schema = StructType(
         [StructField("doc_id", LongType())]
@@ -2083,9 +2085,7 @@ def jpeg_block_roundtrip(documents: DataFrame) -> DataFrame:
                 img[:8, 8:] = q[1]
                 img[8:, :8] = q[2]
                 img[8:, 8:] = q[3]
-                px = decode_jpeg_pixels(
-                    encode_jpeg(img, restart_interval=1)
-                )
+                px = decode_jpeg_pixels(encoder(img))
                 d = [
                     int(px[0, 0, 0]),
                     int(px[0, 8, 0]),
@@ -2106,6 +2106,17 @@ def jpeg_block_roundtrip(documents: DataFrame) -> DataFrame:
     base = documents.select("doc_id", "text")
     return base.repartition(_default_parallelism(documents)).mapInPandas(
         run, schema=schema
+    )
+
+
+def jpeg_block_roundtrip(documents: DataFrame) -> DataFrame:
+    """(doc_id, q0..q3, d0..d3, exact): expected vs JPEG-decoded
+    quadrant values through the real codec; ``exact`` is the per-doc
+    roundtrip verdict (always true -- enforced by the oracle hash)."""
+    from .jpeg import encode_jpeg
+
+    return _jpeg_roundtrip_op(
+        documents, lambda img: encode_jpeg(img, restart_interval=1)
     )
 
 
@@ -2134,52 +2145,11 @@ def jpeg_progressive_roundtrip(documents: DataFrame) -> DataFrame:
     blocks reproduce exactly, so the oracle is the same md5 identity:
     a sweep hash match certifies the progressive entropy coder
     end to end on every document."""
-    import numpy as np
+    from .jpeg import encode_jpeg_progressive
 
-    from .jpeg import decode_jpeg_pixels, encode_jpeg_progressive
-
-    schema = StructType(
-        [StructField("doc_id", LongType())]
-        + [StructField(f"q{i}", IntegerType()) for i in range(4)]
-        + [StructField(f"d{i}", IntegerType()) for i in range(4)]
-        + [StructField("exact", BooleanType())]
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {f.name: [] for f in schema.fields}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                q = list(
-                    hashlib.md5(str(text or "").encode()).digest()[:4]
-                )
-                img = np.empty((16, 16), dtype=np.uint8)
-                img[:8, :8] = q[0]
-                img[:8, 8:] = q[1]
-                img[8:, :8] = q[2]
-                img[8:, 8:] = q[3]
-                px = decode_jpeg_pixels(
-                    encode_jpeg_progressive(img, restart_interval=1)
-                )
-                d = [
-                    int(px[0, 0, 0]),
-                    int(px[0, 8, 0]),
-                    int(px[8, 0, 0]),
-                    int(px[8, 8, 0]),
-                ]
-                out["doc_id"].append(doc_id)
-                for i in range(4):
-                    out[f"q{i}"].append(q[i])
-                    out[f"d{i}"].append(d[i])
-                out["exact"].append(
-                    bool((px[:, :, 0] == img).all()) and d == q
-                )
-            yield pd.DataFrame(out)
-
-    from .text_analysis import _default_parallelism
-
-    base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
-        run, schema=schema
+    return _jpeg_roundtrip_op(
+        documents,
+        lambda img: encode_jpeg_progressive(img, restart_interval=1),
     )
 
 

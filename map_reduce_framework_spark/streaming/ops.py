@@ -24,6 +24,7 @@ Modes chosen accordingly:
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import uuid
 
@@ -848,23 +849,36 @@ def stream_ingest_epoch(
     query.awaitTermination()
     if not os.path.isdir(ingest):
         return None
-    ingested = spark.read.parquet(ingest)
+    # Per-wave watermark: the new epoch's rows are exactly the sink
+    # files COMMITTED to _spark_metadata (the transaction log -- orphan
+    # part files from a crashed micro-batch are invisible) minus the
+    # files earlier epochs recorded (epoch-*/ingest_files.json, written
+    # atomically with the epoch). Work per wave is proportional to the
+    # wave's own arrivals, not the accumulated corpus.
+    committed_files = _committed_ingest_files(ingest)
     prev_dirs = [
-        os.path.join(work_dir, name, "input")
+        os.path.join(work_dir, name)
         for name in sorted(os.listdir(work_dir))
         if name.startswith("epoch-") and not name.endswith(".staging")
     ]
-    new_rows = ingested
+    consumed: set = set()
     for d in prev_dirs:
-        new_rows = new_rows.join(
-            spark.read.parquet(d).select("doc_id"), "doc_id", "left_anti"
-        )
+        with open(os.path.join(d, "ingest_files.json")) as fh:
+            consumed.update(json.load(fh))
+    new_files = sorted(set(committed_files) - consumed)
+    if not new_files:
+        return None
+    new_rows = spark.read.parquet(
+        *[os.path.join(ingest, f) for f in new_files]
+    )
     if new_rows.isEmpty():
         return None
     epoch_dir = os.path.join(work_dir, f"epoch-{len(prev_dirs):05d}")
     staging = epoch_dir + ".staging"
     new_rows.write.mode("overwrite").parquet(os.path.join(staging, "input"))
-    os.rename(staging, epoch_dir)  # atomic input commit
+    with open(os.path.join(staging, "ingest_files.json"), "w") as fh:
+        json.dump(new_files, fh)
+    os.rename(staging, epoch_dir)  # atomic input + watermark commit
     write_training_shards(
         spark,
         spark.read.parquet(os.path.join(epoch_dir, "input")),
@@ -873,16 +887,44 @@ def stream_ingest_epoch(
     return epoch_dir
 
 
+def _committed_ingest_files(ingest: str) -> list[str]:
+    """Basenames of the data files the parquet file sink has COMMITTED
+    (parsed from the _spark_metadata batch logs; compact files repeat
+    earlier entries, the union dedupes)."""
+    meta = os.path.join(ingest, "_spark_metadata")
+    out: set = set()
+    if not os.path.isdir(meta):
+        return []
+    for name in os.listdir(meta):
+        if name.startswith("."):
+            continue
+        with open(os.path.join(meta, name)) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                entry = json.loads(line)
+                path = entry.get("path")
+                if path:
+                    out.add(os.path.basename(path))
+    return sorted(out)
+
+
 def iter_epoch_shards(spark, work_dir: str, alpha: float | None = None):
-    """Yield (epoch_dir, entry, DataFrame) across all committed epochs
-    in arrival order -- the resumable loader of a continuously-growing
-    corpus (within each epoch, the mixture-weighted WFQ order)."""
-    from ..sources.shard_writer import iter_training_shards
+    """Yield (epoch_dir, entry, DataFrame) across the COMMITTED epoch
+    prefix in arrival order -- the resumable loader of a continuously-
+    growing corpus (within each epoch, the mixture-weighted WFQ order).
+    A torn epoch (input committed, shards not yet -- the crash window
+    stream_ingest_epoch re-entry finishes) STOPS the iteration at the
+    committed frontier rather than crashing or skipping past a gap."""
+    from ..sources.shard_writer import is_committed, iter_training_shards
 
     for name in sorted(os.listdir(work_dir)):
         if not name.startswith("epoch-") or name.endswith(".staging"):
             continue
         d = os.path.join(work_dir, name)
+        if not is_committed(os.path.join(d, "shards")):
+            return  # the frontier: later epochs must not jump the gap
         for entry, df in iter_training_shards(
             spark, os.path.join(d, "shards"), alpha=alpha
         ):
@@ -904,12 +946,13 @@ def q_shard_epoch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.shard_writer import read_manifest
 
     if sf_dir not in _EPOCH_SCRATCH:
-        _EPOCH_SCRATCH[sf_dir] = tempfile.mkdtemp(prefix="mrfs-epochs-")
-    scratch = _EPOCH_SCRATCH[sf_dir]
-    source = os.path.join(scratch, "source")
-    work = os.path.join(scratch, "work")
-    docs = load_table(spark, sf_dir, "documents")
-    if not os.path.isdir(source):
+        # build into a FRESH dir and memoize only on success: a crash
+        # mid-build must not poison later calls with a half-built
+        # source (re-entry would skip ingestion or duplicate waves)
+        scratch = tempfile.mkdtemp(prefix="mrfs-epochs-")
+        source = os.path.join(scratch, "source")
+        work = os.path.join(scratch, "work")
+        docs = load_table(spark, sf_dir, "documents")
         docs.filter("doc_id % 2 = 0").coalesce(1).write.mode(
             "append"
         ).parquet(source)
@@ -918,6 +961,9 @@ def q_shard_epoch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(source)
         stream_ingest_epoch(spark, source, work)
+        _EPOCH_SCRATCH[sf_dir] = scratch
+    scratch = _EPOCH_SCRATCH[sf_dir]
+    work = os.path.join(scratch, "work")
     rows = []
     for name in sorted(os.listdir(work)):
         if not name.startswith("epoch-") or name.endswith(".staging"):
@@ -943,28 +989,36 @@ def _shard_epoch_ledger_sql() -> str:
 
     ntok = "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
     parts = []
-    for epoch, parity in ((0, 0), (1, 1)):
-        packed = _packing_sql(ntok, from_rel=f"ep{epoch}_docs")
+    for wave, parity in ((0, 0), (1, 1)):
+        packed = _packing_sql(ntok, from_rel=f"ep{wave}_docs")
         parts.append(f"""
-    ep{epoch}_docs AS (
+    ep{wave}_docs AS (
         SELECT d.* FROM documents d
         WHERE d.doc_id % 2 = {parity}
           AND d.doc_id IN (SELECT doc_id FROM ep_q)
     ),
-    ep{epoch}_packed AS ({packed}),
-    ep{epoch}_row AS (
-        SELECT CAST({epoch} AS INT) AS epoch,
+    ep{wave}_packed AS ({packed}),
+    ep{wave}_row AS (
+        SELECT CAST({wave} AS INT) AS wave,
                CAST(count(*) AS BIGINT) AS n_docs,
                CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens,
                CAST(count(DISTINCT (lang, shard, seq_id // {SEQS_PER_SHARD}))
                     AS BIGINT) AS n_shard_files
-        FROM ep{epoch}_packed
+        FROM ep{wave}_packed
     )""")
+    # epochs number the NONEMPTY waves in arrival order (an all-empty
+    # wave commits nothing engine-side, so it gets no epoch number)
     return f"""
     WITH ep_q AS (
         SELECT doc_id FROM ({_TA_SQL["quality_score"]}) WHERE keep
-    ),{",".join(parts)}
-    SELECT * FROM ep0_row UNION ALL SELECT * FROM ep1_row
+    ),{",".join(parts)},
+    ep_waves AS (
+        SELECT * FROM ep0_row UNION ALL SELECT * FROM ep1_row
+    )
+    SELECT CAST(row_number() OVER (ORDER BY wave) - 1 AS INT) AS epoch,
+           n_docs, n_tokens, n_shard_files
+    FROM ep_waves
+    WHERE n_docs > 0
     """
 
 

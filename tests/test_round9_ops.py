@@ -773,3 +773,24 @@ class TestEpochIngest:
 
         q = REGISTRY["shard_epoch_ledger"]
         compare_to_oracle(q.fn(spark, sf_smoke), duckdb_conn(sf_smoke), q.oracle)
+
+    def test_loader_stops_at_torn_frontier(self, spark, sf_smoke, tmp_path):
+        """A torn epoch (input committed, shards not) STOPS the loader
+        at the committed prefix -- no crash, no jumping the gap."""
+        import os
+        import shutil
+
+        from map_reduce_framework_spark.streaming.ops import (
+            iter_epoch_shards,
+            stream_ingest_epoch,
+        )
+
+        source = str(tmp_path / "source")
+        work = str(tmp_path / "work")
+        self._wave(spark, sf_smoke, source, 0)
+        stream_ingest_epoch(spark, source, work)
+        self._wave(spark, sf_smoke, source, 1)
+        e1 = stream_ingest_epoch(spark, source, work)
+        shutil.rmtree(os.path.join(e1, "shards"))  # tear epoch 1
+        dirs = {d for d, _e, _df in iter_epoch_shards(spark, work)}
+        assert len(dirs) == 1 and next(iter(dirs)).endswith("epoch-00000")
