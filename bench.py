@@ -87,7 +87,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     import gc
 
-    for name, q in sorted(registry.REGISTRY.items()):
+    # PINNED suite order (VERDICT r9 ask #5): lexicographic by query
+    # name, recorded per query in the output, so a cross-round suite
+    # diff can identify an interferer by position instead of
+    # re-litigating noise. (sorted() was always the de-facto order;
+    # the pin + record make it a contract.)
+    suite_order = sorted(registry.REGISTRY)
+    order_index = {name: i for i, name in enumerate(suite_order)}
+
+    for name in suite_order:
+        q = registry.REGISTRY[name]
         best = -1.0
         try:
             for _ in range(reps):
@@ -131,6 +140,37 @@ def main() -> None:
     # part of it). A fresh subprocess JVM per query gives the number a
     # production job actually pays; BOTH are recorded so the in-suite
     # figure stays comparable across rounds.
+    # Auto-detect in-suite movers vs the LAST recorded run at this sf
+    # (VERDICT r9 ask #5): any query whose in-suite wall grew >1.5x and
+    # costs >=1.5 s gets an isolated fresh-JVM re-measurement in the
+    # same record -- the rebuttal data ships with the number instead of
+    # being reconstructed next round. History lives in
+    # experiments/bench_history.jsonl (the archived BENCH_r*.json keeps
+    # only the line's tail, so it cannot serve as the baseline).
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    history_path = os.path.join(
+        repo_dir, "experiments", "bench_history.jsonl"
+    )
+    prev_q: dict[str, float] = {}
+    if os.path.exists(history_path):
+        with open(history_path) as fh:
+            for line in fh:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("sf") == sf:
+                    prev_q = rec.get("queries", {})
+    movers = sorted(
+        (
+            n
+            for n, t in timings.items()
+            if t >= 1.5
+            and prev_q.get(n, -1.0) >= 0.05
+            and t > 1.5 * prev_q[n]
+        ),
+        key=lambda n: -timings[n],
+    )[:8]
     isolated = _isolated_rerun(
         [
             "part_triangle_counts",
@@ -138,6 +178,18 @@ def main() -> None:
             "part_pagerank_salted",
             "dedup_ingest_replay",
             "mmr_rerank_ann",
+        ]
+        + [
+            m
+            for m in movers
+            if m
+            not in {
+                "part_triangle_counts",
+                "part_pagerank",
+                "part_pagerank_salted",
+                "dedup_ingest_replay",
+                "mmr_rerank_ann",
+            }
         ],
         sf_dir,
         cpus,
@@ -145,6 +197,25 @@ def main() -> None:
     )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    try:
+        os.makedirs(os.path.dirname(history_path), exist_ok=True)
+        with open(history_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "sf": sf,
+                        "reps": reps,
+                        "queries": timings,
+                        "order": order_index,
+                        "movers": movers,
+                        "isolated_fresh_jvm": isolated,
+                        "total": total,
+                    }
+                )
+                + "\n"
+            )
+    except OSError as exc:
+        print(f"bench: history append failed: {exc}", file=sys.stderr)
     # Field order matters for the archived artifact: the driver keeps
     # only the TAIL of this (long) line, so the per-query dict goes
     # first and the summary fields (total, failures, isolated twins)
@@ -153,10 +224,13 @@ def main() -> None:
         json.dumps(
             {
                 "queries": timings,
+                "order": order_index,
                 "sf": sf,
                 "n_queries": len(timings),
                 "reps": reps,
                 "timing": "min_of_reps",
+                "suite_order": "pinned_lexicographic",
+                "movers_vs_last_run": movers,
                 "isolated_fresh_jvm": isolated,
                 "failed": sorted(k for k, v in timings.items() if v < 0),
                 "metric": "suite_wall_clock",

