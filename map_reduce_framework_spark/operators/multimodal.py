@@ -860,7 +860,7 @@ def decode_avi_frames(payload: bytes):
     frames: list = []
     budget = 0
 
-    def _frame_chunk(sid: bytes, sub: bytes) -> bool:
+    def _frame_chunk(sub: bytes) -> bool:
         """Decode one '..dc'/'..db' chunk body into frames; False on
         any malformation or bomb-guard trip."""
         nonlocal budget
@@ -910,7 +910,7 @@ def decode_avi_frames(payload: bytes):
                     if not _walk_movi(sb + 4, sb + ssz, depth + 1):
                         return False
             elif sid[2:4] in (b"dc", b"db"):
-                if not _frame_chunk(sid, bytes(payload[sb : sb + ssz])):
+                if not _frame_chunk(bytes(payload[sb : sb + ssz])):
                     return False
             p2 += 8 + ssz + (ssz & 1)
         return True
@@ -978,11 +978,14 @@ def _mp4_full_box(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
 _MP4_SPC = 2
 
 
-def encode_mp4(frames, codec: str = "jpeg") -> bytes:
+def encode_mp4(frames, codec: str = "jpeg", *, use_co64: bool = False) -> bytes:
     """Minimal-but-standard ISO-BMFF writer: frame arrays -> mp4 with
     one video track of 'jpeg' (baseline JPEG) or 'raw ' (packed
     top-down RGB24) samples, chunked {spc} samples per chunk, tables
-    stsd/stts/stsc/stsz/stco.""".format(spc=_MP4_SPC)
+    stsd/stts/stsc/stsz/stco (or co64 with ``use_co64`` -- the 64-bit
+    offset table files >4 GiB carry; same walk, wider entries).""".format(
+        spc=_MP4_SPC
+    )
     import numpy as np
 
     from .jpeg import encode_jpeg
@@ -1060,13 +1063,22 @@ def encode_mp4(frames, codec: str = "jpeg") -> bytes:
         + n.to_bytes(4, "big")
         + b"".join(len(s).to_bytes(4, "big") for s in samples),
     )
-    stco = _mp4_full_box(
-        b"stco",
-        0,
-        0,
-        len(chunk_offsets).to_bytes(4, "big")
-        + b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
-    )
+    if use_co64:
+        stco = _mp4_full_box(
+            b"co64",
+            0,
+            0,
+            len(chunk_offsets).to_bytes(4, "big")
+            + b"".join(o.to_bytes(8, "big") for o in chunk_offsets),
+        )
+    else:
+        stco = _mp4_full_box(
+            b"stco",
+            0,
+            0,
+            len(chunk_offsets).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in chunk_offsets),
+        )
     stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
     url_ = _mp4_full_box(b"url ", 0, 1, b"")  # self-contained
     dref = _mp4_full_box(b"dref", 0, 0, (1).to_bytes(4, "big") + url_)
@@ -1226,7 +1238,11 @@ def decode_mp4_frames(payload: bytes):
         return None
     width = int.from_bytes(payload[entry + 32 : entry + 34], "big")
     height = int.from_bytes(payload[entry + 34 : entry + 36], "big")
-    # stsz: declared sample count gated BEFORE any decode
+    # stsz: declared sample count gated BEFORE any decode. Fixed
+    # header fields are bounds-checked against THEIR box (a truncated
+    # stsz must not read the next box's bytes as its header).
+    if stsz[0] + 12 > stsz[1]:
+        return None
     uniform = u32(stsz[0] + 4)
     declared = u32(stsz[0] + 8)
     if declared <= 0 or declared > MAX_DECODE_FRAMES:
@@ -1239,11 +1255,15 @@ def decode_mp4_frames(payload: bytes):
         sizes = [u32(stsz[0] + 12 + 4 * i) for i in range(declared)]
     # chunk offsets
     if stco is not None:
+        if stco[0] + 8 > stco[1]:
+            return None
         n_chunks = u32(stco[0] + 4)
         if stco[0] + 8 + 4 * n_chunks > stco[1]:
             return None
         offsets = [u32(stco[0] + 8 + 4 * i) for i in range(n_chunks)]
     else:
+        if co64[0] + 8 > co64[1]:
+            return None
         n_chunks = u32(co64[0] + 4)
         if co64[0] + 8 + 8 * n_chunks > co64[1]:
             return None
@@ -1253,7 +1273,13 @@ def decode_mp4_frames(payload: bytes):
             )
             for i in range(n_chunks)
         ]
-    # stsc: (first_chunk, samples_per_chunk) runs, strictly increasing
+    # stsc: (first_chunk, samples_per_chunk, sample_description_index)
+    # runs, strictly increasing first_chunk. Every run must bind to
+    # sample description 1 (the entry whose format we vetted above) --
+    # samples bound to a second description are the codec boundary,
+    # not a license to decode them with entry 1's codec.
+    if stsc[0] + 8 > stsc[1]:
+        return None
     n_runs = u32(stsc[0] + 4)
     if stsc[0] + 8 + 12 * n_runs > stsc[1] or n_runs <= 0:
         return None
@@ -1261,6 +1287,8 @@ def decode_mp4_frames(payload: bytes):
         (u32(stsc[0] + 8 + 12 * i), u32(stsc[0] + 12 + 12 * i))
         for i in range(n_runs)
     ]
+    if any(u32(stsc[0] + 16 + 12 * i) != 1 for i in range(n_runs)):
+        return None
     if runs[0][0] != 1 or any(
         runs[i][0] >= runs[i + 1][0] for i in range(n_runs - 1)
     ):
@@ -2588,12 +2616,32 @@ ORACLE_SQL["video_dedup_pairs"] = (
 # ---------------------------------------------------------------------------
 
 
+def _md5_quad_frames(text, n_frames: int = VIDEO_N_FRAMES) -> list:
+    """The md5-quadrant clip of a document: frame f is a 16x16
+    grayscale image of four constant 8x8 quadrants whose values are
+    md5(text) bytes 4f..4f+3. ONE definition shared by every operator
+    whose oracle recomputes this md5 math (mjpeg_avi_frame_dhash,
+    mjpeg_mp4_frame_dhash, codec_boundary_report) -- the engine/oracle
+    contract breaks silently if the layout ever diverges per copy."""
+    import numpy as np
+
+    dig = hashlib.md5(str(text or "").encode()).digest()
+    frames = []
+    for f in range(n_frames):
+        img = np.empty((IMG_SIDE, IMG_SIDE), dtype=np.uint8)
+        q = dig[4 * f : 4 * f + 4]
+        img[:8, :8] = q[0]
+        img[:8, 8:] = q[1]
+        img[8:, :8] = q[2]
+        img[8:, 8:] = q[3]
+        frames.append(img)
+    return frames
+
+
 def mjpeg_avi_frame_dhash(documents: DataFrame) -> DataFrame:
     """(doc_id, frame_idx, n_frames, dhash): per-frame perceptual hash
     of each doc's MJPEG-in-AVI clip through the REAL container + codec
     round trip. Scan-bound Arrow map work, no shuffle."""
-    import numpy as np
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -2607,17 +2655,7 @@ def mjpeg_avi_frame_dhash(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "n_frames": [], "dhash": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                dig = hashlib.md5(str(text or "").encode()).digest()
-                qframes = []
-                for f in range(VIDEO_N_FRAMES):
-                    img = np.empty((IMG_SIDE, IMG_SIDE), dtype=np.uint8)
-                    q = dig[4 * f : 4 * f + 4]
-                    img[:8, :8] = q[0]
-                    img[:8, 8:] = q[1]
-                    img[8:, :8] = q[2]
-                    img[8:, 8:] = q[3]
-                    qframes.append(img)
-                payload = encode_avi(qframes, codec="MJPG")
+                payload = encode_avi(_md5_quad_frames(text), codec="MJPG")
                 frames = sample_frames(payload)
                 for f, px in enumerate(frames):
                     out["doc_id"].append(doc_id)
@@ -2665,8 +2703,6 @@ def mjpeg_mp4_frame_dhash(documents: DataFrame) -> DataFrame:
     samples instead of RIFF -- the full stbl walk + baseline JPEG
     decode certified by the SAME md5-math oracle, because frame pixels
     are container-independent. Scan-bound Arrow map work, no shuffle."""
-    import numpy as np
-
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -2680,17 +2716,7 @@ def mjpeg_mp4_frame_dhash(documents: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "n_frames": [], "dhash": []}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                dig = hashlib.md5(str(text or "").encode()).digest()
-                qframes = []
-                for f in range(VIDEO_N_FRAMES):
-                    img = np.empty((IMG_SIDE, IMG_SIDE), dtype=np.uint8)
-                    q = dig[4 * f : 4 * f + 4]
-                    img[:8, :8] = q[0]
-                    img[:8, 8:] = q[1]
-                    img[8:, :8] = q[2]
-                    img[8:, 8:] = q[3]
-                    qframes.append(img)
-                payload = encode_mp4(qframes, codec="jpeg")
+                payload = encode_mp4(_md5_quad_frames(text), codec="jpeg")
                 frames = sample_frames(payload)
                 for f, px in enumerate(frames):
                     out["doc_id"].append(doc_id)
@@ -2787,8 +2813,6 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
     hash match proves the classifier calls every planted header
     correctly (counted, NOT decoded). One Arrow map pass + one
     map-side-combined groupBy(source)."""
-    import numpy as np
-
     from .jpeg import encode_jpeg
 
     schema = StructType(
@@ -2805,12 +2829,7 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
             for doc_id, source, text in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
-                dig = hashlib.md5(str(text or "").encode()).digest()
-                img = np.empty((IMG_SIDE, IMG_SIDE), dtype=np.uint8)
-                img[:8, :8] = dig[0]
-                img[:8, 8:] = dig[1]
-                img[8:, :8] = dig[2]
-                img[8:, 8:] = dig[3]
+                img = _md5_quad_frames(text, n_frames=1)[0]
                 payload = bytearray(encode_jpeg(img, restart_interval=1))
                 sof = payload.find(b"\xff\xc0")
                 mode = doc_id % 7

@@ -675,11 +675,17 @@ ORACLE_SQL["langid_scores_stream"] = _LID_SQL["langid_scores"]
 
 
 def stream_ingest_training_shards(
-    spark: SparkSession, sf_dir: str, work_dir: str
+    spark: SparkSession, sf_dir: str, work_dir: str, *,
+    source_dir: str | None = None,
 ) -> str:
     """Run (or resume) the streaming ingest -> shard pipeline under
     ``work_dir``; returns the committed shards directory. Idempotent:
-    re-entering after a crash in either leg finishes exactly one copy."""
+    re-entering after a crash in either leg finishes exactly one copy.
+    ``source_dir`` points the ingest at an arbitrary drop directory
+    instead of the sf documents table; a drop of raw HTML pages
+    (schema-detected by the ``html`` column) is extracted in the
+    stream, the same stage-0 projection as the epoch leg (VERDICT r9
+    ask #1's streaming leg)."""
     from ..operators.text_analysis import quality_keep_expr
     from ..sources.shard_writer import is_committed, write_training_shards
 
@@ -688,7 +694,11 @@ def stream_ingest_training_shards(
         return shards
     ingest = os.path.join(work_dir, "ingest")
     ckpt = os.path.join(work_dir, "ingest-ckpt")
-    kept = read_documents_stream(spark, sf_dir).filter(quality_keep_expr())
+    if source_dir is not None:
+        arriving = _arriving_stream(spark, source_dir)
+    else:
+        arriving = read_documents_stream(spark, sf_dir)
+    kept = arriving.filter(quality_keep_expr())
     query = (
         kept.writeStream.format("parquet")
         .option("path", ingest)
@@ -822,17 +832,52 @@ ORACLE_SQL["shard_ingest_stream"] = _shard_ingest_stream_sql()
 EPOCH_DEDUP_THRESHOLD = 0.7
 
 
-def _epoch_near_dup_drops(spark, prev_dirs: list, new_rows: DataFrame):
-    """doc_ids of ``new_rows`` with a confirmed (jaccard >=
-    {thr}) near-duplicate in ANY committed epoch's persisted band
-    index. Linear in the wave: the wave's signatures/shingles are
-    computed fresh, the corpus side is read from the committed index
-    parquet, candidates come from the (band, sig) equi-join, and only
-    candidates are exact-verified."""
+def _arriving_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File stream over a drop directory, with the ONE raw-page
+    detection rule both ingest legs share: a source whose schema
+    carries an ``html`` column is raw crawl pages and gets the
+    main-content extractor as a stateless projection (stage 0);
+    anything else is already-extracted documents."""
+    schema = spark.read.parquet(source_dir).schema
+    arriving = spark.readStream.schema(schema).parquet(source_dir)
+    if "html" in schema.fieldNames():
+        from ..operators.html_extract import extracted_documents_from
+
+        arriving = extracted_documents_from(arriving)
+    return arriving
+
+
+def _wave_signatures(new_rows: DataFrame) -> tuple:
+    """(bands, toks) of a wave -- band signatures (doc_id, band, sig)
+    and sorted shingle sets (doc_id, toks), computed ONCE per wave and
+    reused by both the dedup probe and the index write (the shingle +
+    md5 passes are the wave's dominant Python cost; recomputing them
+    per consumer would triple it)."""
     from pyspark.sql import functions as F
 
     from ..functions.text import distinct_word_shingles_arrow
     from ..operators import dedup
+
+    bands = dedup._band_signatures(dedup.minhash_signatures(new_rows))
+    toks = new_rows.select(
+        "doc_id",
+        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
+            "toks"
+        ),
+    )
+    return bands, toks
+
+
+def _epoch_near_dup_drops(
+    spark, prev_dirs: list, batch_bands: DataFrame, batch_toks: DataFrame
+):
+    """doc_ids of the wave with a confirmed (jaccard >= {thr})
+    near-duplicate in ANY committed epoch's persisted band index.
+    Linear in the wave: the wave's signatures/shingles arrive
+    precomputed, the corpus side is read from the committed index
+    parquet, candidates come from the (band, sig) equi-join, and only
+    candidates are exact-verified."""
+    from pyspark.sql import functions as F
 
     index_dirs = [
         d for d in prev_dirs
@@ -840,9 +885,6 @@ def _epoch_near_dup_drops(spark, prev_dirs: list, new_rows: DataFrame):
     ]
     if not index_dirs:
         return None
-    batch_bands = dedup._band_signatures(
-        dedup.minhash_signatures(new_rows)
-    ).select(F.col("doc_id").alias("batch_doc"), "band", "sig")
     corpus_bands = spark.read.parquet(
         *[os.path.join(d, "index", "bands") for d in index_dirs]
     ).select(
@@ -851,19 +893,16 @@ def _epoch_near_dup_drops(spark, prev_dirs: list, new_rows: DataFrame):
         F.col("sig").alias("sig_c"),
     )
     candidates = (
-        batch_bands.join(
+        batch_bands.select(
+            F.col("doc_id").alias("batch_doc"), "band", "sig"
+        )
+        .join(
             corpus_bands,
             (F.col("band") == F.col("band_c"))
             & (F.col("sig") == F.col("sig_c")),
         )
         .select("batch_doc", "corpus_doc")
         .distinct()
-    )
-    batch_toks = new_rows.select(
-        F.col("doc_id").alias("batch_doc"),
-        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
-            "toks_a"
-        ),
     )
     corpus_toks = spark.read.parquet(
         *[os.path.join(d, "index", "toks") for d in index_dirs]
@@ -872,7 +911,13 @@ def _epoch_near_dup_drops(spark, prev_dirs: list, new_rows: DataFrame):
         F.array_union("toks_a", "toks_b")
     )
     return (
-        candidates.join(batch_toks, "batch_doc")
+        candidates.join(
+            batch_toks.select(
+                F.col("doc_id").alias("batch_doc"),
+                F.col("toks").alias("toks_a"),
+            ),
+            "batch_doc",
+        )
         .join(corpus_toks, "corpus_doc")
         .filter(jac >= EPOCH_DEDUP_THRESHOLD)
         .select(F.col("batch_doc").alias("doc_id"))
@@ -885,24 +930,21 @@ _epoch_near_dup_drops.__doc__ = _epoch_near_dup_drops.__doc__.format(
 )
 
 
-def _write_epoch_index(staging: str, survivors: DataFrame) -> None:
+def _write_epoch_index(
+    staging: str, bands: DataFrame, toks: DataFrame, survivor_ids: DataFrame
+) -> None:
     """Persist the epoch's contribution to the cross-epoch dedup index
-    (band signatures + sorted shingle sets of the SURVIVORS) into the
-    staging dir -- committed atomically with the epoch rename."""
-    from pyspark.sql import functions as F
-
-    from ..functions.text import distinct_word_shingles_arrow
-    from ..operators import dedup
-
-    dedup._band_signatures(
-        dedup.minhash_signatures(survivors)
-    ).write.mode("overwrite").parquet(os.path.join(staging, "index", "bands"))
-    survivors.select(
-        "doc_id",
-        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
-            "toks"
-        ),
-    ).write.mode("overwrite").parquet(os.path.join(staging, "index", "toks"))
+    into the staging dir (committed atomically with the epoch rename):
+    the wave's PRECOMPUTED band signatures / shingle sets filtered to
+    the survivors -- signatures are a deterministic pure function of
+    the text, so filtering the wave relations equals recomputing from
+    the committed input, without a second shingle pass."""
+    bands.join(survivor_ids, "doc_id").write.mode("overwrite").parquet(
+        os.path.join(staging, "index", "bands")
+    )
+    toks.join(survivor_ids, "doc_id").write.mode("overwrite").parquet(
+        os.path.join(staging, "index", "toks")
+    )
 
 
 def stream_ingest_epoch(
@@ -939,15 +981,7 @@ def stream_ingest_epoch(
 
     ingest = os.path.join(work_dir, "ingest")
     ckpt = os.path.join(work_dir, "ingest-ckpt")
-    schema = spark.read.parquet(source_dir).schema
-    arriving = spark.readStream.schema(schema).parquet(source_dir)
-    if "html" in schema.fieldNames():
-        # raw crawl pages: main-content extraction as a stateless
-        # narrow projection inside the stream (stage 0 of the run)
-        from ..operators.html_extract import extracted_documents_from
-
-        arriving = extracted_documents_from(arriving)
-    kept = arriving.filter(quality_keep_expr())
+    kept = _arriving_stream(spark, source_dir).filter(quality_keep_expr())
     query = (
         kept.writeStream.format("parquet")
         .option("path", ingest)
@@ -975,6 +1009,10 @@ def stream_ingest_epoch(
     for d in prev_dirs:
         with open(os.path.join(d, "ingest_files.json")) as fh:
             consumed.update(json.load(fh))
+    for name in sorted(os.listdir(work_dir)):
+        if name.startswith("consumed-") and name.endswith(".json"):
+            with open(os.path.join(work_dir, name)) as fh:
+                consumed.update(json.load(fh))
     new_files = sorted(set(committed_files) - consumed)
     if not new_files:
         return None
@@ -984,21 +1022,48 @@ def stream_ingest_epoch(
     if new_rows.isEmpty():
         return None
     # cross-epoch near-dup check: wave N vs the committed index of
-    # waves 1..N-1 (VERDICT r9 ask #2)
-    drops = _epoch_near_dup_drops(spark, prev_dirs, new_rows)
-    survivors = (
-        new_rows if drops is None else new_rows.join(drops, "doc_id", "left_anti")
-    )
-    epoch_dir = os.path.join(work_dir, f"epoch-{len(prev_dirs):05d}")
-    staging = epoch_dir + ".staging"
-    survivors.write.mode("overwrite").parquet(os.path.join(staging, "input"))
-    # re-read the committed input so the index derives from the exact
-    # bytes later waves will see (and the plan is a plain scan)
-    committed_input = spark.read.parquet(os.path.join(staging, "input"))
-    _write_epoch_index(staging, committed_input)
-    with open(os.path.join(staging, "ingest_files.json"), "w") as fh:
-        json.dump(new_files, fh)
-    os.rename(staging, epoch_dir)  # atomic input + index + watermark commit
+    # waves 1..N-1 (VERDICT r9 ask #2). Signatures/shingles are
+    # computed ONCE per wave (persisted for the probe + index write).
+    bands, toks = _wave_signatures(new_rows)
+    bands = bands.persist()
+    toks = toks.persist()
+    try:
+        drops = _epoch_near_dup_drops(spark, prev_dirs, bands, toks)
+        survivors = (
+            new_rows
+            if drops is None
+            else new_rows.join(drops, "doc_id", "left_anti")
+        )
+        if survivors.isEmpty():
+            # the whole wave near-duplicated earlier epochs: no epoch
+            # dir (the ledger reports committed epochs only, matching
+            # the oracle's nonempty-wave numbering), but the watermark
+            # MUST advance or the files would be re-deduped forever --
+            # a tombstone records them as consumed (atomic tmp+rename;
+            # a crash before it just re-runs this dedup to the same
+            # empty result)
+            tomb = os.path.join(
+                work_dir, f"consumed-{len(new_files):08d}-{new_files[0]}.json"
+            )
+            tmp = tomb + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(new_files, fh)
+            os.replace(tmp, tomb)
+            return None
+        epoch_dir = os.path.join(work_dir, f"epoch-{len(prev_dirs):05d}")
+        staging = epoch_dir + ".staging"
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(staging, "input")
+        )
+        _write_epoch_index(
+            staging, bands, toks, survivors.select("doc_id")
+        )
+        with open(os.path.join(staging, "ingest_files.json"), "w") as fh:
+            json.dump(new_files, fh)
+        os.rename(staging, epoch_dir)  # atomic input+index+watermark commit
+    finally:
+        bands.unpersist()
+        toks.unpersist()
     write_training_shards(
         spark,
         spark.read.parquet(os.path.join(epoch_dir, "input")),

@@ -650,3 +650,118 @@ class TestWideLangid:
         for r in rows[:50]:
             assert 0.0 <= r["confidence"] <= 1.0
             assert r["margin_q6"] >= 0
+
+    def test_plain_ingest_leg_accepts_html_drop(self, spark, tmp_path):
+        """The non-epoch streaming leg also takes a raw-HTML drop
+        directory: extraction runs in the stream, and the committed
+        shards pack the quality-pass EXTRACTED documents."""
+        from map_reduce_framework_spark.operators.html_extract import (
+            synth_pages,
+        )
+        from map_reduce_framework_spark.sources.shard_writer import (
+            read_manifest,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_training_shards,
+        )
+
+        docs = _synthetic_docs(
+            spark, [(1, _BASE_TEXT), (2, "tiny")]  # doc 2 fails quality
+        )
+        source = str(tmp_path / "drop")
+        synth_pages(docs).coalesce(1).write.mode("append").parquet(source)
+        shards = stream_ingest_training_shards(
+            spark, "unused-sf-dir", str(tmp_path / "work"),
+            source_dir=source,
+        )
+        m = read_manifest(shards)
+        assert m["total_docs"] == 1  # doc 1 extracted + quality-pass
+
+    def test_zero_survivor_wave_tombstones_no_epoch(self, spark, tmp_path):
+        """A wave whose every doc near-duplicates earlier epochs
+        commits NO epoch dir (the ledger matches the oracle's
+        nonempty-wave numbering) but records its files as consumed in
+        an atomic tombstone -- the next genuinely-new wave takes the
+        next epoch number and the dropped files are never re-read."""
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_epoch,
+        )
+
+        source = str(tmp_path / "source")
+        work = str(tmp_path / "work")
+        _synthetic_docs(spark, [(1, _BASE_TEXT)]).coalesce(1).write.mode(
+            "append"
+        ).parquet(source)
+        assert stream_ingest_epoch(spark, source, work).endswith(
+            "epoch-00000"
+        )
+        # wave 2: ONLY a near-duplicate -> zero survivors
+        _synthetic_docs(
+            spark, [(11, _BASE_TEXT.replace("lazy dog", "lazy cat"))]
+        ).coalesce(1).write.mode("append").parquet(source)
+        assert stream_ingest_epoch(spark, source, work) is None
+        names = os.listdir(work)
+        assert not any(n == "epoch-00001" for n in names)
+        assert any(n.startswith("consumed-") for n in names)
+        # re-entry: nothing new, no reprocessing loop
+        assert stream_ingest_epoch(spark, source, work) is None
+        # wave 3: fresh content takes the NEXT number
+        _synthetic_docs(
+            spark,
+            [(21, "entirely new prose about vectorized execution and "
+                  "columnar readers that shares nothing with wave one "
+                  "except the english language itself today")],
+        ).coalesce(1).write.mode("append").parquet(source)
+        d = stream_ingest_epoch(spark, source, work)
+        assert d and d.endswith("epoch-00001")
+
+
+
+def _mp4_quad_frames(seed: bytes):
+    from map_reduce_framework_spark.operators.multimodal import (
+        _md5_quad_frames,
+    )
+
+    return _md5_quad_frames(seed.decode())
+
+
+class TestMp4Hardening:
+
+    def test_co64_offsets_decode_identically(self):
+        frames = _mp4_quad_frames(b"co64")
+        a = mm.sample_frames(mm.encode_mp4(frames, codec="jpeg"))
+        b = mm.decode_mp4_frames(
+            mm.encode_mp4(frames, codec="jpeg", use_co64=True)
+        )
+        assert b is not None and len(a) == len(b)
+        for fa, fb in zip(a, b):
+            assert np.array_equal(fa, fb)
+
+    def test_second_sample_description_is_the_boundary(self):
+        """stsc runs binding samples to a second sample description
+        must be REJECTED, not decoded with entry 1's codec."""
+        good = mm.encode_mp4(_mp4_quad_frames(b"sdi"), codec="jpeg")
+        buf = bytearray(good)
+        i = buf.find(b"stsc")
+        # first run's sample_description_index lives at +20 from the
+        # box type (type 4 + verflags 4 + entry_count 4 + fc 4 + spc 4)
+        assert int.from_bytes(buf[i + 20 : i + 24], "big") == 1
+        buf[i + 20 : i + 24] = (2).to_bytes(4, "big")
+        assert mm.decode_mp4_frames(bytes(buf)) is None
+
+    def test_truncated_stsz_header_rejected(self):
+        """A stsz box too short for its fixed header must not read the
+        next box's bytes as its own fields."""
+        good = mm.encode_mp4(_mp4_quad_frames(b"trunc"), codec="jpeg")
+        buf = bytearray(good)
+        i = buf.find(b"stsz")
+        # shrink the stsz box to header+verflags only (size 12) --
+        # remaining bytes become an unknown sibling box the walk skips
+        old_size = int.from_bytes(buf[i - 4 : i], "big")
+        buf[i - 4 : i] = (12).to_bytes(4, "big")
+        # give the leftover span a valid box header so the stbl walk
+        # itself stays well-formed
+        rest = old_size - 12
+        buf[i + 8 : i + 12] = rest.to_bytes(4, "big")
+        buf[i + 12 : i + 16] = b"free"
+        assert mm.decode_mp4_frames(bytes(buf)) is None

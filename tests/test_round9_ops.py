@@ -726,10 +726,12 @@ class TestEpochIngest:
 
         from map_reduce_framework_spark.streaming.ops import (
             _epoch_near_dup_drops,
+            _wave_signatures,
         )
 
         wave1 = kept.filter("doc_id % 2 = 1")
-        drops = _epoch_near_dup_drops(spark, [e0], wave1)
+        w_bands, w_toks = _wave_signatures(wave1)
+        drops = _epoch_near_dup_drops(spark, [e0], w_bands, w_toks)
         survivors = wave1.join(drops, "doc_id", "left_anti")
         assert m1["total_docs"] == survivors.count()
         batch_dir = str(tmp_path / "batch")
