@@ -930,6 +930,64 @@ _epoch_near_dup_drops.__doc__ = _epoch_near_dup_drops.__doc__.format(
 )
 
 
+def _intra_wave_drops(batch_bands: DataFrame, batch_toks: DataFrame):
+    """doc_ids dropped by the WITHIN-wave near-dup pass: a doc is
+    dropped iff it confirms (jaccard >= {thr}) against ANY lower
+    doc_id in the same wave -- the greedy keeper-is-min rule. For
+    cliques this equals dedup_clusters' component-min keeper; for
+    chains it drops every non-minimal member (conservative: a chain
+    doc that only transitively near-dups the keeper still goes --
+    duplicates are worse for training than a slightly smaller epoch).
+    Greedy over CC here because the rule is single-pass, needs no
+    iteration inside the ingest path, and is exactly expressible in
+    the ledger oracle's SQL."""
+    from pyspark.sql import functions as F
+
+    a = batch_bands.select(
+        F.col("doc_id").alias("lo"), "band", "sig"
+    )
+    b = batch_bands.select(
+        F.col("doc_id").alias("hi"),
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    candidates = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("sig") == F.col("sig_b"))
+            & (F.col("lo") < F.col("hi")),
+        )
+        .select("lo", "hi")
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        candidates.join(
+            batch_toks.select(
+                F.col("doc_id").alias("lo"), F.col("toks").alias("toks_a")
+            ),
+            "lo",
+        )
+        .join(
+            batch_toks.select(
+                F.col("doc_id").alias("hi"), F.col("toks").alias("toks_b")
+            ),
+            "hi",
+        )
+        .filter(jac >= EPOCH_DEDUP_THRESHOLD)
+        .select(F.col("hi").alias("doc_id"))
+        .distinct()
+    )
+
+
+_intra_wave_drops.__doc__ = _intra_wave_drops.__doc__.format(
+    thr=EPOCH_DEDUP_THRESHOLD
+)
+
+
 def _write_epoch_index(
     staging: str, bands: DataFrame, toks: DataFrame, survivor_ids: DataFrame
 ) -> None:
@@ -1028,12 +1086,14 @@ def stream_ingest_epoch(
     bands = bands.persist()
     toks = toks.persist()
     try:
-        drops = _epoch_near_dup_drops(spark, prev_dirs, bands, toks)
-        survivors = (
-            new_rows
-            if drops is None
-            else new_rows.join(drops, "doc_id", "left_anti")
+        # within-wave pass first (greedy keeper-is-min), then the
+        # cross-epoch probe -- both from the same persisted relations
+        survivors = new_rows.join(
+            _intra_wave_drops(bands, toks), "doc_id", "left_anti"
         )
+        drops = _epoch_near_dup_drops(spark, prev_dirs, bands, toks)
+        if drops is not None:
+            survivors = survivors.join(drops, "doc_id", "left_anti")
         if survivors.isEmpty():
             # the whole wave near-duplicated earlier epochs: no epoch
             # dir (the ledger reports committed epochs only, matching
@@ -1210,11 +1270,17 @@ def _shard_epoch_ledger_sql() -> str:
     from ..sources.shard_writer import SEQS_PER_SHARD
 
     ntok = "length(text) - length(regexp_replace(text, ' ', '', 'g')) + 1"
-    # wave 0 = even quality-pass extracted docs; wave 1 = odd
-    # quality-pass extracted docs MINUS confirmed near-dups of wave-0
-    # survivors (the committed band index IS wave 0's quality-pass set)
+    # wave 0 = even quality-pass extracted docs minus WITHIN-wave
+    # near-dups (greedy keeper-is-min); wave 1 = odd quality-pass
+    # extracted docs minus within-wave near-dups minus confirmed
+    # near-dups of wave-0 SURVIVORS (the committed band index holds
+    # survivors only)
     parts = []
-    for wave, extra in ((0, ""), (1, "AND d.doc_id NOT IN (SELECT doc_id FROM ep_drops)")):
+    for wave, extra in (
+        (0, "AND d.doc_id NOT IN (SELECT doc_id FROM ep_intra0)"),
+        (1, "AND d.doc_id NOT IN (SELECT doc_id FROM ep_intra1) "
+            "AND d.doc_id NOT IN (SELECT doc_id FROM ep_cross1)"),
+    ):
         packed = _packing_sql(ntok, from_rel=f"ep{wave}_docs")
         parts.append(f"""
     ep{wave}_docs AS (
@@ -1233,7 +1299,8 @@ def _shard_epoch_ledger_sql() -> str:
         FROM ep{wave}_packed
     )""")
     # epochs number the NONEMPTY waves in arrival order (an all-empty
-    # wave commits nothing engine-side, so it gets no epoch number)
+    # or all-deduped wave commits no epoch dir engine-side -- the
+    # tombstone advances the watermark -- so it gets no epoch number)
     return f"""
     WITH ep_pages AS (
         SELECT doc_id, {synth_html_expr()} AS html, lang, source
@@ -1244,24 +1311,38 @@ def _shard_epoch_ledger_sql() -> str:
         SELECT doc_id FROM ({_TA_SQL["quality_score"]}) WHERE keep
     ),{_MINHASH_CTE},
     ep_cand AS (
-        SELECT DISTINCT nb.doc_id AS batch_doc, cb.doc_id AS corpus_doc
-        FROM bands nb JOIN bands cb
-          ON nb.band = cb.band AND nb.sig = cb.sig
-        WHERE nb.doc_id % 2 = 1 AND cb.doc_id % 2 = 0
-          AND nb.doc_id IN (SELECT doc_id FROM ep_q)
-          AND cb.doc_id IN (SELECT doc_id FROM ep_q)
+        SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM ep_q)
+          AND b.doc_id IN (SELECT doc_id FROM ep_q)
     ),
     ep_tsets AS (
         SELECT doc_id, list_sort({_SH}) AS toks FROM documents
     ),
-    ep_drops AS (
-        SELECT DISTINCT batch_doc AS doc_id
+    ep_pairs AS (
+        SELECT lo, hi
         FROM ep_cand
-        JOIN ep_tsets ta ON ta.doc_id = batch_doc
-        JOIN ep_tsets tb ON tb.doc_id = corpus_doc
+        JOIN ep_tsets ta ON ta.doc_id = lo
+        JOIN ep_tsets tb ON tb.doc_id = hi
         WHERE len(list_intersect(ta.toks, tb.toks))
                  / len(list_distinct(list_concat(ta.toks, tb.toks)))
               >= {EPOCH_DEDUP_THRESHOLD}
+    ),
+    ep_intra0 AS (
+        SELECT DISTINCT hi AS doc_id FROM ep_pairs
+        WHERE lo % 2 = 0 AND hi % 2 = 0
+    ),
+    ep_intra1 AS (
+        SELECT DISTINCT hi AS doc_id FROM ep_pairs
+        WHERE lo % 2 = 1 AND hi % 2 = 1
+    ),
+    ep_cross1 AS (
+        SELECT DISTINCT CASE WHEN lo % 2 = 1 THEN lo ELSE hi END AS doc_id
+        FROM ep_pairs
+        WHERE (lo % 2) <> (hi % 2)
+          AND (CASE WHEN lo % 2 = 0 THEN lo ELSE hi END)
+              NOT IN (SELECT doc_id FROM ep_intra0)
     ),{",".join(parts)},
     ep_waves AS (
         SELECT * FROM ep0_row UNION ALL SELECT * FROM ep1_row

@@ -765,3 +765,40 @@ class TestMp4Hardening:
         buf[i + 8 : i + 12] = rest.to_bytes(4, "big")
         buf[i + 12 : i + 16] = b"free"
         assert mm.decode_mp4_frames(bytes(buf)) is None
+
+
+class TestIntraWaveDedup:
+    def test_within_wave_duplicate_dropped_keeper_kept(self, spark, tmp_path):
+        """A wave containing its own near-duplicate pair keeps the
+        lower doc_id (the dedup keeper convention) and drops the
+        higher -- BEFORE anything enters the epoch's committed index."""
+        from map_reduce_framework_spark.streaming.ops import (
+            stream_ingest_epoch,
+        )
+
+        source = str(tmp_path / "source")
+        work = str(tmp_path / "work")
+        wave = _synthetic_docs(
+            spark,
+            [
+                (5, _BASE_TEXT),
+                (9, _BASE_TEXT.replace("lazy dog", "lazy cat")),  # near-dup
+                (7, "distinct commentary on broadcast joins and the "
+                    "adaptive query execution planner choosing between "
+                    "shuffle strategies under observed skew statistics"),
+            ],
+        )
+        wave.coalesce(1).write.mode("append").parquet(source)
+        d0 = stream_ingest_epoch(spark, source, work)
+        kept = {
+            r["doc_id"]
+            for r in spark.read.parquet(os.path.join(d0, "input")).collect()
+        }
+        assert kept == {5, 7}, kept
+        idx = {
+            r["doc_id"]
+            for r in spark.read.parquet(
+                os.path.join(d0, "index", "toks")
+            ).collect()
+        }
+        assert idx == {5, 7}

@@ -719,25 +719,31 @@ class TestEpochIngest:
         m1 = read_manifest(os.path.join(e1, "shards"))
         docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
         kept = docs.join(_quality_pass_ids(docs), "doc_id")
-        assert m0["total_docs"] == kept.filter("doc_id % 2 = 0").count()
-        # round 10: wave 1 is near-dup-checked against wave 0's
-        # committed band index -- its epoch packs the SURVIVORS
-        from pyspark.sql import functions as F
-
+        # round 10: each wave dedups WITHIN itself (greedy keeper-is-
+        # min), and wave 1 is additionally checked against wave 0's
+        # committed band index -- each epoch packs the SURVIVORS
         from map_reduce_framework_spark.streaming.ops import (
             _epoch_near_dup_drops,
+            _intra_wave_drops,
             _wave_signatures,
         )
 
-        wave1 = kept.filter("doc_id % 2 = 1")
-        w_bands, w_toks = _wave_signatures(wave1)
-        drops = _epoch_near_dup_drops(spark, [e0], w_bands, w_toks)
-        survivors = wave1.join(drops, "doc_id", "left_anti")
-        assert m1["total_docs"] == survivors.count()
+        def wave_survivors(parity, prev):
+            wave = kept.filter(f"doc_id % 2 = {parity}")
+            b, t = _wave_signatures(wave)
+            surv = wave.join(_intra_wave_drops(b, t), "doc_id", "left_anti")
+            cross = _epoch_near_dup_drops(spark, prev, b, t)
+            if cross is not None:
+                surv = surv.join(cross, "doc_id", "left_anti")
+            return surv
+
+        surv0 = wave_survivors(0, [])
+        surv1 = wave_survivors(1, [e0])
+        assert m0["total_docs"] == surv0.count()
+        assert m1["total_docs"] == surv1.count()
         batch_dir = str(tmp_path / "batch")
         write_training_shards(
-            spark, kept.filter("doc_id % 2 = 0").unionByName(survivors),
-            batch_dir,
+            spark, surv0.unionByName(surv1), batch_dir
         )
         mb = read_manifest(batch_dir)
         assert m0["total_docs"] + m1["total_docs"] == mb["total_docs"]
