@@ -1613,6 +1613,14 @@ def q_shard_ingest_stream(spark, sf_dir):
 
 
 @register(
+    "shard_ingest_stream_html",
+    streaming_ops.ORACLE_SQL["shard_ingest_stream_html"],
+)
+def q_shard_ingest_stream_html(spark, sf_dir):
+    return streaming_ops.q_shard_ingest_stream_html(spark, sf_dir)
+
+
+@register(
     "shard_epoch_ledger",
     streaming_ops.ORACLE_SQL["shard_epoch_ledger"],
 )

@@ -804,6 +804,80 @@ def _shard_ingest_stream_sql() -> str:
 ORACLE_SQL["shard_ingest_stream"] = _shard_ingest_stream_sql()
 
 
+#: (sf_dir, fingerprint) -> scratch for the HTML-ingest twin below.
+_INGEST_HTML_SCRATCH: dict[tuple, str] = {}
+
+
+def q_shard_ingest_stream_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shard_ingest_stream's RAW-HTML twin (round 10): the drop
+    directory holds crawl pages; the ingest stream extracts main
+    content (stage 0) before the quality filter, and the committed
+    shard manifest is accounted exactly like the batch path. The
+    oracle shadows the documents view with the extraction chain and
+    re-derives the packing -- a sweep hash match proves
+    HTML -> extract -> quality -> pack -> shard-commit end to end in
+    ONE registered number."""
+    import tempfile
+
+    from ..operators.html_extract import synth_pages
+    from ..operators.langid import _table_fingerprint
+    from ..sources.io import load_table
+    from ..sources.shard_writer import read_manifest
+
+    key = (sf_dir, _table_fingerprint(sf_dir))
+    if key not in _INGEST_HTML_SCRATCH:
+        scratch = tempfile.mkdtemp(prefix="mrfs-html-shards-")
+        drop = os.path.join(scratch, "drop")
+        synth_pages(load_table(spark, sf_dir, "documents")).coalesce(
+            1
+        ).write.mode("append").parquet(drop)
+        _INGEST_HTML_SCRATCH[key] = scratch
+    scratch = _INGEST_HTML_SCRATCH[key]
+    shards = stream_ingest_training_shards(
+        spark,
+        sf_dir,
+        os.path.join(scratch, "work"),
+        source_dir=os.path.join(scratch, "drop"),
+    )
+    m = read_manifest(shards)
+    rows = [
+        (
+            s["lang"],
+            s["shard"],
+            s["shard_file"],
+            s["n_seqs"],
+            s["n_docs"],
+            s["n_tokens"],
+            s["within_budget"],
+        )
+        for s in m["shards"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, shard bigint, shard_file bigint, n_seqs bigint, "
+        "n_docs bigint, n_tokens bigint, within_budget boolean",
+    )
+
+
+def _shard_ingest_stream_html_sql() -> str:
+    from ..operators.html_extract import (
+        extracted_documents_sql,
+        synth_html_expr,
+    )
+
+    return f"""
+    WITH sih_pages AS (
+        SELECT doc_id, {synth_html_expr()} AS html, lang, source
+        FROM main.documents
+    ),
+    documents AS ({extracted_documents_sql('sih_pages')})
+    SELECT * FROM ({_shard_ingest_stream_sql()})
+    """
+
+
+ORACLE_SQL["shard_ingest_stream_html"] = _shard_ingest_stream_html_sql()
+
+
 # ---------------------------------------------------------------------------
 # EPOCHAL streaming ingest: the unbounded-corpus shape. A crawl drop
 # directory grows over time; each availableNow drain picks up ONLY the

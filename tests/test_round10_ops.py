@@ -802,3 +802,42 @@ class TestIntraWaveDedup:
             ).collect()
         }
         assert idx == {5, 7}
+
+
+def test_mp4_skips_non_video_traks():
+    """A real-world mp4 carries an audio trak (hdlr 'soun') before the
+    video trak; the walk must skip it and decode the video samples."""
+    frames = _mp4_quad_frames(b"multitrak")
+    good = mm.encode_mp4(frames, codec="jpeg")
+    want = mm.decode_mp4_frames(good)
+    assert want is not None
+
+    # splice a minimal audio trak (tkhd + mdia with a 'soun' hdlr)
+    # in FRONT of the video trak inside moov
+    soun_hdlr = mm._mp4_full_box(
+        b"hdlr", 0, 0, b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00"
+    )
+    audio_mdia = mm._mp4_box(b"mdia", soun_hdlr)
+    audio_trak = mm._mp4_box(b"trak", audio_mdia)
+    i = good.find(b"moov")
+    moov_size = int.from_bytes(good[i - 4 : i], "big")
+    body = good[i + 4 : i - 4 + moov_size]
+    # moov body = mvhd + trak; rebuild as mvhd + audio_trak + trak
+    mvhd_size = int.from_bytes(body[:4], "big")
+    new_moov = mm._mp4_box(
+        b"moov", body[:mvhd_size] + audio_trak + body[mvhd_size:]
+    )
+    # moov sits at the END of the writer's layout, so sample offsets
+    # into the preceding mdat are unchanged by the splice
+    patched = good[: i - 4] + new_moov
+    got = mm.decode_mp4_frames(patched)
+    assert got is not None and len(got) == len(want)
+    for a, b in zip(want, got):
+        assert np.array_equal(a, b)
+
+
+def test_shard_ingest_stream_html_oracle_parity(spark, sf_smoke):
+    from map_reduce_framework_spark.registry import REGISTRY
+
+    q = REGISTRY["shard_ingest_stream_html"]
+    compare_to_oracle(q.fn(spark, sf_smoke), duckdb_conn(sf_smoke), q.oracle)
