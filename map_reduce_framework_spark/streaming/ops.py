@@ -741,17 +741,12 @@ def _ingest_scratch(sf_dir: str) -> str:
     return _INGEST_SCRATCH[key]
 
 
-def q_shard_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The registered surface: per-shard-file accounting read back from
-    the manifest the STREAMING pipeline committed. The oracle is the
-    batch packing derivation over the quality-pass subset, so a sweep
-    hash match proves stream ingest == batch curation down to every
-    shard file's sequence/doc/token counts."""
+def _manifest_accounting_df(spark: SparkSession, shards: str) -> DataFrame:
+    """Per-shard-file accounting of a committed shard directory, read
+    back from its manifest -- the ONE schema both registered ingest
+    surfaces (documents drop + raw-HTML drop) return."""
     from ..sources.shard_writer import read_manifest
 
-    shards = stream_ingest_training_shards(
-        spark, sf_dir, _ingest_scratch(sf_dir)
-    )
     m = read_manifest(shards)
     rows = [
         (
@@ -770,6 +765,18 @@ def q_shard_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, shard bigint, shard_file bigint, n_seqs bigint, "
         "n_docs bigint, n_tokens bigint, within_budget boolean",
     )
+
+
+def q_shard_ingest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The registered surface: per-shard-file accounting read back from
+    the manifest the STREAMING pipeline committed. The oracle is the
+    batch packing derivation over the quality-pass subset, so a sweep
+    hash match proves stream ingest == batch curation down to every
+    shard file's sequence/doc/token counts."""
+    shards = stream_ingest_training_shards(
+        spark, sf_dir, _ingest_scratch(sf_dir)
+    )
+    return _manifest_accounting_df(spark, shards)
 
 
 def _shard_ingest_stream_sql() -> str:
@@ -822,7 +829,6 @@ def q_shard_ingest_stream_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html_extract import synth_pages
     from ..operators.langid import _table_fingerprint
     from ..sources.io import load_table
-    from ..sources.shard_writer import read_manifest
 
     key = (sf_dir, _table_fingerprint(sf_dir))
     if key not in _INGEST_HTML_SCRATCH:
@@ -839,24 +845,7 @@ def q_shard_ingest_stream_html(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(scratch, "work"),
         source_dir=os.path.join(scratch, "drop"),
     )
-    m = read_manifest(shards)
-    rows = [
-        (
-            s["lang"],
-            s["shard"],
-            s["shard_file"],
-            s["n_seqs"],
-            s["n_docs"],
-            s["n_tokens"],
-            s["within_budget"],
-        )
-        for s in m["shards"]
-    ]
-    return spark.createDataFrame(
-        rows,
-        "lang string, shard bigint, shard_file bigint, n_seqs bigint, "
-        "n_docs bigint, n_tokens bigint, within_budget boolean",
-    )
+    return _manifest_accounting_df(spark, shards)
 
 
 def _shard_ingest_stream_html_sql() -> str:
@@ -980,28 +969,52 @@ def _epoch_near_dup_drops(
     )
     corpus_toks = spark.read.parquet(
         *[os.path.join(d, "index", "toks") for d in index_dirs]
-    ).select(F.col("doc_id").alias("corpus_doc"), F.col("toks").alias("toks_b"))
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
-    return (
-        candidates.join(
-            batch_toks.select(
-                F.col("doc_id").alias("batch_doc"),
-                F.col("toks").alias("toks_a"),
-            ),
-            "batch_doc",
-        )
-        .join(corpus_toks, "corpus_doc")
-        .filter(jac >= EPOCH_DEDUP_THRESHOLD)
-        .select(F.col("batch_doc").alias("doc_id"))
-        .distinct()
+    ).select(F.col("doc_id").alias("corpus_doc"), "toks")
+    return _confirm_candidates(
+        candidates, batch_toks, corpus_toks, "batch_doc", "corpus_doc"
     )
 
 
 _epoch_near_dup_drops.__doc__ = _epoch_near_dup_drops.__doc__.format(
     thr=EPOCH_DEDUP_THRESHOLD
 )
+
+
+def _confirm_candidates(
+    candidates: DataFrame,
+    drop_toks: DataFrame,
+    keep_toks: DataFrame,
+    drop_key: str,
+    keep_key: str,
+) -> DataFrame:
+    """The ONE exact-verify rule both dedup passes share: jaccard of
+    the sorted shingle sets >= EPOCH_DEDUP_THRESHOLD confirms a
+    (band, sig) candidate pair; returns the DISTINCT ``drop_key``-side
+    doc_ids. ``drop_toks`` is keyed (doc_id -> drop_key via rename
+    here); ``keep_toks`` must already carry (keep_key, toks)."""
+    from pyspark.sql import functions as F
+
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        candidates.join(
+            drop_toks.select(
+                F.col("doc_id").alias(drop_key),
+                F.col("toks").alias("toks_a"),
+            ),
+            drop_key,
+        )
+        .join(
+            keep_toks.select(
+                keep_key, F.col("toks").alias("toks_b")
+            ),
+            keep_key,
+        )
+        .filter(jac >= EPOCH_DEDUP_THRESHOLD)
+        .select(F.col(drop_key).alias("doc_id"))
+        .distinct()
+    )
 
 
 def _intra_wave_drops(batch_bands: DataFrame, batch_toks: DataFrame):
@@ -1035,25 +1048,12 @@ def _intra_wave_drops(batch_bands: DataFrame, batch_toks: DataFrame):
         .select("lo", "hi")
         .distinct()
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
-    return (
-        candidates.join(
-            batch_toks.select(
-                F.col("doc_id").alias("lo"), F.col("toks").alias("toks_a")
-            ),
-            "lo",
-        )
-        .join(
-            batch_toks.select(
-                F.col("doc_id").alias("hi"), F.col("toks").alias("toks_b")
-            ),
-            "hi",
-        )
-        .filter(jac >= EPOCH_DEDUP_THRESHOLD)
-        .select(F.col("hi").alias("doc_id"))
-        .distinct()
+    return _confirm_candidates(
+        candidates,
+        batch_toks,
+        batch_toks.select(F.col("doc_id").alias("lo"), "toks"),
+        "hi",
+        "lo",
     )
 
 
@@ -1159,15 +1159,26 @@ def stream_ingest_epoch(
     bands, toks = _wave_signatures(new_rows)
     bands = bands.persist()
     toks = toks.persist()
+    survivors = None
     try:
-        # within-wave pass first (greedy keeper-is-min), then the
-        # cross-epoch probe -- both from the same persisted relations
-        survivors = new_rows.join(
-            _intra_wave_drops(bands, toks), "doc_id", "left_anti"
+        # within-wave pass first (greedy keeper-is-min); the
+        # cross-epoch probe then runs over the INTRA SURVIVORS only
+        # (an intra-dropped copy can never be a survivor, so probing
+        # it against the index is wasted join + jaccard work)
+        intra = _intra_wave_drops(bands, toks)
+        surv_bands = bands.join(intra, "doc_id", "left_anti")
+        surv_toks = toks.join(intra, "doc_id", "left_anti")
+        survivors = new_rows.join(intra, "doc_id", "left_anti")
+        drops = _epoch_near_dup_drops(
+            spark, prev_dirs, surv_bands, surv_toks
         )
-        drops = _epoch_near_dup_drops(spark, prev_dirs, bands, toks)
         if drops is not None:
             survivors = survivors.join(drops, "doc_id", "left_anti")
+        # persist: the survivor lineage (two anti-joins over the dedup
+        # joins) is consumed up to four times below (isEmpty, input
+        # write, two index writes) -- without the pin each action
+        # would re-execute the joins
+        survivors = survivors.persist()
         if survivors.isEmpty():
             # the whole wave near-duplicated earlier epochs: no epoch
             # dir (the ledger reports committed epochs only, matching
@@ -1198,6 +1209,8 @@ def stream_ingest_epoch(
     finally:
         bands.unpersist()
         toks.unpersist()
+        if survivors is not None:
+            survivors.unpersist()
     write_training_shards(
         spark,
         spark.read.parquet(os.path.join(epoch_dir, "input")),

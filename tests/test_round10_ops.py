@@ -819,7 +819,9 @@ def test_mp4_skips_non_video_traks():
     )
     audio_mdia = mm._mp4_box(b"mdia", soun_hdlr)
     audio_trak = mm._mp4_box(b"trak", audio_mdia)
-    i = good.find(b"moov")
+    # rfind: moov follows mdat in the writer's layout, and a spurious
+    # 'moov' byte sequence could occur inside compressed sample data
+    i = good.rfind(b"moov")
     moov_size = int.from_bytes(good[i - 4 : i], "big")
     body = good[i + 4 : i - 4 + moov_size]
     # moov body = mvhd + trak; rebuild as mvhd + audio_trak + trak
