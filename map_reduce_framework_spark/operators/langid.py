@@ -731,7 +731,15 @@ def _lid_plan_from_rel(rel: DataFrame) -> DataFrame:
     sum_wq = sum(wq.values())
     rows = []
     for lang in sorted(avail):
-        alloc = (grand_tokens // 2) * wq[lang] // sum_wq
+        # DuckDB `x // 0` / `x % 0` yield NULL -- degrade the same way
+        # on zero-weight or zero-token strata instead of raising
+        # ZeroDivisionError (ADVICE r10 #1): NULL alloc when sum_wq==0,
+        # NULL epochs/remainder when avail_tokens==0, and NULL
+        # propagates through both like the oracle's expression form.
+        alloc = (
+            (grand_tokens // 2) * wq[lang] // sum_wq if sum_wq else None
+        )
+        divisible = alloc is not None and avail[lang] != 0
         rows.append(
             (
                 lang,
@@ -739,8 +747,8 @@ def _lid_plan_from_rel(rel: DataFrame) -> DataFrame:
                 n_docs[lang],
                 avail[lang],
                 alloc,
-                alloc // avail[lang],
-                alloc % avail[lang],
+                alloc // avail[lang] if divisible else None,
+                alloc % avail[lang] if divisible else None,
             )
         )
     return rel.sparkSession.createDataFrame(

@@ -21,11 +21,15 @@ plumbing that scales in DIM instead of exploding in columns:
   per-batch gram memo -- O(n_grams + DIM) per doc, not O(n_grams*DIM)
   like the per-bucket FILTER scan;
 * each training iteration is ONE ``mapInPandas`` pass emitting
-  per-partition integer gradient PARTIAL SUMS (numpy int64 matmul --
-  exact: |(pq-y)*xq| <= 1e12, far under int64) plus quantized NLL
-  sums; the driver combines <= n_partitions x |langs| partials with
-  exact Python-int arithmetic -- the map-side-combine shape, with the
-  collect bounded by MODEL size (|langs| x (DIM+1) ints), never data;
+  per-partition integer gradient PARTIAL SUMS -- int64 matmuls over
+  bounded chunks (``_MM_CHUNK`` rows, each chunk partial <= ~6.6e16,
+  exact by construction) summed into Python-int accumulators that
+  cannot wrap, flushed every ``_FLUSH_ROWS`` rows so every emitted
+  LongType partial is provably < 2^63 on partitions of ANY size
+  (ADVICE r10 #2) -- plus quantized NLL sums; the driver combines
+  the bounded partial row-groups with exact Python-int arithmetic --
+  the map-side-combine shape, with the collect bounded by MODEL size
+  (|langs| x (DIM+1) ints per group), never data;
 * the nonlinearities go through CPython ``math.exp`` / ``math.log``
   row-at-a-time on the partial-sum path (a few thousand calls per
   iteration) so the quantized trajectory is reproducible bit-for-bit
@@ -141,6 +145,17 @@ def wide_features(
     )
 
 
+#: Rows per int64 matmul chunk: chunk partial <= _MM_CHUNK * 1e12
+#: ~ 6.6e16, three orders of magnitude under 2^63 -- the matmul is
+#: exact, overflow structurally impossible (ADVICE r10 #2).
+_MM_CHUNK = 65536
+
+#: Rows per emitted partial row-group: every LongType gradient value
+#: leaving the executor is < _FLUSH_ROWS * 1e12 = 4e18 < 2^63, so a
+#: partition of ANY size stays exact -- it just emits more groups.
+_FLUSH_ROWS = 4_000_000
+
+
 def _pq_from_dot(dot: int) -> int:
     """Quantized sigmoid under integer weights -- the narrow trainer's
     exact rule (z = dot/1e12 in double, pq = floor(1e6/(1+exp(-z)) +
@@ -191,14 +206,32 @@ def wide_train_trace(
             }
 
             def run(batches, _w=w_mat):
-                # accumulate the WHOLE partition into one partial row
-                # per class -- map-side combine, Python only touches
-                # |langs| x (dim+1) ints per partition
-                grads = {
-                    l: np.zeros(dim + 1, dtype=np.int64) for l in LID_LANGS
-                }
+                # Map-side combine with EXACT integer accumulation
+                # (ADVICE r10 #2): per-row terms |(pq-y)*xq| <= 1e12
+                # bound a single row only -- a partition beyond ~9.2M
+                # rows would silently wrap an int64 accumulator. So:
+                # each int64 matmul covers <= _MM_CHUNK rows (bounded
+                # exact: _MM_CHUNK * 1e12 << 2^63), chunk partials sum
+                # into PYTHON-INT accumulators (arbitrary precision,
+                # never wrap), and the partial row-set is flushed every
+                # _FLUSH_ROWS rows so every emitted LongType value is
+                # provably < _FLUSH_ROWS * 1e12 < 2^63. The driver sums
+                # across row-groups exactly as across partitions --
+                # integer sums are associative, trajectory unchanged.
+                grads = {l: [0] * (dim + 1) for l in LID_LANGS}
                 nlls = {l: 0 for l in LID_LANGS}
                 n = 0
+
+                def emit():
+                    return pd.DataFrame(
+                        {
+                            "lang": list(LID_LANGS),
+                            "grad": [list(grads[l]) for l in LID_LANGS],
+                            "nll": [nlls[l] for l in LID_LANGS],
+                            "n": [n] * len(LID_LANGS),
+                        }
+                    )
+
                 for pdf in batches:
                     if not len(pdf):
                         continue
@@ -208,30 +241,34 @@ def wide_train_trace(
                     labels = list(pdf["lang"])
                     n += len(labels)
                     for l in LID_LANGS:
-                        dots = X @ _w[l]
-                        pqs = np.fromiter(
-                            (_pq_from_dot(int(d)) for d in dots),
-                            dtype=np.int64,
-                            count=len(dots),
-                        )
-                        ys = np.fromiter(
-                            ((_S if lab == l else 0) for lab in labels),
-                            dtype=np.int64,
-                            count=len(labels),
-                        )
-                        grads[l] += (pqs - ys) @ X
-                        nlls[l] += sum(
-                            _nll_q(int(pq), lab == l)
-                            for pq, lab in zip(pqs, labels)
-                        )
-                yield pd.DataFrame(
-                    {
-                        "lang": list(LID_LANGS),
-                        "grad": [grads[l].tolist() for l in LID_LANGS],
-                        "nll": [nlls[l] for l in LID_LANGS],
-                        "n": [n] * len(LID_LANGS),
-                    }
-                )
+                        gl = grads[l]
+                        for s in range(0, len(X), _MM_CHUNK):
+                            Xc = X[s : s + _MM_CHUNK]
+                            labc = labels[s : s + _MM_CHUNK]
+                            dots = Xc @ _w[l]
+                            pqs = np.fromiter(
+                                (_pq_from_dot(int(d)) for d in dots),
+                                dtype=np.int64,
+                                count=len(dots),
+                            )
+                            ys = np.fromiter(
+                                ((_S if lab == l else 0) for lab in labc),
+                                dtype=np.int64,
+                                count=len(labc),
+                            )
+                            part = (pqs - ys) @ Xc
+                            for j, v in enumerate(part):
+                                gl[j] += int(v)
+                            nlls[l] += sum(
+                                _nll_q(int(pq), lab == l)
+                                for pq, lab in zip(pqs, labc)
+                            )
+                    if n >= _FLUSH_ROWS:
+                        yield emit()
+                        grads = {l: [0] * (dim + 1) for l in LID_LANGS}
+                        nlls = {l: 0 for l in LID_LANGS}
+                        n = 0
+                yield emit()
 
             partials = feats.mapInPandas(run, schema=part_schema).collect()
             n = sum(r["n"] for r in partials) // max(len(LID_LANGS), 1)

@@ -2801,6 +2801,39 @@ def jpeg_codec_class(payload: bytes) -> str | None:
 CODEC_REJECTED_CLASSES = ("arithmetic", "twelve_bit", "other")
 
 
+def _jpeg_sof0_offset(payload) -> int:
+    """Offset of the 0xFF byte of the first SOF0 segment, located by a
+    proper marker walk (ADVICE r10 #3: a raw ``find(b'\\xff\\xc0')``
+    can hit a coincidental FF C0 pair inside an earlier DQT/DHT table,
+    and an unchecked -1 would rewrite the SOI). Raises ValueError when
+    the stream has no SOF0 -- never a silent wrong offset."""
+    n = len(payload)
+    if n < 4 or bytes(payload[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG marker stream")
+    i = 2
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError("JPEG marker walk desynced")
+        marker = payload[i + 1]
+        if marker == 0xFF:
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no SOF0 seen
+            break
+        if marker == 0xC0:
+            return i
+        if i + 4 > n:
+            break
+        seg_len = int.from_bytes(bytes(payload[i + 2 : i + 4]), "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            break
+        i += 2 + seg_len
+    raise ValueError("no SOF0 segment in JPEG stream")
+
+
 def codec_boundary_report(documents: DataFrame) -> DataFrame:
     """(source, n_images, n_baseline, n_arithmetic, n_twelve_bit,
     n_codec_rejected): per-corpus codec-boundary accounting over a
@@ -2831,7 +2864,7 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
             ):
                 img = _md5_quad_frames(text, n_frames=1)[0]
                 payload = bytearray(encode_jpeg(img, restart_interval=1))
-                sof = payload.find(b"\xff\xc0")
+                sof = _jpeg_sof0_offset(payload)
                 mode = doc_id % 7
                 if mode == 3:
                     payload[sof + 1] = 0xC9  # plant: arithmetic-coded

@@ -895,15 +895,27 @@ ORACLE_SQL["shard_ingest_stream_html"] = _shard_ingest_stream_html_sql()
 EPOCH_DEDUP_THRESHOLD = 0.7
 
 
-def _arriving_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def _arriving_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    is_raw_pages: bool | None = None,
+) -> DataFrame:
     """File stream over a drop directory, with the ONE raw-page
-    detection rule both ingest legs share: a source whose schema
-    carries an ``html`` column is raw crawl pages and gets the
-    main-content extractor as a stateless projection (stage 0);
-    anything else is already-extracted documents."""
+    detection rule both ingest legs share: a source is raw crawl pages
+    -- and gets the main-content extractor as a stateless projection
+    (stage 0) -- only when its schema carries an ``html`` column AND
+    no ``text`` column (ADVICE r10 #4: an already-extracted documents
+    drop that happens to also carry html must NOT be silently
+    re-extracted over its text). Callers that know the answer pass
+    ``is_raw_pages`` explicitly; schema detection is only the
+    default."""
     schema = spark.read.parquet(source_dir).schema
     arriving = spark.readStream.schema(schema).parquet(source_dir)
-    if "html" in schema.fieldNames():
+    if is_raw_pages is None:
+        names = schema.fieldNames()
+        is_raw_pages = "html" in names and "text" not in names
+    if is_raw_pages:
         from ..operators.html_extract import extracted_documents_from
 
         arriving = extracted_documents_from(arriving)
