@@ -1,14 +1,17 @@
 """Measure per-wave cost of the epochal ingest with cross-epoch dedup
-(VERDICT r9 ask #2's "per-wave cost measured bounded by wave size").
+across ~30 waves, WITH vs WITHOUT size-tiered index compaction
+(VERDICT r10 ask #1).
 
 Drops W equal-size waves of documents into a growing source directory
-and runs stream_ingest_epoch after each drop. If the dedup probe were
-rescanning the corpus, wave-wall would grow ~linearly with the
-accumulated index; because the wave computes only ITS OWN signatures
-and probes the persisted index with a banded equi-join, the wall
-should stay ~flat (the index side is a parquet scan that grows, but
-at these sizes it is noise -- the assertion is "no blow-up", recorded
-as the growth factor of the last wave over the first).
+and runs stream_ingest_epoch after each drop, twice: once with the
+production EPOCH_INDEX_FANOUT (tiered merges bound the probe's read
+set to ~fanout x log_fanout(epochs) parquet dirs) and once with
+compaction disabled (fanout = 10^9: one index dir pair accretes per
+epoch forever -- the classic streaming small-files failure mode).
+Recorded per wave: wall seconds and the NUMBER OF INDEX DIRS the
+probe reads (the listing/footer-overhead driver at thousands of
+epochs; at 30 waves the wall difference is mostly noise, the dir
+count is the scale signal).
 
 Usage: python experiments/epoch_dedup_cost.py
 Writes experiments/epoch_dedup_cost.json.
@@ -24,7 +27,46 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-WAVES = 6
+WAVES = 30
+
+
+def run_mode(spark, docs, fanout: int) -> list[dict]:
+    import map_reduce_framework_spark.streaming.ops as ops
+
+    scratch = tempfile.mkdtemp(prefix=f"epoch-cost-f{fanout}-")
+    source = os.path.join(scratch, "source")
+    work = os.path.join(scratch, "work")
+    old = ops.EPOCH_INDEX_FANOUT
+    waves = []
+    try:
+        ops.EPOCH_INDEX_FANOUT = fanout
+        for wv in range(WAVES):
+            docs.filter(f"doc_id % {WAVES} = {wv}").coalesce(1).write.mode(
+                "append"
+            ).parquet(source)
+            t0 = time.perf_counter()
+            d = ops.stream_ingest_epoch(spark, source, work)
+            wall = round(time.perf_counter() - t0, 3)
+            n_in = (
+                spark.read.parquet(os.path.join(d, "input")).count()
+                if d
+                else 0
+            )
+            n_units = len(
+                ops._live_index_units(work, ops._committed_epoch_dirs(work))
+            )
+            waves.append(
+                {
+                    "wave": wv,
+                    "wall_sec": wall,
+                    "n_docs_committed": n_in,
+                    "index_dirs_live": n_units,
+                }
+            )
+            print(fanout, waves[-1], flush=True)
+    finally:
+        ops.EPOCH_INDEX_FANOUT = old
+    return waves
 
 
 def main() -> None:
@@ -43,39 +85,37 @@ def main() -> None:
     docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     n = docs.count()
 
-    from map_reduce_framework_spark.streaming.ops import stream_ingest_epoch
+    import map_reduce_framework_spark.streaming.ops as ops
 
-    scratch = tempfile.mkdtemp(prefix="epoch-cost-")
-    source = os.path.join(scratch, "source")
-    work = os.path.join(scratch, "work")
     # warmup (Arrow workers + streaming machinery) on a throwaway dir
     warm = tempfile.mkdtemp(prefix="epoch-warm-")
     docs.limit(50).coalesce(1).write.mode("append").parquet(
         os.path.join(warm, "src")
     )
-    stream_ingest_epoch(spark, os.path.join(warm, "src"), os.path.join(warm, "w"))
+    ops.stream_ingest_epoch(
+        spark, os.path.join(warm, "src"), os.path.join(warm, "w")
+    )
 
-    waves = []
-    for wv in range(WAVES):
-        docs.filter(f"doc_id % {WAVES} = {wv}").coalesce(1).write.mode(
-            "append"
-        ).parquet(source)
-        t0 = time.perf_counter()
-        d = stream_ingest_epoch(spark, source, work)
-        wall = round(time.perf_counter() - t0, 3)
-        n_in = (
-            spark.read.parquet(os.path.join(d, "input")).count() if d else 0
-        )
-        waves.append({"wave": wv, "wall_sec": wall, "n_docs_committed": n_in})
-        print(waves[-1], flush=True)
+    compacted = run_mode(spark, docs, ops.EPOCH_INDEX_FANOUT)
+    uncompacted = run_mode(spark, docs, 10**9)
+
+    def tail_mean(waves, k=5):
+        return round(sum(w["wall_sec"] for w in waves[-k:]) / k, 3)
 
     out = {
         "sf": 0.1,
         "total_docs": n,
-        "waves": waves,
-        "last_over_first": round(
-            waves[-1]["wall_sec"] / waves[0]["wall_sec"], 2
+        "n_waves": WAVES,
+        "fanout": ops.EPOCH_INDEX_FANOUT,
+        "compacted": compacted,
+        "uncompacted": uncompacted,
+        "compacted_last_over_first": round(
+            compacted[-1]["wall_sec"] / compacted[0]["wall_sec"], 2
         ),
+        "compacted_tail_mean_sec": tail_mean(compacted),
+        "uncompacted_tail_mean_sec": tail_mean(uncompacted),
+        "compacted_final_index_dirs": compacted[-1]["index_dirs_live"],
+        "uncompacted_final_index_dirs": uncompacted[-1]["index_dirs_live"],
     }
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "epoch_dedup_cost.json"

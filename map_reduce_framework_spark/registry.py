@@ -1873,6 +1873,14 @@ def q_codec_boundary_report(spark, sf_dir):
 
 
 @register(
+    "media_boundary_report",
+    multimodal.ORACLE_SQL["media_boundary_report"],
+)
+def q_media_boundary_report(spark, sf_dir):
+    return multimodal.media_boundary_report(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "jpeg_progressive_roundtrip",
     multimodal.ORACLE_SQL["jpeg_progressive_roundtrip"],
 )

@@ -1,0 +1,463 @@
+"""Round-11 additions: the four r10 ADVICE fixes under test, and the
+size-tiered compaction of the cross-epoch dedup index (VERDICT r10
+ask #1 -- dedup equivalence, torn-compaction convergence, bounded
+probe read set).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #1: zero-token / zero-weight strata degrade to NULL like
+# the oracle's `// 0`, never ZeroDivisionError
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_plan_zero_stratum_degrades_to_null(spark):
+    from map_reduce_framework_spark.operators.langid import (
+        _lid_plan_from_rel,
+    )
+
+    rel = spark.createDataFrame(
+        [(1, "en", 0, 0, 0)],
+        "doc_id long, pred_lang string, n_tokens long, h long, b long",
+    )
+    rows = _lid_plan_from_rel(rel).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # avail_tokens == 0 -> weight_q quantizes to 0 -> sum_wq == 0:
+    # every division in the plan is the oracle's NULL, not a crash
+    assert r["avail_tokens"] == 0 and r["weight_q"] == 0
+    assert r["alloc_tokens"] is None
+    assert r["full_epochs"] is None
+    assert r["remainder_tokens"] is None
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #2: the wide-langid trainer is exact under ANY partition
+# size -- chunked int64 matmuls + Python-int accumulators + flushed
+# partial row-groups produce the identical trajectory
+# ---------------------------------------------------------------------------
+
+
+def test_wide_trainer_invariant_under_chunk_and_flush(spark, sf_smoke):
+    import map_reduce_framework_spark.operators.langid_wide as LW
+    from map_reduce_framework_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    base_rows, base_w = LW.wide_train_trace(docs, iters=2, dim=16)
+    # degenerate chunk/flush sizes force many chunks per batch and
+    # many emitted partial row-groups per partition; integer sums are
+    # associative, so the committed trajectory must not move by a bit
+    old_chunk, old_flush = LW._MM_CHUNK, LW._FLUSH_ROWS
+    try:
+        LW._MM_CHUNK, LW._FLUSH_ROWS = 3, 7
+        chunked_rows, chunked_w = LW.wide_train_trace(docs, iters=2, dim=16)
+    finally:
+        LW._MM_CHUNK, LW._FLUSH_ROWS = old_chunk, old_flush
+    assert chunked_rows == base_rows
+    assert chunked_w == base_w
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #3: SOF0 located by marker walk, decoy FF C0 bytes inside
+# an earlier segment cannot be rewritten
+# ---------------------------------------------------------------------------
+
+
+class TestSof0Walk:
+    def _stream_with_decoy(self) -> bytes:
+        # SOI | COM segment whose PAYLOAD contains a literal FF C0 |
+        # real SOF0 | EOI -- a raw find() hits the decoy at offset 6
+        com = b"\xff\xfe" + (4).to_bytes(2, "big") + b"\xff\xc0"
+        sof0 = (
+            b"\xff\xc0"
+            + (11).to_bytes(2, "big")
+            + bytes([8])  # precision
+            + (1).to_bytes(2, "big")  # height
+            + (1).to_bytes(2, "big")  # width
+            + bytes([1, 1, 0x11, 0])  # 1 component
+        )
+        return b"\xff\xd8" + com + sof0 + b"\xff\xd9"
+
+    def test_walk_skips_decoy_inside_segment(self):
+        from map_reduce_framework_spark.operators.multimodal import (
+            _jpeg_sof0_offset,
+        )
+
+        payload = self._stream_with_decoy()
+        decoy = payload.find(b"\xff\xc0")
+        real = _jpeg_sof0_offset(payload)
+        assert decoy < real  # find() WOULD have matched the decoy
+        assert payload[real : real + 2] == b"\xff\xc0"
+        assert payload[real + 4] == 8  # precision byte of the real SOF0
+
+    def test_missing_sof0_raises_not_minus_one(self):
+        from map_reduce_framework_spark.operators.multimodal import (
+            _jpeg_sof0_offset,
+        )
+
+        with pytest.raises(ValueError):
+            _jpeg_sof0_offset(b"\xff\xd8\xff\xd9")
+
+    def test_boundary_report_still_plants_correctly(self):
+        from map_reduce_framework_spark.operators.jpeg import encode_jpeg
+        from map_reduce_framework_spark.operators.multimodal import (
+            _jpeg_sof0_offset,
+            jpeg_codec_class,
+        )
+
+        img = [[(x * 7 + y * 13) % 256 for x in range(16)] for y in range(16)]
+        payload = bytearray(encode_jpeg(img, restart_interval=1))
+        sof = _jpeg_sof0_offset(payload)
+        payload[sof + 1] = 0xC9
+        assert jpeg_codec_class(bytes(payload)) == "arithmetic"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r10 #4: an already-extracted drop that ALSO carries an html
+# column must not be silently re-extracted
+# ---------------------------------------------------------------------------
+
+
+_BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while many other "
+    "animals watch the field from a distance and wonder about the "
+    "strange daily routine of the energetic fox"
+)
+
+#: one-word spots of _BASE_TEXT a planted near-dup may rewrite: a
+#: single substitution in a 30-word text flips <= 3 of ~28 3-word
+#: shingles -- jaccard ~ 0.8, comfortably over the 0.7 threshold
+_SPOTS = ("quick", "lazy", "field", "distance", "daily", "energetic")
+
+
+def _wave_text(i: int) -> str:
+    # >= 10 tokens, digit ratio < 0.3, per-doc UNIQUE vocabulary so
+    # unrelated docs share only the frame shingles (jaccard << 0.7)
+    toks = " ".join(f"alpha{i}beta{j}gamma" for j in range(14))
+    return f"wave document about {toks} end"
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "crawl", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_extracted_drop_with_html_column_not_reextracted(spark, tmp_path):
+    from map_reduce_framework_spark.streaming.ops import stream_ingest_epoch
+
+    source = str(tmp_path / "source")
+    work = str(tmp_path / "work")
+    text = _wave_text(1)
+    df = _docs_df(spark, [(1, text)]).selectExpr(
+        "doc_id",
+        "'<html><body><p>decoy page body not the text</p></body></html>'"
+        " AS html",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    df.coalesce(1).write.mode("append").parquet(source)
+    d0 = stream_ingest_epoch(spark, source, work)
+    row = spark.read.parquet(os.path.join(d0, "input")).collect()[0]
+    assert row["text"] == text  # NOT overwritten from the html column
+
+
+def test_explicit_is_raw_pages_overrides_detection(spark, tmp_path):
+    from map_reduce_framework_spark.operators.html_extract import (
+        synth_pages,
+    )
+    from map_reduce_framework_spark.streaming.ops import (
+        _arriving_stream,
+        run_to_memory,
+    )
+
+    source = str(tmp_path / "source")
+    docs = _docs_df(spark, [(1, _wave_text(2))])
+    pages = synth_pages(docs)
+    # plant a text column so schema detection alone would say "already
+    # extracted" -- the explicit flag must win
+    pages.selectExpr(
+        "doc_id", "html", "'decoy' AS text", "lang", "source"
+    ).coalesce(1).write.mode("append").parquet(source)
+    out = run_to_memory(
+        _arriving_stream(spark, source, is_raw_pages=True),
+        output_mode="append",
+    )
+    row = out.collect()[0]
+    assert row["text"] != "decoy"
+    assert _wave_text(2).split()[3] in row["text"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 ask #1: size-tiered compaction of the cross-epoch dedup
+# index
+# ---------------------------------------------------------------------------
+
+
+def _run_waves(spark, scratch: str, waves: list, fanout: int):
+    """Drive the epochal ingest over `waves` (list of row-lists) with
+    the given compaction fanout; returns the per-epoch survivor sets."""
+    import map_reduce_framework_spark.streaming.ops as ops
+
+    source = os.path.join(scratch, "source")
+    work = os.path.join(scratch, "work")
+    old = ops.EPOCH_INDEX_FANOUT
+    survivors = []
+    try:
+        ops.EPOCH_INDEX_FANOUT = fanout
+        for rows in waves:
+            _docs_df(spark, rows).coalesce(1).write.mode("append").parquet(
+                source
+            )
+            d = ops.stream_ingest_epoch(spark, source, work)
+            survivors.append(
+                frozenset(
+                    r["doc_id"]
+                    for r in spark.read.parquet(
+                        os.path.join(d, "input")
+                    ).collect()
+                )
+                if d
+                else frozenset()
+            )
+    finally:
+        ops.EPOCH_INDEX_FANOUT = old
+    return survivors
+
+
+def _planted_waves(n_waves: int):
+    """Wave 0 plants the original; every later wave carries one
+    near-dup of the wave-0 doc (must be dropped by the cross-epoch
+    probe -- even after its index entry moves into a compacted
+    generation) plus one fresh doc."""
+    waves = [[(1, _BASE_TEXT), (2, _wave_text(9))]]
+    for k in range(1, n_waves):
+        spot = _SPOTS[k % len(_SPOTS)]
+        near = _BASE_TEXT.replace(spot, f"swapped{k}")
+        waves.append([(100 + k, near), (200 + k, _wave_text(20 + k))])
+    return waves
+
+
+class TestEpochIndexCompaction:
+    def test_compacted_index_equivalent_drop_set(self, spark, tmp_path):
+        import map_reduce_framework_spark.streaming.ops as ops
+
+        waves = _planted_waves(5)
+        flat = _run_waves(
+            spark, str(tmp_path / "flat"), waves, fanout=10_000
+        )
+        tiered = _run_waves(spark, str(tmp_path / "tiered"), waves, fanout=2)
+        assert flat == tiered  # identical survivors, epoch by epoch
+        # the planted near-dups were dropped in BOTH runs
+        for k, s in enumerate(tiered[1:], 1):
+            assert (100 + k) not in s and (200 + k) in s
+        # compaction actually ran: generations exist, probe read set is
+        # smaller than the epoch count
+        work = str(tmp_path / "tiered" / "work")
+        gens_root = os.path.join(work, "dedup-index")
+        assert os.path.isdir(gens_root)
+        gens = [n for n in os.listdir(gens_root) if n.startswith("gen-")]
+        assert gens
+        units = ops._live_index_units(
+            work, ops._committed_epoch_dirs(work)
+        )
+        n_epochs = len(ops._committed_epoch_dirs(work))
+        assert len(units) < n_epochs
+        # invariant: accepted covers are disjoint and cover every epoch
+        all_cov: list = []
+        for _, _, cov, _ in units:
+            all_cov.extend(cov)
+        assert len(all_cov) == len(set(all_cov)) == n_epochs
+
+    def test_torn_staging_orphaned_and_converges(self, spark, tmp_path):
+        import map_reduce_framework_spark.streaming.ops as ops
+
+        waves = _planted_waves(3)
+        scratch = str(tmp_path / "run")
+        survivors = _run_waves(spark, scratch, waves[:2], fanout=2)
+        work = os.path.join(scratch, "work")
+        # simulate a crash mid-compaction: a torn staging dir with junk
+        gens_root = os.path.join(work, "dedup-index")
+        os.makedirs(gens_root, exist_ok=True)
+        torn = os.path.join(gens_root, "gen-00099.staging")
+        os.makedirs(os.path.join(torn, "bands"), exist_ok=True)
+        with open(os.path.join(torn, "junk"), "w") as fh:
+            fh.write("torn")
+        survivors += _run_waves(
+            spark, scratch, waves[2:], fanout=2
+        )
+        assert not os.path.isdir(torn)  # orphaned on re-entry
+        # and the planted wave-2 near-dup still dropped
+        assert 102 not in survivors[-1] and 202 in survivors[-1]
+
+    def test_superseded_generation_skipped_then_gced(self, spark, tmp_path):
+        import map_reduce_framework_spark.streaming.ops as ops
+
+        scratch = str(tmp_path / "run")
+        # 4 epochs at fanout 2 end in one tier-2 generation whose merge
+        # inputs were GENERATIONS (gen-00000/gen-00001) -- the state a
+        # crash between its commit rename and the input delete leaves
+        _run_waves(spark, scratch, _planted_waves(4), fanout=2)
+        work = os.path.join(scratch, "work")
+        gens_root = os.path.join(work, "dedup-index")
+        gens = sorted(
+            n
+            for n in os.listdir(gens_root)
+            if n.startswith("gen-") and not n.endswith(".staging")
+        )
+        assert gens
+        newest = os.path.join(gens_root, gens[-1])
+        with open(os.path.join(newest, "covers.json")) as fh:
+            newest_covers = set(json.load(fh)["covers"])
+        assert len(newest_covers) >= 2
+        # resurrect a merge input: an older-seq generation whose covers
+        # are a strict subset of the newest one's
+        newest_seq = int(gens[-1].split("-")[1])
+        stale = os.path.join(gens_root, f"gen-{newest_seq - 1:05d}")
+        assert not os.path.isdir(stale)
+        shutil.copytree(newest, stale)
+        with open(os.path.join(stale, "covers.json"), "w") as fh:
+            json.dump(
+                {"tier": 1, "covers": sorted(newest_covers)[:1]}, fh
+            )
+        units = ops._live_index_units(
+            work, ops._committed_epoch_dirs(work)
+        )
+        assert stale not in [u[0] for u in units]  # skipped at read
+        ops._compact_epoch_index(spark, work)
+        assert not os.path.isdir(stale)  # garbage-collected
+
+    def test_compaction_not_triggered_below_fanout(self, spark, tmp_path):
+        import map_reduce_framework_spark.streaming.ops as ops
+
+        _run_waves(spark, str(tmp_path / "run"), _planted_waves(3), fanout=8)
+        work = str(tmp_path / "run" / "work")
+        # below fanout: no generations, every epoch index dir live
+        assert not os.path.isdir(os.path.join(work, "dedup-index"))
+        units = ops._live_index_units(
+            work, ops._committed_epoch_dirs(work)
+        )
+        assert len(units) == 3 and all(not u[3] for u in units)
+
+    def test_probe_read_set_logarithmic(self, spark, tmp_path):
+        import map_reduce_framework_spark.streaming.ops as ops
+
+        waves = [
+            [(1000 + i, _wave_text(30 + i * 7))] for i in range(6)
+        ]
+        _run_waves(spark, str(tmp_path / "run"), waves, fanout=2)
+        work = str(tmp_path / "run" / "work")
+        units = ops._live_index_units(
+            work, ops._committed_epoch_dirs(work)
+        )
+        # 6 epochs at fanout 2 -> at most fanout-1 units per tier over
+        # ceil(log2(6))+1 tiers; concretely far fewer dirs than epochs
+        assert len(units) <= 3, [u[0] for u in units]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 ask #2: the codec boundary extended to CONTAINERS --
+# mp4 stsd sample formats, AVI stream fourcc, WAV format tag, all by
+# header walk, counted never decoded
+# ---------------------------------------------------------------------------
+
+
+class TestMediaBoundary:
+    def _frame(self):
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        return mm._md5_quad_frames("media boundary", n_frames=1)[0]
+
+    def test_mp4_sample_formats_classified(self):
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        p = mm.encode_mp4([self._frame()], codec="jpeg")
+        assert mm.media_codec_class(p) == ("mp4", "jpeg", True)
+        praw = mm.encode_mp4([self._frame()], codec="raw")
+        assert mm.media_codec_class(praw) == ("mp4", "raw ", True)
+        for fcc in (b"avc1", b"hev1", b"vp09"):
+            b = bytearray(p)
+            off = mm._mp4_stsd_fmt_offset(b)
+            b[off : off + 4] = fcc
+            got = mm.media_codec_class(bytes(b))
+            assert got == ("mp4", fcc.decode(), False)
+            # the planted stream is exactly what decode rejects
+            assert mm.decode_mp4_frames(bytes(b)) is None
+
+    def test_stsd_offset_is_box_walked_not_byte_searched(self):
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        p = mm.encode_mp4([self._frame()], codec="jpeg")
+        off = mm._mp4_stsd_fmt_offset(p)
+        # the walked offset names the stsd entry inside moov (which
+        # this writer emits AFTER mdat) -- a raw byte search for the
+        # fourcc could hit ftyp/mdat bytes first
+        assert bytes(p[off : off + 4]) == b"jpeg"
+        assert bytes(p).find(b"jpeg") <= off
+
+    def test_avi_and_wav_offsets(self):
+        import hashlib
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+        from map_reduce_framework_spark.operators.audio import (
+            decode_wav,
+            encode_wav,
+        )
+
+        avi = mm.encode_avi([self._frame()], codec="MJPG")
+        assert mm.media_codec_class(avi) == ("avi", "MJPG", True)
+        b = bytearray(avi)
+        h, c = mm._avi_vids_offsets(b)
+        b[h : h + 4] = b"XVID"
+        b[c : c + 4] = b"XVID"
+        assert mm.media_codec_class(bytes(b)) == ("avi", "XVID", False)
+        # NOTE: decode_avi_frames sniffs CHUNK CONTENT (JPEG magic /
+        # DIB header), so this mislabeled-but-MJPG-bytes container
+        # still decodes -- the report counts by DECLARED codec, which
+        # is the data-card contract; a real XVID stream's chunk bytes
+        # are neither JPEG nor DIB and are rejected:
+        xvid_chunkish = bytes(b).replace(b"\xff\xd8", b"\x00\x01")
+        assert mm.decode_avi_frames(xvid_chunkish) is None
+        dib = mm.encode_avi([self._frame()], codec="DIB")
+        assert mm.media_codec_class(dib) == ("avi", "DIB ", True)
+
+        wav = encode_wav(
+            [(x - 128) * 256 for x in hashlib.md5(b"clip").digest()]
+        )
+        assert mm.media_codec_class(wav) == ("wav", "pcm", True)
+        w = bytearray(wav)
+        off = mm._wav_fmt_tag_offset(w)
+        w[off : off + 2] = (0x55).to_bytes(2, "little")
+        assert mm.media_codec_class(bytes(w)) == ("wav", "mpeg", False)
+        assert decode_wav(bytes(w)) is None  # decoder rejects non-PCM
+
+    def test_unrecognized_payloads_are_none(self):
+        from map_reduce_framework_spark.operators import multimodal as mm
+
+        for junk in (b"", b"garbage", b"RIFF\x04\x00\x00\x00AVI "):
+            assert mm.media_codec_class(junk) is None
+
+    def test_registered_report_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.operators import multimodal as mm
+        from map_reduce_framework_spark.sources.io import load_table
+
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        docs = load_table(spark, sf_smoke, "documents")
+        with duckdb_conn(sf_smoke) as con:
+            compare_to_oracle(
+                mm.media_boundary_report(docs),
+                con,
+                mm.ORACLE_SQL["media_boundary_report"],
+            )

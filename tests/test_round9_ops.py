@@ -732,7 +732,7 @@ class TestEpochIngest:
             wave = kept.filter(f"doc_id % 2 = {parity}")
             b, t = _wave_signatures(wave)
             surv = wave.join(_intra_wave_drops(b, t), "doc_id", "left_anti")
-            cross = _epoch_near_dup_drops(spark, prev, b, t)
+            cross = _epoch_near_dup_drops(spark, work, prev, b, t)
             if cross is not None:
                 surv = surv.join(cross, "doc_id", "left_anti")
             return surv
