@@ -176,6 +176,8 @@ def _decode_jpeg_pixels(payload: bytes):
     huff_dc: dict[int, _HuffTable] = {}
     huff_ac: dict[int, _HuffTable] = {}
     frame = None  # (H, W, [(comp_id, h, v, tq), ...])
+    arithmetic = False  # SOF9: sequential arithmetic (QM-coded)
+    conditioning: dict = {}  # DAC: ('dc'|'ac', tbl) -> (L, U) / Kx
     restart_interval = 0
     i = 2
     while i + 4 <= n:
@@ -248,13 +250,52 @@ def _decode_jpeg_pixels(payload: bytes):
             return None  # keep strictly baseline
         elif marker == 0xC2:  # progressive DCT: the multi-scan decoder
             return _decode_progressive(payload)
-        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
-            return None  # lossless/differential/arithmetic: unsupported
+        elif marker == 0xC9:  # SOF9: sequential arithmetic (round 11)
+            if body[0] != 8:  # 12-bit precision stays the boundary
+                return None
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+            nc = body[5]
+            if height <= 0 or width <= 0 or nc not in (1, 3):
+                return None
+            comps = []
+            for c in range(nc):
+                cid = body[6 + 3 * c]
+                hv = body[7 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
+            frame = (height, width, comps)
+            arithmetic = True
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 2 <= len(body):
+                tc, tb = body[p] >> 4, body[p] & 0x0F
+                cs = body[p + 1]
+                p += 2
+                if tc == 0:
+                    conditioning[("dc", tb)] = (cs & 0x0F, cs >> 4)
+                elif tc == 1:
+                    conditioning[("ac", tb)] = cs
+                else:
+                    return None
+        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8):
+            return None  # lossless/differential/prog-arith: unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
+            if arithmetic:
+                from .jpeg_arith import decode_arith_scan
+
+                return decode_arith_scan(
+                    payload,
+                    i + 2 + seg_len,
+                    body,
+                    frame,
+                    quant,
+                    conditioning,
+                    restart_interval,
+                )
             return _decode_scan(
                 payload,
                 i + 2 + seg_len,

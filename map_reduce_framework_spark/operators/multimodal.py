@@ -55,14 +55,16 @@ def decode_image(payload: bytes) -> "object":
     ``decode_bmp_pixels``), non-interlaced 8-bit PNG (stdlib zlib
     inflate + spec unfilter, ``decode_png_pixels``), GIF87a/89a
     (pure-Python variable-width LZW, ``decode_gif_pixels``; animated
-    frames via ``decode_gif_frames``), and JPEG -- BASELINE and, since
-    round 9, PROGRESSIVE (pure-Python Huffman + IDCT,
-    ``operators/jpeg.decode_jpeg_pixels`` -- grayscale and color,
-    4:4:4/4:2:2/4:2:0 sampling, restart intervals, spectral selection
-    + successive approximation). The remaining boundary is
-    arithmetic-coded/12-bit JPEG, which raises NotImplementedError --
-    swap in PIL.Image.open(io.BytesIO(payload)) where libjpeg is
-    available. Header-level metadata never needs this: see
+    frames via ``decode_gif_frames``), and JPEG -- BASELINE,
+    PROGRESSIVE (round 9), and sequential ARITHMETIC-CODED SOF9
+    (round 11, T.81 Annex D QM-coder in ``operators/jpeg_arith``)
+    through ``operators/jpeg.decode_jpeg_pixels`` -- grayscale and
+    color, 4:4:4/4:2:2/4:2:0 sampling, restart intervals, spectral
+    selection + successive approximation. The remaining boundary is
+    12-bit-precision and lossless/differential/progressive-arithmetic
+    JPEG, which raises NotImplementedError -- swap in
+    PIL.Image.open(io.BytesIO(payload)) where libjpeg is available.
+    Header-level metadata never needs this: see
     ``decode_image_header``."""
     from .jpeg import decode_jpeg_pixels
 
@@ -77,8 +79,9 @@ def decode_image(payload: bytes) -> "object":
         return px
     raise NotImplementedError(
         "payload is none of: uncompressed BMP, non-interlaced 8-bit "
-        "PNG, GIF87a/89a, baseline/progressive JPEG (arithmetic-coded "
-        "or 12-bit JPEG needs libjpeg -- swap in PIL where available); "
+        "PNG, GIF87a/89a, baseline/progressive/sequential-arithmetic "
+        "JPEG (12-bit or lossless/differential/progressive-arithmetic "
+        "JPEG needs libjpeg -- swap in PIL where available); "
         "header metadata comes from decode_image_header, and "
         "fake_decode_meta covers the synthetic test corpus"
     )
@@ -2582,6 +2585,25 @@ def jpeg_progressive_roundtrip(documents: DataFrame) -> DataFrame:
 ORACLE_SQL["jpeg_progressive_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
 
 
+def jpeg_arith_roundtrip(documents: DataFrame) -> DataFrame:
+    """jpeg_block_roundtrip through the ARITHMETIC-CODED codec (round
+    11): the same per-doc constant-quadrant image as a sequential SOF9
+    stream -- T.81 Annex D QM-coder, Annex F DC/AC statistical models,
+    restart markers resetting coder + statistics -- decoded back
+    through decode_jpeg_pixels' new arithmetic route. The oracle is
+    the same md5 identity, so a sweep hash match certifies the QM
+    entropy coder end to end on every document."""
+    from .jpeg_arith import encode_jpeg_arith
+
+    return _jpeg_roundtrip_op(
+        documents,
+        lambda img: encode_jpeg_arith(img, restart_interval=1),
+    )
+
+
+ORACLE_SQL["jpeg_arith_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
+
+
 ORACLE_SQL["video_dedup_pairs"] = (
     "WITH "
     + _video_dhash_cte().strip()
@@ -2756,19 +2778,23 @@ ORACLE_SQL["mjpeg_mp4_frame_dhash"] = _mjpeg_avi_dhash_sql()
 # dozen bytes per payload.
 # ---------------------------------------------------------------------------
 
-#: SOFn marker -> codec class. 0xC0 splits on the precision byte
-#: (8 -> baseline, 12 -> twelve_bit); 0xC1 (extended sequential
-#: Huffman) and 0xC3/0xC5-0xC7 (lossless/differential) are grouped as
-#: 'other'; 0xC9-0xCB / 0xCD-0xCF are the arithmetic-coded family.
-_JPEG_ARITH_SOFS = {0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+#: SOFn marker -> codec class. 0xC0/0xC9 split on the precision byte
+#: (8 -> baseline/arithmetic, 12 -> twelve_bit); 0xC1 (extended
+#: sequential Huffman), 0xC3/0xC5-0xC7 (lossless/differential), and
+#: 0xCA/0xCB/0xCD-0xCF (progressive/lossless/differential arithmetic)
+#: are grouped as 'other'. Since round 11 'arithmetic' (sequential
+#: SOF9, 8-bit) is DECODABLE -- jpeg_arith.py -- so it left the
+#: rejected set.
+_JPEG_ARITH_SOFS = {0xC9}
 
 
 def jpeg_codec_class(payload: bytes) -> str | None:
     """Codec class of a JPEG payload from its first SOFn frame header
-    -- 'baseline', 'progressive', 'arithmetic', 'twelve_bit', or
-    'other' (lossless/differential/extended Huffman); None when the
-    payload is not a JPEG marker stream. Header-only: no entropy
-    decode, no pixel allocation."""
+    -- 'baseline', 'progressive', 'arithmetic' (sequential SOF9),
+    'twelve_bit', or 'other' (lossless/differential/extended Huffman/
+    non-sequential arithmetic); None when the payload is not a JPEG
+    marker stream. Header-only: no entropy decode, no pixel
+    allocation."""
     n = len(payload)
     if n < 4 or payload[:2] != b"\xff\xd8":
         return None
@@ -2790,14 +2816,14 @@ def jpeg_codec_class(payload: bytes) -> str | None:
             return None
         if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
             precision = payload[i + 4]
-            if marker in _JPEG_ARITH_SOFS:
-                return "arithmetic"
             if precision == 12:
                 return "twelve_bit"
             if marker == 0xC0:
                 return "baseline"
             if marker == 0xC2:
                 return "progressive"
+            if marker in _JPEG_ARITH_SOFS:
+                return "arithmetic"
             return "other"
         i += 2 + seg_len
     return None
@@ -2805,7 +2831,10 @@ def jpeg_codec_class(payload: bytes) -> str | None:
 
 #: Codec classes the pure-Python decode path REJECTS (decode_image's
 #: NotImplementedError boundary) -- the libjpeg-swap population.
-CODEC_REJECTED_CLASSES = ("arithmetic", "twelve_bit", "other")
+#: Round 11 removed 'arithmetic': sequential SOF9 decodes through the
+#: QM-coder in jpeg_arith.py; the residue is 12-bit precision and the
+#: lossless/differential/progressive-arithmetic processes.
+CODEC_REJECTED_CLASSES = ("twelve_bit", "other")
 
 
 def _jpeg_sof0_offset(payload) -> int:
@@ -2846,7 +2875,9 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
     n_codec_rejected): per-corpus codec-boundary accounting over a
     crafted JPEG corpus with PLANTED boundary headers -- doc_id % 7
     == 3 gets the baseline payload's SOF0 marker rewritten to SOF9
-    (arithmetic-coded), doc_id % 7 == 5 gets its precision byte set
+    (arithmetic-coded -- still counted per source, but since round 11
+    no longer in the REJECTED set: sequential SOF9 decodes through
+    jpeg_arith.py), doc_id % 7 == 5 gets its precision byte set
     to 12; everything else stays decodable baseline. The engine
     builds the real bytes and classifies them by header walk; the
     oracle recomputes the counts from the planting rule alone, so a
@@ -2915,7 +2946,7 @@ ORACLE_SQL["codec_boundary_report"] = """
                 AS BIGINT) AS n_arithmetic,
            CAST(sum(CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_twelve_bit,
-           CAST(sum(CASE WHEN doc_id % 7 IN (3, 5) THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_codec_rejected
     FROM documents
     GROUP BY source

@@ -1890,6 +1890,14 @@ def q_jpeg_progressive_roundtrip(spark, sf_dir):
     )
 
 
+@register(
+    "jpeg_arith_roundtrip",
+    multimodal.ORACLE_SQL["jpeg_arith_roundtrip"],
+)
+def q_jpeg_arith_roundtrip(spark, sf_dir):
+    return multimodal.jpeg_arith_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # HTML/markup -> text extraction (round 9): the crawl-intake edge.
 # --------------------------------------------------------------------------

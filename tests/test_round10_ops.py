@@ -309,11 +309,17 @@ class TestCodecBoundary:
         assert mm.jpeg_codec_class(bytes(base)) == "baseline"
         assert mm.decode_image(bytes(base)) is not None
 
-        arith = bytearray(base)
-        arith[sof + 1] = 0xC9
+        # round 11: sequential arithmetic LEFT the rejected set -- a
+        # real SOF9 stream decodes (QM-coder, jpeg_arith.py)
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith,
+        )
+
+        arith = encode_jpeg_arith(img, restart_interval=1)
         assert mm.jpeg_codec_class(bytes(arith)) == "arithmetic"
-        with pytest.raises(NotImplementedError):
-            mm.decode_image(bytes(arith))
+        assert "arithmetic" not in mm.CODEC_REJECTED_CLASSES
+        px = mm.decode_image(bytes(arith))
+        assert px is not None and (px[:, :, 0] == img).all()
 
         twelve = bytearray(base)
         twelve[sof + 4] = 12
