@@ -152,6 +152,19 @@ def decode_wav(payload: bytes):
     return None
 
 
+def decode_audio(payload):
+    """The one audio-payload dispatcher: RIFF/WAVE through decode_wav,
+    fLaC through operators/flac.decode_flac (round 11) -- both return
+    (samples int16 array, rate, channels) or None. A FLAC re-encoding
+    of a WAV clip therefore lands in the SAME fingerprint space, which
+    is how the planted cross-codec duplicate is caught."""
+    if len(payload) >= 4 and bytes(payload[:4]) == b"fLaC":
+        from .flac import decode_flac
+
+        return decode_flac(payload)
+    return decode_wav(payload)
+
+
 def _token_chunk(token: str) -> list[int]:
     """The 16 int16 samples a token contributes: its md5 bytes,
     recentred ((b - 128) * 256, exactly int16 range)."""
@@ -191,11 +204,17 @@ _FEATURES_SCHEMA = StructType(
 )
 
 
-def audio_features(documents: DataFrame) -> DataFrame:
+def audio_features(
+    documents: DataFrame, *, codec: str = "wav"
+) -> DataFrame:
     """Per-clip audio features through the REAL codec round trip:
-    generate samples from tokens, encode_wav, decode_wav, then compute
+    generate samples from tokens, encode, decode, then compute
     duration / peak / RMS / clipping ratio / silence ratio from the
-    DECODED int16 stream. All integer or exactly-quantized math:
+    DECODED int16 stream. ``codec`` picks the round-trip pair: 'wav'
+    (encode_wav/decode_wav) or 'flac' (round 11 -- the Rice-coded
+    fixed-predictor path; the oracle is IDENTICAL md5 token math, so
+    a sweep hash match certifies the FLAC codec end to end exactly
+    like the WAV one). All integer or exactly-quantized math:
     rms_q6 = floor(sqrt(sum(s^2)/n) * 1e6 + 0.5) (sum(s^2) < 2^53, so
     the double divide and IEEE sqrt are bit-deterministic across
     engines); the ratios are int/int doubles. One Arrow-batched pass,
@@ -204,13 +223,19 @@ def audio_features(documents: DataFrame) -> DataFrame:
 
     from ..functions.text import _WS_RE
 
+    if codec == "flac":
+        from .flac import decode_flac as _dec
+        from .flac import encode_flac as _enc
+    else:
+        _enc, _dec = encode_wav, decode_wav
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in [f.name for f in _FEATURES_SCHEMA.fields]}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = [t for t in _WS_RE.split(str(text) or "") if t]
-                payload = encode_wav(_doc_samples(toks))
-                samples, rate, _ch = decode_wav(payload)
+                payload = _enc(_doc_samples(toks))
+                samples, rate, _ch = _dec(payload)
                 s = samples.astype("int64")
                 n = len(s)
                 sum_sq = int((s * s).sum())
@@ -368,12 +393,14 @@ def audio_fingerprints_from_payloads(
     robust: bool = False,
     drop_silent: bool = True,
 ) -> DataFrame:
-    """Fingerprints over a REAL WAV binary column (doc_id, payload):
-    the production entry point -- the registered queries generate their
-    clips from tokens so the DuckDB oracle can certify the codec, but a
-    real corpus carries opaque payloads. Undecodable payloads are
-    skipped (curation drops junk, it does not crash). Same kernels as
-    the generated path."""
+    """Fingerprints over a REAL audio binary column (doc_id, payload)
+    -- WAV or FLAC, dispatched by magic (decode_audio): the production
+    entry point -- the registered queries generate their clips from
+    tokens so the DuckDB oracle can certify the codecs, but a real
+    corpus carries opaque payloads. Undecodable payloads are skipped
+    (curation drops junk, it does not crash). Same kernels as the
+    generated path, so a FLAC copy of a WAV clip shares every
+    fingerprint."""
     from .text_analysis import _default_parallelism
 
     name = "rfp" if robust else "fp"
@@ -389,7 +416,7 @@ def audio_fingerprints_from_payloads(
         for pdf in batches:
             out = {"doc_id": [], "window_idx": [], name: []}
             for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
-                decoded = decode_wav(bytes(payload))
+                decoded = decode_audio(bytes(payload))
                 if decoded is None:
                     continue
                 samples, _rate, _ch = decoded
@@ -577,6 +604,13 @@ def _fp_cte() -> str:
                ) % {FP_MOD} AS BIGINT) AS fp
         FROM awin, apw
     )"""
+
+
+#: FLAC twin of audio_features: the SAME md5-token oracle -- the
+#: oracle never sees codec bytes, so a hash match on BOTH registered
+#: queries certifies encode_wav/decode_wav AND encode_flac/decode_flac
+#: against one independent derivation.
+ORACLE_SQL["audio_features_flac"] = ORACLE_SQL["audio_features"]
 
 
 ORACLE_SQL["audio_fingerprints"] = (

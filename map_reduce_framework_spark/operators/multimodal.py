@@ -3088,6 +3088,7 @@ MEDIA_SUPPORTED = {
     "mp4": ("jpeg", "raw "),
     "avi": ("MJPG", "DIB "),
     "wav": ("pcm",),
+    "flac": ("constant", "verbatim", "fixed"),  # LPC: the boundary
 }
 
 _WAV_TAG_NAMES = {1: "pcm", 3: "float", 0x55: "mpeg"}
@@ -3108,6 +3109,13 @@ def media_codec_class(payload) -> tuple | None:
             return None
         fmt = _WAV_TAG_NAMES.get(tag, f"tag_{tag}")
         return ("wav", fmt, fmt in MEDIA_SUPPORTED["wav"])
+    if len(payload) >= 4 and bytes(payload[:4]) == b"fLaC":
+        from .flac import flac_subframe_class
+
+        fmt = flac_subframe_class(payload)
+        if fmt is None:
+            return None
+        return ("flac", fmt, fmt in MEDIA_SUPPORTED["flac"])
     c = detect_container(payload)
     if c == "mp4":
         fmt = mp4_sample_format(payload)
@@ -3125,21 +3133,24 @@ def media_codec_class(payload) -> tuple | None:
 def media_boundary_report(documents: DataFrame) -> DataFrame:
     """(source, container, fmt, n_payloads, n_supported): the
     codec_boundary_report discipline extended to CONTAINERS. A crafted
-    media corpus with PLANTED codec headers -- doc_id % 9 picks the
+    media corpus with PLANTED codec headers -- doc_id % 11 picks the
     (container, format): 0/1 mp4 'jpeg'/'raw ' (decodable), 2/3/4 mp4
     avc1/hev1/vp09 (the dominant real-world video codecs, outside the
     pure-Python boundary; planted by rewriting the stsd sample format
     at the box-walked offset), 5 AVI MJPG (decodable), 6 AVI XVID
     (planted at the walked strh/strf fourcc offsets), 7 WAV PCM
     (decodable), 8 WAV format-tag 0x55/MP3 (planted at the walked fmt
-    offset). The engine builds real container bytes and classifies
-    them BY HEADER WALK; the oracle recomputes the counts from the
-    planting rule alone, so a hash match proves the classifier calls
-    every planted header correctly (counted, NOT decoded). One Arrow
-    map pass + one map-side-combined groupBy."""
+    offset), 9 FLAC constant-subframe (decodable, round 11), 10 FLAC
+    LPC (planted at the walked first-subframe offset -- the codec's
+    remaining audio boundary). The engine builds real container bytes
+    and classifies them BY HEADER WALK; the oracle recomputes the
+    counts from the planting rule alone, so a hash match proves the
+    classifier calls every planted header correctly (counted, NOT
+    decoded). One Arrow map pass + one map-side-combined groupBy."""
     import hashlib
 
     from .audio import encode_wav
+    from .flac import _first_subframe_offset, encode_flac
 
     schema = StructType(
         [
@@ -3164,7 +3175,7 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
             for doc_id, source, text in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
-                mode = doc_id % 9
+                mode = doc_id % 11
                 if mode <= 4:
                     frame = _md5_quad_frames(text, n_frames=1)[0]
                     payload = bytearray(
@@ -3182,7 +3193,7 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
                         h_off, c_off = _avi_vids_offsets(payload)
                         payload[h_off : h_off + 4] = b"XVID"
                         payload[c_off : c_off + 4] = b"XVID"
-                else:
+                elif mode <= 8:
                     samples = [
                         (b - 128) * 256
                         for b in hashlib.md5(
@@ -3195,6 +3206,17 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
                         payload[off : off + 2] = (0x55).to_bytes(
                             2, "little"
                         )
+                else:
+                    # a constant clip: the encoder provably picks the
+                    # CONSTANT subframe, so the planted class is
+                    # deterministic per doc
+                    v = (
+                        hashlib.md5(str(text).encode()).digest()[0] - 128
+                    ) * 256
+                    payload = bytearray(encode_flac([v] * 32))
+                    if mode == 10:
+                        off = _first_subframe_offset(payload)
+                        payload[off] = 0x40  # LPC order 1
                 cls = media_codec_class(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["source"].append(source)
@@ -3219,17 +3241,19 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
 
 ORACLE_SQL["media_boundary_report"] = """
     SELECT source,
-           CASE WHEN doc_id % 9 <= 4 THEN 'mp4'
-                WHEN doc_id % 9 <= 6 THEN 'avi'
-                ELSE 'wav' END AS container,
-           CASE doc_id % 9
+           CASE WHEN doc_id % 11 <= 4 THEN 'mp4'
+                WHEN doc_id % 11 <= 6 THEN 'avi'
+                WHEN doc_id % 11 <= 8 THEN 'wav'
+                ELSE 'flac' END AS container,
+           CASE doc_id % 11
                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'raw ' WHEN 2 THEN 'avc1'
                 WHEN 3 THEN 'hev1' WHEN 4 THEN 'vp09' WHEN 5 THEN 'MJPG'
-                WHEN 6 THEN 'XVID' WHEN 7 THEN 'pcm' ELSE 'mpeg'
+                WHEN 6 THEN 'XVID' WHEN 7 THEN 'pcm' WHEN 8 THEN 'mpeg'
+                WHEN 9 THEN 'constant' ELSE 'lpc'
            END AS fmt,
            CAST(count(*) AS BIGINT) AS n_payloads,
-           CAST(sum(CASE WHEN doc_id % 9 IN (0, 1, 5, 7) THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_supported
+           CAST(sum(CASE WHEN doc_id % 11 IN (0, 1, 5, 7, 9) THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_supported
     FROM documents
     GROUP BY source, container, fmt
 """

@@ -1143,6 +1143,15 @@ def q_audio_features(spark, sf_dir):
     return audio.audio_features(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "audio_features_flac", audio.ORACLE_SQL["audio_features_flac"]
+)
+def q_audio_features_flac(spark, sf_dir):
+    return audio.audio_features(
+        _t(spark, sf_dir, "documents"), codec="flac"
+    )
+
+
 @register("audio_fingerprints", audio.ORACLE_SQL["audio_fingerprints"])
 def q_audio_fingerprints(spark, sf_dir):
     return audio.audio_fingerprints(_t(spark, sf_dir, "documents"))
