@@ -1,0 +1,132 @@
+"""fastText-regime langid: sparse-pipeline DIM scaling + the
+feature-order accuracy ladder on a confusable-pair corpus (VERDICT
+r10 ask #6).
+
+Two measurements:
+
+1. Per-iteration wall vs DIM for the SPARSE union trainer
+   (operators/langid_union.py) from 4096 to 1048576 buckets -- the
+   sparse claim is that cost is nnz-bound, so the curve should be
+   FLAT where the dense trainer (langid_wide) was measured flat only
+   to 4096 and is memory-infeasible at 65536+ (a dense 65537-wide
+   int64 row is 0.5 MB/doc).
+
+2. Accuracy x (feature config, DIM) on a CONFUSABLE-PAIR corpus: two
+   languages built from the same word multiset in language-specific
+   ORDER, word shapes x...x so every junction trigram is identical --
+   char-3-grams are chance-level BY CONSTRUCTION, word bigrams
+   separate perfectly. This measures the feature-order knob instead
+   of asserting it (the r10 capacity ladder only varied DIM on a
+   corpus where char grams sufficed).
+
+Run:  python experiments/langid_union_scale.py
+Writes experiments/langid_union_scale.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DIMS = [4096, 65536, 262144, 1048576]
+
+
+def confusable_corpus(spark, n_per_lang: int = 60):
+    words = [f"x{w}x" for w in ("aa", "bb", "cc", "dd", "ee", "ff")]
+    rows = []
+    doc_id = 0
+    for k in range(n_per_lang):
+        rot = k % len(words)
+        seq = words[rot:] + words[:rot]
+        rows.append((doc_id, " ".join(seq), "en", "src", 0))
+        doc_id += 1
+        rows.append((doc_id, " ".join(seq[::-1]), "de", "src", 0))
+        doc_id += 1
+    return spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s, _ in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+
+
+def main() -> None:
+    import map_reduce_framework_spark.operators.langid_union as LU
+    from map_reduce_framework_spark.session import get_spark
+    from map_reduce_framework_spark.sources.io import load_table
+
+    spark = get_spark("langid-union-scale", shuffle_partitions=8)
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").cache()
+    n = docs.count()
+
+    # 1. wall vs DIM, registered union config, fixed 2 iterations
+    walls = []
+    for dim in DIMS:
+        t0 = time.time()
+        LU.union_train_trace(docs, iters=2, dim=dim)
+        wall = time.time() - t0
+        walls.append(
+            {"dim": dim, "iters": 2, "wall_sec": round(wall, 2),
+             "per_iter_sec": round(wall / 2, 2)}
+        )
+        print(walls[-1], flush=True)
+
+    # 2. accuracy ladder on the confusable pair
+    conf = confusable_corpus(spark).cache()
+    nc = conf.count()
+    ladder = []
+    for cfg_name, word_ngrams in (
+        ("char3", ()),
+        ("char3+w1", (1,)),
+        ("char3+w1w2", (1, 2)),
+    ):
+        for dim in (4096, 65536):
+            t0 = time.time()
+            scores = LU.langid_scores_wide_union(
+                conf, iters=8, dim=dim, word_ngrams=word_ngrams
+            ).collect()
+            correct = sum(
+                1 for r in scores if r.pred_lang == r.labeled_lang
+            )
+            ladder.append(
+                {
+                    "config": cfg_name,
+                    "dim": dim,
+                    "accuracy": round(correct / nc, 3),
+                    "wall_sec": round(time.time() - t0, 2),
+                }
+            )
+            print(ladder[-1], flush=True)
+
+    out = {
+        "sf": 0.1,
+        "n_docs": n,
+        "dim_walls": walls,
+        "dim_flatness_last_over_first": round(
+            walls[-1]["per_iter_sec"] / walls[0]["per_iter_sec"], 2
+        ),
+        "confusable_ladder": ladder,
+        "knob_rule": (
+            "the sparse union trainer's per-iteration cost is bound by "
+            "corpus nnz (features per doc), NOT by DIM -- scale DIM "
+            "freely to kill hash collisions (fastText's 2M regime is "
+            "one knob turn); feature ORDER is the accuracy lever when "
+            "languages share character statistics: word bigrams "
+            "separate the confusable pair exactly where char-3-grams "
+            "are chance-level by construction"
+        ),
+    }
+    path = os.path.join(
+        os.path.dirname(__file__), "langid_union_scale.json"
+    )
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote", path)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

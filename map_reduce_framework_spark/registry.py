@@ -1268,6 +1268,23 @@ def q_langid_scores_wide(spark, sf_dir):
     )
 
 
+# fastText-regime union features (round 11, VERDICT r10 ask #6):
+# char-3 + word-1/word-2 grams hashed into 65536 buckets over the
+# SPARSE vector pipeline (nnz-bound, DIM-independent cost). Rows-only
+# by the same argument as langid_scores_wide; correctness carried by
+# the independent-Python pin plus char-only DIM=16 equality to the
+# dense trainer (tests/test_round11_ops.py::TestUnionLangid).
+from .operators import langid_union  # noqa: E402
+
+
+@register("langid_scores_wide_union", None)
+def q_langid_scores_wide_union(spark, sf_dir):
+    return langid_union.langid_scores_wide_union(
+        _t(spark, sf_dir, "documents"),
+        _trained=langid_union.union_trained_for_table(spark, sf_dir),
+    )
+
+
 @register("langid_mixture_plan", langid.ORACLE_SQL["langid_mixture_plan"])
 def q_langid_mixture_plan(spark, sf_dir):
     return langid.langid_mixture_plan(

@@ -779,3 +779,264 @@ class TestFlac:
         q = REGISTRY["audio_features_flac"]
         with duckdb_conn(sf_smoke) as con:
             compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 ask #6: fastText-regime union features (char + word
+# n-grams) over the sparse pipeline at DIM=65536
+# ---------------------------------------------------------------------------
+
+
+def _independent_union_trace(rows, dim, iters, lr, char_ngram, word_ngrams):
+    """Pure-Python twin of langid_union.union_train_trace: dicts and
+    CPython floats only -- no Spark, no numpy. Bit-for-bit equality
+    pins the distributed trainer's quantized trajectory."""
+    import hashlib as _h
+    import math as _m
+
+    from map_reduce_framework_spark.operators.langid import (
+        LID_LANGS,
+        LID_SEED,
+        _S,
+    )
+
+    def bucket(f):
+        return int(
+            _h.md5(f"{LID_SEED}:{f}".encode()).hexdigest()[:15], 16
+        ) % dim
+
+    feats = []
+    for _doc_id, lang, text in rows:
+        t = text or ""
+        counts: dict = {}
+        total = 0
+        for i in range(max(len(t) - (char_ngram - 1), 0)):
+            b = bucket(t[i : i + char_ngram])
+            counts[b] = counts.get(b, 0) + 1
+            total += 1
+        toks = t.split()
+        for n in word_ngrams:
+            for i in range(max(len(toks) - (n - 1), 0)):
+                b = bucket(f"w{n}:" + " ".join(toks[i : i + n]))
+                counts[b] = counts.get(b, 0) + 1
+                total += 1
+        x = {dim: _S}
+        if total:
+            for b in sorted(counts):
+                q = _m.floor((counts[b] / total) * 1.0e6 + 0.5)
+                if q:
+                    x[b] = q
+        feats.append((lang, x))
+    w = {l: {} for l in LID_LANGS}
+    trace = []
+    for t_i in range(1, iters + 1):
+        for l in LID_LANGS:
+            g: dict = {}
+            nll = 0
+            for lang, x in feats:
+                dot = sum(v * w[l].get(j, 0) for j, v in x.items())
+                z = float(dot) / 1.0e12
+                pq = _m.floor(float(_S) / (1.0 + _m.exp(-z)) + 0.5)
+                y = _S if lang == l else 0
+                for j, v in x.items():
+                    g[j] = g.get(j, 0) + (pq - y) * v
+                pc = float(min(max(pq, 1), _S - 1)) / 1.0e6
+                nll += _m.floor(
+                    -_m.log(pc if lang == l else 1.0 - pc) * 1.0e6 + 0.5
+                )
+            n = len(feats)
+            for j, gv in g.items():
+                upd = _m.floor(float(gv) * lr / (float(n) * 1e6) + 0.5)
+                if upd:
+                    w[l][j] = w[l].get(j, 0) - upd
+            trace.append((t_i, l, float(nll) / (float(n) * 1e6)))
+    return trace, w
+
+
+class TestUnionLangid:
+    def test_char_only_dim16_equals_dense_trainer_under_layout_map(
+        self, spark, sf_smoke
+    ):
+        """With word_ngrams=() the union features are the wide
+        features under an index PERMUTATION (wide: bias at 0, bucket b
+        at b+1; union: bucket b at b, bias at dim) -- so the two
+        trainers must produce the same losses and the same weights
+        under that map. The wide trainer is itself pinned bit-for-bit
+        to the hash-exact narrow JVM trainer (round 10), closing the
+        chain."""
+        import map_reduce_framework_spark.operators.langid_union as LU
+        import map_reduce_framework_spark.operators.langid_wide as LW
+        from map_reduce_framework_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_smoke, "documents").limit(40)
+        wr, ww = LW.wide_train_trace(docs, iters=2, dim=16)
+        ur, uw = LU.union_train_trace(
+            docs, iters=2, dim=16, word_ngrams=()
+        )
+        assert [r[:3] for r in wr] == ur  # identical loss trajectory
+        for l in ww:
+            assert uw[l][16] == ww[l][0]  # bias
+            for b in range(16):
+                assert uw[l][b] == ww[l][b + 1], (l, b)
+
+    def test_bit_for_bit_vs_independent_python_twin(self, spark, sf_smoke):
+        import map_reduce_framework_spark.operators.langid_union as LU
+        from map_reduce_framework_spark.sources.io import load_table
+
+        docs = load_table(spark, sf_smoke, "documents").limit(30)
+        rows = [
+            (r["doc_id"], r["lang"], r["text"])
+            for r in docs.select("doc_id", "lang", "text").collect()
+        ]
+        got_rows, got_w = LU.union_train_trace(
+            docs, iters=2, dim=1024, word_ngrams=(1, 2)
+        )
+        exp_rows, exp_w = _independent_union_trace(
+            rows, 1024, 2, 4.0, 3, (1, 2)
+        )
+        assert got_rows == exp_rows
+        for l in exp_w:
+            dense = got_w[l]
+            sparse = {j: v for j, v in enumerate(dense) if v}
+            assert sparse == {j: v for j, v in exp_w[l].items() if v}
+
+    def test_registered_contract_at_65536(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        out = REGISTRY["langid_scores_wide_union"].fn(spark, sf_smoke)
+        rows = out.collect()
+        assert len(rows) == 500
+        assert set(out.columns) == {
+            "doc_id",
+            "labeled_lang",
+            "pred_lang",
+            "confidence",
+            "margin_q6",
+        }
+        assert all(r["margin_q6"] >= 0 for r in rows)
+
+    def test_word_bigrams_separate_confusable_pair(self, spark):
+        """The corpus char-3-grams cannot separate: two 'languages'
+        built from the SAME word multiset in language-specific ORDER,
+        with every word shaped x...x so all junction trigrams are
+        identical. Word bigrams separate perfectly."""
+        import map_reduce_framework_spark.operators.langid_union as LU
+
+        words = [f"x{w}x" for w in ("aa", "bb", "cc", "dd", "ee", "ff")]
+        rows = []
+        doc_id = 0
+        for k in range(24):
+            rot = k % 6
+            seq = words[rot:] + words[:rot]
+            rows.append((doc_id, " ".join(seq), "en"))
+            doc_id += 1
+            rows.append((doc_id, " ".join(seq[::-1]), "de"))
+            doc_id += 1
+        docs = spark.createDataFrame(
+            [(i, t, l, "src", len(t)) for i, t, l in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        char_only = LU.langid_scores_wide_union(
+            docs, iters=8, dim=4096, word_ngrams=()
+        ).collect()
+        union = LU.langid_scores_wide_union(
+            docs, iters=8, dim=4096, word_ngrams=(1, 2)
+        ).collect()
+
+        def acc(rs):
+            return sum(
+                1 for r in rs if r["pred_lang"] == r["labeled_lang"]
+            ) / len(rs)
+
+        assert acc(union) == 1.0
+        assert acc(char_only) <= 0.6  # chance-level by construction
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 ask #5: the raw-HTML EPOCH leg's registered twin already
+# ships (r10's shard_epoch_ledger feeds synth_pages through
+# stream_ingest_epoch and its oracle re-derives extraction); what was
+# missing is the kill-resume proof AT THE EXTRACT BOUNDARY -- crash
+# after the ingest sink committed the extracted wave but before any
+# epoch work. Re-entry must converge to the identical epoch.
+# ---------------------------------------------------------------------------
+
+
+class TestHtmlEpochKillResume:
+    def _pages(self, spark, rows):
+        from map_reduce_framework_spark.operators.html_extract import (
+            synth_pages,
+        )
+
+        return synth_pages(_docs_df(spark, rows))
+
+    def _epoch_fingerprint(self, spark, d):
+        rows = spark.read.parquet(os.path.join(d, "input")).collect()
+        return sorted(
+            (r["doc_id"], r["text"], r["n_chars"]) for r in rows
+        )
+
+    def test_crash_after_extract_drain_converges(self, spark, tmp_path):
+        from map_reduce_framework_spark.operators.text_analysis import (
+            quality_keep_expr,
+        )
+        from map_reduce_framework_spark.streaming.ops import (
+            _arriving_stream,
+            stream_ingest_epoch,
+        )
+
+        wave1 = [(1, _wave_text(40)), (2, _wave_text(41))]
+        wave2 = [(11, _wave_text(42)), (12, _wave_text(43))]
+
+        # run A: uninterrupted two-wave HTML ingest
+        src_a = str(tmp_path / "a" / "source")
+        work_a = str(tmp_path / "a" / "work")
+        self._pages(spark, wave1).coalesce(1).write.mode("append").parquet(
+            src_a
+        )
+        stream_ingest_epoch(spark, src_a, work_a)
+        self._pages(spark, wave2).coalesce(1).write.mode("append").parquet(
+            src_a
+        )
+        ea1 = stream_ingest_epoch(spark, src_a, work_a)
+
+        # run B: wave 1 normal; wave 2 CRASHES at the extract boundary
+        # -- the ingest stream (extraction is stage 0 inside it) has
+        # drained and committed to the sink's _spark_metadata, but no
+        # epoch work has run
+        src_b = str(tmp_path / "b" / "source")
+        work_b = str(tmp_path / "b" / "work")
+        self._pages(spark, wave1).coalesce(1).write.mode("append").parquet(
+            src_b
+        )
+        stream_ingest_epoch(spark, src_b, work_b)
+        self._pages(spark, wave2).coalesce(1).write.mode("append").parquet(
+            src_b
+        )
+        # the drain leg alone (verbatim from stream_ingest_epoch),
+        # then "crash"
+        kept = _arriving_stream(spark, src_b).filter(quality_keep_expr())
+        q = (
+            kept.writeStream.format("parquet")
+            .option("path", os.path.join(work_b, "ingest"))
+            .option(
+                "checkpointLocation", os.path.join(work_b, "ingest-ckpt")
+            )
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # re-entry finishes exactly one epoch with the same content
+        eb1 = stream_ingest_epoch(spark, src_b, work_b)
+        assert eb1 and eb1.endswith("epoch-00001")
+        assert self._epoch_fingerprint(
+            spark, eb1
+        ) == self._epoch_fingerprint(spark, ea1)
+        # extraction really ran in-stream: the committed text is the
+        # extracted body, not HTML
+        row = spark.read.parquet(os.path.join(eb1, "input")).collect()[0]
+        assert "<" not in row["text"]
+        # and nothing is left to ingest: a third call is a no-op
+        assert stream_ingest_epoch(spark, src_b, work_b) is None
