@@ -95,6 +95,19 @@ QUERIES = [
     "extract_text",               # shuffle-free markup -> text
     "langid_mixture_sample",      # scores join + prefix-sum sample
     "mjpeg_avi_frame_dhash",      # RIFF walk + baseline JPEG map
+    # round-10/11 additions (VERDICT r10 ask #7): the mp4 twin is the
+    # same scan-bound stbl-walk + JPEG map as the AVI row (frames/doc
+    # x docs), the boundary reports are header-walk classify + one
+    # map-side-combined groupBy, the arithmetic roundtrip is QM-coder
+    # map work (jpeg_block_roundtrip's claim, heavier per byte), and
+    # the FLAC features row is Rice-codec map work like audio_features.
+    # The cross-epoch probe's growing-INDEX curve lives in
+    # experiments/epoch_dedup_cost.json (30 waves, compaction on/off).
+    "mjpeg_mp4_frame_dhash",      # ISO-BMFF stbl walk + JPEG map
+    "codec_boundary_report",      # JPEG header classify + groupBy
+    "media_boundary_report",      # container header classify + groupBy
+    "jpeg_arith_roundtrip",       # QM-coder encode/decode map
+    "audio_features_flac",        # FLAC codec roundtrip + features
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
