@@ -44,12 +44,30 @@ _FIXED_COEFS = {
     4: [4, -6, 4, -1],
 }
 
-#: 4-bit sample-rate codes (decode side; 0 = STREAMINFO, 12/13/14 =
-#: explicit field follows, 15 invalid).
+#: 4-bit sample-rate codes (0 = STREAMINFO, 12/13/14 = explicit field
+#: follows, 15 invalid). The encoder uses the inverse map for the
+#: dedicated rates and falls back to 13 (16-bit Hz) / 14 (16-bit
+#: Hz x 10) for the rest -- every rate its own decoder accepts is
+#: encodable (review finding r11: the old `13 or bust` rule overflowed
+#: two bytes for 96 kHz even though code 11 exists for it).
 _RATE_CODES = {
     1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
     7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
 }
+_RATE_TO_CODE = {v: k for k, v in _RATE_CODES.items()}
+
+
+def _rate_code(sample_rate: int):
+    """(code, trailing bytes) for a sample rate; raises ValueError for
+    rates no 4-bit code or explicit field can carry."""
+    code = _RATE_TO_CODE.get(sample_rate)
+    if code is not None:
+        return code, b""
+    if 0 < sample_rate < 1 << 16:
+        return 13, sample_rate.to_bytes(2, "big")
+    if sample_rate % 10 == 0 and 0 < sample_rate // 10 < 1 << 16:
+        return 14, (sample_rate // 10).to_bytes(2, "big")
+    raise ValueError(f"sample rate {sample_rate} not representable")
 
 
 def _crc8(data) -> int:
@@ -219,13 +237,12 @@ def encode_flac(samples, sample_rate: int = 8000) -> bytes:
         bs = min(block, n - pos)
         chunk = samples[pos : pos + bs]
         hdr = bytearray(b"\xff\xf8")
-        sr_code = 4 if sample_rate == 8000 else 13
+        sr_code, sr_bytes = _rate_code(sample_rate)
         hdr.append((0x07 << 4) | sr_code)  # blocksize code 7: 16-bit
         hdr.append((0x00 << 4) | (0x04 << 1))  # mono, 16 bps
         hdr += _utf8_number(frame_idx)
         hdr += (bs - 1).to_bytes(2, "big")
-        if sr_code == 13:
-            hdr += sample_rate.to_bytes(2, "big")
+        hdr += sr_bytes
         hdr.append(_crc8(hdr))
         body = _BitWriter()
         _encode_subframe(body, chunk)
@@ -339,31 +356,37 @@ def _decode_flac(payload):
     return pcm, rate, 1
 
 
-def _decode_frame(payload, pos: int, info_rate: int, remaining: int):
-    hdr_start = pos
+def _walk_frame_header(payload, pos: int, info_rate: int):
+    """The ONE frame-header walk (review finding r11: this arithmetic
+    existed twice): returns (bs, rate, chan, size_code, crc_off,
+    subframe_off) without judging CRC or channel support -- the strict
+    decoder layers those checks on top, the classifier reads offsets
+    only. Raises ValueError on sync/structure violations."""
+    n = len(payload)
+    if pos + 5 > n:
+        raise ValueError("truncated frame header")
     if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
-        return None  # sync (fixed-blocksize strategy only)
+        raise ValueError("bad sync (fixed-blocksize strategy only)")
+    hdr_start = pos
     bs_code = payload[pos + 2] >> 4
     sr_code = payload[pos + 2] & 0x0F
     chan = payload[pos + 3] >> 4
     size_code = (payload[pos + 3] >> 1) & 0x07
-    if chan != 0 or size_code != 4:
-        return None  # mono 16-bit only
     pos += 4
-    # UTF-8 coded frame number
-    first = payload[pos]
+    first = payload[pos]  # UTF-8 coded frame number
     pos += 1
     if first & 0x80:
-        m = 0
-        probe = first
+        m, probe = 0, first
         while probe & 0x80:
             m += 1
             probe = (probe << 1) & 0xFF
         if m < 2 or m > 7:
-            return None
+            raise ValueError("bad UTF-8 frame number")
         pos += m - 1
     if bs_code in (6, 7):
         width = 1 if bs_code == 6 else 2
+        if pos + width > n:
+            raise ValueError("truncated blocksize field")
         bs = int.from_bytes(bytes(payload[pos : pos + width]), "big") + 1
         pos += width
     elif bs_code == 1:
@@ -373,25 +396,40 @@ def _decode_frame(payload, pos: int, info_rate: int, remaining: int):
     elif 8 <= bs_code <= 15:
         bs = 256 << (bs_code - 8)
     else:
-        return None
+        raise ValueError("reserved blocksize code")
     if sr_code == 0:
         rate = info_rate
     elif sr_code in _RATE_CODES:
         rate = _RATE_CODES[sr_code]
     elif sr_code in (12, 13, 14):
         width = 1 if sr_code == 12 else 2
+        if pos + width > n:
+            raise ValueError("truncated sample-rate field")
         v = int.from_bytes(bytes(payload[pos : pos + width]), "big")
         rate = v * 1000 if sr_code == 12 else (v if sr_code == 13 else v * 10)
         pos += width
     else:
+        raise ValueError("invalid sample-rate code")
+    if pos >= n:
+        raise ValueError("truncated before CRC-8")
+    return bs, rate, chan, size_code, pos, pos + 1
+
+
+def _decode_frame(payload, pos: int, info_rate: int, remaining: int):
+    hdr_start = pos
+    try:
+        bs, rate, chan, size_code, crc_off, sub_off = _walk_frame_header(
+            payload, pos, info_rate
+        )
+    except ValueError:
         return None
-    crc8 = payload[pos]
-    if _crc8(payload[hdr_start:pos]) != crc8:
+    if chan != 0 or size_code != 4:
+        return None  # mono 16-bit only
+    if _crc8(payload[hdr_start:crc_off]) != payload[crc_off]:
         return None
-    pos += 1
     if bs > remaining or bs <= 0 or bs > 1 << 20:
         return None
-    r = _BitReader(payload, pos)
+    r = _BitReader(payload, sub_off)
     chunk = _decode_subframe(r, bs)
     if chunk is None:
         return None
@@ -502,7 +540,9 @@ def _first_subframe_offset(payload) -> int:
     """Byte offset of the first frame's first subframe header (it is
     byte-aligned: the frame header is whole bytes) -- the walked
     offset the boundary report's LPC planting rewrites, and the
-    classifier reads. Raises ValueError when the stream has no frame."""
+    classifier reads. Shares _walk_frame_header with the strict
+    decoder (which additionally judges CRC and channel support).
+    Raises ValueError when the stream has no frame."""
     n = len(payload)
     if n < 8 or bytes(payload[:4]) != b"fLaC":
         raise ValueError("not FLAC")
@@ -513,31 +553,12 @@ def _first_subframe_offset(payload) -> int:
         pos += 4 + blen
         if hdr & 0x80:
             break
-    if pos + 5 > n or payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
-        raise ValueError("no frame sync")
-    bs_code = payload[pos + 2] >> 4
-    sr_code = payload[pos + 2] & 0x0F
-    pos += 4
-    first = payload[pos]
-    pos += 1
-    if first & 0x80:
-        m, probe = 0, first
-        while probe & 0x80:
-            m += 1
-            probe = (probe << 1) & 0xFF
-        pos += m - 1
-    if bs_code == 6:
-        pos += 1
-    elif bs_code == 7:
-        pos += 2
-    if sr_code == 12:
-        pos += 1
-    elif sr_code in (13, 14):
-        pos += 2
-    pos += 1  # CRC-8
-    if pos >= n:
+    _bs, _rate, _ch, _sz, _crc_off, sub_off = _walk_frame_header(
+        payload, pos, 0
+    )
+    if sub_off >= n:
         raise ValueError("truncated frame header")
-    return pos
+    return sub_off
 
 
 def flac_subframe_class(payload) -> str | None:

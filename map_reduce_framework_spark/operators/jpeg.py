@@ -232,25 +232,9 @@ def _decode_jpeg_pixels(payload: bytes):
                     huff_ac[th] = table
                 else:
                     return None
-        elif marker == 0xC0:  # SOF0: baseline sequential DCT
-            if body[0] != 8:  # 12-bit precision unsupported
-                return None
-            height = int.from_bytes(body[1:3], "big")
-            width = int.from_bytes(body[3:5], "big")
-            nc = body[5]
-            if height <= 0 or width <= 0 or nc not in (1, 3):
-                return None
-            comps = []
-            for c in range(nc):
-                cid = body[6 + 3 * c]
-                hv = body[7 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
-            frame = (height, width, comps)
-        elif marker in (0xC1,):  # extended sequential: same decode path
-            return None  # keep strictly baseline
-        elif marker == 0xC2:  # progressive DCT: the multi-scan decoder
-            return _decode_progressive(payload)
-        elif marker == 0xC9:  # SOF9: sequential arithmetic (round 11)
+        elif marker in (0xC0, 0xC9):  # SOF0 baseline / SOF9 arithmetic
+            # ONE frame-header parse for both sequential processes --
+            # only the entropy route differs (round 11)
             if body[0] != 8:  # 12-bit precision stays the boundary
                 return None
             height = int.from_bytes(body[1:3], "big")
@@ -264,7 +248,11 @@ def _decode_jpeg_pixels(payload: bytes):
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
             frame = (height, width, comps)
-            arithmetic = True
+            arithmetic = marker == 0xC9
+        elif marker in (0xC1,):  # extended sequential: same decode path
+            return None  # keep strictly baseline
+        elif marker == 0xC2:  # progressive DCT: the multi-scan decoder
+            return _decode_progressive(payload)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 2 <= len(body):

@@ -82,9 +82,12 @@ def _bucket(feat: str, dim: int) -> int:
 def _union_row(
     text: str, dim: int, memo: dict, char_ngram: int, word_ngrams: tuple
 ):
-    """One doc's sparse features: (sorted idx list, aligned val list).
-    Counts over char n-grams + word n-grams, one shared quantization
-    by the total feature count; bias _S at index dim."""
+    """One doc's sparse features: (idx list, aligned val list) -- the
+    bias _S at index ``dim`` FIRST, then the nonzero feature buckets
+    in ascending order (idx is NOT globally sorted; every consumer in
+    this module is order-agnostic: reduceat/add.at/elementwise dot).
+    Counts over char n-grams + word n-grams share one quantization by
+    the total feature count."""
     t = text or ""
     counts: dict[int, int] = {}
     total = 0

@@ -2815,6 +2815,8 @@ def jpeg_codec_class(payload: bytes) -> str | None:
         if seg_len < 2 or i + 2 + seg_len > n:
             return None
         if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+            if i + 5 > n:  # truncated SOF: no precision byte to read
+                return None
             precision = payload[i + 4]
             if precision == 12:
                 return "twelve_bit"

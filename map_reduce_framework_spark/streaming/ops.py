@@ -960,10 +960,16 @@ def _live_index_units(work_dir: str, prev_dirs: list) -> list:
     whose covered-epoch set is a subset of newer generations' union is
     superseded, the torn-GC window of a crash between a compaction's
     commit rename and its input delete) plus every committed epoch's
-    own index dir NOT covered by an accepted generation. Returns
-    ``(index_dir, tier, covers, is_generation)`` tuples; covers are
-    epoch basenames and are pairwise DISJOINT across accepted units
-    (the invariant tiered merges preserve)."""
+    own index dir NOT covered by an accepted generation. ``prev_dirs``
+    BOUNDS the probed corpus: a generation is accepted only when its
+    covers sit entirely inside prev_dirs (review finding r11 -- a
+    caller probing a history subset must not see later epochs folded
+    into a generation; the covered epochs' own index dirs are never
+    deleted, so the subset still resolves). Returns ``(index_dir,
+    tier, covers, is_generation)`` tuples; covers are epoch basenames
+    and are pairwise DISJOINT across accepted units (the invariant
+    tiered merges preserve)."""
+    prev_names = {os.path.basename(d) for d in prev_dirs}
     gens_root = os.path.join(work_dir, "dedup-index")
     gens = []
     if os.path.isdir(gens_root):
@@ -981,6 +987,8 @@ def _live_index_units(work_dir: str, prev_dirs: list) -> list:
     covered: set = set()
     for d, meta in gens:  # descending seq: newest shadows older
         cov = set(meta["covers"])
+        if not cov <= prev_names:
+            continue  # covers epochs outside the caller's bound
         if cov <= covered:
             continue  # superseded (crash before input GC)
         units.append((d, int(meta["tier"]), cov, True))

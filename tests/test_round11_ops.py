@@ -1040,3 +1040,64 @@ class TestHtmlEpochKillResume:
         assert "<" not in row["text"]
         # and nothing is left to ingest: a third call is a no-op
         assert stream_ingest_epoch(spark, src_b, work_b) is None
+
+
+# ---------------------------------------------------------------------------
+# Round-11 review findings (self-review of the round's diff)
+# ---------------------------------------------------------------------------
+
+
+def test_codec_class_total_on_truncated_sof():
+    """Review finding 1: a SOF segment whose body ends exactly at the
+    stream end (seg_len == 2) must classify None, not IndexError."""
+    from map_reduce_framework_spark.operators.multimodal import (
+        jpeg_codec_class,
+    )
+
+    for marker in (0xC0, 0xC9, 0xC2):
+        payload = b"\xff\xd8" + bytes([0xFF, marker]) + (2).to_bytes(2, "big")
+        assert jpeg_codec_class(payload) is None
+
+
+def test_flac_encoder_covers_all_decoder_rates():
+    """Review finding 2: every rate the decoder accepts must encode --
+    dedicated 4-bit codes, 16-bit Hz, and 16-bit Hz*10 fallbacks."""
+    import numpy as np
+
+    from map_reduce_framework_spark.operators.flac import (
+        _RATE_CODES,
+        decode_flac,
+        encode_flac,
+    )
+
+    s = list(range(-50, 50))
+    for rate in sorted(_RATE_CODES.values()) + [11025, 44100, 96000, 655350]:
+        dec, got_rate, _ = decode_flac(encode_flac(s, rate))
+        assert got_rate == rate, rate
+        assert np.array_equal(dec, np.asarray(s, dtype="<i2"))
+    with pytest.raises(ValueError):
+        encode_flac(s, 655351)  # not 4-bit-coded, >16-bit, not /10
+
+
+def test_probe_respects_prev_dirs_bound_after_compaction(spark, tmp_path):
+    """Review finding 3: a caller probing a SUBSET of committed epochs
+    must not see later epochs folded in via compacted generations."""
+    import map_reduce_framework_spark.streaming.ops as ops
+
+    scratch = str(tmp_path / "run")
+    _run_waves(spark, scratch, _planted_waves(5), fanout=2)
+    work = os.path.join(scratch, "work")
+    all_dirs = ops._committed_epoch_dirs(work)
+    assert len(all_dirs) == 5
+    # full bound: generations accepted, covers partition all epochs
+    full = ops._live_index_units(work, all_dirs)
+    assert any(u[3] for u in full)
+    covered_full = set().union(*[u[2] for u in full])
+    assert covered_full == {os.path.basename(d) for d in all_dirs}
+    # subset bound: only the first epoch -- no generation covers a
+    # subset of it, so the unit set must be exactly its own index dir
+    sub = ops._live_index_units(work, all_dirs[:1])
+    assert len(sub) == 1 and not sub[0][3]
+    assert sub[0][2] == {os.path.basename(all_dirs[0])}
+    # empty bound: nothing
+    assert ops._live_index_units(work, []) == []
