@@ -211,10 +211,11 @@ def audio_features(
     generate samples from tokens, encode, decode, then compute
     duration / peak / RMS / clipping ratio / silence ratio from the
     DECODED int16 stream. ``codec`` picks the round-trip pair: 'wav'
-    (encode_wav/decode_wav) or 'flac' (round 11 -- the Rice-coded
-    fixed-predictor path; the oracle is IDENTICAL md5 token math, so
-    a sweep hash match certifies the FLAC codec end to end exactly
-    like the WAV one). All integer or exactly-quantized math:
+    (encode_wav/decode_wav), 'flac' (round 11 -- the Rice-coded
+    constant/fixed path), or 'flac_lpc' (every subframe through the
+    LPC wire format); the oracle is IDENTICAL md5 token math, so a
+    sweep hash match certifies each codec path end to end exactly
+    like the WAV one. All integer or exactly-quantized math:
     rms_q6 = floor(sqrt(sum(s^2)/n) * 1e6 + 0.5) (sum(s^2) < 2^53, so
     the double divide and IEEE sqrt are bit-deterministic across
     engines); the ratios are int/int doubles. One Arrow-batched pass,
@@ -223,9 +224,14 @@ def audio_features(
 
     from ..functions.text import _WS_RE
 
-    if codec == "flac":
+    if codec in ("flac", "flac_lpc"):
         from .flac import decode_flac as _dec
-        from .flac import encode_flac as _enc
+        from .flac import encode_flac
+
+        _mode = "lpc" if codec == "flac_lpc" else None
+
+        def _enc(samples):
+            return encode_flac(samples, mode=_mode)
     else:
         _enc, _dec = encode_wav, decode_wav
 
@@ -611,6 +617,7 @@ def _fp_cte() -> str:
 #: queries certifies encode_wav/decode_wav AND encode_flac/decode_flac
 #: against one independent derivation.
 ORACLE_SQL["audio_features_flac"] = ORACLE_SQL["audio_features"]
+ORACLE_SQL["audio_features_flac_lpc"] = ORACLE_SQL["audio_features"]
 
 
 ORACLE_SQL["audio_fingerprints"] = (

@@ -3090,7 +3090,9 @@ MEDIA_SUPPORTED = {
     "mp4": ("jpeg", "raw "),
     "avi": ("MJPG", "DIB "),
     "wav": ("pcm",),
-    "flac": ("constant", "verbatim", "fixed"),  # LPC: the boundary
+    # LPC joined the decodable set later in round 11; RESERVED
+    # subframe types (2-7, 13-31) are the remaining flac boundary
+    "flac": ("constant", "verbatim", "fixed", "lpc"),
 }
 
 _WAV_TAG_NAMES = {1: "pcm", 3: "float", 0x55: "mpeg"}
@@ -3143,8 +3145,9 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
     (planted at the walked strh/strf fourcc offsets), 7 WAV PCM
     (decodable), 8 WAV format-tag 0x55/MP3 (planted at the walked fmt
     offset), 9 FLAC constant-subframe (decodable, round 11), 10 FLAC
-    LPC (planted at the walked first-subframe offset -- the codec's
-    remaining audio boundary). The engine builds real container bytes
+    RESERVED subframe type (planted at the walked first-subframe
+    offset -- the codec's remaining audio boundary now that LPC
+    decodes). The engine builds real container bytes
     and classifies them BY HEADER WALK; the oracle recomputes the
     counts from the planting rule alone, so a hash match proves the
     classifier calls every planted header correctly (counted, NOT
@@ -3218,7 +3221,7 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
                     payload = bytearray(encode_flac([v] * 32))
                     if mode == 10:
                         off = _first_subframe_offset(payload)
-                        payload[off] = 0x40  # LPC order 1
+                        payload[off] = 0x04  # reserved subframe type 2
                 cls = media_codec_class(bytes(payload))
                 out["doc_id"].append(doc_id)
                 out["source"].append(source)
@@ -3251,7 +3254,7 @@ ORACLE_SQL["media_boundary_report"] = """
                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'raw ' WHEN 2 THEN 'avc1'
                 WHEN 3 THEN 'hev1' WHEN 4 THEN 'vp09' WHEN 5 THEN 'MJPG'
                 WHEN 6 THEN 'XVID' WHEN 7 THEN 'pcm' WHEN 8 THEN 'mpeg'
-                WHEN 9 THEN 'constant' ELSE 'lpc'
+                WHEN 9 THEN 'constant' ELSE 'reserved'
            END AS fmt,
            CAST(count(*) AS BIGINT) AS n_payloads,
            CAST(sum(CASE WHEN doc_id % 11 IN (0, 1, 5, 7, 9) THEN 1 ELSE 0

@@ -1152,6 +1152,16 @@ def q_audio_features_flac(spark, sf_dir):
     )
 
 
+@register(
+    "audio_features_flac_lpc",
+    audio.ORACLE_SQL["audio_features_flac_lpc"],
+)
+def q_audio_features_flac_lpc(spark, sf_dir):
+    return audio.audio_features(
+        _t(spark, sf_dir, "documents"), codec="flac_lpc"
+    )
+
+
 @register("audio_fingerprints", audio.ORACLE_SQL["audio_fingerprints"])
 def q_audio_fingerprints(spark, sf_dir):
     return audio.audio_fingerprints(_t(spark, sf_dir, "documents"))

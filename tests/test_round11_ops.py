@@ -708,7 +708,12 @@ class TestFlac:
         q[20] ^= 0x01  # corrupt the STREAMINFO md5 itself
         assert decode_flac(bytes(q)) is None
 
-    def test_lpc_is_the_counted_boundary(self):
+    def test_lpc_decodes_and_reserved_is_the_boundary(self):
+        """LPC joined the decodable set (order, precision, shift,
+        signed coefficients, arithmetic-shift prediction round-trip);
+        RESERVED subframe types are the remaining counted boundary."""
+        import numpy as np
+
         from map_reduce_framework_spark.operators.flac import (
             _first_subframe_offset,
             decode_flac,
@@ -719,12 +724,30 @@ class TestFlac:
             media_codec_class,
         )
 
-        p = bytearray(encode_flac([100] * 32))
-        assert media_codec_class(bytes(p)) == ("flac", "constant", True)
-        p[_first_subframe_offset(p)] = 0x40
-        assert flac_subframe_class(bytes(p)) == "lpc"
-        assert media_codec_class(bytes(p)) == ("flac", "lpc", False)
-        assert decode_flac(bytes(p)) is None
+        s = [int(900 * np.sin(i / 6)) for i in range(200)]
+        p = encode_flac(s, mode="lpc")
+        assert flac_subframe_class(p) == "lpc"
+        assert media_codec_class(p) == ("flac", "lpc", True)
+        dec, _, _ = decode_flac(p)
+        assert np.array_equal(dec, np.asarray(s, dtype="<i2"))
+        # a reserved subframe type is the honest boundary
+        q = bytearray(encode_flac([100] * 32))
+        assert media_codec_class(bytes(q)) == ("flac", "constant", True)
+        q[_first_subframe_offset(q)] = 0x04  # type 2: reserved
+        assert flac_subframe_class(bytes(q)) == "reserved"
+        assert media_codec_class(bytes(q)) == ("flac", "reserved", False)
+        assert decode_flac(bytes(q)) is None
+
+    def test_registered_flac_lpc_features_oracle_parity(
+        self, spark, sf_smoke
+    ):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        q = REGISTRY["audio_features_flac_lpc"]
+        with duckdb_conn(sf_smoke) as con:
+            compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
 
     def test_flac_wav_duplicate_caught_by_fingerprint_pairs(self, spark):
         """A FLAC re-encoding of a WAV clip is a payload-level
