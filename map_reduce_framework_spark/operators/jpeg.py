@@ -232,10 +232,15 @@ def _decode_jpeg_pixels(payload: bytes):
                     huff_ac[th] = table
                 else:
                     return None
-        elif marker in (0xC0, 0xC9):  # SOF0 baseline / SOF9 arithmetic
-            # ONE frame-header parse for both sequential processes --
-            # only the entropy route differs (round 11)
-            if body[0] != 8:  # 12-bit precision stays the boundary
+        elif marker in (0xC0, 0xC1, 0xC9):
+            # ONE frame-header parse for the sequential processes:
+            # SOF0 baseline (8-bit by spec), SOF1 extended sequential
+            # (8- or 12-bit, round 11), SOF9 sequential arithmetic
+            # (8- or 12-bit) -- only entropy route + sample depth vary
+            precision = body[0]
+            if precision not in (8, 12) or (
+                precision == 12 and marker == 0xC0
+            ):
                 return None
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
@@ -247,10 +252,8 @@ def _decode_jpeg_pixels(payload: bytes):
                 cid = body[6 + 3 * c]
                 hv = body[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, body[8 + 3 * c]))
-            frame = (height, width, comps)
+            frame = (height, width, comps, precision)
             arithmetic = marker == 0xC9
-        elif marker in (0xC1,):  # extended sequential: same decode path
-            return None  # keep strictly baseline
         elif marker == 0xC2:  # progressive DCT: the multi-scan decoder
             return _decode_progressive(payload)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
@@ -303,7 +306,9 @@ def _decode_scan(
 ):
     import numpy as np
 
-    height, width, comps = frame
+    height, width, comps, precision = frame
+    shift = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     ns = sos_body[0]
     if ns != len(comps):
         return None  # multi-scan files are progressive-ish: unsupported
@@ -358,10 +363,11 @@ def _decode_scan(
                             quant[tq],
                             preds,
                             ci,
+                            precision,
                         )
                         if block is None:
                             return None
-                        spatial = basis.T @ block @ basis + 128.0
+                        spatial = basis.T @ block @ basis + shift
                         y0 = (my * v + by) * 8
                         x0 = (mx * h + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
@@ -373,23 +379,32 @@ def _decode_scan(
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
         out.append(p[:height, :width])
     if len(out) == 1:
-        g = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        g = np.clip(np.rint(out[0]), 0, maxv).astype(np.int64)
+        if precision > 8:
+            # the uint8 pixel contract: high bits carry (the libjpeg
+            # scaled-output convention)
+            g >>= precision - 8
+        g = g.astype(np.uint8)
         return np.stack([g, g, g], axis=-1)
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    y, cb, cr = out[0], out[1] - shift, out[2] - shift
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    rgb = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, maxv).astype(
+        np.int64
+    )
+    if precision > 8:
+        rgb >>= precision - 8
+    return rgb.astype(np.uint8)
 
 
-def _decode_block(reader, dc_table, ac_table, q, preds, ci):
+def _decode_block(reader, dc_table, ac_table, q, preds, ci, precision=8):
     """One 8x8 block: DC diff + AC run/size entropy decode, dequantize,
     dezigzag."""
     import numpy as np
 
     s = reader.decode_huff(dc_table)
-    if s is None or s > 11:
+    if s is None or s > (11 if precision == 8 else 15):
         return None
     if s:
         v = reader.bits(s)
@@ -434,6 +449,17 @@ _AC_SYMBOLS = bytes(
     + sorted((r << 4) | s for r in range(16) for s in range(1, 11))
 )
 _AC_COUNTS = [0] * 7 + [162] + [0] * 8
+
+#: 12-bit (extended sequential, SOF1) twins: DC categories reach 15
+#: (15 codes at 4 bits + 1 at 5 keeps the all-ones code reserved per
+#: Annex C), AC sizes reach 14.
+_DC_COUNTS12 = [0, 0, 0, 15, 1] + [0] * 11
+_DC_SYMBOLS12 = bytes(range(16))
+_AC_SYMBOLS12 = bytes(
+    [0x00, 0xF0]
+    + sorted((r << 4) | s for r in range(16) for s in range(1, 15))
+)
+_AC_COUNTS12 = [0] * 7 + [len(_AC_SYMBOLS12)] + [0] * 8
 
 
 class _BitWriter:
@@ -503,7 +529,11 @@ def _encode_block(writer, block, dc_tab, ac_tab, pred):
 
 
 def encode_jpeg(
-    pixels, *, subsample_420: bool = False, restart_interval: int = 0
+    pixels,
+    *,
+    subsample_420: bool = False,
+    restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
     """Minimal baseline JPEG: grayscale when the input is 2-D or all
     three channels equal, else YCbCr color (4:4:4, or 4:2:0 with
@@ -511,29 +541,46 @@ def encode_jpeg(
     All-ones quant tables (the only loss is DCT float rounding,
     RGB<->YCbCr rounding, and optional chroma subsampling), flat
     Huffman tables written into DHT, optional DRI/RSTn restarts.
-    Component prep and partial-block tiling are SHARED with the
-    progressive encoder (_prepare_planes/_block_tile) so the two
+    ``precision=12`` (round 11) emits the EXTENDED SEQUENTIAL process
+    (SOF1 -- baseline is 8-bit-only by spec) for grayscale samples in
+    [0, 4095]: level shift 2048, DC/AC tables widened to categories
+    15 / sizes 14. Component prep and partial-block tiling are SHARED
+    with the progressive encoder (_prepare_planes/_block_tile) so the
     emissions can never drift apart."""
+    if precision not in (8, 12):
+        raise ValueError("precision must be 8 or 12")
     comp_planes, samplings, h, w = _prepare_planes(pixels, subsample_420)
     nc = len(comp_planes)
+    if precision == 12 and nc != 1:
+        raise ValueError("12-bit encode supports grayscale only")
     basis = _dct_basis()
-    dc_tab = _HuffTable(_DC_COUNTS, _DC_SYMBOLS)
-    ac_tab = _HuffTable(_AC_COUNTS, _AC_SYMBOLS)
+    if precision == 12:
+        dc_tab = _HuffTable(_DC_COUNTS12, _DC_SYMBOLS12)
+        ac_tab = _HuffTable(_AC_COUNTS12, _AC_SYMBOLS12)
+    else:
+        dc_tab = _HuffTable(_DC_COUNTS, _DC_SYMBOLS)
+        ac_tab = _HuffTable(_AC_COUNTS, _AC_SYMBOLS)
+    shift = float(1 << (precision - 1))
 
     out = bytearray(b"\xff\xd8")
     # DQT: table 0, all ones
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0x00])
     out += bytes([1] * 64)
-    # SOF0
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    # SOF0 (baseline) or SOF1 (extended sequential, 12-bit)
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     sof += bytes([nc])
     for c in range(nc):
         sh, sv = samplings[c]
         sof += bytes([c + 1, (sh << 4) | sv, 0])
-    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    sof_marker = b"\xff\xc0" if precision == 8 else b"\xff\xc1"
+    out += sof_marker + (len(sof) + 2).to_bytes(2, "big") + sof
     # DHT: DC table 0, AC table 0
-    dht = bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
-    dht += bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS
+    if precision == 12:
+        dht = bytes([0x00]) + bytes(_DC_COUNTS12) + _DC_SYMBOLS12
+        dht += bytes([0x10]) + bytes(_AC_COUNTS12) + _AC_SYMBOLS12
+    else:
+        dht = bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMBOLS
+        dht += bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMBOLS
     out += b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
     if restart_interval:
         out += b"\xff\xdd" + (4).to_bytes(2, "big")
@@ -570,7 +617,7 @@ def encode_jpeg(
                         ys = (my * sv + by) * 8
                         xs = (mx * sh + bx) * 8
                         tile = _block_tile(chan, ys, xs)
-                        block = basis @ (tile - 128.0) @ basis.T
+                        block = basis @ (tile - shift) @ basis.T
                         preds[ci] = _encode_block(
                             writer, block, dc_tab, ac_tab, preds[ci]
                         )

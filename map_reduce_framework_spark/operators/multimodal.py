@@ -57,12 +57,16 @@ def decode_image(payload: bytes) -> "object":
     (pure-Python variable-width LZW, ``decode_gif_pixels``; animated
     frames via ``decode_gif_frames``), and JPEG -- BASELINE,
     PROGRESSIVE (round 9), and sequential ARITHMETIC-CODED SOF9
-    (round 11, T.81 Annex D QM-coder in ``operators/jpeg_arith``)
-    through ``operators/jpeg.decode_jpeg_pixels`` -- grayscale and
-    color, 4:4:4/4:2:2/4:2:0 sampling, restart intervals, spectral
-    selection + successive approximation. The remaining boundary is
-    12-bit-precision and lossless/differential/progressive-arithmetic
-    JPEG, which raises NotImplementedError -- swap in
+    (round 11, T.81 Annex D QM-coder in ``operators/jpeg_arith``),
+    plus EXTENDED SEQUENTIAL SOF1 and 12-BIT samples on their legal
+    sequential carriers (SOF1/SOF9, level shift 2048, output scaled
+    to the uint8 contract) through
+    ``operators/jpeg.decode_jpeg_pixels`` -- grayscale and color,
+    4:4:4/4:2:2/4:2:0 sampling, restart intervals, spectral selection
+    + successive approximation. The remaining boundary is the
+    lossless/differential/progressive-arithmetic processes (and
+    12-bit on 8-bit-only processes, an illegal stream shape), which
+    raise NotImplementedError -- swap in
     PIL.Image.open(io.BytesIO(payload)) where libjpeg is available.
     Header-level metadata never needs this: see
     ``decode_image_header``."""
@@ -79,9 +83,10 @@ def decode_image(payload: bytes) -> "object":
         return px
     raise NotImplementedError(
         "payload is none of: uncompressed BMP, non-interlaced 8-bit "
-        "PNG, GIF87a/89a, baseline/progressive/sequential-arithmetic "
-        "JPEG (12-bit or lossless/differential/progressive-arithmetic "
-        "JPEG needs libjpeg -- swap in PIL where available); "
+        "PNG, GIF87a/89a, baseline/progressive/extended-sequential/"
+        "arithmetic JPEG at 8- or 12-bit "
+        "(lossless/differential/progressive-arithmetic JPEG needs "
+        "libjpeg -- swap in PIL where available); "
         "header metadata comes from decode_image_header, and "
         "fake_decode_meta covers the synthetic test corpus"
     )
@@ -2585,6 +2590,32 @@ def jpeg_progressive_roundtrip(documents: DataFrame) -> DataFrame:
 ORACLE_SQL["jpeg_progressive_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
 
 
+def jpeg_12bit_roundtrip(documents: DataFrame) -> DataFrame:
+    """jpeg_block_roundtrip at 12-BIT precision (round 11): the same
+    per-doc quadrant image scaled to 12-bit samples (q * 16), encoded
+    as EXTENDED SEQUENTIAL (SOF1 -- the legal 12-bit Huffman carrier;
+    baseline is 8-bit-only by spec) with the widened DC/AC tables,
+    decoded back through the precision-aware scan (level shift 2048,
+    output scaled to the uint8 pixel contract). DC-only blocks
+    reproduce exactly, so the SAME md5 identity oracle certifies the
+    12-bit path per document."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    return _jpeg_roundtrip_op(
+        documents,
+        lambda img: encode_jpeg(
+            np.asarray(img, dtype=np.int32) * 16,
+            precision=12,
+            restart_interval=1,
+        ),
+    )
+
+
+ORACLE_SQL["jpeg_12bit_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
+
+
 def jpeg_arith_roundtrip(documents: DataFrame) -> DataFrame:
     """jpeg_block_roundtrip through the ARITHMETIC-CODED codec (round
     11): the same per-doc constant-quadrant image as a sequential SOF9
@@ -2778,20 +2809,22 @@ ORACLE_SQL["mjpeg_mp4_frame_dhash"] = _mjpeg_avi_dhash_sql()
 # dozen bytes per payload.
 # ---------------------------------------------------------------------------
 
-#: SOFn marker -> codec class. 0xC0/0xC9 split on the precision byte
-#: (8 -> baseline/arithmetic, 12 -> twelve_bit); 0xC1 (extended
-#: sequential Huffman), 0xC3/0xC5-0xC7 (lossless/differential), and
-#: 0xCA/0xCB/0xCD-0xCF (progressive/lossless/differential arithmetic)
-#: are grouped as 'other'. Since round 11 'arithmetic' (sequential
-#: SOF9, 8-bit) is DECODABLE -- jpeg_arith.py -- so it left the
-#: rejected set.
+#: SOFn marker -> codec class. 'arithmetic' (SOF9) and 'extended'
+#: (SOF1) decode at BOTH 8- and 12-bit precision (round 11 --
+#: jpeg_arith.py and the widened Huffman tables); 'baseline' (SOF0)
+#: and 'progressive' (SOF2) are 8-bit processes, so precision 12 on
+#: them classifies 'twelve_bit' (an illegal/undecodable stream);
+#: 0xC3/0xC5-0xC7 (lossless/differential) and 0xCA/0xCB/0xCD-0xCF
+#: (progressive/lossless/differential arithmetic) are 'other'. The
+#: rejected set is ('twelve_bit', 'other').
 _JPEG_ARITH_SOFS = {0xC9}
 
 
 def jpeg_codec_class(payload: bytes) -> str | None:
     """Codec class of a JPEG payload from its first SOFn frame header
-    -- 'baseline', 'progressive', 'arithmetic' (sequential SOF9),
-    'twelve_bit', or 'other' (lossless/differential/extended Huffman/
+    -- 'baseline', 'progressive', 'arithmetic' (sequential SOF9, 8-
+    or 12-bit), 'extended' (SOF1, 8- or 12-bit), 'twelve_bit' (12-bit
+    on an 8-bit-only process), or 'other' (lossless/differential/
     non-sequential arithmetic); None when the payload is not a JPEG
     marker stream. Header-only: no entropy decode, no pixel
     allocation."""
@@ -2818,14 +2851,18 @@ def jpeg_codec_class(payload: bytes) -> str | None:
             if i + 5 > n:  # truncated SOF: no precision byte to read
                 return None
             precision = payload[i + 4]
+            # processes that decode at BOTH precisions (round 11:
+            # 12-bit rides SOF1/SOF9, its legal sequential carriers)
+            if marker in _JPEG_ARITH_SOFS:
+                return "arithmetic"
+            if marker == 0xC1:
+                return "extended"
             if precision == 12:
-                return "twelve_bit"
+                return "twelve_bit"  # 12-bit on an 8-bit-only process
             if marker == 0xC0:
                 return "baseline"
             if marker == 0xC2:
                 return "progressive"
-            if marker in _JPEG_ARITH_SOFS:
-                return "arithmetic"
             return "other"
         i += 2 + seg_len
     return None
@@ -2833,9 +2870,10 @@ def jpeg_codec_class(payload: bytes) -> str | None:
 
 #: Codec classes the pure-Python decode path REJECTS (decode_image's
 #: NotImplementedError boundary) -- the libjpeg-swap population.
-#: Round 11 removed 'arithmetic': sequential SOF9 decodes through the
-#: QM-coder in jpeg_arith.py; the residue is 12-bit precision and the
-#: lossless/differential/progressive-arithmetic processes.
+#: Round 11 removed 'arithmetic' (SOF9 decodes through the QM-coder)
+#: and added 'extended' with 12-bit support (SOF1/SOF9); the residue
+#: is 12-bit on 8-bit-only processes (an illegal stream shape) and
+#: the lossless/differential/progressive-arithmetic processes.
 CODEC_REJECTED_CLASSES = ("twelve_bit", "other")
 
 

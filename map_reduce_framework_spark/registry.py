@@ -1934,6 +1934,14 @@ def q_jpeg_arith_roundtrip(spark, sf_dir):
     return multimodal.jpeg_arith_roundtrip(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "jpeg_12bit_roundtrip",
+    multimodal.ORACLE_SQL["jpeg_12bit_roundtrip"],
+)
+def q_jpeg_12bit_roundtrip(spark, sf_dir):
+    return multimodal.jpeg_12bit_roundtrip(_t(spark, sf_dir, "documents"))
+
+
 # --------------------------------------------------------------------------
 # HTML/markup -> text extraction (round 9): the crawl-intake edge.
 # --------------------------------------------------------------------------

@@ -587,33 +587,27 @@ class TestArithmeticJpeg:
 
         run()
 
-    def test_rejected_set_shrank_to_twelve_bit_and_lossless(self):
+    def test_rejected_set_and_residual_boundary(self):
+        """After the round's two boundary closures (arithmetic, then
+        12-bit on SOF1/SOF9) the rejected residue is: 12-bit on
+        8-bit-only processes, and the lossless/differential/
+        progressive-arithmetic family."""
         from map_reduce_framework_spark.operators import multimodal as mm
-
-        assert mm.CODEC_REJECTED_CLASSES == ("twelve_bit", "other")
-        # 12-bit SOF9 is still the boundary (class: twelve_bit)
-        from map_reduce_framework_spark.operators.jpeg import encode_jpeg
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
         from map_reduce_framework_spark.operators.jpeg_arith import (
             encode_jpeg_arith,
         )
 
+        assert mm.CODEC_REJECTED_CLASSES == ("twelve_bit", "other")
         img = [[(x + y) % 256 for x in range(16)] for y in range(16)]
-        p = bytearray(encode_jpeg_arith(img))
-        # rewrite precision at the box-walked SOF offset
-        i, n = 2, len(p)
-        while i + 4 <= n:
-            if p[i] == 0xFF and p[i + 1] == 0xC9:
-                p[i + 4] = 12
-                break
-            if p[i] == 0xFF and p[i + 1] not in (0x01, 0xD8):
-                i += 2 + int.from_bytes(p[i + 2 : i + 4], "big")
-            else:
-                i += 2
+        # 12-bit on SOF0 (baseline is 8-bit-only by spec): rejected
+        p = bytearray(encode_jpeg(img))
+        i = bytes(p).find(b"\xff\xc0")
+        p[i + 4] = 12
         assert mm.jpeg_codec_class(bytes(p)) == "twelve_bit"
-        from map_reduce_framework_spark.operators.jpeg import (
-            decode_jpeg_pixels,
-        )
-
         assert decode_jpeg_pixels(bytes(p)) is None
         # progressive-arithmetic (SOF10) stays 'other'
         q = bytearray(encode_jpeg_arith(img))
@@ -1124,3 +1118,119 @@ def test_probe_respects_prev_dirs_bound_after_compaction(spark, tmp_path):
     assert sub[0][2] == {os.path.basename(all_dirs[0])}
     # empty bound: nothing
     assert ops._live_index_units(work, []) == []
+
+
+# ---------------------------------------------------------------------------
+# 12-bit JPEG on its legal sequential carriers (round-11 closing
+# addition: the r10 "what's missing" #2 tail beyond the asked-for
+# arithmetic decode)
+# ---------------------------------------------------------------------------
+
+
+class TestTwelveBitJpeg:
+    def test_sof1_and_sof9_twelve_bit_roundtrip(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith,
+        )
+
+        img12 = np.array(
+            [[(x * 131 + y * 257) % 4096 for x in range(24)]
+             for y in range(18)],
+            dtype=np.int32,
+        )
+        huff = decode_jpeg_pixels(encode_jpeg(img12, precision=12))
+        arith = decode_jpeg_pixels(encode_jpeg_arith(img12, precision=12))
+        assert huff is not None and arith is not None
+        # entropy layers agree bit-for-bit on the decoded pixels, and
+        # track the source within DCT rounding at 8-bit scale
+        assert np.array_equal(huff, arith)
+        assert (
+            np.abs(huff[:, :, 0].astype(int) - (img12 >> 4)).max() <= 1
+        )
+
+    def test_quadrant_constant_content_exact(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        img12 = np.empty((16, 16), dtype=np.int32)
+        for qi, (ys, xs) in enumerate(
+            ((slice(0, 8), slice(0, 8)), (slice(0, 8), slice(8, 16)),
+             (slice(8, 16), slice(0, 8)), (slice(8, 16), slice(8, 16)))
+        ):
+            img12[ys, xs] = (37 + qi * 53) * 16
+        px = decode_jpeg_pixels(
+            encode_jpeg(img12, precision=12, restart_interval=1)
+        )
+        assert (px[:, :, 0] == (img12 >> 4).astype(np.uint8)).all()
+
+    def test_boundary_semantics(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+
+        img12 = np.full((8, 8), 1234, dtype=np.int32)
+        p = encode_jpeg(img12, precision=12)
+        assert mm.jpeg_codec_class(p) == "extended"
+        assert "extended" not in mm.CODEC_REJECTED_CLASSES
+        # 12-bit on an 8-bit-only process stays rejected
+        f = bytearray(encode_jpeg(np.full((8, 8), 99, dtype=np.uint8)))
+        i = bytes(f).find(b"\xff\xc0")
+        f[i + 4] = 12
+        assert mm.jpeg_codec_class(bytes(f)) == "twelve_bit"
+        assert decode_jpeg_pixels(bytes(f)) is None
+        # color at 12-bit is an encoder-side guard
+        rgb = np.zeros((8, 8, 3), dtype=np.int32)
+        rgb[:, :, 1] = 9
+        with pytest.raises(ValueError):
+            encode_jpeg(rgb, precision=12)
+
+    def test_twelve_bit_image_fuzz(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+        )
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith,
+        )
+
+        @settings(max_examples=15, deadline=None)
+        @given(
+            st.integers(1, 16), st.integers(1, 16),
+            st.integers(0, 2**32 - 1),
+        )
+        def run(h, w, seed):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 4096, size=(h, w)).astype(np.int32)
+            a = decode_jpeg_pixels(encode_jpeg(img, precision=12))
+            b = decode_jpeg_pixels(encode_jpeg_arith(img, precision=12))
+            assert a is not None and b is not None
+            assert np.array_equal(a, b)
+
+        run()
+
+    def test_registered_roundtrip_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        q = REGISTRY["jpeg_12bit_roundtrip"]
+        with duckdb_conn(sf_smoke) as con:
+            compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
