@@ -111,12 +111,44 @@ def encode_wav(samples, sample_rate: int = AUDIO_RATE) -> bytes:
     return hdr + pcm
 
 
+def encode_wav_float(samples, sample_rate: int = AUDIO_RATE) -> bytes:
+    """IEEE-float (format tag 3) mono RIFF/WAVE writer: samples stored
+    as float32 in [-1, 1) via s / 32768 -- EXACTLY representable for
+    every int16 (float32 carries 24 mantissa bits), so the int16
+    round trip through decode_wav is lossless (round 11: the 'float'
+    WAV class left the rejected set)."""
+    import numpy as np
+
+    f = (np.asarray(samples, dtype="<i2").astype(np.float64) / 32768.0)
+    pcm = f.astype("<f4").tobytes()
+    byte_rate = sample_rate * 4
+    hdr = (
+        b"RIFF"
+        + (36 + len(pcm)).to_bytes(4, "little")
+        + b"WAVE"
+        + b"fmt "
+        + (16).to_bytes(4, "little")
+        + (3).to_bytes(2, "little")  # IEEE float
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (4).to_bytes(2, "little")  # block align
+        + (32).to_bytes(2, "little")  # bits per sample
+        + b"data"
+        + len(pcm).to_bytes(4, "little")
+    )
+    return hdr + pcm
+
+
 def decode_wav(payload: bytes):
     """Dependency-free WAV decode: returns (samples int16 numpy array
-    of channel 0, sample_rate, n_channels), or None when the payload is
-    not PCM 16-bit RIFF/WAVE. Walks the chunk list per the RIFF spec
-    (chunks are word-aligned; fmt must precede data), so writers that
-    insert LIST/fact chunks still decode."""
+    of channel 0, sample_rate, n_channels), or None when the payload
+    is not 16-bit-PCM or 32-bit-IEEE-float RIFF/WAVE (float samples
+    quantize back through round(f * 32768), the encode_wav_float
+    inverse -- exact for any clip that started life as int16). Walks
+    the chunk list per the RIFF spec (chunks are word-aligned; fmt
+    must precede data), so writers that insert LIST/fact chunks still
+    decode."""
     import numpy as np
 
     n = len(payload)
@@ -137,17 +169,36 @@ def decode_wav(payload: bytes):
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if audio_format != 1 or bits != 16 or channels < 1 or rate <= 0:
+            if channels < 1 or rate <= 0:
                 return None
-            fmt = (channels, rate)
+            if audio_format == 1 and bits == 16:
+                fmt = (channels, rate, "i2")
+            elif audio_format == 3 and bits == 32:
+                fmt = (channels, rate, "f4")
+            else:
+                return None
         elif cid == b"data":
             if fmt is None:
                 return None
-            channels, rate = fmt
+            channels, rate, kind = fmt
+            if kind == "i2":
+                frames = np.frombuffer(
+                    body,
+                    dtype="<i2",
+                    count=(clen // 2 // channels) * channels,
+                ).reshape(-1, channels)
+                return frames[:, 0].copy(), rate, channels
             frames = np.frombuffer(
-                body, dtype="<i2", count=(clen // 2 // channels) * channels
+                body,
+                dtype="<f4",
+                count=(clen // 4 // channels) * channels,
             ).reshape(-1, channels)
-            return frames[:, 0].copy(), rate, channels
+            ch0 = np.clip(
+                np.rint(frames[:, 0].astype(np.float64) * 32768.0),
+                -32768,
+                32767,
+            ).astype("<i2")
+            return ch0, rate, channels
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     return None
 
@@ -211,10 +262,12 @@ def audio_features(
     generate samples from tokens, encode, decode, then compute
     duration / peak / RMS / clipping ratio / silence ratio from the
     DECODED int16 stream. ``codec`` picks the round-trip pair: 'wav'
-    (encode_wav/decode_wav), 'flac' (round 11 -- the Rice-coded
-    constant/fixed path), or 'flac_lpc' (every subframe through the
-    LPC wire format); the oracle is IDENTICAL md5 token math, so a
-    sweep hash match certifies each codec path end to end exactly
+    (encode_wav/decode_wav), 'wav_float' (IEEE-float samples,
+    quantized back exactly), 'flac' (round 11 -- the Rice-coded
+    constant/fixed path), 'flac_lpc' (every subframe through the LPC
+    wire format), or 'flac_ms' (STEREO mid/side decorrelation, clip
+    on the left channel); the oracle is IDENTICAL md5 token math, so
+    a sweep hash match certifies each codec path end to end exactly
     like the WAV one. All integer or exactly-quantized math:
     rms_q6 = floor(sqrt(sum(s^2)/n) * 1e6 + 0.5) (sum(s^2) < 2^53, so
     the double divide and IEEE sqrt are bit-deterministic across
@@ -232,6 +285,22 @@ def audio_features(
 
         def _enc(samples):
             return encode_flac(samples, mode=_mode)
+    elif codec == "flac_ms":
+        # STEREO mid/side round trip: the clip rides the LEFT channel
+        # (a deterministic right channel -- the reversed clip -- keeps
+        # the decorrelation honest: mid and side are both nontrivial);
+        # decode returns channel 0, so the features -- and the oracle
+        # -- are unchanged while the whole stereo reconstruction path
+        # is certified per document
+        from .flac import decode_flac as _dec
+        from .flac import encode_flac_stereo
+
+        def _enc(samples):
+            return encode_flac_stereo(
+                samples, list(samples)[::-1], mode="mid_side"
+            )
+    elif codec == "wav_float":
+        _enc, _dec = encode_wav_float, decode_wav
     else:
         _enc, _dec = encode_wav, decode_wav
 
@@ -618,6 +687,8 @@ def _fp_cte() -> str:
 #: against one independent derivation.
 ORACLE_SQL["audio_features_flac"] = ORACLE_SQL["audio_features"]
 ORACLE_SQL["audio_features_flac_lpc"] = ORACLE_SQL["audio_features"]
+ORACLE_SQL["audio_features_flac_ms"] = ORACLE_SQL["audio_features"]
+ORACLE_SQL["audio_features_wav_float"] = ORACLE_SQL["audio_features"]
 
 
 ORACLE_SQL["audio_fingerprints"] = (

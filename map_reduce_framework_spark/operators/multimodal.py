@@ -3127,7 +3127,9 @@ def wav_format_tag(payload) -> int | None:
 MEDIA_SUPPORTED = {
     "mp4": ("jpeg", "raw "),
     "avi": ("MJPG", "DIB "),
-    "wav": ("pcm",),
+    # IEEE float joined the decodable set later in round 11
+    # (decode_wav quantizes back through round(f * 32768))
+    "wav": ("pcm", "float"),
     # LPC joined the decodable set later in round 11; RESERVED
     # subframe types (2-7, 13-31) are the remaining flac boundary
     "flac": ("constant", "verbatim", "fixed", "lpc"),

@@ -1162,6 +1162,26 @@ def q_audio_features_flac_lpc(spark, sf_dir):
     )
 
 
+@register(
+    "audio_features_flac_ms",
+    audio.ORACLE_SQL["audio_features_flac_ms"],
+)
+def q_audio_features_flac_ms(spark, sf_dir):
+    return audio.audio_features(
+        _t(spark, sf_dir, "documents"), codec="flac_ms"
+    )
+
+
+@register(
+    "audio_features_wav_float",
+    audio.ORACLE_SQL["audio_features_wav_float"],
+)
+def q_audio_features_wav_float(spark, sf_dir):
+    return audio.audio_features(
+        _t(spark, sf_dir, "documents"), codec="wav_float"
+    )
+
+
 @register("audio_fingerprints", audio.ORACLE_SQL["audio_fingerprints"])
 def q_audio_fingerprints(spark, sf_dir):
     return audio.audio_fingerprints(_t(spark, sf_dir, "documents"))

@@ -1234,3 +1234,163 @@ class TestTwelveBitJpeg:
         q = REGISTRY["jpeg_12bit_roundtrip"]
         with duckdb_conn(sf_smoke) as con:
             compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
+
+
+# ---------------------------------------------------------------------------
+# Stereo FLAC + IEEE-float WAV (round-11 closing additions)
+# ---------------------------------------------------------------------------
+
+
+class TestStereoFlacAndFloatWav:
+    def test_all_four_stereo_modes_lossless(self):
+        import random
+
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.flac import (
+            decode_flac,
+            encode_flac_stereo,
+        )
+
+        rng = random.Random(21)
+        L = [rng.randint(-32768, 32767) for _ in range(900)]
+        R = [
+            max(-32768, min(32767, int(0.6 * l) + rng.randint(-90, 90)))
+            for l in L
+        ]
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            ch0, rate, nch = decode_flac(
+                encode_flac_stereo(L, R, mode=mode)
+            )
+            assert nch == 2 and rate == 8000
+            # channel 0 exact; the STREAMINFO MD5 over the INTERLEAVED
+            # bytes (verified inside decode) proves channel 1 too
+            assert np.array_equal(ch0, np.asarray(L, dtype="<i2")), mode
+
+    def test_extreme_side_values_17_bits(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.flac import (
+            decode_flac,
+            encode_flac_stereo,
+        )
+
+        L, R = [32767, -32768] * 40, [-32768, 32767] * 40
+        for mode in ("left_side", "right_side", "mid_side"):
+            ch0, _, _ = decode_flac(encode_flac_stereo(L, R, mode=mode))
+            assert np.array_equal(ch0, np.asarray(L, dtype="<i2")), mode
+
+    def test_stereo_fuzz(self):
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from map_reduce_framework_spark.operators.flac import (
+            decode_flac,
+            encode_flac_stereo,
+        )
+
+        @settings(max_examples=40, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(-32768, 32767),
+                    st.integers(-32768, 32767),
+                ),
+                min_size=1,
+                max_size=300,
+            ),
+            st.sampled_from(
+                ["independent", "left_side", "right_side", "mid_side"]
+            ),
+        )
+        def run(pairs, mode):
+            L = [a for a, _ in pairs]
+            R = [b for _, b in pairs]
+            ch0, _, nch = decode_flac(encode_flac_stereo(L, R, mode=mode))
+            assert nch == 2
+            assert np.array_equal(ch0, np.asarray(L, dtype="<i2"))
+
+        run()
+
+    def test_float_wav_exact_and_classified(self):
+        import random
+
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.audio import (
+            decode_audio,
+            encode_wav,
+            encode_wav_float,
+        )
+        from map_reduce_framework_spark.operators.multimodal import (
+            media_codec_class,
+        )
+
+        rng = random.Random(31)
+        s = [rng.randint(-32768, 32767) for _ in range(500)]
+        a = decode_audio(encode_wav(s))[0]
+        b = decode_audio(encode_wav_float(s))[0]
+        assert np.array_equal(a, b)  # float re-encode is lossless
+        assert media_codec_class(encode_wav_float(s)) == (
+            "wav",
+            "float",
+            True,
+        )
+
+    def test_stereo_flac_copy_of_mono_clip_fingerprint_match(self, spark):
+        """A stereo FLAC whose left channel is a known mono clip is a
+        duplicate the fingerprint pair join must catch -- the 100 TB
+        dedup story across container/channel re-encodings."""
+        from pyspark.sql import functions as F
+
+        from map_reduce_framework_spark.operators.audio import (
+            AUDIO_FP_MIN,
+            _doc_samples,
+            audio_fingerprints_from_payloads,
+            encode_wav,
+        )
+        from map_reduce_framework_spark.operators.flac import (
+            encode_flac_stereo,
+        )
+
+        clip = _doc_samples([f"tok{i}" for i in range(12)])
+        rows = [
+            (1, bytearray(encode_wav(clip))),
+            (
+                2,
+                bytearray(
+                    encode_flac_stereo(
+                        clip, list(clip)[::-1], mode="mid_side"
+                    )
+                ),
+            ),
+            (3, bytearray(encode_wav(_doc_samples(["other"] * 10)))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        fps = audio_fingerprints_from_payloads(df)
+        a, b = fps.alias("a"), fps.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id", "a.fp")
+            .distinct()
+            .groupBy("a.doc_id", "b.doc_id")
+            .count()
+            .where(F.col("count") >= AUDIO_FP_MIN)
+            .collect()
+        )
+        assert {(r[0], r[1]) for r in pairs} == {(1, 2)}
+
+    def test_registered_twins_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        for name in ("audio_features_flac_ms", "audio_features_wav_float"):
+            q = REGISTRY[name]
+            with duckdb_conn(sf_smoke) as con:
+                compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
