@@ -52,8 +52,10 @@ from pyspark.sql.types import (
 def decode_image(payload: bytes) -> "object":
     """Full pixel decode, REAL for all four supported formats:
     uncompressed 24/32-bit BMP (pure byte arithmetic,
-    ``decode_bmp_pixels``), non-interlaced 8-bit PNG (stdlib zlib
-    inflate + spec unfilter, ``decode_png_pixels``), GIF87a/89a
+    ``decode_bmp_pixels``), PNG at every legal color type, bit depth
+    (1/2/4/8/16), and interlace method including Adam7 (stdlib zlib
+    inflate + spec unfilter, ``decode_png_pixels``, round 11),
+    GIF87a/89a
     (pure-Python variable-width LZW, ``decode_gif_pixels``; animated
     frames via ``decode_gif_frames``), and JPEG -- BASELINE,
     PROGRESSIVE (round 9), and sequential ARITHMETIC-CODED SOF9
@@ -82,7 +84,7 @@ def decode_image(payload: bytes) -> "object":
     if px is not None:
         return px
     raise NotImplementedError(
-        "payload is none of: uncompressed BMP, non-interlaced 8-bit "
+        "payload is none of: uncompressed BMP, "
         "PNG, GIF87a/89a, baseline/progressive/extended-sequential/"
         "arithmetic JPEG at 8- or 12-bit "
         "(lossless/differential/progressive-arithmetic JPEG needs "
@@ -489,17 +491,105 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     return out if len(out) >= max_pixels else None
 
 
+#: Adam7 interlace grid: per pass (x_start, y_start, x_step, y_step).
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+#: Legal (color_type -> bit depths) per the PNG spec.
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_unfilter(raw, off, height, stride, bpp):
+    """Unfilter ``height`` scanlines of ``stride`` bytes starting at
+    ``off`` (each prefixed by its filter byte); returns the
+    concatenated bytes, or None on an unknown filter type. bpp is the
+    FILTER distance in whole bytes (>= 1 even for sub-byte depths,
+    per the spec)."""
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        row_off = off + y * (stride + 1)
+        ftype = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pq = a + b - c
+                pa, pb, pc = abs(pq - a), abs(pq - b), abs(pq - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return bytes(out)
+
+
+def _png_rows_to_samples(rows, width, height, channels, depth):
+    """Unfiltered scanline bytes -> (height, width, channels) SAMPLE
+    array at the original depth (uint16 for 16-bit, uint8 else; sub-
+    byte depths unpacked MSB-first with row padding dropped)."""
+    import numpy as np
+
+    stride = (width * channels * depth + 7) // 8
+    arr = np.frombuffer(rows, dtype=np.uint8).reshape(height, stride)
+    if depth == 8:
+        return arr.reshape(height, stride)[
+            :, : width * channels
+        ].reshape(height, width, channels)
+    if depth == 16:
+        return (
+            arr.view(np.uint8)
+            .reshape(height, -1)[:, : width * channels * 2]
+            .reshape(height, width * channels, 2)
+            .astype(np.uint16)[:, :, 0]
+            * 256
+            + arr.reshape(height, -1)[:, : width * channels * 2].reshape(
+                height, width * channels, 2
+            )[:, :, 1]
+        ).reshape(height, width, channels)
+    # sub-byte: unpack bits per row, regroup into depth-wide samples
+    bits = np.unpackbits(arr, axis=1)[:, : width * channels * depth]
+    groups = bits.reshape(height, width * channels, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    samples = (groups * weights).sum(axis=2).astype(np.uint8)
+    return samples.reshape(height, width, channels)
+
+
 def decode_png_pixels(payload: bytes):
-    """Dependency-free pixel decode for non-interlaced 8-bit-depth PNG
-    (color types 0 gray / 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA):
-    returns numpy uint8 (height, width, 3) RGB (alpha dropped, gray
-    replicated, palette resolved), or None when the payload is not
-    such a PNG. Pure stdlib: chunk walk per the PNG spec, zlib inflate
-    of the concatenated IDAT stream, then scanline unfiltering (the
-    five spec filters None/Sub/Up/Average/Paeth). The unfilter loop is
-    per-byte Python -- fine for the small-image curation payloads this
-    engine decodes in Arrow batches; swap for PIL where thumbnails get
-    big."""
+    """Dependency-free pixel decode for PNG: all five color types
+    (0 gray / 2 RGB / 3 palette / 4 gray+alpha / 6 RGBA), every legal
+    bit depth (1/2/4/8/16 -- sub-byte samples scaled to 8-bit, 16-bit
+    taking the high byte), and BOTH interlace methods (none and
+    Adam7, round 11 -- each pass unfiltered independently and
+    scattered through the standard grid): returns numpy uint8
+    (height, width, 3) RGB (alpha dropped, gray replicated, palette
+    resolved), or None when the payload is not such a PNG. Pure
+    stdlib: chunk walk per the PNG spec, bounded zlib inflate of the
+    concatenated IDAT stream, the five spec filters. The unfilter
+    loop is per-byte Python -- fine for the small-image curation
+    payloads this engine decodes in Arrow batches; swap for PIL where
+    thumbnails get big."""
     import zlib
 
     import numpy as np
@@ -527,23 +617,35 @@ def decode_png_pixels(payload: bytes):
         return None
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    depth, color_type, comp, filt, interlace = ihdr[8:13]
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if (
         width <= 0
         or height <= 0
-        or bit_depth != 8
         or channels is None
+        or depth not in _PNG_DEPTHS[color_type]
         or comp != 0
         or filt != 0
-        or interlace != 0
+        or interlace not in (0, 1)
         or (color_type == 3 and plte is None)
     ):
         return None
     if width * height > MAX_DECODE_PIXELS:
         return None  # dims cap: see MAX_DECODE_PIXELS
-    stride = width * channels
-    expected = height * (stride + 1)
+    bpp = max(1, channels * depth // 8)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, width, height)]
+    else:
+        passes = []
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs
+            ph = (height - y0 + ys - 1) // ys
+            passes.append((x0, y0, xs, ys, max(pw, 0), max(ph, 0)))
+    expected = sum(
+        ph * ((pw * channels * depth + 7) // 8 + 1)
+        for _, _, _, _, pw, ph in passes
+        if pw and ph
+    )
     try:
         # decompressobj + max_length bounds a zlib bomb to expected+1
         # bytes instead of letting a kilobyte of input inflate to GiB
@@ -554,38 +656,29 @@ def decode_png_pixels(payload: bytes):
         return None
     if len(raw) != expected:
         return None
-    out = bytearray(height * stride)
-    prev = bytearray(stride)
-    for y in range(height):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
-        if ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
+    sdtype = np.uint16 if depth == 16 else np.uint8
+    samples = np.zeros((height, width, channels), dtype=sdtype)
+    off = 0
+    for x0, y0, xs, ys, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        stride = (pw * channels * depth + 7) // 8
+        rows = _png_unfilter(raw, off, ph, stride, bpp)
+        if rows is None:
             return None
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
-    px = np.frombuffer(bytes(out), dtype=np.uint8).reshape(
-        height, width, channels
-    )
+        off += ph * (stride + 1)
+        sub = _png_rows_to_samples(rows, pw, ph, channels, depth)
+        samples[y0::ys, x0::xs] = sub
+    # depth normalization: 16-bit -> high byte; sub-byte gray scaled
+    # to full range; palette indices used raw
+    if depth == 16:
+        px = (samples >> 8).astype(np.uint8)
+    elif depth < 8 and color_type == 0:
+        px = (
+            samples.astype(np.uint16) * (255 // ((1 << depth) - 1))
+        ).astype(np.uint8)
+    else:
+        px = samples.astype(np.uint8)
     if color_type == 2:
         return px.copy()
     if color_type == 6:
