@@ -256,6 +256,10 @@ def _decode_jpeg_pixels(payload: bytes):
             arithmetic = marker == 0xC9
         elif marker == 0xC2:  # progressive DCT: the multi-scan decoder
             return _decode_progressive(payload)
+        elif marker == 0xCA:  # SOF10: progressive arithmetic (round 11)
+            from .jpeg_arith import decode_arith_progressive
+
+            return decode_arith_progressive(payload)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
             while p + 2 <= len(body):

@@ -60,15 +60,15 @@ def decode_image(payload: bytes) -> "object":
     frames via ``decode_gif_frames``), and JPEG -- BASELINE,
     PROGRESSIVE (round 9), and sequential ARITHMETIC-CODED SOF9
     (round 11, T.81 Annex D QM-coder in ``operators/jpeg_arith``),
-    plus EXTENDED SEQUENTIAL SOF1 and 12-BIT samples on their legal
-    sequential carriers (SOF1/SOF9, level shift 2048, output scaled
-    to the uint8 contract) through
+    PROGRESSIVE ARITHMETIC SOF10 (the G.1.3 scan models over the
+    same QM coder), plus EXTENDED SEQUENTIAL SOF1 and 12-BIT samples
+    on their legal sequential carriers (SOF1/SOF9, level shift 2048,
+    output scaled to the uint8 contract) through
     ``operators/jpeg.decode_jpeg_pixels`` -- grayscale and color,
     4:4:4/4:2:2/4:2:0 sampling, restart intervals, spectral selection
     + successive approximation. The remaining boundary is the
-    lossless/differential/progressive-arithmetic processes (and
-    12-bit on 8-bit-only processes, an illegal stream shape), which
-    raise NotImplementedError -- swap in
+    lossless/differential processes (and 12-bit on 8-bit-only decode
+    paths), which raise NotImplementedError -- swap in
     PIL.Image.open(io.BytesIO(payload)) where libjpeg is available.
     Header-level metadata never needs this: see
     ``decode_image_header``."""
@@ -2728,6 +2728,28 @@ def jpeg_arith_roundtrip(documents: DataFrame) -> DataFrame:
 ORACLE_SQL["jpeg_arith_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
 
 
+def jpeg_prog_arith_roundtrip(documents: DataFrame) -> DataFrame:
+    """jpeg_block_roundtrip through PROGRESSIVE ARITHMETIC (SOF10,
+    round 11): the same per-doc quadrant image under the default
+    successive-approximation scan script, every scan its own QM coder
+    + statistics (DC conditioning, band EOB decisions, refinement
+    correction bits), decoded back through the shared progressive
+    coefficient store. The same md5 identity oracle certifies the
+    full scan stack per document -- with this, every DCT-based JPEG
+    process (SOF0/1/2/9/10) decodes."""
+    from .jpeg_arith import encode_jpeg_arith_progressive
+
+    return _jpeg_roundtrip_op(
+        documents,
+        lambda img: encode_jpeg_arith_progressive(
+            img, restart_interval=1
+        ),
+    )
+
+
+ORACLE_SQL["jpeg_prog_arith_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
+
+
 ORACLE_SQL["video_dedup_pairs"] = (
     "WITH "
     + _video_dhash_cte().strip()
@@ -2902,15 +2924,16 @@ ORACLE_SQL["mjpeg_mp4_frame_dhash"] = _mjpeg_avi_dhash_sql()
 # dozen bytes per payload.
 # ---------------------------------------------------------------------------
 
-#: SOFn marker -> codec class. 'arithmetic' (SOF9) and 'extended'
-#: (SOF1) decode at BOTH 8- and 12-bit precision (round 11 --
-#: jpeg_arith.py and the widened Huffman tables); 'baseline' (SOF0)
-#: and 'progressive' (SOF2) are 8-bit processes, so precision 12 on
-#: them classifies 'twelve_bit' (an illegal/undecodable stream);
-#: 0xC3/0xC5-0xC7 (lossless/differential) and 0xCA/0xCB/0xCD-0xCF
-#: (progressive/lossless/differential arithmetic) are 'other'. The
-#: rejected set is ('twelve_bit', 'other').
-_JPEG_ARITH_SOFS = {0xC9}
+#: SOFn marker -> codec class. 'arithmetic' (SOF9 at 8/12-bit and
+#: SOF10 progressive-arithmetic at 8-bit) and 'extended' (SOF1 at
+#: 8/12-bit) decode (round 11 -- jpeg_arith.py and the widened
+#: Huffman tables); 'baseline' (SOF0), 'progressive' (SOF2), and
+#: SOF10 are 8-bit-only decode paths, so precision 12 on them
+#: classifies 'twelve_bit'; 0xC3/0xC5-0xC7 (lossless/differential)
+#: and 0xCB/0xCD-0xCF (lossless/differential arithmetic) are
+#: 'other'. The rejected set is ('twelve_bit', 'other') -- the last
+#: JPEG residue is the lossless/differential family.
+_JPEG_ARITH_SOFS = {0xC9, 0xCA}
 
 
 def jpeg_codec_class(payload: bytes) -> str | None:
@@ -2947,6 +2970,8 @@ def jpeg_codec_class(payload: bytes) -> str | None:
             # processes that decode at BOTH precisions (round 11:
             # 12-bit rides SOF1/SOF9, its legal sequential carriers)
             if marker in _JPEG_ARITH_SOFS:
+                if marker == 0xCA and precision == 12:
+                    return "twelve_bit"  # SOF10 decode is 8-bit-only
                 return "arithmetic"
             if marker == 0xC1:
                 return "extended"

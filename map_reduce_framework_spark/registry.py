@@ -1962,6 +1962,16 @@ def q_jpeg_12bit_roundtrip(spark, sf_dir):
     return multimodal.jpeg_12bit_roundtrip(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "jpeg_prog_arith_roundtrip",
+    multimodal.ORACLE_SQL["jpeg_prog_arith_roundtrip"],
+)
+def q_jpeg_prog_arith_roundtrip(spark, sf_dir):
+    return multimodal.jpeg_prog_arith_roundtrip(
+        _t(spark, sf_dir, "documents")
+    )
+
+
 # --------------------------------------------------------------------------
 # HTML/markup -> text extraction (round 9): the crawl-intake edge.
 # --------------------------------------------------------------------------

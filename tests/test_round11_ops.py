@@ -588,10 +588,10 @@ class TestArithmeticJpeg:
         run()
 
     def test_rejected_set_and_residual_boundary(self):
-        """After the round's two boundary closures (arithmetic, then
-        12-bit on SOF1/SOF9) the rejected residue is: 12-bit on
-        8-bit-only processes, and the lossless/differential/
-        progressive-arithmetic family."""
+        """After the round's boundary closures (sequential + 12-bit +
+        progressive arithmetic) the rejected residue is: 12-bit on
+        8-bit-only decode paths, and the lossless/differential
+        family."""
         from map_reduce_framework_spark.operators import multimodal as mm
         from map_reduce_framework_spark.operators.jpeg import (
             decode_jpeg_pixels,
@@ -609,10 +609,10 @@ class TestArithmeticJpeg:
         p[i + 4] = 12
         assert mm.jpeg_codec_class(bytes(p)) == "twelve_bit"
         assert decode_jpeg_pixels(bytes(p)) is None
-        # progressive-arithmetic (SOF10) stays 'other'
+        # arithmetic lossless (SOF11) stays 'other'
         q = bytearray(encode_jpeg_arith(img))
         j = bytes(q).find(b"\xff\xc9")
-        q[j + 1] = 0xCA
+        q[j + 1] = 0xCB
         assert mm.jpeg_codec_class(bytes(q)) == "other"
         assert decode_jpeg_pixels(bytes(q)) is None
 
@@ -1596,3 +1596,136 @@ class TestPngCompletion:
                 assert np.array_equal(px, exp[:, :, :3])
 
         run()
+
+
+# ---------------------------------------------------------------------------
+# Progressive-arithmetic JPEG (SOF10, round-11 closing addition):
+# every DCT-based JPEG process now decodes
+# ---------------------------------------------------------------------------
+
+
+class TestProgressiveArithmeticJpeg:
+    def test_pixel_exact_vs_baseline_and_sof2(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith_progressive,
+        )
+
+        img = np.array(
+            [[(x * 7 + y * 13) % 256 for x in range(37)] for y in range(29)],
+            dtype=np.uint8,
+        )
+        base = decode_jpeg_pixels(encode_jpeg(img))
+        sof2 = decode_jpeg_pixels(encode_jpeg_progressive(img))
+        sof10 = decode_jpeg_pixels(encode_jpeg_arith_progressive(img))
+        assert sof10 is not None
+        assert np.array_equal(base, sof2)
+        assert np.array_equal(base, sof10)
+
+    def test_color_subsampling_restarts(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_progressive,
+        )
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith_progressive,
+        )
+
+        g = np.array(
+            [[(x * 3 + y * 11) % 256 for x in range(24)] for y in range(18)],
+            dtype=np.uint8,
+        )
+        rgb = np.stack(
+            [(g * 3) % 256, (g * 5) % 256, (g * 7) % 256], axis=-1
+        ).astype(np.uint8)
+        for kwargs in (
+            {},
+            {"subsample_420": True},
+            {"restart_interval": 1},
+            {"subsample_420": True, "restart_interval": 3},
+        ):
+            a = decode_jpeg_pixels(encode_jpeg_progressive(rgb, **kwargs))
+            b = decode_jpeg_pixels(
+                encode_jpeg_arith_progressive(rgb, **kwargs)
+            )
+            assert b is not None, kwargs
+            assert np.array_equal(a, b), kwargs
+
+    def test_scan_script_fuzz(self):
+        """Random images through the default script AND random custom
+        scripts decode pixel-exact equal to SOF2 under the identical
+        script -- both multi-scan stacks accumulate the same
+        coefficients."""
+        import numpy as np
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from map_reduce_framework_spark.operators.jpeg import (
+            decode_jpeg_pixels,
+            encode_jpeg_progressive,
+        )
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith_progressive,
+        )
+
+        @settings(max_examples=20, deadline=None)
+        @given(
+            st.integers(1, 20), st.integers(1, 20),
+            st.integers(0, 2**32 - 1), st.integers(0, 3),
+        )
+        def run(h, w, seed, split):
+            rng = np.random.RandomState(seed)
+            img = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+            mid = (5, 20, 35, 50)[split]
+            scans = [
+                ([0], 0, 0, 0, 1),
+                ([0], 1, mid, 0, 2), ([0], mid + 1, 63, 0, 2),
+                ([0], 1, mid, 2, 1), ([0], mid + 1, 63, 2, 1),
+                ([0], 0, 0, 1, 0),
+                ([0], 1, mid, 1, 0), ([0], mid + 1, 63, 1, 0),
+            ]
+            a = decode_jpeg_pixels(
+                encode_jpeg_progressive(img, scans=scans)
+            )
+            b = decode_jpeg_pixels(
+                encode_jpeg_arith_progressive(img, scans=scans)
+            )
+            assert b is not None
+            assert np.array_equal(a, b)
+
+        run()
+
+    def test_classifier_and_boundary(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators import multimodal as mm
+        from map_reduce_framework_spark.operators.jpeg_arith import (
+            encode_jpeg_arith_progressive,
+        )
+
+        img = np.full((8, 8), 55, dtype=np.uint8)
+        p = encode_jpeg_arith_progressive(img)
+        assert mm.jpeg_codec_class(p) == "arithmetic"
+        assert mm.decode_image(p) is not None
+        # SOF10 at 12-bit precision stays the boundary
+        b = bytearray(p)
+        i = bytes(b).find(b"\xff\xca")
+        b[i + 4] = 12
+        assert mm.jpeg_codec_class(bytes(b)) == "twelve_bit"
+
+    def test_registered_roundtrip_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        q = REGISTRY["jpeg_prog_arith_roundtrip"]
+        with duckdb_conn(sf_smoke) as con:
+            compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
