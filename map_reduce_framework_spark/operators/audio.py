@@ -205,14 +205,23 @@ def decode_wav(payload: bytes):
 
 def decode_audio(payload):
     """The one audio-payload dispatcher: RIFF/WAVE through decode_wav,
-    fLaC through operators/flac.decode_flac (round 11) -- both return
-    (samples int16 array, rate, channels) or None. A FLAC re-encoding
-    of a WAV clip therefore lands in the SAME fingerprint space, which
-    is how the planted cross-codec duplicate is caught."""
+    fLaC through operators/flac.decode_flac (round 11), raw MPEG-1
+    Layer I/II bitstreams through operators/mpeg_audio.decode_mpeg
+    (round 12; the sniff is the strict whole-stream header walk, so
+    random binary cannot false-positive) -- all return (samples int16
+    array, rate, channels) or None. A FLAC or MPEG re-encoding of a
+    WAV clip therefore lands in the SAME fingerprint space, which is
+    how the planted cross-codec duplicates are caught."""
     if len(payload) >= 4 and bytes(payload[:4]) == b"fLaC":
         from .flac import decode_flac
 
         return decode_flac(payload)
+    if len(payload) >= 12 and bytes(payload[:4]) == b"RIFF":
+        return decode_wav(payload)
+    from .mpeg_audio import decode_mpeg, mpeg_stream_info
+
+    if mpeg_stream_info(payload) is not None:
+        return decode_mpeg(payload)
     return decode_wav(payload)
 
 

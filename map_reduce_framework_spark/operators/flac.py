@@ -361,7 +361,10 @@ def decode_flac(payload):
     channel-interleaved bytes). TOTAL over arbitrary bytes."""
     try:
         return _decode_flac(payload)
-    except (IndexError, ValueError, TypeError):
+    except (IndexError, ValueError, TypeError, OverflowError):
+        # OverflowError backstop (ADVICE r11 #1): a crafted valid-CRC
+        # stream (LPC shift 0, huge coefficients) can push reconstructed
+        # Python-int samples past int64 before the range gate runs.
         return None
 
 
@@ -412,6 +415,13 @@ def _decode_flac(payload):
             chans[i].extend(frame_chans[i])
     if len(chans[0]) != total:
         return None
+    # Range gate (ADVICE r11 #1): reconstructed samples are unbounded
+    # Python ints (invalid LPC/stereo streams overflow 16 bits); int16
+    # conversion would silently wrap (numpy<2) or raise (numpy>=2), so
+    # reject out-of-range streams as invalid rather than decode wrong.
+    for ch in chans:
+        if ch and (min(ch) < -32768 or max(ch) > 32767):
+            return None
     pcm = np.asarray(chans, dtype="<i2")  # (channels, total)
     if md5 != b"\x00" * 16:
         # STREAMINFO MD5 covers the channel-INTERLEAVED LE sample bytes
@@ -430,7 +440,12 @@ def _walk_frame_header(payload, pos: int, info_rate: int):
     n = len(payload)
     if pos + 5 > n:
         raise ValueError("truncated frame header")
-    if payload[pos] != 0xFF or (payload[pos + 1] & 0xFC) != 0xF8:
+    if payload[pos] != 0xFF or payload[pos + 1] != 0xF8:
+        # Exact 0xF8: 6 sync bits 111110 + reserved 0 + strategy 0.
+        # The variable-blocksize strategy bit (0xF9) is rejected here
+        # (ADVICE r11 #3): under it the coded number is a SAMPLE number,
+        # not a frame index, and this decoder implements fixed-blocksize
+        # semantics only -- accepting it would misread headers.
         raise ValueError("bad sync (fixed-blocksize strategy only)")
     hdr_start = pos
     bs_code = payload[pos + 2] >> 4

@@ -86,8 +86,9 @@ def decode_image(payload: bytes) -> "object":
     raise NotImplementedError(
         "payload is none of: uncompressed BMP, "
         "PNG, GIF87a/89a, baseline/progressive/extended-sequential/"
-        "arithmetic JPEG at 8- or 12-bit "
-        "(lossless/differential/progressive-arithmetic JPEG needs "
+        "arithmetic JPEG (sequential/progressive, Huffman or QM-coded) "
+        "at 8- or 12-bit "
+        "(lossless/differential JPEG processes need "
         "libjpeg -- swap in PIL where available); "
         "header metadata comes from decode_image_header, and "
         "fake_decode_meta covers the synthetic test corpus"
@@ -3238,6 +3239,24 @@ def wav_format_tag(payload) -> int | None:
     return int.from_bytes(payload[off : off + 2], "little")
 
 
+def wav_fmt_fields(payload) -> tuple | None:
+    """(format_tag, bits_per_sample) from the fmt chunk -- bits is None
+    when the chunk is shorter than the 16-byte PCM layout. Header walk
+    only; None when not a RIFF/WAVE stream. The bits field matters for
+    the codec boundary (ADVICE r11 #2): audio.decode_wav accepts only
+    (tag 1, 16-bit) and (tag 3, 32-bit), so a 24-bit PCM or 64-bit
+    float WAV must classify as unsupported, not 'pcm'/'float'."""
+    try:
+        off = _wav_fmt_tag_offset(payload)
+    except ValueError:
+        return None
+    tag = int.from_bytes(payload[off : off + 2], "little")
+    bits = None
+    if off + 16 <= len(payload):
+        bits = int.from_bytes(payload[off + 14 : off + 16], "little")
+    return tag, bits
+
+
 #: Formats each container's pure-Python decoder ACTUALLY decodes --
 #: decode_mp4_frames ('jpeg'/'raw ' samples), decode_avi_frames (MJPG
 #: '00dc' + DIB '00db'), audio.decode_wav (PCM). Everything else is
@@ -3251,6 +3270,9 @@ MEDIA_SUPPORTED = {
     # LPC joined the decodable set later in round 11; RESERVED
     # subframe types (2-7, 13-31) are the remaining flac boundary
     "flac": ("constant", "verbatim", "fixed", "lpc"),
+    # MPEG-1 Layer I/II decode (round 12); Layer III and the LSF
+    # versions (2/2.5) are walked and counted, never decoded
+    "mpeg": ("v1l1", "v1l2"),
 }
 
 _WAV_TAG_NAMES = {1: "pcm", 3: "float", 0x55: "mpeg"}
@@ -3266,10 +3288,19 @@ def media_codec_class(payload) -> tuple | None:
         and bytes(payload[:4]) == b"RIFF"
         and bytes(payload[8:12]) == b"WAVE"
     ):
-        tag = wav_format_tag(payload)
-        if tag is None:
+        fields = wav_fmt_fields(payload)
+        if fields is None:
             return None
+        tag, bits = fields
         fmt = _WAV_TAG_NAMES.get(tag, f"tag_{tag}")
+        # Gate 'supported' on the (tag, bits) pairs decode_wav actually
+        # decodes: (1, 16) and (3, 32). Other depths keep the family
+        # name with the depth suffixed (pcm24, float64) so the boundary
+        # report counts them as their own unsupported class.
+        if tag == 1 and bits != 16:
+            fmt = f"pcm{bits}"
+        elif tag == 3 and bits != 32:
+            fmt = f"float{bits}"
         return ("wav", fmt, fmt in MEDIA_SUPPORTED["wav"])
     if len(payload) >= 4 and bytes(payload[:4]) == b"fLaC":
         from .flac import flac_subframe_class
@@ -3289,6 +3320,15 @@ def media_codec_class(payload) -> tuple | None:
         if fcc is None:
             return None
         return ("avi", fcc, fcc in MEDIA_SUPPORTED["avi"])
+    from .mpeg_audio import mpeg_stream_info
+
+    mi = mpeg_stream_info(payload)
+    if mi is not None:
+        fmt = f"v{mi['version']}l{mi['layer']}"
+        # joint stereo (mode 1) carries intensity coding the decoder
+        # refuses; it stays a counted class even for v1 Layer I/II
+        ok = fmt in MEDIA_SUPPORTED["mpeg"] and mi["mode"] != 1
+        return ("mpeg", fmt, ok)
     return None
 
 
@@ -3305,15 +3345,19 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
     offset), 9 FLAC constant-subframe (decodable, round 11), 10 FLAC
     RESERVED subframe type (planted at the walked first-subframe
     offset -- the codec's remaining audio boundary now that LPC
-    decodes). The engine builds real container bytes
-    and classifies them BY HEADER WALK; the oracle recomputes the
-    counts from the planting rule alone, so a hash match proves the
-    classifier calls every planted header correctly (counted, NOT
+    decodes), and -- round 12, doc_id % 13 now -- 11 a raw MPEG-1
+    Layer II bitstream (decodable since round 12) and 12 a raw MPEG-1
+    Layer III bitstream (the dominant real-crawl audio format: walked
+    and counted, refused at decode). The engine builds real container
+    bytes and classifies them BY HEADER WALK; the oracle recomputes
+    the counts from the planting rule alone, so a hash match proves
+    the classifier calls every planted header correctly (counted, NOT
     decoded). One Arrow map pass + one map-side-combined groupBy."""
     import hashlib
 
     from .audio import encode_wav
     from .flac import _first_subframe_offset, encode_flac
+    from .mpeg_audio import _plant_stream, encode_mp2
 
     schema = StructType(
         [
@@ -3338,8 +3382,15 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
             for doc_id, source, text in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
-                mode = doc_id % 11
-                if mode <= 4:
+                mode = doc_id % 13
+                if mode == 11:
+                    # raw Layer II bitstream from this engine's own
+                    # encoder (one silent frame: the walk reads headers
+                    # only, content is irrelevant to classification)
+                    payload = bytearray(encode_mp2([0] * 32))
+                elif mode == 12:
+                    payload = bytearray(_plant_stream(3, 3, 32, 32000, 2))
+                elif mode <= 4:
                     frame = _md5_quad_frames(text, n_frames=1)[0]
                     payload = bytearray(
                         encode_mp4(
@@ -3404,19 +3455,21 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
 
 ORACLE_SQL["media_boundary_report"] = """
     SELECT source,
-           CASE WHEN doc_id % 11 <= 4 THEN 'mp4'
-                WHEN doc_id % 11 <= 6 THEN 'avi'
-                WHEN doc_id % 11 <= 8 THEN 'wav'
+           CASE WHEN doc_id % 13 IN (11, 12) THEN 'mpeg'
+                WHEN doc_id % 13 <= 4 THEN 'mp4'
+                WHEN doc_id % 13 <= 6 THEN 'avi'
+                WHEN doc_id % 13 <= 8 THEN 'wav'
                 ELSE 'flac' END AS container,
-           CASE doc_id % 11
+           CASE doc_id % 13
                 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'raw ' WHEN 2 THEN 'avc1'
                 WHEN 3 THEN 'hev1' WHEN 4 THEN 'vp09' WHEN 5 THEN 'MJPG'
                 WHEN 6 THEN 'XVID' WHEN 7 THEN 'pcm' WHEN 8 THEN 'mpeg'
-                WHEN 9 THEN 'constant' ELSE 'reserved'
+                WHEN 9 THEN 'constant' WHEN 10 THEN 'reserved'
+                WHEN 11 THEN 'v1l2' ELSE 'v1l3'
            END AS fmt,
            CAST(count(*) AS BIGINT) AS n_payloads,
-           CAST(sum(CASE WHEN doc_id % 11 IN (0, 1, 5, 7, 9) THEN 1 ELSE 0
-                    END) AS BIGINT) AS n_supported
+           CAST(sum(CASE WHEN doc_id % 13 IN (0, 1, 5, 7, 9, 11)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_supported
     FROM documents
     GROUP BY source, container, fmt
 """

@@ -1213,6 +1213,37 @@ def q_audio_robust_fp_pairs(spark, sf_dir):
     return audio.audio_robust_fp_pairs(_t(spark, sf_dir, "documents"))
 
 
+# MPEG-1 audio (r12 verdict ask #1): dependency-free Layer I/II codec
+# + raw-bitstream header walk; header-math columns oracle-exact, the
+# lossy reconstruction certified against pinned bounds (recon_ok).
+from .operators import mpeg_audio  # noqa: E402
+
+
+@register(
+    "audio_features_mp1", mpeg_audio.ORACLE_SQL["audio_features_mp1"]
+)
+def q_audio_features_mp1(spark, sf_dir):
+    return mpeg_audio.audio_features_mpeg(
+        _t(spark, sf_dir, "documents"), layer=1
+    )
+
+
+@register(
+    "audio_features_mp2", mpeg_audio.ORACLE_SQL["audio_features_mp2"]
+)
+def q_audio_features_mp2(spark, sf_dir):
+    return mpeg_audio.audio_features_mpeg(
+        _t(spark, sf_dir, "documents"), layer=2
+    )
+
+
+@register(
+    "mpeg_stream_report", mpeg_audio.ORACLE_SQL["mpeg_stream_report"]
+)
+def q_mpeg_stream_report(spark, sf_dir):
+    return mpeg_audio.mpeg_stream_report(_t(spark, sf_dir, "documents"))
+
+
 # Training-shard writer accounting (r6 verdict ask #3): the oracle-
 # checked view of what sources/shard_writer.py materializes to disk.
 from .sources import shard_writer  # noqa: E402

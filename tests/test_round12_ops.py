@@ -1,0 +1,532 @@
+"""Round-12 tests: ADVICE r11 fixes (FLAC decode totality, WAV
+bits-per-sample boundary gate, FLAC variable-blocksize rejection),
+then the round's new operators (MPEG-1 audio, video metadata,
+epoch-dir retention, lossless JPEG)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _flac_streaminfo(total: int, rate: int = 8000) -> bytes:
+    import map_reduce_framework_spark.operators.flac as FL
+
+    w = FL._BitWriter()
+    w.write(16, 16)
+    w.write(max(total, 16), 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(rate, 20)
+    w.write(0, 3)  # mono
+    w.write(15, 5)  # 16 bps
+    w.write(total, 36)
+    # zero MD5 => decoder skips sample verification (the adversarial
+    # stream lies about everything else; MD5 can't be precomputed for
+    # samples the attacker wants to overflow)
+    return w.bytes() + b"\x00" * 16
+
+
+def _crafted_lpc_stream(warmup: int, coef: int, shift: int, bs: int) -> bytes:
+    """Valid-CRC mono FLAC with one LPC subframe: order 1, given
+    coefficient and shift, all-zero residuals. Decoded samples follow
+    s[i] = (coef * s[i-1]) >> shift from the warmup value."""
+    import map_reduce_framework_spark.operators.flac as FL
+
+    info = _flac_streaminfo(bs)
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(info).to_bytes(3, "big") + info
+    hdr = bytearray(b"\xff\xf8")
+    sr_code, sr_bytes = FL._rate_code(8000)
+    hdr.append((0x07 << 4) | sr_code)  # 16-bit blocksize code
+    hdr.append((0x00 << 4) | (0x04 << 1))  # mono, 16 bps
+    hdr += FL._utf8_number(0)
+    hdr += (bs - 1).to_bytes(2, "big")
+    hdr += sr_bytes
+    hdr.append(FL._crc8(hdr))
+    body = FL._BitWriter()
+    body.write(0, 1)
+    body.write(0b100000 | 0, 6)  # LPC, order 1
+    body.write(0, 1)  # no wasted bits
+    body.write(warmup & 0xFFFF, 16)  # warmup sample
+    body.write(8 - 1, 4)  # precision 8
+    body.write(shift, 5)
+    body.write(coef & 0xFF, 8)
+    body.write(0, 2)  # residual method 0
+    body.write(0, 4)  # partition order 0
+    body.write(0, 4)  # rice parameter 0
+    for _ in range(bs - 1):
+        body.write_unary(0)  # residual 0
+    body.align()
+    frame = bytes(hdr) + body.bytes()
+    frame += FL._crc16(frame).to_bytes(2, "big")
+    out += frame
+    return bytes(out)
+
+
+class TestFlacDecodeTotality:
+    """ADVICE r11 #1: decode_flac must be TOTAL over arbitrary bytes.
+    A valid-CRC stream whose LPC recursion overflows int64 crashed the
+    int16 conversion with OverflowError; one that overflows int16 but
+    not int64 silently wrapped (numpy<2) / raises (numpy>=2)."""
+
+    def test_int64_overflow_stream_returns_none(self):
+        from map_reduce_framework_spark.operators.flac import decode_flac
+
+        # s[i] = 127 * s[i-1] from 100: exceeds 2^63 after ~9 samples,
+        # exceeds ANY fixed width by sample 64. Must reject, not raise.
+        payload = _crafted_lpc_stream(warmup=100, coef=127, shift=0, bs=64)
+        assert decode_flac(payload) is None
+
+    def test_int16_overflow_stream_returns_none_not_wrapped(self):
+        from map_reduce_framework_spark.operators.flac import decode_flac
+
+        # s[i] = 2 * s[i-1] from 30000: past 32767 by sample 2, still
+        # far inside int64 at bs=16 -- the silent-wrap regime.
+        payload = _crafted_lpc_stream(warmup=30000, coef=2, shift=0, bs=16)
+        assert decode_flac(payload) is None
+
+    def test_in_range_crafted_stream_still_decodes(self):
+        # the gate must not reject legitimate streams: coef 0 holds
+        # every post-warmup sample at 0, all in range
+        from map_reduce_framework_spark.operators.flac import decode_flac
+
+        payload = _crafted_lpc_stream(warmup=1234, coef=0, shift=0, bs=16)
+        got = decode_flac(payload)
+        assert got is not None
+        samples, rate, channels = got
+        assert channels == 1 and rate == 8000
+        assert samples[0] == 1234 and all(s == 0 for s in samples[1:])
+
+    def test_roundtrip_unaffected(self):
+        import numpy as np
+
+        from map_reduce_framework_spark.operators.flac import (
+            decode_flac,
+            encode_flac,
+        )
+
+        rng = np.random.default_rng(12)
+        samples = rng.integers(-32768, 32768, size=5000, dtype=np.int16)
+        got = decode_flac(encode_flac(samples))
+        assert got is not None
+        assert np.array_equal(got[0], samples)
+
+
+class TestFlacVariableBlocksizeRejected:
+    """ADVICE r11 #3: the sync walk accepted the variable-blocksize
+    strategy bit (0xF9) although the decoder implements fixed-blocksize
+    semantics only (the coded number would be a sample number)."""
+
+    FRAME_OFF = 4 + 4 + 34  # fLaC + metadata header + STREAMINFO
+
+    def _valid_stream(self):
+        from map_reduce_framework_spark.operators.flac import encode_flac
+
+        return encode_flac([100, -200, 300, -400] * 64)
+
+    def test_variable_strategy_bit_raises(self):
+        import map_reduce_framework_spark.operators.flac as FL
+
+        payload = bytearray(self._valid_stream())
+        assert payload[self.FRAME_OFF + 1] == 0xF8
+        payload[self.FRAME_OFF + 1] = 0xF9  # variable-blocksize strategy
+        with pytest.raises(ValueError, match="sync"):
+            FL._walk_frame_header(payload, self.FRAME_OFF, 8000)
+
+    def test_reserved_bit_raises(self):
+        import map_reduce_framework_spark.operators.flac as FL
+
+        payload = bytearray(self._valid_stream())
+        payload[self.FRAME_OFF + 1] = 0xFA  # reserved bit set
+        with pytest.raises(ValueError, match="sync"):
+            FL._walk_frame_header(payload, self.FRAME_OFF, 8000)
+
+    def test_decode_and_classifier_reject_not_misread(self):
+        from map_reduce_framework_spark.operators.flac import (
+            decode_flac,
+            flac_subframe_class,
+        )
+
+        payload = bytearray(self._valid_stream())
+        payload[self.FRAME_OFF + 1] = 0xF9
+        assert decode_flac(bytes(payload)) is None
+        assert flac_subframe_class(bytes(payload)) is None
+
+
+class TestWavBitsBoundaryGate:
+    """ADVICE r11 #2: media_codec_class called any tag-1 WAV 'pcm'/
+    supported and any tag-3 'float'/supported, but decode_wav only
+    decodes (tag 1, 16-bit) and (tag 3, 32-bit). Depth must gate."""
+
+    def _patched(self, payload: bytes, bits: int) -> bytes:
+        from map_reduce_framework_spark.operators.multimodal import (
+            _wav_fmt_tag_offset,
+        )
+
+        buf = bytearray(payload)
+        off = _wav_fmt_tag_offset(buf)
+        buf[off + 14 : off + 16] = bits.to_bytes(2, "little")
+        return bytes(buf)
+
+    def test_pcm16_and_float32_supported(self):
+        from map_reduce_framework_spark.operators.audio import (
+            encode_wav,
+            encode_wav_float,
+        )
+        from map_reduce_framework_spark.operators.multimodal import (
+            media_codec_class,
+        )
+
+        pcm = encode_wav([1, 2, 3, -4])
+        assert media_codec_class(pcm) == ("wav", "pcm", True)
+        flt = encode_wav_float([0.1, -0.2, 0.3])
+        assert media_codec_class(flt) == ("wav", "float", True)
+
+    def test_pcm24_unsupported(self):
+        from map_reduce_framework_spark.operators.audio import (
+            decode_wav,
+            encode_wav,
+        )
+        from map_reduce_framework_spark.operators.multimodal import (
+            media_codec_class,
+        )
+
+        p24 = self._patched(encode_wav([1, 2, 3, -4]), 24)
+        # the classifier's 'supported' claim must match the decoder
+        assert decode_wav(p24) is None
+        assert media_codec_class(p24) == ("wav", "pcm24", False)
+
+    def test_float64_unsupported(self):
+        from map_reduce_framework_spark.operators.audio import (
+            decode_wav,
+            encode_wav_float,
+        )
+        from map_reduce_framework_spark.operators.multimodal import (
+            media_codec_class,
+        )
+
+        f64 = self._patched(encode_wav_float([0.5, -0.5]), 64)
+        assert decode_wav(f64) is None
+        assert media_codec_class(f64) == ("wav", "float64", False)
+
+    def test_mpeg_tag_still_classified(self):
+        from map_reduce_framework_spark.operators.audio import encode_wav
+        from map_reduce_framework_spark.operators.multimodal import (
+            _wav_fmt_tag_offset,
+            media_codec_class,
+        )
+
+        buf = bytearray(encode_wav([1, 2, 3, -4]))
+        off = _wav_fmt_tag_offset(buf)
+        buf[off : off + 2] = (0x55).to_bytes(2, "little")
+        got = media_codec_class(bytes(buf))
+        assert got is not None and got[0] == "wav" and got[1] == "mpeg"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 ask #1: MPEG-1 audio -- Layer I/II codec, raw-bitstream
+# header walk, registered queries, cross-codec duplicate
+# ---------------------------------------------------------------------------
+
+
+class TestMpegCodec:
+    def _clip(self, n=1024, seed=42):
+        import numpy as np
+
+        return list(
+            np.random.default_rng(seed).integers(-32768, 32768, n)
+        )
+
+    def test_mp1_roundtrip_within_pinned_bounds(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        for seed in (0, 1, 2):
+            clip = np.asarray(self._clip(seed=seed), dtype=np.int64)
+            pay = MA.encode_mp1(list(clip) + [0] * MA.DELAY)
+            samples, rate, nch = MA.decode_mpeg(pay)
+            assert (rate, nch) == (32000, 1)
+            err = samples[MA.DELAY : MA.DELAY + len(clip)].astype(
+                np.int64
+            ) - clip
+            assert np.abs(err).max() <= MA.MP1_MAX_ERR
+            assert float(np.std(err)) <= MA.MP1_RMS_ERR
+
+    def test_mp2_roundtrip_within_pinned_bounds(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        for seed in (0, 1, 2):
+            bl = np.asarray(
+                MA.bandlimit_for_l2(self._clip(seed=seed)), dtype=np.int64
+            )
+            pay = MA.encode_mp2(list(bl) + [0] * MA.DELAY)
+            samples, _, _ = MA.decode_mpeg(pay)
+            err = samples[MA.DELAY : MA.DELAY + len(bl)].astype(
+                np.int64
+            ) - bl
+            assert np.abs(err).max() <= MA.MP2_MAX_ERR
+            assert float(np.std(err)) <= MA.MP2_RMS_ERR
+
+    def test_mp2_stereo_roundtrip(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        left = np.asarray(MA.bandlimit_for_l2(self._clip()), dtype=np.int64)
+        right = np.asarray(
+            MA.bandlimit_for_l2(self._clip()[::-1]), dtype=np.int64
+        )
+        pay = MA.encode_mp2(
+            list(left) + [0] * MA.DELAY, right=list(right) + [0] * MA.DELAY
+        )
+        samples, rate, nch = MA.decode_mpeg(pay)
+        assert nch == 2
+        err = samples[MA.DELAY : MA.DELAY + len(left)].astype(
+            np.int64
+        ) - left
+        assert np.abs(err).max() <= MA.MP2_STEREO_MAX_ERR
+        assert float(np.std(err)) <= MA.MP2_STEREO_RMS_ERR
+
+    def test_filterbank_reconstruction_floor(self):
+        """The frozen window pair must keep the -80 dB design floor
+        (regression gate on mpeg_window.py; held-out noise, unquantized
+        analysis->synthesis chain)."""
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        rng = np.random.default_rng(1234)
+        x = rng.uniform(-1, 1, 4096)
+        S = MA._analyze(x)
+        syn = MA._Synth()
+        y = np.concatenate([syn.granule(S[t]) for t in range(S.shape[0])])
+        err = y[MA.DELAY : MA.DELAY + 3000] - x[:3000]
+        db = 20 * np.log10(np.std(err) / np.std(x[:3000]))
+        assert db < -80
+
+    def test_stream_info_version_layer_matrix(self):
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        cases = [
+            ((3, 3, 32, 32000, 3), ("1", 3, 32000, 32, 3, 1152)),
+            ((2, 2, 8, 16000, 3), ("2", 2, 16000, 8, 3, 1152)),
+            ((0, 3, 8, 8000, 3), ("2.5", 3, 8000, 8, 3, 576)),
+            ((2, 1, 256, 24000, 2), ("2", 1, 24000, 256, 2, 384)),
+        ]
+        for args, (ver, layer, rate, br, frames, spf) in cases:
+            info = MA.mpeg_stream_info(MA._plant_stream(*args))
+            assert info["version"] == ver
+            assert info["layer"] == layer
+            assert info["sample_rate"] == rate
+            assert info["bitrate_kbps"] == br
+            assert info["n_frames"] == frames
+            assert info["n_samples"] == frames * spf
+            assert (
+                info["duration_ms"] == frames * spf * 1000 // rate
+            )
+
+    def test_layer3_and_lsf_walked_not_decoded(self):
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        l3 = MA._plant_stream(3, 3, 32, 32000, 2)
+        assert MA.mpeg_stream_info(l3) is not None
+        assert MA.decode_mpeg(l3) is None
+        lsf = MA._plant_stream(2, 2, 8, 16000, 2)
+        assert MA.mpeg_stream_info(lsf) is not None
+        assert MA.decode_mpeg(lsf) is None
+
+    def test_id3v2_skip_and_id3v1_trailer(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        clip = self._clip(256)
+        pay = MA.encode_mp1(clip)
+        tag2 = b"ID3\x04\x00\x00" + bytes((0, 0, 0, 30)) + b"\x00" * 30
+        tag1 = b"TAG" + b"\x00" * 125
+        wrapped = tag2 + pay + tag1
+        info = MA.mpeg_stream_info(wrapped)
+        assert info is not None and info["layer"] == 1
+        a = MA.decode_mpeg(pay)
+        b = MA.decode_mpeg(wrapped)
+        assert b is not None
+        assert np.array_equal(a[0], b[0])
+
+    def test_truncated_and_garbage_return_none(self):
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        pay = MA.encode_mp1(self._clip(256))
+        assert MA.mpeg_stream_info(pay[: len(pay) - 7]) is None
+        assert MA.decode_mpeg(pay[: len(pay) - 7]) is None
+        assert MA.mpeg_stream_info(b"") is None
+        assert MA.mpeg_stream_info(b"\xff\xfb") is None
+        assert MA.decode_mpeg(bytes(range(256)) * 8) is None
+
+    def test_crc_protected_frame_verifies_and_rejects(self):
+        """Craft a protected Layer I frame: flip the protection bit,
+        splice in the spec CRC-16 over header bits 16-31 + allocation
+        -- must decode identically; corrupt the CRC -- must refuse."""
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        clip = self._clip(256)
+        pay = bytearray(MA.encode_mp1(clip))
+        ref = MA.decode_mpeg(bytes(pay))
+        # one frame at a time: rewrite each frame protected
+        out = bytearray()
+        pos = 0
+        while pos < len(pay):
+            h = MA._parse_header(
+                pay[pos], pay[pos + 1], pay[pos + 2], pay[pos + 3]
+            )
+            frame = bytearray(pay[pos : pos + h["frame_len"]])
+            frame[1] &= 0xFE  # protection bit 0: CRC present
+            side_bits = 32 * 4  # Layer I mono allocation bits
+            region = bytes(frame[2:4]) + bytes(
+                frame[4 : 4 + (side_bits + 7) // 8]
+            )
+            crc = MA._crc16(region, 16 + side_bits)
+            # frame grows by 2 CRC bytes; trailing pad shrinks by 2
+            # (the encoder leaves >= 2 zero ancillary bytes -- assert)
+            assert frame[-2:] == b"\x00\x00"
+            new = (
+                bytes(frame[:4])
+                + crc.to_bytes(2, "big")
+                + bytes(frame[4:-2])
+            )
+            assert len(new) == h["frame_len"]
+            out += new
+            pos += h["frame_len"]
+        got = MA.decode_mpeg(bytes(out))
+        assert got is not None
+        assert np.array_equal(got[0], ref[0])
+        bad = bytearray(out)
+        bad[4] ^= 0xFF  # corrupt the first frame's CRC
+        assert MA.decode_mpeg(bytes(bad)) is None
+
+    def test_decode_total_over_mutations(self):
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        pay = bytearray(MA.encode_mp2(self._clip(256)))
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        for _ in range(60):
+            mut = bytearray(pay)
+            for _k in range(rng.integers(1, 6)):
+                mut[rng.integers(0, len(mut))] = rng.integers(0, 256)
+            MA.decode_mpeg(bytes(mut))  # must not raise, any return ok
+
+    def test_free_format_and_reserved_codes_rejected(self):
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        good = bytearray(MA.encode_mp1(self._clip(64)))
+        free = bytearray(good)
+        free[2] &= 0x0F  # bitrate index 0: free format
+        assert MA.mpeg_stream_info(bytes(free)) is None
+        bad_rate = bytearray(good)
+        bad_rate[2] |= 0x0C  # rate index 3: reserved
+        assert MA.mpeg_stream_info(bytes(bad_rate)) is None
+        bad_layer = bytearray(good)
+        bad_layer[1] &= 0xF9  # layer bits 00: reserved
+        assert MA.mpeg_stream_info(bytes(bad_layer)) is None
+
+
+class TestMpegCrossCodecDup:
+    def test_wav_flac_mpeg_duplicate_caught_by_robust_pairs(self, spark):
+        """The r12 'done' gate: a WAV, a FLAC and an MPEG encoding of
+        the SAME clip land in one fingerprint space via decode_audio;
+        the robust (energy-ratio) pair join catches all three pairs --
+        the exact-fp join still catches only the lossless pair, which
+        is precisely why the robust variant exists.  The MPEG copy is
+        planted with a 15-zero lead-in so the decoder's 481-sample
+        delay lands the clip on a chunk boundary (496 = 31*16): the
+        fingerprint geometry is chunk-strided, so cross-codec matching
+        requires chunk alignment -- same property as the WAV path's
+        own embedded-clip matching, now stated by this test."""
+        from pyspark.sql import functions as F
+
+        from map_reduce_framework_spark.operators.audio import (
+            AUDIO_FP_MIN,
+            _doc_samples,
+            audio_fingerprints_from_payloads,
+            encode_wav,
+        )
+        from map_reduce_framework_spark.operators.flac import encode_flac
+        from map_reduce_framework_spark.operators.mpeg_audio import (
+            DELAY,
+            encode_mp1,
+        )
+
+        toks = [f"tok{i}" for i in range(12)]
+        clip = _doc_samples(toks)
+        other = _doc_samples([f"else{i}" for i in range(12)])
+        rows = [
+            (1, bytearray(encode_wav(clip))),
+            (2, bytearray(encode_flac(clip))),
+            (3, bytearray(encode_mp1([0] * 15 + clip + [0] * DELAY))),
+            (4, bytearray(encode_wav(other))),
+            (5, bytearray(b"not audio at all")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+        def pairs(robust):
+            name = "rfp" if robust else "fp"
+            fps = audio_fingerprints_from_payloads(df, robust=robust)
+            a, b = fps.alias("a"), fps.alias("b")
+            got = (
+                a.join(
+                    b,
+                    (F.col(f"a.{name}") == F.col(f"b.{name}"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select(
+                    F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    f"a.{name}",
+                )
+                .distinct()
+                .groupBy("doc_a", "doc_b")
+                .count()
+                .where(F.col("count") >= AUDIO_FP_MIN)
+                .collect()
+            )
+            return {(r["doc_a"], r["doc_b"]) for r in got}
+
+        assert pairs(robust=True) == {(1, 2), (1, 3), (2, 3)}
+        assert pairs(robust=False) == {(1, 2)}
+
+    def test_chunk_alignment_is_the_matching_condition(self):
+        """State the alignment property the pair test relies on: the
+        decoder's 481-sample delay is NOT a chunk multiple, so a bare
+        MPEG copy shares zero robust fingerprints with its source
+        (window grids disagree by one sample), while a 15-zero lead-in
+        (clip at 496 = 31*16) shares every window.  Deterministic
+        geometry, not luck -- and the documented limitation of any
+        chunk-strided fingerprint."""
+        from map_reduce_framework_spark.operators.audio import (
+            _doc_samples,
+            decode_audio,
+            robust_window_fingerprints,
+        )
+        from map_reduce_framework_spark.operators.mpeg_audio import (
+            DELAY,
+            encode_mp1,
+        )
+
+        clip = _doc_samples([f"tok{i}" for i in range(12)])
+        ref = {fp for _, fp in robust_window_fingerprints(clip)}
+        aligned, _, _ = decode_audio(
+            encode_mp1([0] * 15 + clip + [0] * DELAY)
+        )
+        got = {
+            fp for _, fp in robust_window_fingerprints(list(aligned))
+        }
+        assert len(ref & got) == len(ref) > 3
+        bare, _, _ = decode_audio(encode_mp1(clip + [0] * DELAY))
+        off = {fp for _, fp in robust_window_fingerprints(list(bare))}
+        assert not (ref & off)
