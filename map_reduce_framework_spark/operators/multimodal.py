@@ -1131,9 +1131,15 @@ def encode_mp4(frames, codec: str = "jpeg", *, use_co64: bool = False) -> bytes:
         + (0xFFFF).to_bytes(2, "big")  # pre_defined = -1
     )
     stsd = _mp4_full_box(
-        b"stsd", 0, 0, (1).to_bytes(4, "big") + (8 + len(entry)).to_bytes(
-            4, "big"
-        ) + entry
+        b"stsd",
+        0,
+        0,
+        # entry already contains its 4-byte format fourcc, so the
+        # declared sample-entry size is 4 (size field) + len(entry) --
+        # round 12 fix: this wrote 8 + len(entry), a 4-byte overrun
+        # that strict per-entry box walks (video_meta.py) reject
+        (1).to_bytes(4, "big") + (4 + len(entry)).to_bytes(4, "big")
+        + entry,
     )
     stts = _mp4_full_box(
         b"stts",

@@ -1244,6 +1244,19 @@ def q_mpeg_stream_report(spark, sf_dir):
     return mpeg_audio.mpeg_stream_report(_t(spark, sf_dir, "documents"))
 
 
+# Video stream metadata (r12 verdict ask #2): data-card columns for
+# codecs outside the decode boundary -- avcC-SPS coded dims for avc1,
+# sample-entry dims for hev1/vp09, avih/strh/strf for AVI.
+from .operators import video_meta  # noqa: E402
+
+
+@register(
+    "video_meta_report", video_meta.ORACLE_SQL["video_meta_report"]
+)
+def q_video_meta_report(spark, sf_dir):
+    return video_meta.video_meta_report(_t(spark, sf_dir, "documents"))
+
+
 # Training-shard writer accounting (r6 verdict ask #3): the oracle-
 # checked view of what sources/shard_writer.py materializes to disk.
 from .sources import shard_writer  # noqa: E402

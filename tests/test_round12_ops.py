@@ -530,3 +530,163 @@ class TestMpegCrossCodecDup:
         bare, _, _ = decode_audio(encode_mp1(clip + [0] * DELAY))
         off = {fp for _, fp in robust_window_fingerprints(list(bare))}
         assert not (ref & off)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 ask #2: video stream metadata for undecodable codecs
+# ---------------------------------------------------------------------------
+
+
+class TestVideoMeta:
+    def test_sps_roundtrip_dimensions(self):
+        from map_reduce_framework_spark.operators.video_meta import (
+            build_sps,
+            parse_sps_dims,
+        )
+
+        for w, h in [(320, 240), (1920, 1080), (354, 288), (16, 16),
+                     (442, 308), (2, 2)]:
+            assert parse_sps_dims(build_sps(w, h)) == (w, h)
+
+    def test_sps_high_profile_and_scaling_boundary(self):
+        from map_reduce_framework_spark.operators.video_meta import (
+            _EgWriter,
+            parse_sps_dims,
+        )
+
+        def high_profile_sps(scaling_present):
+            w = _EgWriter()
+            w.u(100, 8)  # profile high
+            w.u(0, 8)
+            w.u(40, 8)
+            w.ue(0)  # sps id
+            w.ue(1)  # chroma_format_idc 4:2:0
+            w.ue(0)  # bit_depth_luma_minus8
+            w.ue(0)  # bit_depth_chroma_minus8
+            w.u(0, 1)  # qpprime
+            w.u(1 if scaling_present else 0, 1)
+            if scaling_present:
+                return b"\x67" + w.bytes()  # truncated: parse must bail
+            w.ue(4)  # log2_max_frame_num_minus4
+            w.ue(0)  # poc type 0
+            w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4
+            w.ue(1)
+            w.u(0, 1)
+            w.ue(120 - 1)  # 1920 / 16
+            w.ue(68 - 1)  # 1088 / 16
+            w.u(1, 1)  # frame_mbs_only
+            w.u(0, 1)
+            w.u(1, 1)  # cropping
+            w.ue(0)
+            w.ue(0)
+            w.ue(0)
+            w.ue(4)  # crop_bottom 4 * 2 = 8 -> 1080
+            w.u(0, 1)
+            return b"\x67" + w.bytes()
+
+        assert parse_sps_dims(high_profile_sps(False)) == (1920, 1080)
+        assert parse_sps_dims(high_profile_sps(True)) is None
+
+    def test_emulation_prevention_stripped(self):
+        from map_reduce_framework_spark.operators.video_meta import (
+            _strip_emulation,
+        )
+
+        assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+        assert _strip_emulation(b"\x00\x00\x03\x03") == b"\x00\x00\x03"
+        assert _strip_emulation(b"\x01\x00\x03\x00") == b"\x01\x00\x03\x00"
+
+    def test_avc1_sps_overrides_entry_dims(self):
+        from map_reduce_framework_spark.operators.video_meta import (
+            _plant_mp4_video,
+            mp4_video_meta,
+        )
+
+        p = _plant_mp4_video("avc1", 322, 242, 5, sps_dims=(320, 240))
+        m = mp4_video_meta(p)
+        assert (m["width"], m["height"]) == (320, 240)  # SPS, not entry
+        assert (m["disp_width"], m["disp_height"]) == (322, 242)
+        assert m["n_frames"] == 5 and m["duration_ms"] == 200
+
+    def test_avc1_without_avcc_is_the_boundary(self):
+        from map_reduce_framework_spark.operators.video_meta import (
+            _plant_mp4_video,
+            mp4_video_meta,
+        )
+
+        p = _plant_mp4_video("hev1", 100, 100, 2).replace(
+            b"hev1", b"avc1", 1
+        )
+        assert mp4_video_meta(p) is None
+
+    def test_version1_mdhd_parsed(self):
+        # the planted builder emits a version-1 (64-bit) mdhd on
+        # purpose; a hash-exact duration proves the v1 layout is read
+        from map_reduce_framework_spark.operators.video_meta import (
+            _plant_mp4_video,
+            mp4_video_meta,
+        )
+
+        m = mp4_video_meta(_plant_mp4_video("vp09", 64, 64, 7))
+        assert m["duration_ms"] == 7 * 40
+
+    def test_real_writers_and_avi(self):
+        from map_reduce_framework_spark.operators.multimodal import (
+            _avi_vids_offsets,
+            _md5_quad_frames,
+            encode_avi,
+            encode_mp4,
+        )
+        from map_reduce_framework_spark.operators.video_meta import (
+            avi_video_meta,
+            mp4_video_meta,
+        )
+
+        m = mp4_video_meta(encode_mp4(_md5_quad_frames("x"), codec="jpeg"))
+        assert m == {
+            "fmt": "jpeg", "width": 16, "height": 16,
+            "disp_width": 16, "disp_height": 16,
+            "n_frames": 4, "duration_ms": 160,
+        }
+        avi = encode_avi(_md5_quad_frames("x"), codec="MJPG")
+        a = avi_video_meta(avi)
+        assert a == {
+            "fmt": "MJPG", "width": 16, "height": 16,
+            "n_frames": 4, "duration_ms": 160,
+        }
+        buf = bytearray(avi)
+        h_off, c_off = _avi_vids_offsets(buf)
+        buf[h_off : h_off + 4] = b"XVID"
+        buf[c_off : c_off + 4] = b"XVID"
+        assert avi_video_meta(bytes(buf))["fmt"] == "XVID"
+        assert mp4_video_meta(b"junk") is None
+        assert avi_video_meta(b"junk") is None
+
+    def test_stsd_entry_size_is_box_exact(self):
+        """Regression for the round-12 writer fix: encode_mp4's stsd
+        sample entry declared 4 bytes more than it contained, which a
+        strict per-entry box walk rejects.  The entry must now parse
+        as an exact child box."""
+        from map_reduce_framework_spark.operators.multimodal import (
+            _md5_quad_frames,
+            _mp4_children,
+            _mp4_find,
+            _mp4_video_stbl,
+            encode_mp4,
+        )
+
+        p = encode_mp4(_md5_quad_frames("x"), codec="jpeg")
+        stbl = _mp4_video_stbl(p)
+        stsd = _mp4_find(_mp4_children(p, *stbl), b"stsd")
+        ents = _mp4_children(p, stsd[0] + 8, stsd[1])
+        assert ents is not None and len(ents) == 1
+        assert ents[0][0] == b"jpeg"
+
+    def test_registered_report_oracle_parity(self, spark, sf_smoke):
+        from map_reduce_framework_spark.registry import REGISTRY
+
+        from .oracle_util import compare_to_oracle, duckdb_conn
+
+        q = REGISTRY["video_meta_report"]
+        with duckdb_conn(sf_smoke) as con:
+            compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
