@@ -272,8 +272,25 @@ def _decode_jpeg_pixels(payload: bytes):
                     conditioning[("ac", tb)] = cs
                 else:
                     return None
-        elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8):
-            return None  # lossless/differential/prog-arith: unsupported
+        elif marker == 0xC3:  # SOF3: lossless predictive (round 12)
+            from .jpeg_lossless import decode_jpeg_lossless
+
+            got = decode_jpeg_lossless(payload)
+            if got is None:
+                return None
+            samples, precision = got
+            if precision >= 8:
+                px8 = (samples >> (precision - 8)).astype(np.uint8)
+            else:
+                px8 = (samples << (8 - precision)).astype(np.uint8)
+            nc3 = px8.shape[2]
+            if nc3 == 1:
+                return np.repeat(px8, 3, axis=2)
+            if nc3 == 3:  # lossless components carried as-is (RGB)
+                return px8
+            return None  # 2/4-component: no display mapping
+        elif 0xC5 <= marker <= 0xCF and marker not in (0xC8, 0xCC):
+            return None  # differential processes: unsupported
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:  # SOS

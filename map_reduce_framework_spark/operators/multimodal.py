@@ -87,8 +87,8 @@ def decode_image(payload: bytes) -> "object":
         "payload is none of: uncompressed BMP, "
         "PNG, GIF87a/89a, baseline/progressive/extended-sequential/"
         "arithmetic JPEG (sequential/progressive, Huffman or QM-coded) "
-        "at 8- or 12-bit "
-        "(lossless/differential JPEG processes need "
+        "at 8- or 12-bit, or lossless JPEG (SOF3, any precision) "
+        "(differential/hierarchical JPEG processes need "
         "libjpeg -- swap in PIL where available); "
         "header metadata comes from decode_image_header, and "
         "fake_decode_meta covers the synthetic test corpus"
@@ -2735,6 +2735,23 @@ def jpeg_arith_roundtrip(documents: DataFrame) -> DataFrame:
 ORACLE_SQL["jpeg_arith_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
 
 
+def jpeg_lossless_roundtrip(documents: DataFrame) -> DataFrame:
+    """jpeg_block_roundtrip through LOSSLESS JPEG (SOF3, round 12):
+    the same per-doc quadrant image as a predictive Huffman stream
+    (T.81 Annex H -- predictor 4, modulo-65536 differences, the
+    DC-category entropy machinery) decoded back through
+    decode_jpeg_pixels' new lossless route.  Unlike the DCT paths,
+    the roundtrip is sample-exact for ARBITRARY images, not just
+    constant blocks -- the md5 identity oracle certifies the whole
+    predictive coder per document."""
+    from .jpeg_lossless import encode_jpeg_lossless
+
+    return _jpeg_roundtrip_op(documents, encode_jpeg_lossless)
+
+
+ORACLE_SQL["jpeg_lossless_roundtrip"] = ORACLE_SQL["jpeg_block_roundtrip"]
+
+
 def jpeg_prog_arith_roundtrip(documents: DataFrame) -> DataFrame:
     """jpeg_block_roundtrip through PROGRESSIVE ARITHMETIC (SOF10,
     round 11): the same per-doc quadrant image under the default
@@ -2982,6 +2999,10 @@ def jpeg_codec_class(payload: bytes) -> str | None:
                 return "arithmetic"
             if marker == 0xC1:
                 return "extended"
+            if marker == 0xC3:
+                # lossless predictive decodes at ANY precision 2..16
+                # (round 12: jpeg_lossless.py) -- never 'twelve_bit'
+                return "lossless"
             if precision == 12:
                 return "twelve_bit"  # 12-bit on an 8-bit-only process
             if marker == 0xC0:
@@ -2996,9 +3017,11 @@ def jpeg_codec_class(payload: bytes) -> str | None:
 #: Codec classes the pure-Python decode path REJECTS (decode_image's
 #: NotImplementedError boundary) -- the libjpeg-swap population.
 #: Round 11 removed 'arithmetic' (SOF9 decodes through the QM-coder)
-#: and added 'extended' with 12-bit support (SOF1/SOF9); the residue
-#: is 12-bit on 8-bit-only processes (an illegal stream shape) and
-#: the lossless/differential/progressive-arithmetic processes.
+#: and added 'extended' with 12-bit support (SOF1/SOF9); round 12
+#: removed 'lossless' (SOF3 decodes through jpeg_lossless.py at any
+#: precision 2..16); the residue is 12-bit on 8-bit-only processes
+#: (an illegal stream shape) and the DIFFERENTIAL processes
+#: (SOF5-7/11/13-15 -- hierarchical coding, 'other').
 CODEC_REJECTED_CLASSES = ("twelve_bit", "other")
 
 
@@ -3043,7 +3066,10 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
     (arithmetic-coded -- still counted per source, but since round 11
     no longer in the REJECTED set: sequential SOF9 decodes through
     jpeg_arith.py), doc_id % 7 == 5 gets its precision byte set
-    to 12; everything else stays decodable baseline. The engine
+    to 12, doc_id % 7 == 1 (round 12) gets the marker rewritten to
+    SOF3 (lossless predictive -- decodable since jpeg_lossless.py,
+    counted as its own class); everything else stays decodable
+    baseline. The engine
     builds the real bytes and classifies them by header walk; the
     oracle recomputes the counts from the planting rule alone, so a
     hash match proves the classifier calls every planted header
@@ -3073,6 +3099,8 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
                     payload[sof + 1] = 0xC9  # plant: arithmetic-coded
                 elif mode == 5:
                     payload[sof + 4] = 12  # plant: 12-bit precision
+                elif mode == 1:
+                    payload[sof + 1] = 0xC3  # plant: lossless (SOF3)
                 out["doc_id"].append(doc_id)
                 out["source"].append(source)
                 out["codec"].append(jpeg_codec_class(bytes(payload)))
@@ -3096,6 +3124,9 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("codec") == "twelve_bit", 1).otherwise(0))
         .cast("bigint")
         .alias("n_twelve_bit"),
+        F.sum(F.when(F.col("codec") == "lossless", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lossless"),
         F.sum(F.when(rejected, 1).otherwise(0))
         .cast("bigint")
         .alias("n_codec_rejected"),
@@ -3105,12 +3136,14 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
 ORACLE_SQL["codec_boundary_report"] = """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_images,
-           CAST(sum(CASE WHEN doc_id % 7 NOT IN (3, 5) THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_baseline,
+           CAST(sum(CASE WHEN doc_id % 7 NOT IN (1, 3, 5) THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_baseline,
            CAST(sum(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_arithmetic,
            CAST(sum(CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_twelve_bit,
+           CAST(sum(CASE WHEN doc_id % 7 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lossless,
            CAST(sum(CASE WHEN doc_id % 7 = 5 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_codec_rejected
     FROM documents

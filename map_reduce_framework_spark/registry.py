@@ -1999,6 +1999,16 @@ def q_jpeg_arith_roundtrip(spark, sf_dir):
 
 
 @register(
+    "jpeg_lossless_roundtrip",
+    multimodal.ORACLE_SQL["jpeg_lossless_roundtrip"],
+)
+def q_jpeg_lossless_roundtrip(spark, sf_dir):
+    return multimodal.jpeg_lossless_roundtrip(
+        _t(spark, sf_dir, "documents")
+    )
+
+
+@register(
     "jpeg_12bit_roundtrip",
     multimodal.ORACLE_SQL["jpeg_12bit_roundtrip"],
 )

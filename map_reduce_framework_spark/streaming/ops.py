@@ -953,6 +953,20 @@ def _wave_signatures(new_rows: DataFrame) -> tuple:
 #: O(N^2/K) of rewrite-the-one-big-generation-every-K.
 EPOCH_INDEX_FANOUT = 8
 
+#: Probe-horizon retention for per-epoch index dirs (VERDICT r11 ask
+#: #3). Compaction bounds PROBE cost, but every epoch's own index dir
+#: was retained forever to anchor history-subset probes -- ~2x index
+#: storage plus unbounded directory count at thousands of epochs.
+#: With a horizon H, an epoch's own index dir is GC'd once the epoch
+#: is (a) covered by an accepted compaction generation AND (b) older
+#: than the H newest epochs.  Full-corpus probes are unaffected
+#: (generations carry the coverage); a history-subset probe whose
+#: epochs all sit inside the horizon still resolves from the retained
+#: dirs; one that needs a GC'd dir fails LOUDLY (RuntimeError via the
+#: tombstone) instead of silently under-deduplicating.  None = retain
+#: everything (the pre-r12 behavior and the default).
+EPOCH_INDEX_RETAIN: int | None = None
+
 
 def _live_index_units(work_dir: str, prev_dirs: list) -> list:
     """The dedup-index units the probe must read, resolved from disk:
@@ -997,9 +1011,65 @@ def _live_index_units(work_dir: str, prev_dirs: list) -> list:
         base = os.path.basename(d)
         if base in covered:
             continue
+        if os.path.exists(os.path.join(d, "index.tombstone")):
+            # the probe NEEDS this epoch's own index (no accepted
+            # generation covers it under the caller's bound) but the
+            # retention horizon GC'd it: fail loudly -- silently
+            # skipping would under-deduplicate (r12 retention rule)
+            raise RuntimeError(
+                f"history-subset probe needs epoch {base}'s own index, "
+                "but it was garbage-collected under the "
+                "EPOCH_INDEX_RETAIN probe horizon; re-run against the "
+                "full corpus or raise the horizon"
+            )
         if os.path.isdir(os.path.join(d, "index", "bands")):
             units.append((os.path.join(d, "index"), 0, {base}, False))
     return units
+
+
+def _retain_epoch_indexes(work_dir: str, retain: int) -> int:
+    """GC per-epoch index dirs past the probe horizon: an epoch older
+    than the ``retain`` newest whose basename is covered by an
+    ACCEPTED generation (full-corpus acceptance: subset rule over all
+    committed epochs, superseded generations skipped) loses its own
+    ``index`` dir.  Torn-GC discipline: the ``index.tombstone`` marker
+    is committed FIRST (tmp + atomic replace), then the dir is
+    removed; a crash in between leaves tombstone + dir, and the
+    tombstone wins deterministically (the next call finishes the
+    rmtree, probes never read a tombstoned dir).  Returns the number
+    of index dirs collected; idempotent."""
+    import shutil
+
+    prev_dirs = _committed_epoch_dirs(work_dir)
+    units = _live_index_units(work_dir, prev_dirs)
+    gen_covered: set = set()
+    for _, _, cov, is_gen in units:
+        if is_gen:
+            gen_covered |= cov
+    protected = {
+        os.path.basename(d)
+        for d in prev_dirs[max(0, len(prev_dirs) - retain) :]
+    }
+    collected = 0
+    for d in prev_dirs:
+        base = os.path.basename(d)
+        idx = os.path.join(d, "index")
+        tomb = os.path.join(d, "index.tombstone")
+        if os.path.exists(tomb):
+            if os.path.isdir(idx):  # finish a torn GC
+                shutil.rmtree(idx, ignore_errors=True)
+            continue
+        if base in protected or base not in gen_covered:
+            continue
+        if not os.path.isdir(idx):
+            continue
+        tmp = tomb + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"gc": "probe-horizon", "retain": retain}, fh)
+        os.replace(tmp, tomb)
+        shutil.rmtree(idx, ignore_errors=True)
+        collected += 1
+    return collected
 
 
 def _committed_epoch_dirs(work_dir: str) -> list:
@@ -1010,7 +1080,9 @@ def _committed_epoch_dirs(work_dir: str) -> list:
     ]
 
 
-def _compact_epoch_index(spark: SparkSession, work_dir: str) -> int:
+def _compact_epoch_index(
+    spark: SparkSession, work_dir: str, retain_epochs: int | None = None
+) -> int:
     """Size-tiered merge of the cross-epoch dedup index (VERDICT r10
     ask #1): whenever EPOCH_INDEX_FANOUT live units share a tier, the
     oldest FANOUT of them are rewritten into one generation a tier up
@@ -1060,6 +1132,10 @@ def _compact_epoch_index(spark: SparkSession, work_dir: str) -> int:
             None,
         )
         if tier is None:
+            if retain_epochs is None:
+                retain_epochs = EPOCH_INDEX_RETAIN
+            if retain_epochs is not None:
+                _retain_epoch_indexes(work_dir, retain_epochs)
             return merges
         # deterministic pick: the FANOUT units covering the OLDEST epochs
         inputs = sorted(by_tier[tier], key=lambda u: min(u[2]))[
@@ -1241,7 +1317,11 @@ def _write_epoch_index(
 
 
 def stream_ingest_epoch(
-    spark: SparkSession, source_dir: str, work_dir: str
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    *,
+    retain_epochs: int | None = None,
 ) -> str | None:
     """Drain new files from ``source_dir`` (documents, or raw HTML
     pages -- detected by the schema), extract + quality-filter them in
@@ -1249,7 +1329,9 @@ def stream_ingest_epoch(
     band index, and commit the survivors as the next epoch; returns
     the committed epoch directory, or None when nothing new arrived.
     Idempotent: re-entry after a crash at any layer finishes exactly
-    one epoch."""
+    one epoch.  ``retain_epochs`` sets the probe-horizon retention of
+    per-epoch index dirs (see EPOCH_INDEX_RETAIN; None = module
+    default, which defaults to retain-everything)."""
     import shutil
 
     from ..operators.text_analysis import quality_keep_expr
@@ -1381,7 +1463,7 @@ def stream_ingest_epoch(
     # a crash anywhere in compaction leaves a complete epoch, and the
     # next wave's compaction call converges (staging orphaned,
     # superseded generations skipped by the subset rule then GC'd)
-    _compact_epoch_index(spark, work_dir)
+    _compact_epoch_index(spark, work_dir, retain_epochs=retain_epochs)
     return epoch_dir
 
 
