@@ -30,10 +30,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WAVES = 30
 
 
-def run_mode(spark, docs, fanout: int) -> list[dict]:
+def _index_dirs_on_disk(work: str) -> int:
+    """Index dirs present on DISK (not just probed): committed
+    generations plus per-epoch index dirs that still exist -- the
+    storage/directory-count signal the r12 retention horizon bounds
+    (probe cost was already bounded by compaction; this column shows
+    retention bounding what disk retains)."""
     import map_reduce_framework_spark.streaming.ops as ops
 
-    scratch = tempfile.mkdtemp(prefix=f"epoch-cost-f{fanout}-")
+    n = 0
+    gens_root = os.path.join(work, "dedup-index")
+    if os.path.isdir(gens_root):
+        n += sum(
+            1
+            for name in os.listdir(gens_root)
+            if name.startswith("gen-") and not name.endswith(".staging")
+        )
+    for d in ops._committed_epoch_dirs(work):
+        if os.path.isdir(os.path.join(d, "index", "bands")):
+            n += 1
+    return n
+
+
+def run_mode(spark, docs, fanout: int, retain: int | None = None) -> list[dict]:
+    import map_reduce_framework_spark.streaming.ops as ops
+
+    scratch = tempfile.mkdtemp(prefix=f"epoch-cost-f{fanout}-r{retain}-")
     source = os.path.join(scratch, "source")
     work = os.path.join(scratch, "work")
     old = ops.EPOCH_INDEX_FANOUT
@@ -45,7 +67,9 @@ def run_mode(spark, docs, fanout: int) -> list[dict]:
                 "append"
             ).parquet(source)
             t0 = time.perf_counter()
-            d = ops.stream_ingest_epoch(spark, source, work)
+            d = ops.stream_ingest_epoch(
+                spark, source, work, retain_epochs=retain
+            )
             wall = round(time.perf_counter() - t0, 3)
             n_in = (
                 spark.read.parquet(os.path.join(d, "input")).count()
@@ -61,9 +85,10 @@ def run_mode(spark, docs, fanout: int) -> list[dict]:
                     "wall_sec": wall,
                     "n_docs_committed": n_in,
                     "index_dirs_live": n_units,
+                    "index_dirs_on_disk": _index_dirs_on_disk(work),
                 }
             )
-            print(fanout, waves[-1], flush=True)
+            print(fanout, retain, waves[-1], flush=True)
     finally:
         ops.EPOCH_INDEX_FANOUT = old
     return waves
@@ -98,6 +123,10 @@ def main() -> None:
 
     compacted = run_mode(spark, docs, ops.EPOCH_INDEX_FANOUT)
     uncompacted = run_mode(spark, docs, 10**9)
+    # r12 retention horizon: same fanout, per-epoch index dirs GC'd
+    # once generation-covered and older than the 8 newest epochs --
+    # the dirs-ON-DISK column is the one this mode bounds
+    retained = run_mode(spark, docs, ops.EPOCH_INDEX_FANOUT, retain=8)
 
     def tail_mean(waves, k=5):
         return round(sum(w["wall_sec"] for w in waves[-k:]) / k, 3)
@@ -107,15 +136,20 @@ def main() -> None:
         "total_docs": n,
         "n_waves": WAVES,
         "fanout": ops.EPOCH_INDEX_FANOUT,
+        "retain_epochs": 8,
         "compacted": compacted,
         "uncompacted": uncompacted,
+        "compacted_retain8": retained,
         "compacted_last_over_first": round(
             compacted[-1]["wall_sec"] / compacted[0]["wall_sec"], 2
         ),
         "compacted_tail_mean_sec": tail_mean(compacted),
         "uncompacted_tail_mean_sec": tail_mean(uncompacted),
+        "retain8_tail_mean_sec": tail_mean(retained),
         "compacted_final_index_dirs": compacted[-1]["index_dirs_live"],
         "uncompacted_final_index_dirs": uncompacted[-1]["index_dirs_live"],
+        "compacted_final_dirs_on_disk": compacted[-1]["index_dirs_on_disk"],
+        "retain8_final_dirs_on_disk": retained[-1]["index_dirs_on_disk"],
     }
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "epoch_dedup_cost.json"

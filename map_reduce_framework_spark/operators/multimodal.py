@@ -3408,6 +3408,10 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
         ]
     )
     plant_mp4 = {2: b"avc1", 3: b"hev1", 4: b"vp09"}
+    # text-independent plants, built once (the walk reads headers
+    # only): one silent Layer II frame + a 2-frame Layer III stream
+    plant_mp2 = encode_mp2([0] * 32)
+    plant_mp3 = _plant_stream(3, 3, 32, 32000, 2)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -3423,12 +3427,9 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
             ):
                 mode = doc_id % 13
                 if mode == 11:
-                    # raw Layer II bitstream from this engine's own
-                    # encoder (one silent frame: the walk reads headers
-                    # only, content is irrelevant to classification)
-                    payload = bytearray(encode_mp2([0] * 32))
+                    payload = bytearray(plant_mp2)
                 elif mode == 12:
-                    payload = bytearray(_plant_stream(3, 3, 32, 32000, 2))
+                    payload = bytearray(plant_mp3)
                 elif mode <= 4:
                     frame = _md5_quad_frames(text, n_frames=1)[0]
                     payload = bytearray(

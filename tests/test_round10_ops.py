@@ -327,11 +327,24 @@ class TestCodecBoundary:
         with pytest.raises(NotImplementedError):
             mm.decode_image(bytes(twelve))
 
-        lossless = bytearray(base)
-        lossless[sof + 1] = 0xC3
-        assert mm.jpeg_codec_class(bytes(lossless)) == "other"
+        # round 12: lossless (SOF3) LEFT the rejected set -- a real
+        # SOF3 stream decodes (jpeg_lossless.py)
+        from map_reduce_framework_spark.operators.jpeg_lossless import (
+            encode_jpeg_lossless,
+        )
+
+        lossless = encode_jpeg_lossless(img.astype(np.uint16))
+        assert mm.jpeg_codec_class(bytes(lossless)) == "lossless"
+        assert "lossless" not in mm.CODEC_REJECTED_CLASSES
+        px = mm.decode_image(bytes(lossless))
+        assert px is not None and (px[:, :, 0] == img).all()
+
+        # the residue: differential processes stay 'other' + rejected
+        diff = bytearray(base)
+        diff[sof + 1] = 0xC5  # differential sequential DCT
+        assert mm.jpeg_codec_class(bytes(diff)) == "other"
         with pytest.raises(NotImplementedError):
-            mm.decode_image(bytes(lossless))
+            mm.decode_image(bytes(diff))
 
         assert mm.jpeg_codec_class(b"not a jpeg") is None
         assert mm.jpeg_codec_class(bytes(base[:10])) is None
