@@ -3290,8 +3290,11 @@ def wav_fmt_fields(payload) -> tuple | None:
     except ValueError:
         return None
     tag = int.from_bytes(payload[off : off + 2], "little")
-    bits = None
-    if off + 16 <= len(payload):
+    # the chunk's own declared length gates the bits read: a crafted
+    # short fmt chunk must not read the next chunk's bytes as bits
+    clen = int.from_bytes(payload[off - 4 : off], "little")
+    bits = 0  # unknown: classifies as pcm0/float0, unsupported
+    if clen >= 16 and off + 16 <= len(payload):
         bits = int.from_bytes(payload[off + 14 : off + 16], "little")
     return tag, bits
 
