@@ -198,16 +198,19 @@ class _BitReader:
         self.end = end_bit
 
     def read(self, bits: int):
-        if self.pos + bits > self.end:
-            return None
-        v = 0
+        # byte-batched MSB-first read (one int.from_bytes per call
+        # beats a per-bit Python loop ~10x on full frames)
         pos = self.pos
-        data = self.data
-        for _ in range(bits):
-            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
-            pos += 1
-        self.pos = pos
-        return v
+        if pos + bits > self.end:
+            return None
+        start_byte = pos >> 3
+        end_byte = (pos + bits + 7) >> 3
+        chunk = int.from_bytes(
+            bytes(self.data[start_byte:end_byte]), "big"
+        )
+        shift = (end_byte << 3) - (pos + bits)
+        self.pos = pos + bits
+        return (chunk >> shift) & ((1 << bits) - 1)
 
 
 def _crc16(bits_bytes: bytes, nbits: int) -> int:
@@ -429,6 +432,21 @@ def _quantize(x_norm: float, steps: int) -> int:
     return min(max(c, 0), steps - 1)
 
 
+def _quantize_vec(x_norm, steps: int):
+    """Vector twin of _quantize over a float64 array -- the SAME IEEE
+    double expression in the same order, so the codes are bit-equal to
+    the scalar path (pinned by test)."""
+    import numpy as np
+
+    nb = _nb_of(steps)
+    d = 0.5 if steps in (3, 5, 9) else 2.0 ** (1 - nb)
+    a = steps / float(1 << nb)
+    b = 2.0 ** (-nb) - d
+    h = 1 << (nb - 1)
+    c = np.floor((a * x_norm + b) * h).astype(np.int64) + h
+    return np.clip(c, 0, steps - 1)
+
+
 def _scf_index(peak: float) -> int:
     """Largest scalefactor index (smallest scf) still >= peak."""
     if peak <= 0.0:
@@ -481,23 +499,28 @@ def encode_mp1(samples, sample_rate: int = 32000) -> bytes:
     alloc_idx = _L1_NB - 1  # Layer I: index = nb - 1
     frame_bytes = (12 * 448000 // sample_rate) * 4
     out = bytearray()
+    import numpy as np
+
     for f in range(frames):
         w = _BitWriter()
         w.buf.extend(_header_bytes(1, 448, sample_rate, 1))
         gran = S[f * 12 : (f + 1) * 12]  # 12 granules x 32 subbands
-        scf_idx = []
         for sb in range(32):
             w.write(alloc_idx, 4)
-        for sb in range(32):
-            idx = _scf_index(max(abs(float(v)) for v in gran[:, sb]))
-            scf_idx.append(idx)
+        scf_idx = [
+            _scf_index(float(np.abs(gran[:, sb]).max()))
+            for sb in range(32)
+        ]
+        for idx in scf_idx:
             w.write(idx, 6)
+        codes = np.empty((12, 32), dtype=np.int64)
+        for sb in range(32):
+            codes[:, sb] = _quantize_vec(
+                gran[:, sb] / SCF[scf_idx[sb]], steps
+            )
         for s in range(12):
             for sb in range(32):
-                w.write(
-                    _quantize(float(gran[s, sb]) / SCF[scf_idx[sb]], steps),
-                    _L1_NB,
-                )
+                w.write(int(codes[s, sb]), _L1_NB)
         w.pad_to(frame_bytes)
         out += w.bytes()
     return bytes(out)
@@ -532,37 +555,47 @@ def encode_mp2(samples, sample_rate: int = 32000, *, right=None) -> bytes:
         for sb in range(sblimit):
             for ch in range(nch):
                 w.write(0, 2)  # scfsi 00: three scalefactors
+        import numpy as np
+
         scf_idx = [[None] * sblimit for _ in range(nch)]
         for sb in range(sblimit):
             for ch in range(nch):
                 idxs = []
                 for part in range(3):
                     seg = grans[ch][part * 12 : (part + 1) * 12, sb]
-                    idx = _scf_index(max(abs(float(v)) for v in seg))
+                    idx = _scf_index(float(np.abs(seg).max()))
                     idxs.append(idx)
                     w.write(idx, 6)
                 scf_idx[ch][sb] = idxs
+        # vectorized quantization: all 36 rows per (ch, sb) at once
+        # (the per-part scalefactor divides its 12-row slice)
+        codes_all = [
+            np.empty((36, sblimit), dtype=np.int64) for _ in range(nch)
+        ]
+        for ch in range(nch):
+            for sb in range(sblimit):
+                xn = np.empty(36)
+                for part in range(3):
+                    xn[part * 12 : (part + 1) * 12] = grans[ch][
+                        part * 12 : (part + 1) * 12, sb
+                    ] / SCF[scf_idx[ch][sb][part]]
+                codes_all[ch][:, sb] = _quantize_vec(xn, plan[sb])
         for gr in range(12):
             for sb in range(sblimit):
                 steps = plan[sb]
                 nb, grouped = _QC[steps]
                 for ch in range(nch):
-                    codes = []
-                    for s in range(3):
-                        row = gr * 3 + s
-                        scf = SCF[scf_idx[ch][sb][row // 12]]
-                        codes.append(
-                            _quantize(float(grans[ch][row, sb]) / scf, steps)
-                        )
+                    c0 = int(codes_all[ch][gr * 3, sb])
+                    c1 = int(codes_all[ch][gr * 3 + 1, sb])
+                    c2 = int(codes_all[ch][gr * 3 + 2, sb])
                     if grouped:
                         w.write(
-                            codes[0] + steps * codes[1]
-                            + steps * steps * codes[2],
-                            nb,
+                            c0 + steps * c1 + steps * steps * c2, nb
                         )
                     else:
-                        for c in codes:
-                            w.write(c, nb)
+                        w.write(c0, nb)
+                        w.write(c1, nb)
+                        w.write(c2, nb)
         w.pad_to(frame_bytes)
         out += w.bytes()
     return bytes(out)
@@ -604,6 +637,22 @@ def _dequant(code: int, steps: int) -> float:
     c = float(1 << nb) / steps
     d = 0.5 if steps in (3, 5, 9) else 2.0 ** (1 - nb)
     return c * (frac + d)
+
+
+#: code -> requantized value, per steps (lazy; <= 0.5 MB at 65535).
+#: The hot decode path reads these instead of recomputing _dequant
+#: per sample -- same values by construction.
+_DEQ_CACHE: dict = {}
+
+
+def _deq_table(steps: int):
+    t = _DEQ_CACHE.get(steps)
+    if t is None:
+        import numpy as np
+
+        t = np.array([_dequant(c, steps) for c in range(steps)])
+        _DEQ_CACHE[steps] = t
+    return t
 
 
 def decode_mpeg(payload):
@@ -705,7 +754,9 @@ def _decode_l1_frame(r, h, nch, synths, out, payload, pos, crc_val):
                     code = r.read(nb)
                     if code is None:
                         return False
-                    S[ch, sb] = _dequant(code, (1 << nb) - 1) * scf[ch][sb]
+                    S[ch, sb] = (
+                        _deq_table((1 << nb) - 1)[code] * scf[ch][sb]
+                    )
         for ch in range(nch):
             out[ch].extend(synths[ch].granule(S[ch]))
     return True
@@ -768,6 +819,7 @@ def _decode_l2_frame(r, h, nch, synths, out, payload, pos, crc_val):
                     continue
                 steps = step_list[a - 1]
                 nb, grouped = _QC[steps]
+                deq = _deq_table(steps)
                 part = (gr * 3) // 12
                 s_scf = scf[ch][sb][part]
                 if grouped:
@@ -776,7 +828,7 @@ def _decode_l2_frame(r, h, nch, synths, out, payload, pos, crc_val):
                         return False
                     for s in range(3):
                         vals[ch, s, sb] = (
-                            _dequant(cc % steps, steps) * s_scf
+                            deq[cc % steps] * s_scf
                         )
                         cc //= steps
                 else:
@@ -784,7 +836,7 @@ def _decode_l2_frame(r, h, nch, synths, out, payload, pos, crc_val):
                         code = r.read(nb)
                         if code is None:
                             return False
-                        vals[ch, s, sb] = _dequant(code, steps) * s_scf
+                        vals[ch, s, sb] = deq[code] * s_scf
         for s in range(3):
             for ch in range(nch):
                 out[ch].extend(synths[ch].granule(vals[ch, s]))

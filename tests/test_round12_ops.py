@@ -1024,3 +1024,31 @@ class TestJpegLossless:
         q = REGISTRY["jpeg_lossless_roundtrip"]
         with duckdb_conn(sf_smoke) as con:
             compare_to_oracle(q.fn(spark, sf_smoke), con, q.oracle)
+
+
+class TestMpegQuantizerTwins:
+    def test_vectorized_quantizer_bit_equal_to_scalar(self):
+        """The encoder's vectorized quantizer must be bit-equal to the
+        scalar spec formula (same IEEE doubles, same order) across
+        every steps class, including out-of-range inputs (clamping)."""
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        rng = np.random.default_rng(1)
+        for steps in sorted(MA._QC):
+            xs = rng.uniform(-1.3, 1.3, 400)
+            vec = list(MA._quantize_vec(xs, steps))
+            sc = [MA._quantize(float(v), steps) for v in xs]
+            assert vec == sc, steps
+
+    def test_deq_table_matches_dequant(self):
+        import map_reduce_framework_spark.operators.mpeg_audio as MA
+
+        for steps in (3, 5, 9, 31, 8191):
+            t = MA._deq_table(steps)
+            assert len(t) == steps
+            assert all(
+                float(t[c]) == MA._dequant(c, steps)
+                for c in range(0, steps, max(1, steps // 7))
+            )
