@@ -655,12 +655,20 @@ def _deq_table(steps: int):
     return t
 
 
+#: decoder bomb guard: MPEG frames expand up to ~64x (a 144-byte
+#: Layer II frame decodes to 1152 samples), so a crafted stream of
+#: minimum-bitrate frames amplifies memory; cap the decoded length
+#: like the image decoders cap pixels (~2 minutes at 32 kHz).
+MAX_DECODE_SAMPLES = 4_194_304
+
+
 def decode_mpeg(payload):
     """MPEG-1 Layer I/II decode: (channel-0 samples as int16 numpy
     array, rate, n_channels) -- decode_wav's exact contract; None for
     anything outside the supported set: not a clean MPEG stream walk,
     Layer III, MPEG-2/2.5 (LSF), joint-stereo mode, CRC mismatch,
-    forbidden scalefactor index 63, or an invalid allocation code.
+    forbidden scalefactor index 63, an invalid allocation code, or a
+    stream longer than the MAX_DECODE_SAMPLES bomb guard.
     TOTAL over arbitrary bytes."""
     try:
         return _decode_mpeg(payload)
@@ -676,6 +684,8 @@ def _decode_mpeg(payload):
         return None
     if info["mode"] == 1:
         return None  # joint stereo: intensity coding not implemented
+    if info["n_samples"] > MAX_DECODE_SAMPLES:
+        return None  # bomb guard (module constant)
     nch = info["nch"]
     rate = info["sample_rate"]
     layer = info["layer"]

@@ -284,6 +284,11 @@ def mp4_video_meta(payload):
             minf = _mp4_find(mdia_kids, b"minf")
             if tkhd is None or mdhd is None or minf is None:
                 return None
+            # size floors: a truncated tkhd must not read its own
+            # header bytes (or a neighbor's) as the dims; v0 tkhd
+            # body is 84 bytes, v0 mdhd body 24
+            if tkhd[1] - tkhd[0] < 84 or mdhd[1] - mdhd[0] < 24:
+                return None
             stbl = _mp4_find(_mp4_children(payload, *minf), b"stbl")
             if stbl is None:
                 return None
@@ -380,14 +385,14 @@ def avi_video_meta(payload):
             return None
         h_off, _ = _avi_vids_offsets(payload)  # strh 'vids' located
         end = min(8 + int.from_bytes(bytes(payload[4:8]), "little"), n)
-        avih_b = None
-        strf_b = None
+        avih_b = avih_e = None
+        strf_b = strf_e = None
         for cid, b, e in _riff_children(payload, 12, end) or []:
             if cid != b"LIST" or bytes(payload[b : b + 4]) != b"hdrl":
                 continue
             for cid2, b2, e2 in _riff_children(payload, b + 4, e) or []:
                 if cid2 == b"avih":
-                    avih_b = b2
+                    avih_b, avih_e = b2, e2
                 elif cid2 == b"LIST" and bytes(
                     payload[b2 : b2 + 4]
                 ) == b"strl":
@@ -402,15 +407,20 @@ def avi_video_meta(payload):
                         None,
                     )
                     if strh is not None and strf_b is None:
-                        strf_b = next(
+                        strf_b, strf_e = next(
                             (
-                                bb
+                                (bb, ee)
                                 for cc, bb, ee in kids
                                 if cc == b"strf"
                             ),
-                            None,
+                            (None, None),
                         )
         if avih_b is None or strf_b is None:
+            return None
+        # chunk size floors: avih needs dwTotalFrames at +16 (body 56
+        # in practice, 20 is the read floor), strf the BITMAPINFOHEADER
+        # dims at +4/+8; the strh floor is checked by _avi_vids_offsets
+        if avih_e - avih_b < 20 or strf_e - strf_b < 12:
             return None
 
         def u32(off):
