@@ -1052,3 +1052,105 @@ class TestMpegQuantizerTwins:
                 float(t[c]) == MA._dequant(c, steps)
                 for c in range(0, steps, max(1, steps // 7))
             )
+
+
+class TestFlacVectorizedPathsBitEqual:
+    """The optimization round's vectorized FLAC paths must be
+    bit-identical to the scalar spec forms they replace (same pinning
+    discipline as the MPEG _quantize_vec test above)."""
+
+    def _clips(self):
+        import hashlib
+
+        clips = []
+        for d in range(6):
+            s = []
+            for t in range(2 + 17 * d):
+                s.extend(
+                    (b - 128) * 256
+                    for b in hashlib.md5(f"{d}:{t}".encode()).digest()
+                )
+            clips.append(s)
+        clips.append([])  # empty clip
+        clips.append([7] * 300)  # constant
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        clips.append(list(rng.integers(-32768, 32768, 5000)))  # verbatim
+        return clips
+
+    def test_bitwriter_matches_per_bit_reference(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.flac as FL
+
+        class RefWriter:
+            def __init__(self):
+                self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+            def write(self, value, nbits):
+                for i in range(nbits - 1, -1, -1):
+                    self.acc = (self.acc << 1) | ((value >> i) & 1)
+                    self.nbits += 1
+                    if self.nbits == 8:
+                        self.out.append(self.acc)
+                        self.acc, self.nbits = 0, 0
+
+        rng = np.random.default_rng(9)
+        w, ref = FL._BitWriter(), RefWriter()
+        for _ in range(500):
+            nbits = int(rng.integers(1, 40))
+            v = int(rng.integers(0, 1 << nbits))
+            w.write(v, nbits)
+            ref.write(v, nbits)
+        w.align()
+        if ref.nbits:
+            ref.write(0, 8 - ref.nbits)
+        assert w.bytes() == bytes(ref.out)
+
+    def test_decode_vector_equals_scalar_fallback(self, monkeypatch):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.flac as FL
+
+        def force_scalar(*a, **k):
+            raise FL._NeedExact
+
+        for clip in self._clips():
+            payloads = [
+                FL.encode_flac(clip),
+                FL.encode_flac(clip, mode="lpc"),
+                FL.encode_flac_stereo(clip, list(clip)[::-1], mode="mid_side"),
+                FL.encode_flac_stereo(clip, list(clip)[::-1], mode="left_side"),
+                FL.encode_flac_stereo(
+                    clip, list(clip)[::-1], mode="right_side"
+                ),
+            ]
+            fast = [FL.decode_flac(p) for p in payloads]
+            with pytest.MonkeyPatch.context() as mp:
+                mp.setattr(FL, "_decode_subframe_np", force_scalar)
+                slow = [FL.decode_flac(p) for p in payloads]
+            for f, s in zip(fast, slow):
+                assert (f is None) == (s is None)
+                if f is not None:
+                    assert np.array_equal(f[0], s[0]) and f[1:] == s[1:]
+
+    def test_rice_bits_matches_per_code_writer(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.flac as FL
+
+        rng = np.random.default_rng(3)
+        res = [int(v) for v in rng.integers(-3000, 3000, 700)]
+        for p in (0, 1, 5, 11):
+            w_ref = FL._BitWriter()
+            for v in res:
+                u = FL._zigzag(v)
+                w_ref.write_unary(u >> p)
+                if p:
+                    w_ref.write(u & ((1 << p) - 1), p)
+            w_ref.align()
+            w_vec = FL._BitWriter()
+            w_vec.write_bits(FL._rice_bits(FL._zigzag_vec(res), p))
+            w_vec.align()
+            assert w_ref.bytes() == w_vec.bytes(), p
