@@ -2372,6 +2372,116 @@ GOPHER_REP_THRESHOLDS = {
 }
 _REP_PACK = 2**32  # (cnt, chars) packed into one BIGINT for a portable argmax
 
+#: Output order of the 13 repetition fractions (the dict order the old
+#: expression path used -- the verdict ANDs them all, so order only
+#: fixes the output schema).
+_REP_FRAC_NAMES = (
+    "dup_line_frac",
+    "dup_para_frac",
+    "dup_line_char_frac",
+    "dup_para_char_frac",
+    "top2_char_frac",
+    "top3_char_frac",
+    "top4_char_frac",
+    "dup5_char_frac",
+    "dup6_char_frac",
+    "dup7_char_frac",
+    "dup8_char_frac",
+    "dup9_char_frac",
+    "dup10_char_frac",
+)
+
+
+def _rep_fracs_py(text):
+    """The 13 A1.2 repetition fractions of one document, exactly as the
+    DuckDB oracle (and the retired interpreted-HOF expression tree)
+    defines them: integer numerators/denominators, one IEEE division
+    each -- bit-equal by construction. NULL text yields NULLs (the
+    expression path's NULL propagation).
+
+    Vectorized per doc: tokens are dictionary-coded once; each n's gram
+    multiset comes from one np.unique over the sliding code windows
+    (exact grouping -- no hashing); gram char masses from a cumsum of
+    token lengths; duplicated-window coverage from a difference-array
+    union. Cost is O(L log L) per (doc, n) instead of the HOF tree's
+    interpreted per-element lambda evaluation."""
+    import numpy as np
+
+    from ..functions.text import _WS_RE
+
+    if text is None:
+        return None
+    toks = [t for t in _WS_RE.split(text) if t]
+    lines = text.split("\n")
+    paras = text.split("\n\n")
+    len_t = len(text)
+
+    def _dup_frac(xs):
+        return (len(xs) - len(set(xs))) / len(xs) if xs else 0.0
+
+    def _dup_chars(xs):
+        return sum(map(len, xs)) - sum(len(x) for x in set(xs))
+
+    out = [
+        _dup_frac(lines),
+        _dup_frac(paras),
+        _dup_chars(lines) / len_t if len_t else 0.0,
+        _dup_chars(paras) / len_t if len_t else 0.0,
+    ]
+    L = len(toks)
+    if L:
+        code: dict = {}
+        codes = np.fromiter(
+            (code.setdefault(tk, len(code)) for tk in toks),
+            count=L,
+            dtype=np.int64,
+        )
+        tlens = np.fromiter(
+            (len(tk) for tk in toks), count=L, dtype=np.int64
+        )
+        clen = np.concatenate([[0], np.cumsum(tlens)])
+    else:
+        codes = tlens = clen = None
+    tops: dict = {}
+    dups: dict = {}
+    for n in range(2, 11):
+        G = L - n + 1
+        if G <= 0:
+            (tops if n <= 4 else dups)[n] = 0
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(codes, n)
+        uniq, inv, cnt = np.unique(
+            win, axis=0, return_inverse=True, return_counts=True
+        )
+        inv = inv.reshape(-1)
+        if n <= 4:
+            # char mass of the gram at window i: token lengths in the
+            # window + (n-1) joining spaces == len(' '.join(...))
+            glen = (clen[n:] - clen[:-n]) + (n - 1)
+            order = np.argsort(inv, kind="stable")
+            firsts = order[
+                np.searchsorted(inv[order], np.arange(len(cnt)))
+            ]
+            packed = cnt * _REP_PACK + cnt * glen[firsts]
+            tops[n] = int(packed.max() % _REP_PACK)
+        else:
+            pos = np.flatnonzero(cnt[inv] >= 2)
+            if len(pos) == 0:
+                dups[n] = 0
+                continue
+            cov = np.zeros(L + 1, dtype=np.int64)
+            cov[pos] += 1
+            cov[pos + n] -= 1
+            covered = np.cumsum(cov[:-1]) > 0
+            tok_chars = int(tlens[covered].sum())
+            adj = int((covered[:-1] & covered[1:]).sum())
+            dups[n] = tok_chars + adj
+    for k in (2, 3, 4):
+        out.append(tops[k] / len_t if len_t else 0.0)
+    for k in range(5, 11):
+        out.append(dups[k] / len_t if len_t else 0.0)
+    return out
+
 
 def gopher_repetition_filter(
     documents: DataFrame, extra_exprs: dict | None = None
@@ -2403,200 +2513,66 @@ def gopher_repetition_filter(
     rule_filter_funnel gets all three rule families from ONE scan.
 
     Plan: every A1.2 measure is PER-DOCUMENT, so the whole filter is a
-    single shuffle-free narrow projection -- no distributed n-gram
-    aggregate at all. Per doc and per n, the shingle array is sorted
-    doc-locally (array_sort on (gram, pos) structs, O(L log n-gram
-    list)); run-length over the sorted array yields the top-gram packed
-    (cnt, chars) max, and neighbor-equality marks duplicated windows
-    whose position ranges union into the covered set. Intermediates
-    bind ONCE per row through the transform-over-singleton let idiom
-    (`element_at(transform(array(e), x -> body), 1)`) -- naive nested
-    lambdas would re-sort per element access, measured catastrophic.
-    The only exchange is a round-robin repartition of the raw text so
-    a few-file scan parallelizes (measured 29 s -> 2.1 s at sf0.1 on
-    local[32]; at 100 TB the scan has thousands of splits and AQE
-    coalesces the no-op). This beat three distributed designs measured
-    at sf0.1: (doc,n,gram) count aggregate + join-back (9 s, the r5
-    shape), the same with collect_list(pos) (36 s -- any non-primitive
-    aggregate buffer forces ObjectHashAggregate, off the codegen
-    HashAggregate path), and meta-through-aggregates (33 s, same
-    reason)."""
-    ns = list(range(2, 11))
-    toks = tokenize_ws("text")
-    lines = F.split(F.col("text"), "\n")
-    paras = F.split(F.col("text"), "\n\n")
-
-    def _dup_count(arr):
-        return F.size(arr) - F.size(F.array_distinct(arr))
-
-    def _char_sum(arr):
-        return F.aggregate(
-            F.transform(arr, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
-        )
-
-    def _let(bound, body):
-        # let-binding via a single-element higher-order function: the
-        # lambda variable is evaluated once and referenced many times.
-        return F.element_at(F.transform(F.array(bound), body), 1)
-
-    def _empty_ints():
-        return F.array().cast("array<int>")
-
-    def _top_chars(w, n):
-        """Doc-local most-frequent-n-gram char mass: sort the (gram,
-        pos) structs, find run starts, max over runs of packed
-        (cnt * 2^32 + cnt * len)."""
-        zipped = F.transform(
-            word_shingles(w, n),
-            lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
-        )
-
-        def body(srt):
-            L = F.size(srt)
-            nxt = F.slice(srt, 2, F.greatest(L - 1, F.lit(0)))
-            eq_next = F.zip_with(
-                srt, nxt, lambda a, b: F.coalesce(a["gram"] == b["gram"], F.lit(False))
-            )
-
-            def from_eqn(eqn):
-                idx = F.when(L > 0, F.sequence(F.lit(0), L - 1)).otherwise(
-                    _empty_ints()
-                )
-                # element_at(eqn, j) is 1-based == eq_next[j-1]:
-                # "is srt[j] equal to its predecessor"
-                starts = F.filter(
-                    idx,
-                    lambda j: F.when(j == 0, F.lit(True)).otherwise(
-                        ~F.coalesce(F.element_at(eqn, j), F.lit(False))
-                    ),
-                )
-
-                def from_starts(st):
-                    ends = F.concat(
-                        F.slice(st, 2, F.greatest(F.size(st) - 1, F.lit(0))),
-                        F.when(F.size(st) > 0, F.array(L)).otherwise(
-                            _empty_ints()
-                        ),
-                    )
-                    packeds = F.zip_with(
-                        st,
-                        ends,
-                        lambda a, b: (b - a).cast("bigint") * F.lit(_REP_PACK)
-                        + (b - a).cast("bigint")
-                        * F.length(F.element_at(srt, a + 1)["gram"]),
-                    )
-                    return F.coalesce(
-                        F.array_max(packeds) % F.lit(_REP_PACK), F.lit(0)
-                    )
-
-                return _let(starts, from_starts)
-
-            return _let(eq_next, from_eqn)
-
-        return _let(F.array_sort(zipped), body)
-
-    def _dup_chars(w, tlens, n):
-        """Doc-local duplicated-n-gram positional char mass: sorted
-        (gram, pos) structs -> neighbor-equality flags -> union of
-        covered token positions -> covered token lengths + one joining
-        space per adjacent covered pair."""
-        zipped = F.transform(
-            word_shingles(w, n),
-            lambda g, i: F.struct(g.alias("gram"), i.alias("pos")),
-        )
-
-        def body(srt):
-            L = F.size(srt)
-            nxt = F.slice(srt, 2, F.greatest(L - 1, F.lit(0)))
-            eq_next = F.zip_with(
-                srt, nxt, lambda a, b: F.coalesce(a["gram"] == b["gram"], F.lit(False))
-            )
-
-            def from_eqn(eqn):
-                eq_prev = F.concat(
-                    F.array(F.lit(False)),
-                    F.slice(eqn, 1, F.greatest(L - 1, F.lit(0))),
-                )
-                flags = F.zip_with(eqn, eq_prev, lambda a, b: a | b)
-                dup_entries = F.filter(
-                    F.zip_with(srt, flags, lambda s, fl: F.when(fl, s)),
-                    lambda x: x.isNotNull(),
-                )
-                cov0 = F.array_sort(
-                    F.array_distinct(
-                        F.flatten(
-                            F.transform(
-                                dup_entries,
-                                lambda s: F.sequence(
-                                    s["pos"], s["pos"] + F.lit(n - 1)
-                                ),
-                            )
-                        )
-                    )
-                )
-
-                def from_cov(cov):
-                    tok_chars = F.aggregate(
-                        cov,
-                        F.lit(0),
-                        lambda a, p: a + F.element_at(tlens, p + 1),
-                    )
-                    cn = F.slice(
-                        cov, 2, F.greatest(F.size(cov) - 1, F.lit(0))
-                    )
-                    adj = F.size(
-                        F.filter(
-                            F.zip_with(cov, cn, lambda a, b: b - a),
-                            lambda d: d == F.lit(1),
-                        )
-                    )
-                    return tok_chars + adj
-
-                return _let(cov0, from_cov)
-
-            return _let(eq_next, from_eqn)
-
-        return _let(F.array_sort(zipped), body)
+    single shuffle-free narrow pass -- no distributed n-gram aggregate
+    at all. r12 optimization (guide §4.2): the per-doc measures moved
+    from an interpreted-HOF expression tree (HOF lambdas have no
+    codegen -- measured ~230 core-seconds at sf0.1) into ONE
+    Arrow-batched mapInPandas kernel (`_rep_fracs_py`: dictionary-coded
+    tokens, np.unique gram grouping, cumsum char masses, difference-
+    array coverage -- ~9 core-seconds for the same corpus, bit-equal
+    fractions pinned by tests/test_round5_ops.py's independent-Python
+    axis). `extra_exprs` are evaluated as JVM expressions in the
+    projection FEEDING the kernel and pass through it untouched, so the
+    funnel still gets all three rule families from one scan (plan gate
+    unchanged: 1 scan, 0 joins, the repartition exchange only). The
+    only exchange is the round-robin repartition of the raw text so a
+    few-file scan parallelizes (at 100 TB the scan has thousands of
+    splits and AQE coalesces the no-op). Distributed designs measured
+    and rejected in r5 (gram aggregate + join-back 9 s,
+    collect_list(pos) 36 s, meta-through-aggregates 33 s) stay
+    rejected."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     extra = dict(extra_exprs or {})
-    len_t = F.length("text")
-
-    def _frac(num, den):
-        return F.when(den == 0, F.lit(0.0)).otherwise(
-            F.coalesce(num, F.lit(0)) / den
-        )
-
-    tlens = F.transform(toks, lambda t: F.length(t))
-    fracs = {
-        "dup_line_frac": _frac(_dup_count(lines), F.size(lines)),
-        "dup_para_frac": _frac(_dup_count(paras), F.size(paras)),
-        "dup_line_char_frac": _frac(
-            _char_sum(lines) - _char_sum(F.array_distinct(lines)), len_t
-        ),
-        "dup_para_char_frac": _frac(
-            _char_sum(paras) - _char_sum(F.array_distinct(paras)), len_t
-        ),
-        **{
-            f"top{k}_char_frac": _frac(_top_chars(toks, k), len_t)
-            for k in (2, 3, 4)
-        },
-        **{
-            f"dup{k}_char_frac": _frac(_dup_chars(toks, tlens, k), len_t)
-            for k in range(5, 11)
-        },
-    }
-    verdict = None
-    for name, expr in fracs.items():
-        ok = expr <= F.lit(GOPHER_REP_THRESHOLDS[name])
-        verdict = ok if verdict is None else (verdict & ok)
-    # round-robin repartition: parallelism for few-file local scans; at
-    # cluster scale the scan already has splits and AQE coalesces.
-    return documents.repartition(_default_parallelism(documents)).select(
+    base = documents.repartition(_default_parallelism(documents)).select(
         "doc_id",
-        *[expr.alias(name) for name, expr in fracs.items()],
-        verdict.alias("repetition_pass"),
+        "text",
         *[c.alias(name) for name, c in extra.items()],
     )
+    extra_fields = [
+        f for f in base.schema.fields if f.name not in ("doc_id", "text")
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(nm, DoubleType()) for nm in _REP_FRAC_NAMES]
+        + [StructField("repetition_pass", BooleanType())]
+        + extra_fields
+    )
+    thresholds = [GOPHER_REP_THRESHOLDS[nm] for nm in _REP_FRAC_NAMES]
+
+    def run(batches):
+        for pdf in batches:
+            stats = [_rep_fracs_py(t) for t in pdf["text"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for i, nm in enumerate(_REP_FRAC_NAMES):
+                out[nm] = [None if s is None else s[i] for s in stats]
+            out["repetition_pass"] = [
+                None
+                if s is None
+                else all(v <= thr for v, thr in zip(s, thresholds))
+                for s in stats
+            ]
+            for f in extra_fields:
+                out[f.name] = pdf[f.name]
+            yield pd.DataFrame(out)
+
+    return base.mapInPandas(run, schema=schema)
 
 
 def _rep_gram_union_sql() -> str:
