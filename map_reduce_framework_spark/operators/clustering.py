@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.vector import as_double, dot
+from ..session import stage_checkpoint
 
 K = 8
 ITERS = 2
@@ -111,6 +112,7 @@ def kmeans_lloyd(
     )
     for _ in range(iters):
         cents = _update(_assign(vectors, cents))
+    cents = stage_checkpoint(cents)
     final = _assign(vectors, cents)
     return final.select(
         "vec_id", F.col("cid").alias("cluster"), F.col("dist").alias("dist")
@@ -387,6 +389,12 @@ def pq_codes_trained(embeddings: DataFrame, iters: int = 1) -> DataFrame:
         F.col("vec_id").cast("int").alias("code"),
         F.col("sub").alias("cw"),
     )
+    # NOT checkpointed (r12, measured): at iters=1 the training pass and
+    # the final encode SHARE the subvector repartition exchange within
+    # one action (ReuseExchange); a checkpoint boundary splits them into
+    # separate jobs that each pay the exchange -- 2.6 s -> 4.6 s at
+    # sf0.1. Deep loops (kmeans_lloyd, ann_ivf_trained) go the other
+    # way; see their per-round checkpoints.
     for _ in range(iters):
         cb = _train_codebook(subs, cb)
     w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")
@@ -505,6 +513,7 @@ def ann_ivf_trained(
     )
     for _ in range(ITERS):
         cents = _update(_assign(vectors, cents))
+    cents = stage_checkpoint(cents)
     cells = _assign(vectors, cents).select("vec_id", "cid")
     dist = (
         dot(F.col("v"), F.col("v"))

@@ -50,6 +50,7 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from ..functions.vector import as_double, dot
+from ..session import stage_checkpoint
 
 DIM = 64
 N_TABLES = 6
@@ -1045,6 +1046,12 @@ def mmr_rerank(
                 "mmr_score",
             )
         )
+        # 1-row checkpoint per greedy round (r12): round i's maxsim and
+        # remaining chains reference every earlier pick -- without the
+        # checkpoint the final 5-row union re-evaluates each round's
+        # TakeOrdered subplan O(k) times (k^2 tiny jobs). Values are
+        # identical; the checkpoint is one row.
+        pick = stage_checkpoint(pick)
         picks.append(pick)
         picked_id = pick.select("doc_id")
         selected_ids = (
