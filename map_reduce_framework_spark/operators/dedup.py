@@ -351,16 +351,26 @@ def ingest_batch(
     # Write fan-out is a FILE-COUNT decision, not a compute-width one:
     # an unconfigured session defaults shuffle.partitions to 200, and 200
     # near-empty state files per round per table turns every later probe
-    # metadata-bound (measured 5.7 s -> 1.9 s per round at sf0.01). Cap
-    # it; at real scale size this to batch_bytes / target_file_size.
-    n_write = min(_n_parts(batch_docs), 32)
-    batch_docs.repartition(n_write).select(
-        "doc_id",
-        F.array_sort(distinct_word_shingles_arrow()(F.col("text"))).alias(
-            "toks"
-        ),
-        F.lit(r).alias("r"),
-    ).write.mode("append").parquet(tokens_dir)
+    # metadata-bound (measured 5.7 s -> 1.9 s per round at sf0.01; the
+    # r12 REBALANCE below takes the same sf0.01 round from 32 files to
+    # size-targeted ones). Shingle compute stays at full parallelism;
+    # the REBALANCE hint (guide §6: compact on write) lets AQE size the
+    # written files to the advisory partition size -- one file for a
+    # small batch, 100 TB batches get batch_bytes/advisory files.
+    n_compute = min(_n_parts(batch_docs), 32)
+    (
+        batch_docs.repartition(n_compute)
+        .select(
+            "doc_id",
+            F.array_sort(
+                distinct_word_shingles_arrow()(F.col("text"))
+            ).alias("toks"),
+            F.lit(r).alias("r"),
+        )
+        .hint("rebalance")
+        .write.mode("append")
+        .parquet(tokens_dir)
+    )
     tokens = spark.read.parquet(tokens_dir)
     batch_sh = (
         tokens.filter(F.col("r") == r)

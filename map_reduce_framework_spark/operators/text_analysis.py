@@ -587,12 +587,19 @@ def ngram_contamination(
     shuffle of corpus n-grams (the broadcast-hash join happens
     map-side; only per-doc partial counts move)."""
 
+    from ..functions.text import distinct_word_shingles_arrow
+
     def _grams(df):
+        # Arrow shingle kernel (r12, guide §4.2): the JVM form
+        # array_distinct(word_shingles(...)) runs four nested
+        # interpreted HOFs per row; dict.fromkeys preserves the same
+        # first-occurrence order and explode order is irrelevant to the
+        # aggregates below.
         return df.select(
             "doc_id",
-            F.explode(
-                F.array_distinct(word_shingles(tokenize_ws("text"), n))
-            ).alias("gram"),
+            F.explode(distinct_word_shingles_arrow(n)(F.col("text"))).alias(
+                "gram"
+            ),
         )
 
     if eval_docs is not None:
@@ -606,23 +613,27 @@ def ngram_contamination(
             F.col("doc_id").alias("eval_id"), "gram"
         )
         corpus = grams.filter(F.col("doc_id") % eval_mod != 0)
-    hits = (
-        corpus.join(F.broadcast(eval_grams), "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("gram").alias("n_hit_grams"),
-            F.count_distinct("eval_id").alias("n_eval_docs_hit"),
-        )
+    # ONE corpus-gram pass (r12, guide §2.4): totals and hits previously
+    # each re-evaluated the corpus gram subtree (narrow, so no exchange
+    # reuse). A broadcast LEFT join keeps every (distinct) gram row --
+    # n_grams = count_distinct(gram) is exact because the explode is
+    # distinct per doc, hit counts ignore the NULLs of unmatched rows,
+    # and a gram matching several eval docs duplicates rows without
+    # changing any of the three distinct counts.
+    joined = corpus.join(F.broadcast(eval_grams), "gram", "left")
+    agg = joined.groupBy("doc_id").agg(
+        F.count_distinct("gram").alias("n_grams"),
+        F.count_distinct(
+            F.when(F.col("eval_id").isNotNull(), F.col("gram"))
+        ).alias("n_hit_grams"),
+        F.count_distinct("eval_id").alias("n_eval_docs_hit"),
     )
-    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    return totals.join(hits, "doc_id", "left").select(
+    return agg.select(
         "doc_id",
         "n_grams",
-        F.coalesce("n_hit_grams", F.lit(0)).cast("bigint").alias("n_hit_grams"),
-        F.coalesce("n_eval_docs_hit", F.lit(0))
-        .cast("bigint")
-        .alias("n_eval_docs_hit"),
-        (F.coalesce("n_hit_grams", F.lit(0)) / F.col("n_grams")).alias(
+        F.col("n_hit_grams").cast("bigint").alias("n_hit_grams"),
+        F.col("n_eval_docs_hit").cast("bigint").alias("n_eval_docs_hit"),
+        (F.col("n_hit_grams") / F.col("n_grams")).alias(
             "contamination_ratio"
         ),
     )
