@@ -70,6 +70,18 @@ FP_MOD = (1 << 61) - 1
 FP_P = 1315423911
 FP_POWERS = [pow(FP_P, k, FP_MOD) for k in range(FP_WINDOW_CHUNKS * CHUNK_SAMPLES)]
 
+
+def _fp_powers_np():
+    """(powers, hi-limbs, lo-limbs) int64 arrays for the vectorized
+    Mersenne modmul (powers = hi * 2^30 + lo)."""
+    import numpy as np
+
+    p = np.asarray(FP_POWERS, dtype=np.int64)
+    return p, p >> 30, p & ((1 << 30) - 1)
+
+
+_FP_POWERS_NP = None  # set lazily below (numpy import stays function-local)
+
 #: Robust (gain-invariant) fingerprint geometry: each 64-sample window
 #: splits into RFP_BLOCKS subblocks of RFP_BLOCK_SAMPLES samples;
 #: subblock ENERGY RATIOS E_b * RFP_Q // T (T = window energy) are
@@ -350,14 +362,9 @@ def audio_features(
     )
 
 
-def window_fingerprints(samples, *, drop_silent: bool = True) -> list:
-    """(window_idx, fp) for every 64-sample sliding window (stride one
-    chunk) of an int16 sample stream -- the shared engine kernel for
-    the generated-clip and real-payload paths. ``drop_silent`` skips
-    windows whose every sample is within SILENCE_THRESH: true silence
-    produces CONSTANT blocks, i.e. one colossal fingerprint key shared
-    by every quiet clip -- the pathological skew the fp equi-join can
-    see (SCALE.md's documented knob, now code; tests plant it)."""
+def _window_fingerprints_scalar(samples, *, drop_silent: bool = True) -> list:
+    """Per-sample scalar spec form of ``window_fingerprints`` -- kept as
+    the pinned reference the vectorized kernel is tested bit-equal to."""
     win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
     vals = [int(v) for v in samples]
     n_chunks = len(vals) // CHUNK_SAMPLES
@@ -374,11 +381,9 @@ def window_fingerprints(samples, *, drop_silent: bool = True) -> list:
     return out
 
 
-def robust_window_fingerprints(samples) -> list:
-    """(window_idx, rfp) gain-invariant fingerprints: quantized
-    subblock-energy RATIOS (see RFP_BLOCKS) polynomial-combined.
-    All-silent windows are always dropped (they are both the skew keys
-    and ratio-undefined when the energy is zero)."""
+def _robust_window_fingerprints_scalar(samples) -> list:
+    """Scalar spec form of ``robust_window_fingerprints`` (pinned
+    reference for the vectorized kernel)."""
     win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
     vals = [int(v) for v in samples]
     n_chunks = len(vals) // CHUNK_SAMPLES
@@ -406,6 +411,132 @@ def robust_window_fingerprints(samples) -> list:
             rfp = (rfp + code * FP_POWERS[b]) % FP_MOD
         out.append((i, rfp))
     return out
+
+
+_FP_M61 = FP_MOD  # 2^61 - 1, a Mersenne prime
+_MASK30 = (1 << 30) - 1
+_MASK31 = (1 << 31) - 1
+
+
+def _mulmod_small_vec(a, bh, bl):
+    """Exact (a * b) mod 2^61-1 for int64 arrays with a < 2^18 and
+    b = bh*2^30 + bl < 2^61 (bh, bl precomputed): the shifted-limb
+    Mersenne reduction, every intermediate provably < 2^63.
+
+        a*b = (a*bh)*2^30 + a*bl
+        t*2^30 mod M = (t>>31) + ((t & 2^31-1) << 30)   [2^61 == 1 mod M]
+
+    Result is < 2^61 + 2 (one fold) -- congruent mod M, NOT fully
+    reduced; callers fold after summation."""
+    t = a * bh  # < 2^18 * 2^31 = 2^49
+    r = (t >> 31) + ((t & _MASK31) << 30) + a * bl  # < 2^18 + 2^61 + 2^48
+    return (r & _FP_M61) + (r >> 61)  # < 2^61 + 2
+
+
+def _fold61(x):
+    """Fully reduce congruent values (< 2^63) into [0, M)."""
+    import numpy as np
+
+    x = (x & _FP_M61) + (x >> 61)
+    x = (x & _FP_M61) + (x >> 61)
+    return np.where(x >= _FP_M61, x - _FP_M61, x)
+
+
+def window_fingerprints(samples, *, drop_silent: bool = True) -> list:
+    """(window_idx, fp) for every 64-sample sliding window (stride one
+    chunk) of an int16 sample stream -- the shared engine kernel for
+    the generated-clip and real-payload paths. ``drop_silent`` skips
+    windows whose every sample is within SILENCE_THRESH: true silence
+    produces CONSTANT blocks, i.e. one colossal fingerprint key shared
+    by every quiet clip -- the pathological skew the fp equi-join can
+    see (SCALE.md's documented knob, now code; tests plant it).
+
+    Vectorized (r12, guide §4.2): all windows of a clip at once via a
+    sliding-window view and exact int64 Mersenne modmuls -- bit-equal to
+    ``_window_fingerprints_scalar`` (pinned by test): modular arithmetic
+    is exact, only the evaluation order differs, and every intermediate
+    is bounded < 2^63 (see _mulmod_small_vec)."""
+    import numpy as np
+
+    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+    vals = np.asarray(samples, dtype=np.int64)
+    n_chunks = len(vals) // CHUNK_SAMPLES
+    nw = n_chunks - FP_WINDOW_CHUNKS + 1
+    if nw <= 0:
+        return []
+    usable = vals[: n_chunks * CHUNK_SAMPLES]
+    wnd = np.lib.stride_tricks.sliding_window_view(usable, win)[
+        ::CHUNK_SAMPLES
+    ]  # (nw, 64)
+    keep = np.ones(nw, dtype=bool)
+    if drop_silent:
+        keep = np.abs(wnd).max(axis=1) > SILENCE_THRESH
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return []
+    a = wnd[idx] + 32768  # < 2^17
+    global _FP_POWERS_NP
+    if _FP_POWERS_NP is None:
+        _FP_POWERS_NP = _fp_powers_np()
+    powers = _FP_POWERS_NP
+    terms = _mulmod_small_vec(a, powers[1], powers[2])  # each < 2^61+2
+    acc = np.zeros(len(idx), dtype=np.int64)
+    for k in range(win):  # acc < 2^61+2; sum < 2^62+4 < 2^63
+        acc = acc + terms[:, k]
+        acc = (acc & _FP_M61) + (acc >> 61)
+    fps = _fold61(acc)
+    return [(int(i), int(f)) for i, f in zip(idx, fps)]
+
+
+def robust_window_fingerprints(samples) -> list:
+    """(window_idx, rfp) gain-invariant fingerprints: quantized
+    subblock-energy RATIOS (see RFP_BLOCKS) polynomial-combined.
+    All-silent windows are always dropped (they are both the skew keys
+    and ratio-undefined when the energy is zero). Vectorized like
+    ``window_fingerprints``; bit-equal to the scalar spec form (energies
+    and codes are exact int64 -- e < 2^32, e*RFP_Q < 2^38)."""
+    import numpy as np
+
+    win = FP_WINDOW_CHUNKS * CHUNK_SAMPLES
+    vals = np.asarray(samples, dtype=np.int64)
+    n_chunks = len(vals) // CHUNK_SAMPLES
+    nw = n_chunks - FP_WINDOW_CHUNKS + 1
+    if nw <= 0:
+        return []
+    usable = vals[: n_chunks * CHUNK_SAMPLES]
+    wnd = np.lib.stride_tricks.sliding_window_view(usable, win)[
+        ::CHUNK_SAMPLES
+    ]
+    keep = np.abs(wnd).max(axis=1) > SILENCE_THRESH
+    # subblock energies: block sums of v^2, then windows of RFP_BLOCKS
+    # consecutive blocks (window i starts at block i * chunk/block)
+    v2 = usable * usable  # < 2^30
+    blocks = v2.reshape(-1, RFP_BLOCK_SAMPLES).sum(axis=1)  # < 2^32
+    blocks_per_chunk = CHUNK_SAMPLES // RFP_BLOCK_SAMPLES
+    e = np.lib.stride_tricks.sliding_window_view(blocks, RFP_BLOCKS)[
+        ::blocks_per_chunk
+    ]  # (nw, RFP_BLOCKS)
+    total = e.sum(axis=1)  # < 2^36
+    keep &= total > 0
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return []
+    codes = np.minimum(
+        (e[idx] * RFP_Q) // total[idx, None], RFP_Q - 1
+    )  # exact int64: e*RFP_Q < 2^38
+    global _FP_POWERS_NP
+    if _FP_POWERS_NP is None:
+        _FP_POWERS_NP = _fp_powers_np()
+    powers = _FP_POWERS_NP
+    terms = _mulmod_small_vec(
+        codes, powers[1][:RFP_BLOCKS], powers[2][:RFP_BLOCKS]
+    )
+    acc = np.zeros(len(idx), dtype=np.int64)
+    for b in range(RFP_BLOCKS):
+        acc = acc + terms[:, b]
+        acc = (acc & _FP_M61) + (acc >> 61)
+    rfps = _fold61(acc)
+    return [(int(i), int(f)) for i, f in zip(idx, rfps)]
 
 
 def _fp_map(documents: DataFrame, kernel, col_name: str) -> DataFrame:

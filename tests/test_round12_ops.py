@@ -1154,3 +1154,27 @@ class TestFlacVectorizedPathsBitEqual:
             w_vec.write_bits(FL._rice_bits(FL._zigzag_vec(res), p))
             w_vec.align()
             assert w_ref.bytes() == w_vec.bytes(), p
+
+
+class TestAudioFingerprintVectorizedBitEqual:
+    """r12 optimization: the vectorized Mersenne-modmul fingerprint
+    kernels must match the scalar spec forms exactly (same pinning
+    discipline as the FLAC/MPEG vectorizations)."""
+
+    def test_window_fingerprints_match_scalar(self):
+        import numpy as np
+
+        import map_reduce_framework_spark.operators.audio as A
+
+        rng = np.random.default_rng(23)
+        for n in (0, 1, 15, 16, 63, 64, 65, 100, 1024, 1025, 2048):
+            s = [int(v) for v in rng.integers(-32768, 32768, n)]
+            quiet = [int(v) for v in rng.integers(-1500, 1500, n)]
+            for clip in (s, quiet, [0] * n, [-32768] * n):
+                for ds in (True, False):
+                    assert A.window_fingerprints(
+                        clip, drop_silent=ds
+                    ) == A._window_fingerprints_scalar(clip, drop_silent=ds)
+                assert A.robust_window_fingerprints(
+                    clip
+                ) == A._robust_window_fingerprints_scalar(clip)
