@@ -259,30 +259,40 @@ def main() -> None:
     # only the TAIL of this (long) line, so the per-query dict goes
     # first and the summary fields (total, failures, isolated twins)
     # last, where they stay visible after truncation.
-    print(
-        json.dumps(
-            {
-                "queries": timings,
-                "order": order_index,
-                "sf": sf,
-                "n_queries": len(timings),
-                "reps": reps,
-                "timing": "min_of_reps",
-                "suite_order": "pinned_lexicographic",
-                "movers_vs_last_run": movers,
-                "isolated_fresh_jvm": isolated,
-                "failed": sorted(k for k, v in timings.items() if v < 0),
-                "canaries": {
-                    c: timings.get(c, -1.0) for c in sorted(CANARY_REF)
-                },
-                "box_factor": box_factor,
-                "value_normalized": round(total * box_factor, 3),
-                "metric": "suite_wall_clock",
-                "unit": "sec",
-                "value": total,
-            }
-        )
+    result_line = json.dumps(
+        {
+            "queries": timings,
+            "order": order_index,
+            "sf": sf,
+            "n_queries": len(timings),
+            "reps": reps,
+            "timing": "min_of_reps",
+            "suite_order": "pinned_lexicographic",
+            "movers_vs_last_run": movers,
+            "isolated_fresh_jvm": isolated,
+            "failed": sorted(k for k, v in timings.items() if v < 0),
+            "canaries": {
+                c: timings.get(c, -1.0) for c in sorted(CANARY_REF)
+            },
+            "box_factor": box_factor,
+            "value_normalized": round(total * box_factor, 3),
+            "metric": "suite_wall_clock",
+            "unit": "sec",
+            "value": total,
+        }
     )
+    # Additive observability (VERDICT r12 ask #2): at 255 queries the
+    # one-line JSON outgrew the driver's tail capture, so the r11->r12
+    # per-query comparison was lost (PERF_r12 prev_sec: null). Write
+    # the SAME payload to bench_out.json next to the script so the
+    # full record survives regardless of how much of stdout is kept.
+    # The printed contract line below is unchanged.
+    try:
+        with open(os.path.join(repo_dir, "bench_out.json"), "w") as fh:
+            fh.write(result_line + "\n")
+    except OSError as exc:
+        print(f"bench: bench_out.json write failed: {exc}", file=sys.stderr)
+    print(result_line)
 
 
 _ISOLATED_SNIPPET = """

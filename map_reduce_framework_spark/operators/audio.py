@@ -352,12 +352,12 @@ def audio_features(
                 out["silence_ratio"].append(n_sil / n)
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "text")
     # single-file scans are one partition: repartition so the codec
     # work parallelizes (the measured single-scan trap, SCALE.md)
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=_FEATURES_SCHEMA
     )
 
@@ -544,7 +544,7 @@ def _fp_map(documents: DataFrame, kernel, col_name: str) -> DataFrame:
     decode_wav -> ``kernel`` per doc, Arrow-batched, repartitioned to
     cluster width first (the single-file scan trap)."""
     from ..functions.text import _WS_RE
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     schema = StructType(
         [
@@ -568,7 +568,7 @@ def _fp_map(documents: DataFrame, kernel, col_name: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -616,7 +616,7 @@ def audio_fingerprints_from_payloads(
     (curation drops junk, it does not crash). Same kernels as the
     generated path, so a FLAC copy of a WAV clip shares every
     fingerprint."""
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     name = "rfp" if robust else "fp"
     schema = StructType(
@@ -649,7 +649,7 @@ def audio_fingerprints_from_payloads(
             yield pd.DataFrame(out)
 
     base = df.select("doc_id", payload_col)
-    return base.repartition(_default_parallelism(df)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 

@@ -394,7 +394,8 @@ def pq_codes_trained(embeddings: DataFrame, iters: int = 1) -> DataFrame:
     # one action (ReuseExchange); a checkpoint boundary splits them into
     # separate jobs that each pay the exchange -- 2.6 s -> 4.6 s at
     # sf0.1. Deep loops (kmeans_lloyd, ann_ivf_trained) go the other
-    # way; see their per-round checkpoints.
+    # way; see their post-loop centroid checkpoints (one truncation
+    # after the whole Lloyd loop, not one per round).
     for _ in range(iters):
         cb = _train_codebook(subs, cb)
     w = Window.partitionBy("vec_id", "m").orderBy("dist", "code")

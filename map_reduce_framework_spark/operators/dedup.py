@@ -353,8 +353,10 @@ def ingest_batch(
     # near-empty state files per round per table turns every later probe
     # metadata-bound (measured 5.7 s -> 1.9 s per round at sf0.01; the
     # r12 REBALANCE below takes the same sf0.01 round from 32 files to
-    # size-targeted ones). Shingle compute stays at full parallelism;
-    # the REBALANCE hint (guide §6: compact on write) lets AQE size the
+    # size-targeted ones). Shingle compute runs at min(input splits, 32)
+    # -- the same cap as the old write fan-out (ADVICE r12 #3: an
+    # earlier comment here overclaimed "full parallelism"); the
+    # REBALANCE hint (guide §6: compact on write) lets AQE size the
     # written files to the advisory partition size -- one file for a
     # small batch, 100 TB batches get batch_bytes/advisory files.
     n_compute = min(_n_parts(batch_docs), 32)
@@ -532,8 +534,13 @@ def connected_component_labels(
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         )
-        new_labels = stage_checkpoint(new_labels, eager=True)
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        # ONE job per round (VERDICT r12 ask #7): the LAZY checkpoint is
+        # materialized by the changed-count action itself, fusing the
+        # old eager-materialize job + count job. The count is full (no
+        # limit(1) short-circuit) so every partition of the round's
+        # labels is computed and cached under the same action.
+        new_labels = stage_checkpoint(new_labels)
+        changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
@@ -557,7 +564,8 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    E = stage_checkpoint(E, eager=True)
+    E = stage_checkpoint(E)
+    n_e = E.count()  # materializes the lazy checkpoint in the same job
     while True:
         # Large-star: group the symmetrized graph by u; attach every
         # strictly-larger neighbor to m = min(N(u) + {u}).
@@ -585,15 +593,19 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        small = stage_checkpoint(small, eager=True)
-        # Convergence = edge set unchanged. Two-tier probe: the distinct
-        # edge-set cardinality is a cheap scalar over the two
-        # checkpointed sets, and a star-ward round that changed anything
-        # almost always changes it -- only when counts MATCH does the
-        # exact symmetric-difference probe run (usually exactly once, on
-        # the converged round). Saves the expensive probe on every
-        # still-shrinking round.
-        same = small.count() == E.count() and (
+        # ONE job per round (VERDICT r12 ask #7): the LAZY checkpoint is
+        # materialized by this round's cardinality count itself, and the
+        # previous round's cardinality is carried in n_e instead of
+        # recounted -- the old eager-materialize + two count jobs fuse
+        # into one. Convergence = edge set unchanged. Two-tier probe:
+        # the distinct edge-set cardinality is a cheap scalar, and a
+        # star-ward round that changed anything almost always changes
+        # it -- only when counts MATCH does the exact symmetric-
+        # difference probe run (usually exactly once, on the converged
+        # round).
+        small = stage_checkpoint(small)
+        n_small = small.count()
+        same = n_small == n_e and (
             small.exceptAll(E)
             .unionByName(E.exceptAll(small))
             .limit(1)
@@ -601,6 +613,7 @@ def _cc_two_phase(pairs: DataFrame) -> DataFrame:
             == 0
         )
         E = small
+        n_e = n_small
         if same:
             break
     roots = (

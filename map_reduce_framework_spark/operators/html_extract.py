@@ -234,9 +234,9 @@ def extracted_documents_from(pages: DataFrame, col: str = "html") -> DataFrame:
     (lang, source) passed through the SAME projection -- no join, no
     shuffle: extraction rides the scan exactly like extract_text_from,
     with the metadata columns along for the ride."""
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
-    staged = pages.repartition(_default_parallelism(pages)).selectExpr(
+    staged = _fan_out(pages).selectExpr(
         "doc_id",
         "lang",
         "source",
@@ -281,9 +281,9 @@ def extract_text_from(pages: DataFrame, col: str = "html") -> DataFrame:
     production operator. One narrow two-level projection (stats bound
     once -- CollapseProject keeps the non-cheap alias out of the three
     consumers), no shuffle, no Python."""
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
-    staged = pages.repartition(_default_parallelism(pages)).selectExpr(
+    staged = _fan_out(pages).selectExpr(
         "doc_id", f"{_stats_expr(col, 'spark')} AS stats"
     )
     return staged.selectExpr(
@@ -302,11 +302,9 @@ def extraction_report(documents: DataFrame) -> DataFrame:
     n_chars_html, n_chars_text, n_link_chars) -- the boilerplate-mass
     accounting a crawl pipeline records next to the extracted text.
     Same single-scan shape as extract_text."""
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
-    staged = documents.repartition(
-        _default_parallelism(documents)
-    ).selectExpr(
+    staged = _fan_out(documents).selectExpr(
         "doc_id",
         f"{synth_html_expr()} AS html",
     ).selectExpr(

@@ -46,18 +46,27 @@ _ZIGZAG = [
 ]
 
 
+_DCT_BASIS = None
+
+
 def _dct_basis():
     """Orthonormal 8x8 DCT-II basis A (A[u, x] = c(u)/2 *
     cos((2x+1) u pi / 16)): spatial = A.T @ coeff @ A, coeff = A @
-    spatial @ A.T."""
-    import numpy as np
+    spatial @ A.T. Computed once per process (it was rebuilt per
+    decoded image, a measurable share of the tiny-image decode cost);
+    callers must not mutate the returned array."""
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        import numpy as np
 
-    a = np.empty((8, 8))
-    for u in range(8):
-        c = math.sqrt(0.125) if u == 0 else 0.5
-        for x in range(8):
-            a[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
-    return a
+        a = np.empty((8, 8))
+        for u in range(8):
+            c = math.sqrt(0.125) if u == 0 else 0.5
+            for x in range(8):
+                a[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
+        a.setflags(write=False)
+        _DCT_BASIS = a
+    return _DCT_BASIS
 
 
 class _HuffTable:
@@ -78,6 +87,37 @@ class _HuffTable:
         self.encode = {
             sym: (code, length) for (length, code), sym in self.lookup.items()
         }
+        # first-8-bits decoder LUT: lut8[prefix] = (symbol, length) for
+        # every 8-bit prefix that starts with a code of length <= 8
+        # (prefix-free, so the match is unique); None means the code is
+        # longer than 8 bits or the prefix is not assigned -- the
+        # decoder falls back to the per-length dict walk for 9..16.
+        lut8: list = [None] * 256
+        for (length, c), sym in self.lookup.items():
+            if length <= 8:
+                base = c << (8 - length)
+                entry = (sym, length)
+                for i in range(1 << (8 - length)):
+                    lut8[base + i] = entry
+        self.lut8 = lut8
+
+
+#: (counts bytes, symbols) -> _HuffTable memo: the standard encode
+#: tables and every stream-parsed DHT in a corpus repeat endlessly, and
+#: table construction was a measurable share of small-image decode.
+#: Tables are immutable after __init__, so sharing is sound.
+_HUFF_CACHE: dict = {}
+
+
+def _huff_table(counts, symbols: bytes) -> _HuffTable:
+    key = (bytes(counts), bytes(symbols))
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        if len(_HUFF_CACHE) > 256:
+            _HUFF_CACHE.clear()
+        t = _HuffTable(list(counts), symbols)
+        _HUFF_CACHE[key] = t
+    return t
 
 
 class _BitReader:
@@ -111,19 +151,47 @@ class _BitReader:
         if self.nbits == 0 and not self._fill():
             return None
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        v = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1  # keep the int small
+        return v
 
     def bits(self, n: int) -> int | None:
-        v = 0
-        for _ in range(n):
-            b = self.bit()
-            if b is None:
+        # batched: one shift/mask per FIELD, not per bit (the per-bit
+        # loop was a top entry in the entropy-decode profile)
+        if n <= 0:
+            return 0
+        while self.nbits < n:
+            if not self._fill():
                 return None
-            v = (v << 1) | b
+        self.nbits -= n
+        v = self.acc >> self.nbits
+        self.acc &= (1 << self.nbits) - 1
         return v
+
+    def _tail_pos(self) -> int:
+        """Byte position of the first WHOLLY-unconsumed input byte:
+        rolls self.pos back over buffered-but-unread whole bytes
+        (nbits // 8 of them; the remaining <8 bits belong to a
+        partially consumed byte, which counts as consumed, matching
+        the old lazy per-bit reader). Unstuffing-aware: a buffered
+        byte that entered as FF 00 rolls back two input bytes -- the
+        pair is unambiguous because a raw 00 can never directly follow
+        a raw FF inside entropy data (FF 00 IS the stuffing). Without
+        this, the eager accumulator would report a position past
+        garbage bytes the logical decode never consumed, accepting
+        streams the per-bit reader rejected."""
+        d = self.data
+        p = self.pos
+        for _ in range(self.nbits >> 3):
+            if p >= 2 and d[p - 1] == 0x00 and d[p - 2] == 0xFF:
+                p -= 2
+            else:
+                p -= 1
+        return p
 
     def align_and_expect_rst(self, idx: int) -> bool:
         """Byte-align, then consume the expected RSTn marker."""
+        self.pos = self._tail_pos()
         self.acc = 0
         self.nbits = 0
         d = self.data
@@ -135,14 +203,43 @@ class _BitReader:
         return True
 
     def decode_huff(self, table: _HuffTable) -> int | None:
-        code = 0
-        for length in range(1, 17):
-            b = self.bit()
-            if b is None:
+        # Fast path: one first-8-bits LUT probe resolves codes of
+        # length <= 8 (the overwhelming majority); longer codes fall
+        # back to the per-length dict walk over 9..16. Zero-padding a
+        # truncated tail is sound: a prefix-free match using only the
+        # genuinely available bits is the same symbol the per-bit walk
+        # would have found, and a match needing padded bits is
+        # rejected (None), exactly like the walk running out of bits.
+        while self.nbits < 8 and self._fill():
+            pass
+        have = self.nbits
+        if have == 0:
+            return None
+        acc = self.acc
+        peek8 = (acc << (8 - have)) & 0xFF if have < 8 else (
+            acc >> (have - 8)
+        ) & 0xFF
+        ent = table.lut8[peek8]
+        if ent is not None:
+            sym, length = ent
+            if length <= have:
+                self.nbits = have - length
+                self.acc = acc & ((1 << self.nbits) - 1)
+                return sym
+            return None  # code needs bits the stream does not have
+        while self.nbits < 16 and self._fill():
+            pass
+        have = self.nbits
+        acc = self.acc
+        peek16 = (acc << (16 - have)) if have < 16 else acc >> (have - 16)
+        lookup = table.lookup
+        for length in range(9, 17):
+            if length > have:
                 return None
-            code = (code << 1) | b
-            sym = table.lookup.get((length, code))
+            sym = lookup.get((length, peek16 >> (16 - length)))
             if sym is not None:
+                self.nbits = have - length
+                self.acc = acc & ((1 << self.nbits) - 1)
                 return sym
         return None
 
@@ -224,7 +321,7 @@ def _decode_jpeg_pixels(payload: bytes):
                 p += 17
                 if p + total > len(body):
                     return None
-                table = _HuffTable(counts, body[p : p + total])
+                table = _huff_table(counts, body[p : p + total])
                 p += total
                 if tc == 0:
                     huff_dc[th] = table
@@ -576,11 +673,11 @@ def encode_jpeg(
         raise ValueError("12-bit encode supports grayscale only")
     basis = _dct_basis()
     if precision == 12:
-        dc_tab = _HuffTable(_DC_COUNTS12, _DC_SYMBOLS12)
-        ac_tab = _HuffTable(_AC_COUNTS12, _AC_SYMBOLS12)
+        dc_tab = _huff_table(_DC_COUNTS12, _DC_SYMBOLS12)
+        ac_tab = _huff_table(_AC_COUNTS12, _AC_SYMBOLS12)
     else:
-        dc_tab = _HuffTable(_DC_COUNTS, _DC_SYMBOLS)
-        ac_tab = _HuffTable(_AC_COUNTS, _AC_SYMBOLS)
+        dc_tab = _huff_table(_DC_COUNTS, _DC_SYMBOLS)
+        ac_tab = _huff_table(_AC_COUNTS, _AC_SYMBOLS)
     shift = float(1 << (precision - 1))
 
     out = bytearray(b"\xff\xd8")
@@ -733,7 +830,7 @@ def _decode_progressive(payload: bytes):
                 p += 17
                 if p + total > len(body):
                     return None
-                table = _HuffTable(counts, body[p : p + total])
+                table = _huff_table(counts, body[p : p + total])
                 p += total
                 if tc == 0:
                     huff_dc[th] = table
@@ -896,8 +993,10 @@ def _decode_progressive_scan(
                 if not ok:
                     return None
                 units += 1
-    # byte-align: leftover bits in the reader's accumulator are pad
-    return reader.pos
+    # byte-align: leftover bits in the reader's accumulator are pad;
+    # _tail_pos rolls back whole bytes the accumulator prefetched but
+    # the scan never logically consumed (per-bit reader parity)
+    return reader._tail_pos()
 
 
 def _dc_unit(reader, coef, row, col, preds, ci, dc_table, ah, al) -> bool:
@@ -1023,21 +1122,24 @@ def _assemble_from_coefs(frame, geom, coefs, quant):
     hmax, vmax, mcus_x, mcus_y = geom
     basis = _dct_basis()
     out = []
+    # zigzag index k -> flat spatial index r*8+c, for the bulk dezigzag
+    zz_flat = np.array([r * 8 + c for (r, c) in _ZIGZAG])
     for ci, (cid, h, v, tq) in enumerate(comps):
         if tq not in quant:
             return None
         q = quant[tq]
         rows, cols = coefs[ci].shape[:2]
-        plane = np.empty((rows * 8, cols * 8))
-        for row in range(rows):
-            for col in range(cols):
-                block = np.zeros((8, 8))
-                zz = coefs[ci][row, col]
-                for k, (r, c) in enumerate(_ZIGZAG):
-                    block[r, c] = zz[k] * q[r, c]
-                plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
-                    basis.T @ block @ basis + 128.0
-                )
+        # all blocks at once: dezigzag+dequant via one fancy-index
+        # scatter, then broadcast A.T @ B @ A over the block stack
+        # (bit-equal to the per-block loop it replaces: same products,
+        # same 8-term matmul sums)
+        bf = np.zeros((rows, cols, 64))
+        bf[..., zz_flat] = coefs[ci] * q.reshape(-1)[zz_flat]
+        spatial = (
+            np.matmul(np.matmul(basis.T, bf.reshape(rows, cols, 8, 8)), basis)
+            + 128.0
+        )
+        plane = spatial.transpose(0, 2, 1, 3).reshape(rows * 8, cols * 8)
         if h != hmax or v != vmax:
             plane = np.repeat(
                 np.repeat(plane, vmax // v, axis=0), hmax // h, axis=1
@@ -1200,8 +1302,8 @@ def encode_jpeg_progressive(
                 for k, (r, c) in enumerate(_ZIGZAG):
                     arr[row, col, k] = block[r, c]
         coefs.append(arr)
-    dc_tab = _HuffTable(_DC_COUNTS, _DC_SYMBOLS)
-    ac_tab = _HuffTable(_AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
+    dc_tab = _huff_table(_DC_COUNTS, _DC_SYMBOLS)
+    ac_tab = _huff_table(_AC_PROG_COUNTS, _AC_PROG_SYMBOLS)
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([0x00])

@@ -29,7 +29,7 @@ canonical-Huffman classes -- one entropy machine for the family."""
 
 from __future__ import annotations
 
-from .jpeg import _BitReader, _BitWriter, _HuffTable
+from .jpeg import _BitReader, _BitWriter, _HuffTable, _huff_table
 
 #: the lossless DHT: 17 magnitude categories (0..16), all length 5 --
 #: canonical assignment leaves the all-ones 5-bit code unused
@@ -80,7 +80,7 @@ def encode_jpeg_lossless(
         sos += bytes((c + 1, 0x00))  # DC table 0
     sos += bytes((predictor, 0, pt))  # Ss=predictor, Se=0, Ah<<4|Al=Pt
     out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
-    table = _HuffTable(_L_COUNTS, _L_SYMBOLS)
+    table = _huff_table(_L_COUNTS, _L_SYMBOLS)
     writer = _BitWriter()
     shifted = (a >> pt).astype(np.int64)
     default = 1 << (precision - pt - 1)
@@ -201,7 +201,7 @@ def _decode(payload: bytes):
                 if p + total > len(body):
                     return None
                 if tc == 0:
-                    huff[th] = _HuffTable(counts, body[p : p + total])
+                    huff[th] = _huff_table(counts, body[p : p + total])
                 elif tc != 1:
                     return None
                 p += total

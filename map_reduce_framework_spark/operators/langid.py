@@ -106,11 +106,11 @@ def _lid_features(
     )
     base = documents
     if parallel:
-        from .text_analysis import _default_parallelism
+        from .text_analysis import _fan_out
 
         # single parquet files scan as ONE partition: spread the
         # per-gram md5 work (SCALE.md's measured single-scan trap)
-        base = documents.repartition(_default_parallelism(documents))
+        base = _fan_out(documents)
     staged = base.selectExpr("doc_id", "lang", f"{xs} AS xs")
     return staged.selectExpr(
         "doc_id",

@@ -161,10 +161,10 @@ def union_features(
                 out["val"].append(val)
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "lang", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -396,10 +396,10 @@ def langid_scores_wide_union(
                 out["margin_q6"].append(best - second)
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "lang", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 

@@ -114,7 +114,7 @@ def wide_features(
     single-file-scan spread."""
     import numpy as np  # noqa: F401  (documents the Arrow batch dep)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     schema = StructType(
         [
@@ -140,7 +140,7 @@ def wide_features(
             yield pd.DataFrame(out)
 
     base = documents.select("doc_id", "lang", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -314,7 +314,7 @@ def langid_scores_wide(
     _rows, w = _trained or wide_train_trace(documents, iters, lr, dim=dim)
     w_mat = {l: np.asarray(w[l], dtype=np.int64) for l in LID_LANGS}
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     schema = StructType(
         [
@@ -359,7 +359,7 @@ def langid_scores_wide(
             yield pd.DataFrame(out)
 
     base = documents.select("doc_id", "lang", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 

@@ -908,7 +908,7 @@ def audio_features_mpeg(documents, *, layer: int = 2):
 
     from ..functions.text import _WS_RE
     from .audio import _doc_samples
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     if layer == 1:
         spf, bitrate = 384, 448
@@ -962,7 +962,7 @@ def audio_features_mpeg(documents, *, layer: int = 2):
             yield pd.DataFrame(out)
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=_mpeg_features_schema()
     )
 
@@ -1011,7 +1011,7 @@ def mpeg_stream_report(documents):
 
     from ..functions.text import _WS_RE
     from .audio import _doc_samples
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     schema = StructType(
         [
@@ -1066,7 +1066,7 @@ def mpeg_stream_report(documents):
             yield pd.DataFrame(out)
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 

@@ -356,37 +356,47 @@ def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    table = {bytes([i]): i for i in range(clear)}
+    # The dictionary is keyed on (prefix CODE, next byte) packed into
+    # one int instead of on the prefix byte-string: same greedy
+    # longest-match walk, same emitted code sequence (a prefix string
+    # and its table code are in bijection), no per-byte string concat
+    # or per-frame {bytes([i]): i} base-table build. Single-byte
+    # prefixes map to themselves implicitly (code == byte value).
+    table: dict = {}
     width = min_code_size + 1
     next_code = eoi + 1
     emit(clear, width)
-    prefix = b""
+    prefix_code = -1  # -1 == empty prefix
     n_data = 0  # data codes emitted since the last clear
     for byte in indices:
-        cur = prefix + bytes([byte])
-        if cur in table:
-            prefix = cur
+        if prefix_code < 0:
+            prefix_code = byte
             continue
-        emit(table[prefix], width)
+        key = (prefix_code << 8) | byte
+        nxt = table.get(key)
+        if nxt is not None:
+            prefix_code = nxt
+            continue
+        emit(prefix_code, width)
         n_data += 1
         # register cur; the DECODER's table lags this one by exactly one
         # entry (it can only reconstruct an entry after consuming the
         # next code), so the width grows one entry LATER than this
         # table's own size suggests: at 2^width + 1, not 2^width
         if next_code < 4096:
-            table[cur] = next_code
+            table[key] = next_code
             next_code += 1
             if next_code == (1 << width) + 1 and width < 12:
                 width += 1
         else:  # table full: reset (decoder mirrors on the clear code)
             emit(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
+            table = {}
             width = min_code_size + 1
             next_code = eoi + 1
             n_data = 0
-        prefix = bytes([byte])
-    if prefix:
-        emit(table[prefix], width)
+        prefix_code = byte
+    if prefix_code >= 0:
+        emit(prefix_code, width)
         # the decoder registers ONE MORE entry after consuming this
         # final code (unless it is the first data code since a clear,
         # when its prev is unset); if that implied registration lands
@@ -445,6 +455,11 @@ def encode_gif(frames, *, disposals=None) -> bytes:
     return bytes(out)
 
 
+#: min_code_size -> cached 4096-slot decoder base table (see
+#: _gif_lzw_decode); copied per decode, never mutated in place.
+_LZW_DEC_BASE: dict = {}
+
+
 def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
     """GIF-variant LZW: little-endian bit packing, clear/EOI codes,
     code width grows after the table reaches 2^width (cap 12 bits).
@@ -453,11 +468,19 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
         return None
     clear = 1 << min_code_size
     eoi = clear + 1
-
-    def reset():
-        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1, eoi + 1
-
-    table, width, next_code = reset()
+    # Preallocated 4096-slot list table instead of a dict rebuilt on
+    # every clear code ({i: bytes([i])} per reset was ~40% of decode):
+    # slots 0..clear-1 come from a per-min_code_size cached base, a
+    # clear code only rewinds next_code, and validity is the range
+    # check code < next_code (codes clear/eoi are branched before it;
+    # stale entries above next_code are unreachable through it).
+    base = _LZW_DEC_BASE.get(min_code_size)
+    if base is None:
+        base = [bytes([i]) for i in range(clear)] + [b""] * (4096 - clear)
+        _LZW_DEC_BASE[min_code_size] = base
+    table = base.copy()
+    width = min_code_size + 1
+    next_code = eoi + 1
     out = bytearray()
     acc = nbits = 0
     prev = None
@@ -469,12 +492,13 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, max_pixels: int):
             acc >>= width
             nbits -= width
             if code == clear:
-                table, width, next_code = reset()
+                width = min_code_size + 1
+                next_code = eoi + 1
                 prev = None
                 continue
             if code == eoi:
                 return out if len(out) >= max_pixels else None
-            if code in table:
+            if code < next_code:
                 entry = table[code]
             elif code == next_code and prev is not None:
                 entry = prev + prev[:1]
@@ -1921,6 +1945,10 @@ DHASH_BAND_BITS = 7
 DHASH_MAX_HAM = 8
 
 
+#: token -> first md5 byte memo for _doc_pixels (pure, process-wide).
+_TOK_PIXEL_CACHE: dict = {}
+
+
 def _doc_pixels(tokens: list, frame: int = 0) -> "object":
     """16x16 grayscale pixels: pixel i's value is the first md5 byte of
     token[(i + frame) mod n] -- a pure function of the token sequence,
@@ -1929,13 +1957,18 @@ def _doc_pixels(tokens: list, frame: int = 0) -> "object":
     (frame 0 is the still image the dHash queries use)."""
     import numpy as np
 
-    cache: dict = {}
+    # token -> first-md5-byte memo shared across frames/docs of a task
+    # (values are pure functions of the token; bounded below): corpus
+    # tokens repeat endlessly, and the md5 was the kernel's hot spot
+    cache = _TOK_PIXEL_CACHE
     vals = []
     n = len(tokens)
     for i in range(IMG_SIDE * IMG_SIDE):
         tok = tokens[(i + frame) % n] if n else ""
         v = cache.get(tok)
         if v is None:
+            if len(cache) > (1 << 20):
+                cache.clear()
             v = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
             cache[tok] = v
         vals.append(v)
@@ -1947,16 +1980,15 @@ def _dhash_from_pixels(px) -> int:
     """63-bit dHash: resize the (real, decoded) image to 9x8 with the
     shared integer nearest-neighbor rule and set bit y*8+x when
     g[y][x] < g[y][x+1] (bit 63 dropped)."""
+    import numpy as np
+
     small = nearest_neighbor_resize(px[:, :, 0], DHASH_W, DHASH_H)
-    h = 0
-    for y in range(DHASH_H):
-        for x in range(DHASH_W - 1):
-            k = y * (DHASH_W - 1) + x
-            if k >= DHASH_BITS:
-                break
-            if int(small[y][x]) < int(small[y][x + 1]):
-                h |= 1 << k
-    return h
+    # vectorized twin of the per-pixel loop: bit k = y*(W-1)+x set when
+    # g[y][x] < g[y][x+1], row-major == ravel order, bit 63 dropped
+    flat = (small[:, :-1] < small[:, 1:]).ravel()[:DHASH_BITS]
+    return int.from_bytes(
+        np.packbits(flat, bitorder="little").tobytes(), "little"
+    )
 
 
 def image_dhash(documents: DataFrame) -> DataFrame:
@@ -1992,10 +2024,10 @@ def image_dhash(documents: DataFrame) -> DataFrame:
     # repartition all codec work runs single-threaded (measured trap,
     # see SCALE.md "interpreted-HOF" notes) -- shuffle the tiny
     # (doc_id, text) projection out to the session's parallelism first
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -2468,10 +2500,10 @@ def video_frame_dhash(documents: DataFrame) -> DataFrame:
                     out["dhash"].append(_dhash_from_pixels(px))
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -2635,10 +2667,10 @@ def _jpeg_roundtrip_op(documents: DataFrame, encoder) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -2863,10 +2895,10 @@ def mjpeg_avi_frame_dhash(documents: DataFrame) -> DataFrame:
                     out["dhash"].append(_dhash_from_pixels(px))
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -2924,10 +2956,10 @@ def mjpeg_mp4_frame_dhash(documents: DataFrame) -> DataFrame:
                     out["dhash"].append(_dhash_from_pixels(px))
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 
@@ -3106,12 +3138,10 @@ def codec_boundary_report(documents: DataFrame) -> DataFrame:
                 out["codec"].append(jpeg_codec_class(bytes(payload)))
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "source", "text")
-    classified = base.repartition(
-        _default_parallelism(documents)
-    ).mapInPandas(run, schema=schema)
+    classified = _fan_out(base).mapInPandas(run, schema=schema)
     rejected = F.col("codec").isin(*CODEC_REJECTED_CLASSES)
     return classified.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_images"),
@@ -3482,12 +3512,10 @@ def media_boundary_report(documents: DataFrame) -> DataFrame:
                 out["supported"].append(bool(cls[2]) if cls else False)
             yield pd.DataFrame(out)
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     base = documents.select("doc_id", "source", "text")
-    classified = base.repartition(
-        _default_parallelism(documents)
-    ).mapInPandas(run, schema=schema)
+    classified = _fan_out(base).mapInPandas(run, schema=schema)
     return classified.groupBy("source", "container", "fmt").agg(
         F.count("*").cast("bigint").alias("n_payloads"),
         F.sum(F.when(F.col("supported"), 1).otherwise(0))

@@ -144,6 +144,27 @@ def _default_parallelism(df: DataFrame) -> int:
         return 32
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to session parallelism ONLY when the
+    input has fewer splits than that (VERDICT r12 ask #6). The
+    unconditional ``repartition(n)`` these call sites used is a
+    REPARTITION_BY_NUM exchange AQE will NOT elide, so over a
+    many-split scan (thousands of input splits at 100 TB) it
+    re-shuffled every raw text byte for nothing; over the few-file
+    local testdata it remains the parallelism fix it always was.
+    Plan-shape-only change: round-robin placement never alters row
+    content, and every consumer of these bases is row-order-
+    insensitive. getNumPartitions is driver-side planning (no job);
+    streaming inputs raise here and keep the unconditional exchange."""
+    target = _default_parallelism(df)
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass
+    return df.repartition(target)
+
+
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
     """Two content fingerprints per doc: the canonical token-set hash
     (order-insensitive) and the minimum 3-gram-shingle hash (winnowing-
@@ -158,7 +179,7 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     fp = fingerprints_arrow(3)(F.col("text"))
     # repartition: the single-file scan would otherwise hash every shingle
     # of every doc in ONE task. Session shuffle parallelism; AQE coalesces.
-    return documents.repartition(_default_parallelism(documents)).select(
+    return _fan_out(documents).select(
         "doc_id",
         fp["set_fingerprint"].alias("set_fingerprint"),
         fp["min_shingle_fingerprint"].alias("min_shingle_fingerprint"),
@@ -173,7 +194,7 @@ def doc_fingerprints_expr(documents: DataFrame) -> DataFrame:
     canon = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     sh = word_shingles(toks, 3)
     min_shingle = F.array_min(F.transform(sh, lambda s: F.md5(s)))
-    return documents.repartition(_default_parallelism(documents)).select(
+    return _fan_out(documents).select(
         "doc_id",
         canon.alias("set_fingerprint"),
         min_shingle.alias("min_shingle_fingerprint"),
@@ -319,7 +340,7 @@ def repetition_signals(documents: DataFrame) -> DataFrame:
     toks = tokenize_ws("text")
     # repartition: the token explode runs in the scan task; a 1-file scan
     # would serialize it (same trap as doc_fingerprints).
-    documents = documents.repartition(_default_parallelism(documents))
+    documents = _fan_out(documents)
     t = documents.select(
         "doc_id", F.posexplode(toks).alias("pos", "term")
     )
@@ -386,7 +407,7 @@ def doc_commonness(documents: DataFrame) -> DataFrame:
     joined as a shuffle join (a 100 TB vocabulary with typos need not
     broadcast)."""
     toks = tokenize_ws("text")
-    t = documents.repartition(_default_parallelism(documents)).select(
+    t = _fan_out(documents).select(
         "doc_id", F.explode(toks).alias("term")
     )
     counts = t.groupBy("term").agg(F.count("*").alias("cnt"))
@@ -438,11 +459,10 @@ def doc_chunks(documents: DataFrame) -> DataFrame:
 
     spark = documents.sparkSession
     spark.udtf.register("mrfs_chunker", Chunker)
-    # repartition: the UDTF runs in the scan's partitioning -- a 1-file
-    # scan would push every doc through ONE Python worker.
-    documents.repartition(
-        _default_parallelism(documents)
-    ).createOrReplaceTempView("mrfs_chunk_docs")
+    # fan-out: the UDTF runs in the scan's partitioning -- a 1-file
+    # scan would push every doc through ONE Python worker (gated on
+    # split count like every other raw-text fan-out).
+    _fan_out(documents).createOrReplaceTempView("mrfs_chunk_docs")
     return spark.sql(
         f"""
         SELECT d.doc_id, c.chunk_idx,
@@ -2194,7 +2214,7 @@ def exact_substr_dedup(
     all-pairs, no driver state; output is |docs| rows with the
     cleaned text column."""
     toks = tokenize_ws("text")
-    base = documents.repartition(_default_parallelism(documents)).select(
+    base = _fan_out(documents).select(
         "doc_id", toks.alias("w")
     )
     pos = base.select(
@@ -2551,7 +2571,7 @@ def gopher_repetition_filter(
     )
 
     extra = dict(extra_exprs or {})
-    base = documents.repartition(_default_parallelism(documents)).select(
+    base = _fan_out(documents).select(
         "doc_id",
         "text",
         *[c.alias(name) for name, c in extra.items()],
@@ -2559,8 +2579,12 @@ def gopher_repetition_filter(
     extra_fields = [
         f for f in base.schema.fields if f.name not in ("doc_id", "text")
     ]
+    # doc_id keeps the INPUT column's type (ADVICE r12 #2: hardcoding
+    # LongType silently cast/failed non-long doc_id pipelines at the
+    # Arrow boundary; the retired expression path preserved it)
+    doc_id_field = next(f for f in base.schema.fields if f.name == "doc_id")
     schema = StructType(
-        [StructField("doc_id", LongType())]
+        [doc_id_field]
         + [StructField(nm, DoubleType()) for nm in _REP_FRAC_NAMES]
         + [StructField("repetition_pass", BooleanType())]
         + extra_fields

@@ -618,7 +618,7 @@ def video_meta_report(documents):
         StructType,
     )
 
-    from .text_analysis import _default_parallelism
+    from .text_analysis import _fan_out
 
     schema = StructType(
         [
@@ -681,7 +681,7 @@ def video_meta_report(documents):
             yield pd.DataFrame(out)
 
     base = documents.select("doc_id", "text")
-    return base.repartition(_default_parallelism(documents)).mapInPandas(
+    return _fan_out(base).mapInPandas(
         run, schema=schema
     )
 

@@ -28,6 +28,33 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def materialize_ctes(sql: str | None) -> str | None:
+    """Add DuckDB's ``AS MATERIALIZED`` hint to every CTE of an oracle
+    query (r13, guide §1 measure-first applied to the VERIFY side):
+    DuckDB inlines CTEs by default, so the deeply composed funnel
+    oracles re-evaluated shared relations per reference -- measured at
+    sf0.001: curation_run_ledger 297 s -> 2.4 s, mmr_rerank_ann
+    66 -> 0.8 s, shard_epoch_ledger 70 -> 0.7 s, training_run_manifest
+    29 -> 0.6 s, every compared row identical (the hint changes
+    evaluation strategy, never semantics). Applied at the registry
+    boundary so the declared per-module ORACLE_SQL stays the readable
+    spec; tests/oracle_util applies the same transform."""
+    if not sql:
+        return sql
+    import re
+
+    # lookahead pins the rewrite to CTE definitions (body starts with
+    # SELECT/WITH/VALUES); named WINDOW clauses ("WINDOW w7 AS (...)")
+    # share the "name AS (" shape but their body starts with
+    # PARTITION/ORDER/frame keywords and must stay untouched
+    return re.sub(
+        r"(\w+) AS \((\s*)(?=SELECT|WITH|VALUES)",
+        r"\1 AS MATERIALIZED (\2",
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
 def register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,7 +63,7 @@ def register(name: str, oracle: str | None):
 
         wrapped.__name__ = name
         wrapped.__doc__ = fn.__doc__
-        REGISTRY[name] = Query(name, wrapped, oracle)
+        REGISTRY[name] = Query(name, wrapped, materialize_ctes(oracle))
         return wrapped
 
     return deco

@@ -44,10 +44,14 @@ def _normalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 
 def compare_to_oracle(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+    from map_reduce_framework_spark.registry import materialize_ctes
+
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
-    rel = con.sql(sql)
+    # same CTE-materialization hint the registry applies for the driver
+    # (pure evaluation-strategy change; r13 -- see registry.py)
+    rel = con.sql(materialize_ctes(sql))
     duck_cols = list(rel.columns)
     duck_rows = rel.fetchall()
 
