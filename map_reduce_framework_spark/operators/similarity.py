@@ -504,30 +504,49 @@ def ann_recall_report(
     emb = stage_checkpoint(
         embeddings.select("vec_id", "embedding"), eager=True
     )
-    variants = [
-        ("ann_lsh", ann_lsh(emb), 5),
-        ("ann_ivf", ann_ivf(emb), 5),
-        ("ann_ivf_trained", ann_ivf_trained(emb), 5),
-        ("ann_ivf_pq", ann_ivf_pq(emb), PQ_TOPK),
-        ("ann_ivfadc", ann_ivfadc(emb), PQ_TOPK),
-        ("ann_binary", ann_binary(emb), BQ_K),
+    variant_defs = [
+        ("ann_lsh", lambda: ann_lsh(emb), 5),
+        ("ann_ivf", lambda: ann_ivf(emb), 5),
+        ("ann_ivf_trained", lambda: ann_ivf_trained(emb), 5),
+        ("ann_ivf_pq", lambda: ann_ivf_pq(emb), PQ_TOPK),
+        ("ann_ivfadc", lambda: ann_ivfadc(emb), PQ_TOPK),
+        ("ann_binary", lambda: ann_binary(emb), BQ_K),
     ]
     n_queries = 8
-    max_k = max(k for _, _, k in variants)
+    max_k = max(k for _, _, k in variant_defs)
     # one brute-force pass at the largest k; exact top-k' for any k' <= k
-    # is its rnk <= k' prefix (same ordering), so the O(n) scan runs once
-    exact_all = stage_checkpoint(
-        knn_brute_force(emb, n_queries=n_queries, k=max_k).select(
-            "q_id", "vec_id", "rnk"
-        ),
-        eager=True,
-    )
+    # is its rnk <= k' prefix (same ordering), so the O(n) scan runs once.
+    # The branches are INDEPENDENT small jobs that each leave most of
+    # the cluster idle, so they are built and materialized from a small
+    # thread pool (guide §2.6: overlap independent jobs -- actions are
+    # only sequential because driver code calls them sequentially);
+    # every branch is deterministic, so scheduling order cannot change
+    # a row.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _exact():
+        return stage_checkpoint(
+            knn_brute_force(emb, n_queries=n_queries, k=max_k).select(
+                "q_id", "vec_id", "rnk"
+            ),
+            eager=True,
+        )
+
+    def _branch(build):
+        return stage_checkpoint(build().select("q_id", "vec_id"), eager=True)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_exact = pool.submit(_exact)
+        futs = [
+            (name, pool.submit(_branch, build), k)
+            for name, build, k in variant_defs
+        ]
+        exact_all = fut_exact.result()
+        picks = [(name, f.result(), k) for name, f, k in futs]
     out = None
-    for name, df, k in variants:
+    for name, df, k in picks:
         exact = exact_all.filter(F.col("rnk") <= k).select("q_id", "vec_id")
-        hits = stage_checkpoint(
-            df.select("q_id", "vec_id"), eager=True
-        ).join(exact, ["q_id", "vec_id"], "left_semi")
+        hits = df.join(exact, ["q_id", "vec_id"], "left_semi")
         rep = hits.agg(F.count("*").alias("n_hits")).select(
             F.lit(name).alias("variant"),
             F.lit(k).cast("int").alias("k"),
