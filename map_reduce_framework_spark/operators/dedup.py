@@ -511,11 +511,12 @@ def connected_component_labels(
         ),
         eager=True,
     )
+    # lazy: round 1's fused count materializes this alongside the
+    # round's labels -- one fewer job per CC invocation
     labels = stage_checkpoint(
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id")),
-        eager=True,
     )
     while True:
         neighbor_min = (

@@ -2312,10 +2312,26 @@ def multimodal_dedup_agreement(documents: DataFrame) -> DataFrame:
         ("video_keyframes", video_dedup_pairs(documents)),
         ("audio_fingerprint", audio_fingerprint_pairs(documents)),
     ]
-    rels = [
-        (name, stage_checkpoint(df.select("doc_a", "doc_b"), eager=True))
-        for name, df in methods
-    ]
+    # the four detector materializations are independent jobs that each
+    # leave most of the cluster idle -- overlap them from a small
+    # driver thread pool (guide §2.6); each relation is deterministic,
+    # so scheduling order cannot change a row (r13; same pattern as
+    # ann_recall_report, measured there 12.9 -> 8.4 s)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            (
+                name,
+                pool.submit(
+                    stage_checkpoint,
+                    df.select("doc_a", "doc_b"),
+                    eager=True,
+                ),
+            )
+            for name, df in methods
+        ]
+        rels = [(name, f.result()) for name, f in futs]
     out = None
     for i in range(len(rels)):
         for j in range(i + 1, len(rels)):

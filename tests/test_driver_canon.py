@@ -38,10 +38,16 @@ ATOMIC_BAD = ("array", "map", "struct")
 ALL_NAMES = sorted(REGISTRY)
 
 
+@pytest.mark.driver_sweep
 def test_registered_schemas_are_atomic(spark, sf_smoke):
     """The driver's canonicalizer pandas-hashes every output cell; a
     non-atomic column (array/map/struct) is unhashable and turns a correct
-    answer into a red CORRECTNESS row. Catch it at build time."""
+    answer into a red CORRECTNESS row. Catch it at build time.
+
+    driver_sweep-marked (VERDICT r12 ask #1): CONSTRUCTING all 255
+    registered queries runs the iterative operators' real checkpoint
+    jobs (~3 min of the default run's verify budget), and the per-round
+    ``pytest -m driver_sweep`` pass covers exactly this surface."""
     offenders = []
     for name in ALL_NAMES:
         df = REGISTRY[name].fn(spark, sf_smoke)

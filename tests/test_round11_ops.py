@@ -280,6 +280,7 @@ class TestEpochIndexCompaction:
             all_cov.extend(cov)
         assert len(all_cov) == len(set(all_cov)) == n_epochs
 
+    @pytest.mark.soak
     def test_torn_staging_orphaned_and_converges(self, spark, tmp_path):
         import map_reduce_framework_spark.streaming.ops as ops
 
@@ -301,6 +302,7 @@ class TestEpochIndexCompaction:
         # and the planted wave-2 near-dup still dropped
         assert 102 not in survivors[-1] and 202 in survivors[-1]
 
+    @pytest.mark.soak
     def test_superseded_generation_skipped_then_gced(self, spark, tmp_path):
         import map_reduce_framework_spark.streaming.ops as ops
 
@@ -338,6 +340,7 @@ class TestEpochIndexCompaction:
         ops._compact_epoch_index(spark, work)
         assert not os.path.isdir(stale)  # garbage-collected
 
+    @pytest.mark.soak
     def test_compaction_not_triggered_below_fanout(self, spark, tmp_path):
         import map_reduce_framework_spark.streaming.ops as ops
 
@@ -1096,6 +1099,7 @@ def test_flac_encoder_covers_all_decoder_rates():
         encode_flac(s, 655351)  # not 4-bit-coded, >16-bit, not /10
 
 
+@pytest.mark.soak
 def test_probe_respects_prev_dirs_bound_after_compaction(spark, tmp_path):
     """Review finding 3: a caller probing a SUBSET of committed epochs
     must not see later epochs folded in via compacted generations."""

@@ -807,6 +807,7 @@ class TestEpochIndexRetention:
         with pytest.raises(RuntimeError, match="probe horizon"):
             ops._live_index_units(work, tombed[:1])
 
+    @pytest.mark.soak
     def test_torn_gc_tombstone_wins_then_converges(self, spark, tmp_path):
         import map_reduce_framework_spark.streaming.ops as ops
 
@@ -841,6 +842,7 @@ class TestEpochIndexRetention:
         ops._retain_epoch_indexes(work, 1)
         assert not os.path.isdir(os.path.join(victim, "index"))
 
+    @pytest.mark.soak
     def test_retain_none_is_prior_behavior(self, spark, tmp_path):
         import map_reduce_framework_spark.streaming.ops as ops
 
